@@ -1,0 +1,24 @@
+"""cnn_autoencoder_tpu — TPU-native convolutional-autoencoder compression framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the reference
+CAE image-compression framework (Cheng et al., IEEE TMM 2019 style): conv
+encoder / factorized entropy bottleneck / deconv decoder, rANS latent coding,
+zarr-backed whole-slide tile pipelines, and compressed-domain classification
+and segmentation heads.
+
+Subpackages:
+  models    — Analyzer/Synthesizer/entropy bottleneck/heads (flax, NHWC)
+  criteria  — rate/distortion/penalty/classification losses, stopping
+  ops       — GDN, conv primitives, MS-SSIM, bounds, Pallas kernels
+  coding    — rANS entropy coder (C++ core) + CDF quantization
+  storage   — zarr-v2 store + codec registry ('cae', 'cae_bn', ...)
+  data      — dataset routing, patch samplers, augmentations, prefetch
+  parallel  — device mesh / sharding helpers
+  training  — optimizers, train/valid loops, checkpointing
+  utils     — args system, loggers, metrics
+  cli       — train/compress/decompress/test entry points
+"""
+
+from .version import VER, SEG_VER, __version__
+
+__all__ = ["VER", "SEG_VER", "__version__"]

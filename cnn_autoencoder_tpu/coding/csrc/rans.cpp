@@ -1,0 +1,342 @@
+// Native rANS entropy coder for the TPU CAE framework.
+//
+// 64-bit rANS with 16-bit probability precision and 4-bit bypass escape
+// coding — bitstream-compatible with the Python oracle in _rans_py.py and
+// with the coder family the reference framework uses for its latent
+// bitstreams (invoked at reference src/models/tasks/_autoencoders.py:549-572).
+//
+// The hot entry points are the *_batch functions: they code many independent
+// tiles in parallel with OpenMP so host entropy coding overlaps TPU compute
+// in the tile pipeline.  All functions are exported with C linkage and are
+// called from Python via ctypes (no pybind11 dependency).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr uint32_t kPrecision = 16;
+constexpr uint32_t kBypassPrecision = 4;
+constexpr uint32_t kMaxBypassVal = (1u << kBypassPrecision) - 1;
+constexpr uint64_t kRans64L = 1ull << 31;
+
+struct RansSymbol {
+  uint16_t start;
+  uint16_t range;  // 0 marks a bypass (raw bits) symbol
+  bool bypass;
+};
+
+inline void enc_renorm(uint64_t &x, uint32_t *&ptr, uint32_t freq,
+                       uint32_t prec) {
+  const uint64_t x_max = ((kRans64L >> prec) << 32) * freq;
+  if (x >= x_max) {
+    *--ptr = static_cast<uint32_t>(x);
+    x >>= 32;
+  }
+}
+
+inline void enc_put(uint64_t &x, uint32_t *&ptr, uint32_t start,
+                    uint32_t freq) {
+  enc_renorm(x, ptr, freq, kPrecision);
+  x = ((x / freq) << kPrecision) + (x % freq) + start;
+}
+
+inline void enc_put_bits(uint64_t &x, uint32_t *&ptr, uint32_t val,
+                         uint32_t nbits) {
+  const uint64_t x_max = (kRans64L >> nbits) << 32;
+  if (x >= x_max) {
+    *--ptr = static_cast<uint32_t>(x);
+    x >>= 32;
+  }
+  x = (x << nbits) | val;
+}
+
+inline void enc_flush(uint64_t x, uint32_t *&ptr) {
+  ptr -= 2;
+  ptr[0] = static_cast<uint32_t>(x >> 0);
+  ptr[1] = static_cast<uint32_t>(x >> 32);
+}
+
+inline uint64_t dec_init(const uint32_t *&ptr, const uint32_t *end) {
+  if (ptr + 2 > end) {
+    ptr = end;
+    return 0;
+  }
+  uint64_t x = (static_cast<uint64_t>(ptr[1]) << 32) | ptr[0];
+  ptr += 2;
+  return x;
+}
+
+// Bounds-checked renormalization word fetch: a truncated/corrupt stream
+// yields garbage symbols (as any entropy coder must) but never reads past
+// the caller's buffer.
+inline uint32_t next_word(const uint32_t *&ptr, const uint32_t *end) {
+  return (ptr < end) ? *ptr++ : 0u;
+}
+
+inline uint32_t dec_get(uint64_t x) {
+  return static_cast<uint32_t>(x & ((1u << kPrecision) - 1));
+}
+
+inline void dec_advance(uint64_t &x, const uint32_t *&ptr,
+                        const uint32_t *end, uint32_t start, uint32_t freq) {
+  const uint32_t mask = (1u << kPrecision) - 1;
+  x = freq * (x >> kPrecision) + (x & mask) - start;
+  if (x < kRans64L) {
+    x = (x << 32) | next_word(ptr, end);
+  }
+}
+
+inline uint32_t dec_get_bits(uint64_t &x, const uint32_t *&ptr,
+                             const uint32_t *end, uint32_t nbits) {
+  const uint32_t val = static_cast<uint32_t>(x & ((1u << nbits) - 1));
+  x >>= nbits;
+  if (x < kRans64L) {
+    x = (x << 32) | next_word(ptr, end);
+  }
+  return val;
+}
+
+// Encode one tile.  Returns number of bytes written, or -1 on overflow.
+int64_t encode_one(const int32_t *symbols, const int32_t *indexes, int64_t n,
+                   const uint32_t *cdfs, int64_t cdf_stride,
+                   const int32_t *cdf_lengths, const int32_t *offsets,
+                   uint8_t *out, int64_t capacity) {
+  std::vector<RansSymbol> syms;
+  syms.reserve(static_cast<size_t>(n) + 16);
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    const uint32_t *cdf = cdfs + idx * cdf_stride;
+    const int32_t max_value = cdf_lengths[idx] - 2;
+    int32_t value = symbols[i] - offsets[idx];
+
+    uint32_t raw_val = 0;
+    if (value < 0) {
+      raw_val = static_cast<uint32_t>(-2 * value - 1);
+      value = max_value;
+    } else if (value >= max_value) {
+      raw_val = static_cast<uint32_t>(2 * (value - max_value));
+      value = max_value;
+    }
+
+    syms.push_back({static_cast<uint16_t>(cdf[value]),
+                    static_cast<uint16_t>(cdf[value + 1] - cdf[value]),
+                    false});
+
+    if (value == max_value) {
+      int32_t n_bypass = 0;
+      while ((raw_val >> (kBypassPrecision * n_bypass)) != 0) {
+        ++n_bypass;
+      }
+      int32_t val = n_bypass;
+      while (val >= static_cast<int32_t>(kMaxBypassVal)) {
+        syms.push_back({static_cast<uint16_t>(kMaxBypassVal), 0, true});
+        val -= kMaxBypassVal;
+      }
+      syms.push_back({static_cast<uint16_t>(val), 0, true});
+      for (int32_t j = 0; j < n_bypass; ++j) {
+        const uint32_t chunk =
+            (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal;
+        syms.push_back({static_cast<uint16_t>(chunk), 0, true});
+      }
+    }
+  }
+
+  // Worst case: one renorm word per symbol + 2 flush words.
+  const int64_t max_words = static_cast<int64_t>(syms.size()) + 2;
+  if (capacity < max_words * 4) {
+    return -1;
+  }
+
+  uint32_t *end = reinterpret_cast<uint32_t *>(out + (capacity & ~int64_t{3}));
+  uint32_t *ptr = end;
+  uint64_t state = kRans64L;
+
+  for (auto it = syms.rbegin(); it != syms.rend(); ++it) {
+    if (it->bypass) {
+      enc_put_bits(state, ptr, it->start, kBypassPrecision);
+    } else {
+      enc_put(state, ptr, it->start, it->range);
+    }
+  }
+  enc_flush(state, ptr);
+
+  const int64_t nbytes =
+      static_cast<int64_t>(reinterpret_cast<uint8_t *>(end) -
+                           reinterpret_cast<uint8_t *>(ptr));
+  std::memmove(out, ptr, static_cast<size_t>(nbytes));
+  return nbytes;
+}
+
+void decode_one(const uint8_t *data, int64_t data_len,
+                const int32_t *indexes, int64_t n, const uint32_t *cdfs,
+                int64_t cdf_stride, const int32_t *cdf_lengths,
+                const int32_t *offsets, int32_t *out) {
+  const uint32_t *ptr = reinterpret_cast<const uint32_t *>(data);
+  const uint32_t *end = ptr + (data_len / 4);
+  uint64_t state = dec_init(ptr, end);
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    const uint32_t *cdf = cdfs + idx * cdf_stride;
+    const int32_t cdf_length = cdf_lengths[idx];
+    const int32_t max_value = cdf_length - 2;
+
+    const uint32_t cum = dec_get(state);
+    // Linear scan: CDF tables are short (typically < 64 entries).
+    int32_t value = 0;
+    while (value + 1 < cdf_length && cdf[value + 1] <= cum) {
+      ++value;
+    }
+
+    const uint32_t start = cdf[value];
+    const uint32_t freq = cdf[value + 1] - start;
+    dec_advance(state, ptr, end, start, freq);
+
+    if (value == max_value) {
+      uint32_t val = dec_get_bits(state, ptr, end, kBypassPrecision);
+      uint32_t n_bypass = val;
+      while (val == kMaxBypassVal) {
+        val = dec_get_bits(state, ptr, end, kBypassPrecision);
+        n_bypass += val;
+      }
+      uint32_t raw_val = 0;
+      for (uint32_t j = 0; j < n_bypass; ++j) {
+        raw_val |= dec_get_bits(state, ptr, end, kBypassPrecision)
+                   << (j * kBypassPrecision);
+      }
+      value = static_cast<int32_t>(raw_val >> 1);
+      if (raw_val & 1) {
+        value = -value - 1;
+      } else {
+        value += max_value;
+      }
+    }
+
+    out[i] = value + offsets[idx];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t rans_encode_with_indexes(const int32_t *symbols,
+                                 const int32_t *indexes, int64_t n,
+                                 const uint32_t *cdfs, int64_t cdf_stride,
+                                 const int32_t *cdf_lengths,
+                                 const int32_t *offsets, uint8_t *out,
+                                 int64_t capacity) {
+  return encode_one(symbols, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                    offsets, out, capacity);
+}
+
+void rans_decode_with_indexes(const uint8_t *data, int64_t data_len,
+                              const int32_t *indexes, int64_t n,
+                              const uint32_t *cdfs, int64_t cdf_stride,
+                              const int32_t *cdf_lengths,
+                              const int32_t *offsets, int32_t *out) {
+  decode_one(data, data_len, indexes, n, cdfs, cdf_stride, cdf_lengths,
+             offsets, out);
+}
+
+// Batched tile encode: `batch` tiles, each of `n` symbols, sharing one index
+// map (per-channel CDFs).  Output buffers are pre-sliced at `capacity` bytes
+// per tile; per-tile byte counts land in `out_sizes`.  OpenMP-parallel.
+int32_t rans_encode_batch(const int32_t *symbols, const int32_t *indexes,
+                          int64_t batch, int64_t n, const uint32_t *cdfs,
+                          int64_t cdf_stride, const int32_t *cdf_lengths,
+                          const int32_t *offsets, uint8_t *out,
+                          int64_t capacity, int64_t *out_sizes) {
+  int32_t ok = 1;
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t b = 0; b < batch; ++b) {
+    const int64_t sz =
+        encode_one(symbols + b * n, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                   offsets, out + b * capacity, capacity);
+    out_sizes[b] = sz;
+    if (sz < 0) {
+      ok = 0;
+    }
+  }
+  return ok;
+}
+
+// Batched tile decode mirror of rans_encode_batch.
+void rans_decode_batch(const uint8_t *data, const int64_t *data_offsets,
+                       const int64_t *data_sizes, const int32_t *indexes,
+                       int64_t batch, int64_t n, const uint32_t *cdfs,
+                       int64_t cdf_stride, const int32_t *cdf_lengths,
+                       const int32_t *offsets, int32_t *out) {
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t b = 0; b < batch; ++b) {
+    decode_one(data + data_offsets[b], data_sizes[b], indexes, n, cdfs,
+               cdf_stride, cdf_lengths, offsets, out + b * n);
+  }
+}
+
+// PMF -> quantized CDF (16-bit by default); see coding/cdf.py for semantics.
+// Returns 0 on success.
+int32_t rans_pmf_to_quantized_cdf(const double *pmf, int64_t n,
+                                  int32_t precision, int32_t *out_cdf) {
+  std::vector<int64_t> cdf(static_cast<size_t>(n) + 1, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    if (!(pmf[i] >= 0.0)) {
+      return 1;
+    }
+    cdf[i + 1] = static_cast<int64_t>(pmf[i] * (1 << precision) + 0.5);
+  }
+  int64_t total = 0;
+  for (int64_t i = 0; i <= n; ++i) total += cdf[i];
+  if (total == 0) {
+    return 2;
+  }
+  for (int64_t i = 0; i <= n; ++i) {
+    cdf[i] = (static_cast<int64_t>(1 << precision) * cdf[i]) / total;
+  }
+  for (int64_t i = 1; i <= n; ++i) cdf[i] += cdf[i - 1];
+  cdf[n] = 1 << precision;
+
+  for (int64_t i = 0; i < n; ++i) {
+    if (cdf[i] == cdf[i + 1]) {
+      int64_t best_freq = -1;
+      int64_t best_steal = -1;
+      for (int64_t j = 0; j < n; ++j) {
+        const int64_t freq = cdf[j + 1] - cdf[j];
+        if (freq > 1 && (best_freq < 0 || freq < best_freq)) {
+          best_freq = freq;
+          best_steal = j;
+        }
+      }
+      if (best_steal < 0) {
+        return 3;
+      }
+      if (best_steal < i) {
+        for (int64_t j = best_steal + 1; j <= i; ++j) cdf[j] -= 1;
+      } else {
+        for (int64_t j = i + 1; j <= best_steal; ++j) cdf[j] += 1;
+      }
+    }
+  }
+
+  for (int64_t i = 0; i <= n; ++i) {
+    out_cdf[i] = static_cast<int32_t>(cdf[i]);
+  }
+  return 0;
+}
+
+int32_t rans_num_threads() {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
+}  // extern "C"

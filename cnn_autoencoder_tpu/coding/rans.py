@@ -1,0 +1,210 @@
+"""rANS coder front-end: ctypes binding to the C++ core with Python fallback.
+
+The native library (csrc/rans.cpp) is compiled on demand with g++ the first
+time it is needed and cached next to this file.  All entry points accept
+numpy arrays; the batched entry points release the GIL inside C++ (OpenMP),
+which is what lets host entropy coding overlap TPU compute in the tile
+pipeline (the reference pays this cost serially per tile through its
+per-chunk codec calls, reference src/compress.py:122-128).
+"""
+
+import ctypes
+import logging
+import os
+import subprocess
+import tempfile
+import threading
+
+import numpy as np
+
+from . import _rans_py
+
+LOGGER = logging.getLogger(__name__)
+
+_SRC = os.path.join(os.path.dirname(__file__), "csrc", "rans.cpp")
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "_librans.so")
+_BUILD_LOCK = threading.Lock()
+_LIB = None
+_NATIVE_DISABLED = os.environ.get("CAE_TPU_DISABLE_NATIVE_RANS", "0") == "1"
+
+
+def _build_library() -> bool:
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
+           "-o", _LIB_PATH, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        LOGGER.warning("Could not build native rANS library (%s); "
+                       "falling back to pure-Python coder", e)
+        return False
+
+
+def _load_library():
+    global _LIB
+    if _LIB is not None or _NATIVE_DISABLED:
+        return _LIB
+    with _BUILD_LOCK:
+        if _LIB is not None:
+            return _LIB
+        if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+            if not _build_library():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            LOGGER.warning("Could not load native rANS library: %s", e)
+            return None
+
+        i64 = ctypes.c_int64
+        i32 = ctypes.c_int32
+        p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+        lib.rans_encode_with_indexes.restype = i64
+        lib.rans_encode_with_indexes.argtypes = [
+            p_i32, p_i32, i64, p_u32, i64, p_i32, p_i32, p_u8, i64]
+        lib.rans_decode_with_indexes.restype = None
+        lib.rans_decode_with_indexes.argtypes = [
+            p_u8, i64, p_i32, i64, p_u32, i64, p_i32, p_i32, p_i32]
+        lib.rans_encode_batch.restype = i32
+        lib.rans_encode_batch.argtypes = [
+            p_i32, p_i32, i64, i64, p_u32, i64, p_i32, p_i32, p_u8, i64,
+            p_i64]
+        lib.rans_decode_batch.restype = None
+        lib.rans_decode_batch.argtypes = [
+            p_u8, p_i64, p_i64, p_i32, i64, i64, p_u32, i64, p_i32, p_i32,
+            p_i32]
+        lib.rans_pmf_to_quantized_cdf.restype = i32
+        lib.rans_pmf_to_quantized_cdf.argtypes = [p_f64, i64, i32, p_i32]
+        lib.rans_num_threads.restype = i32
+        lib.rans_num_threads.argtypes = []
+        _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    return _load_library() is not None
+
+
+def _as_tables(cdfs, cdf_lengths, offsets):
+    cdfs = np.ascontiguousarray(cdfs, np.uint32)
+    cdf_lengths = np.ascontiguousarray(cdf_lengths, np.int32)
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    return cdfs, cdf_lengths, offsets
+
+
+# Worst case bytes/symbol: 1 regular + up to 11 bypass renorm words.
+_WORST_CASE_BYTES_PER_SYMBOL = 48
+_HEADROOM = 32
+
+
+def encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets) -> bytes:
+    """Encode one flat symbol array; returns the bitstream bytes."""
+    symbols = np.ascontiguousarray(symbols, np.int32).ravel()
+    indexes = np.ascontiguousarray(indexes, np.int32).ravel()
+    cdfs, cdf_lengths, offsets = _as_tables(cdfs, cdf_lengths, offsets)
+    lib = _load_library()
+    if lib is None:
+        return _rans_py.encode_with_indexes(
+            symbols.tolist(), indexes.tolist(), cdfs.tolist(),
+            cdf_lengths.tolist(), offsets.tolist())
+    n = symbols.shape[0]
+    capacity = n * _WORST_CASE_BYTES_PER_SYMBOL + _HEADROOM
+    out = np.empty(capacity, np.uint8)
+    size = lib.rans_encode_with_indexes(
+        symbols, indexes, n, cdfs, cdfs.shape[1], cdf_lengths, offsets, out,
+        capacity)
+    if size < 0:
+        raise RuntimeError("rANS encode overflow")
+    return out[:size].tobytes()
+
+
+def decode_with_indexes(data, indexes, cdfs, cdf_lengths,
+                        offsets) -> np.ndarray:
+    """Decode a bitstream back into an int32 symbol array."""
+    indexes = np.ascontiguousarray(indexes, np.int32).ravel()
+    cdfs, cdf_lengths, offsets = _as_tables(cdfs, cdf_lengths, offsets)
+    lib = _load_library()
+    if lib is None:
+        out = _rans_py.decode_with_indexes(
+            bytes(data), indexes.tolist(), cdfs.tolist(),
+            cdf_lengths.tolist(), offsets.tolist())
+        return np.asarray(out, np.int32)
+    n = indexes.shape[0]
+    buf = np.frombuffer(bytes(data), np.uint8).copy()
+    out = np.empty(n, np.int32)
+    lib.rans_decode_with_indexes(
+        np.ascontiguousarray(buf), buf.shape[0], indexes, n, cdfs,
+        cdfs.shape[1], cdf_lengths, offsets, out)
+    return out
+
+
+def encode_batch(symbols, indexes, cdfs, cdf_lengths, offsets):
+    """Encode (B, n) symbol tiles in parallel; returns list of bytes."""
+    symbols = np.ascontiguousarray(symbols, np.int32)
+    assert symbols.ndim == 2
+    batch, n = symbols.shape
+    indexes = np.ascontiguousarray(indexes, np.int32).ravel()
+    assert indexes.shape[0] == n
+    cdfs, cdf_lengths, offsets = _as_tables(cdfs, cdf_lengths, offsets)
+    lib = _load_library()
+    if lib is None:
+        return [_rans_py.encode_with_indexes(
+            symbols[b].tolist(), indexes.tolist(), cdfs.tolist(),
+            cdf_lengths.tolist(), offsets.tolist()) for b in range(batch)]
+    capacity = n * _WORST_CASE_BYTES_PER_SYMBOL + _HEADROOM
+    out = np.empty((batch, capacity), np.uint8)
+    sizes = np.empty(batch, np.int64)
+    ok = lib.rans_encode_batch(symbols, indexes, batch, n, cdfs,
+                               cdfs.shape[1], cdf_lengths, offsets, out,
+                               capacity, sizes)
+    if not ok:
+        raise RuntimeError("rANS batch encode overflow")
+    return [out[b, :sizes[b]].tobytes() for b in range(batch)]
+
+
+def decode_batch(streams, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
+    """Decode a list of bitstreams into an (B, n) int32 symbol array."""
+    indexes = np.ascontiguousarray(indexes, np.int32).ravel()
+    n = indexes.shape[0]
+    batch = len(streams)
+    cdfs, cdf_lengths, offsets = _as_tables(cdfs, cdf_lengths, offsets)
+    lib = _load_library()
+    if lib is None:
+        out = np.empty((batch, n), np.int32)
+        for b, s in enumerate(streams):
+            out[b] = _rans_py.decode_with_indexes(
+                bytes(s), indexes.tolist(), cdfs.tolist(),
+                cdf_lengths.tolist(), offsets.tolist())
+        return out
+    sizes = np.asarray([len(s) for s in streams], np.int64)
+    data_offsets = np.zeros(batch, np.int64)
+    np.cumsum(sizes[:-1], out=data_offsets[1:])
+    if batch:
+        data = np.concatenate(
+            [np.frombuffer(bytes(s), np.uint8) for s in streams])
+    else:
+        data = np.zeros(0, np.uint8)
+    out = np.empty((batch, n), np.int32)
+    lib.rans_decode_batch(np.ascontiguousarray(data), data_offsets, sizes,
+                          indexes, batch, n, cdfs, cdfs.shape[1], cdf_lengths,
+                          offsets, out)
+    return out
+
+
+def pmf_to_quantized_cdf_native(pmf, precision: int = 16):
+    """C++ pmf->cdf; returns None if the native library is unavailable."""
+    lib = _load_library()
+    if lib is None:
+        return None
+    pmf = np.ascontiguousarray(pmf, np.float64)
+    out = np.empty(pmf.shape[0] + 1, np.int32)
+    rc = lib.rans_pmf_to_quantized_cdf(pmf, pmf.shape[0], precision, out)
+    if rc != 0:
+        raise ValueError(f"pmf_to_quantized_cdf failed with code {rc}")
+    return out

@@ -1,0 +1,332 @@
+"""Convolutional autoencoder building blocks, Analyzer and Synthesizer.
+
+TPU-native (NHWC, XLA-first) re-implementation of the reference's CAE stacks:
+
+* down/up sampling units, plain + residual (reference
+  src/models/tasks/_autoencoders.py:53-304),
+* ``Analyzer`` — ``compression_level`` stride-2 stages, last stage without
+  activation (reference :307-361),
+* ``Synthesizer`` — mirrored stride-2 transposed-conv stages with optional
+  per-scale color layers for multiscale reconstruction (reference :364-455).
+
+Semantics match the reference (same stage/channel arithmetic, reflect
+padding, activation placement, Xavier gain sqrt(2/1.01), bias 0.01); the
+implementation is idiomatic JAX: NHWC layout, explicit functional state,
+``lax.conv_general_dilated`` with ``lhs_dilation`` for upsampling.
+"""
+
+from typing import Any, List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.convops import Conv2dReflect, ConvTranspose2dTorch
+from ..ops.gdn import GDN
+
+ACT_TYPES = (None, "Identity", "LeakyReLU", "ReLU", "GDN")
+
+
+def _act_fn(act_layer_type: Optional[str], x):
+    if act_layer_type in (None, "Identity"):
+        return x
+    if act_layer_type == "LeakyReLU":
+        return nn.leaky_relu(x, negative_slope=0.01)
+    if act_layer_type == "ReLU":
+        return nn.relu(x)
+    raise ValueError(f"Activation layer {act_layer_type} not supported")
+
+
+def _has_pre_block(act_layer_type: Optional[str]) -> bool:
+    # The reference only adds the stride-1 pre-conv block for elementwise
+    # activations (not for None/GDN) — _autoencoders.py:62,187.
+    return act_layer_type is not None and act_layer_type != "GDN"
+
+
+class DownsamplingUnit(nn.Module):
+    channels_in: int
+    channels_out: int
+    kernel_size: int = 3
+    groups: bool = False
+    batch_norm: bool = False
+    dropout: float = 0.0
+    use_bias: bool = False
+    act_layer_type: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g_in = self.channels_in if self.groups else 1
+        if _has_pre_block(self.act_layer_type):
+            x = Conv2dReflect(self.channels_in, self.kernel_size, 1,
+                              self.use_bias, g_in, name="conv_pre")(x)
+            if self.batch_norm:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, name="norm_pre")(x)
+            x = _act_fn(self.act_layer_type, x)
+
+        x = Conv2dReflect(self.channels_out, self.kernel_size, 2,
+                          self.use_bias, g_in, name="conv_down")(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name="norm_down")(x)
+        if self.act_layer_type == "GDN":
+            x = GDN(self.channels_out, inverse=False, name="gdn_down")(x)
+        else:
+            x = _act_fn(self.act_layer_type, x)
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                           deterministic=not train)(x)
+        return x
+
+
+class ResidualDownsamplingUnit(nn.Module):
+    channels_in: int
+    channels_out: int
+    kernel_size: int = 3
+    groups: bool = False
+    batch_norm: bool = False
+    dropout: float = 0.0
+    use_bias: bool = False
+    act_layer_type: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g_in = self.channels_in if self.groups else 1
+        fx = Conv2dReflect(self.channels_in, self.kernel_size, 1,
+                           self.use_bias, g_in, name="res_conv1")(x)
+        if self.batch_norm:
+            fx = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, name="res_norm1")(fx)
+        if self.act_layer_type == "GDN":
+            fx = GDN(self.channels_in, inverse=False, name="gdn_res")(fx)
+        else:
+            fx = _act_fn(self.act_layer_type, fx)
+        if _has_pre_block(self.act_layer_type):
+            fx = Conv2dReflect(self.channels_in, self.kernel_size, 1,
+                               self.use_bias, g_in, name="res_conv2")(fx)
+            if self.batch_norm:
+                fx = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                  epsilon=1e-5, name="res_norm2")(fx)
+
+        fx = fx + x
+
+        if _has_pre_block(self.act_layer_type):
+            fx = _act_fn(self.act_layer_type, fx)
+        fx = Conv2dReflect(self.channels_out, self.kernel_size, 2,
+                           self.use_bias, g_in, name="conv_down")(fx)
+        if self.batch_norm:
+            fx = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, name="norm_down")(fx)
+        if self.act_layer_type == "GDN":
+            fx = GDN(self.channels_out, inverse=False, name="gdn_down")(fx)
+        else:
+            fx = _act_fn(self.act_layer_type, fx)
+        if self.dropout > 0.0:
+            fx = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                            deterministic=not train)(fx)
+        return fx
+
+
+class UpsamplingUnit(nn.Module):
+    channels_in: int
+    channels_out: int
+    kernel_size: int = 3
+    groups: bool = False
+    batch_norm: bool = False
+    dropout: float = 0.0
+    use_bias: bool = True
+    act_layer_type: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g_in = self.channels_in if self.groups else 1
+        k = self.kernel_size
+        if _has_pre_block(self.act_layer_type):
+            x = ConvTranspose2dTorch(self.channels_in, k, 1, k // 2, 0,
+                                     self.use_bias, g_in,
+                                     name="deconv_pre")(x)
+            if self.batch_norm:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, name="norm_pre")(x)
+            x = _act_fn(self.act_layer_type, x)
+
+        x = ConvTranspose2dTorch(self.channels_out, k, 2, k // 2, 1,
+                                 self.use_bias, g_in, name="deconv_up")(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name="norm_up")(x)
+        if self.act_layer_type == "GDN":
+            x = GDN(self.channels_out, inverse=True, name="gdn_up")(x)
+        else:
+            x = _act_fn(self.act_layer_type, x)
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                           deterministic=not train)(x)
+        return x
+
+
+class ResidualUpsamplingUnit(nn.Module):
+    channels_in: int
+    channels_out: int
+    kernel_size: int = 3
+    groups: bool = False
+    batch_norm: bool = False
+    dropout: float = 0.0
+    use_bias: bool = True
+    act_layer_type: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g_in = self.channels_in if self.groups else 1
+        k = self.kernel_size
+        fx = ConvTranspose2dTorch(self.channels_in, k, 1, k // 2, 0,
+                                  self.use_bias, g_in, name="res_deconv1")(x)
+        if self.batch_norm:
+            fx = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, name="res_norm1")(fx)
+        if self.act_layer_type == "GDN":
+            fx = GDN(self.channels_in, inverse=True, name="gdn_res")(fx)
+        else:
+            fx = _act_fn(self.act_layer_type, fx)
+        if _has_pre_block(self.act_layer_type):
+            fx = ConvTranspose2dTorch(self.channels_in, k, 1, k // 2, 0,
+                                      self.use_bias, g_in,
+                                      name="res_deconv2")(fx)
+            if self.batch_norm:
+                fx = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                  epsilon=1e-5, name="res_norm2")(fx)
+            fx = _act_fn(self.act_layer_type, fx)
+
+        fx = fx + x
+
+        if _has_pre_block(self.act_layer_type):
+            fx = _act_fn(self.act_layer_type, fx)
+        fx = ConvTranspose2dTorch(self.channels_out, k, 2, k // 2, 1,
+                                  self.use_bias, g_in, name="deconv_up")(fx)
+        if self.batch_norm:
+            fx = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, name="norm_up")(fx)
+        if self.act_layer_type == "GDN":
+            fx = GDN(self.channels_out, inverse=True, name="gdn_up")(fx)
+        else:
+            fx = _act_fn(self.act_layer_type, fx)
+        if self.dropout > 0.0:
+            fx = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                            deterministic=not train)(fx)
+        return fx
+
+
+def _analyzer_stage_channels(channels_org, channels_net, channels_bn,
+                             compression_level, channels_expansion):
+    """(in, out, act?) per stage — reference _autoencoders.py:326-351."""
+    stages = []
+    prev, curr = channels_org, channels_net
+    for _ in range(compression_level - 1):
+        stages.append((prev, curr, True))
+        prev, curr = curr, curr * channels_expansion
+    if compression_level > 0:
+        stages.append((prev, channels_bn, False))
+    return stages
+
+
+def _synthesizer_stage_channels(channels_org, channels_net, channels_bn,
+                                compression_level, channels_expansion):
+    """(in, out, act?) per stage — reference _autoencoders.py:384-410."""
+    stages = []
+    prev = channels_bn
+    curr = channels_net * channels_expansion ** compression_level
+    for _ in range(compression_level - 1):
+        stages.append((prev, curr, True))
+        prev, curr = curr, curr // channels_expansion
+    if compression_level > 0:
+        stages.append((prev, channels_org, False))
+    return stages
+
+
+class Analyzer(nn.Module):
+    """Encoder: ``compression_level`` stride-2 stages, pixels -> latent y."""
+
+    channels_org: int = 3
+    channels_net: int = 8
+    channels_bn: int = 16
+    compression_level: int = 3
+    channels_expansion: int = 1
+    kernel_size: int = 3
+    groups: bool = False
+    batch_norm: bool = False
+    dropout: float = 0.0
+    use_bias: bool = False
+    use_residual: bool = False
+    act_layer_type: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        op = ResidualDownsamplingUnit if self.use_residual else DownsamplingUnit
+        stages = _analyzer_stage_channels(
+            self.channels_org, self.channels_net, self.channels_bn,
+            self.compression_level, self.channels_expansion)
+        for i, (cin, cout, act) in enumerate(stages):
+            x = op(cin, cout, self.kernel_size, self.groups, self.batch_norm,
+                   self.dropout, self.use_bias,
+                   self.act_layer_type if act else None,
+                   name=f"down_{i}")(x, train=train)
+        return x
+
+
+class Synthesizer(nn.Module):
+    """Decoder: latent y_q -> (x_r pyramid [finest first], bridge features).
+
+    ``x_r[0]`` is the full-resolution reconstruction; when
+    ``multiscale_analysis`` each coarser scale also gets a color projection,
+    otherwise those entries are None (reference _autoencoders.py:417-455).
+    """
+
+    channels_org: int = 3
+    channels_net: int = 8
+    channels_bn: int = 16
+    compression_level: int = 3
+    channels_expansion: int = 1
+    kernel_size: int = 3
+    groups: bool = False
+    batch_norm: bool = False
+    dropout: float = 0.0
+    use_bias: bool = False
+    use_residual: bool = False
+    act_layer_type: Optional[str] = None
+    multiscale_analysis: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False
+                 ) -> Tuple[List[Any], List[Any]]:
+        op = ResidualUpsamplingUnit if self.use_residual else UpsamplingUnit
+        stages = _synthesizer_stage_channels(
+            self.channels_org, self.channels_net, self.channels_bn,
+            self.compression_level, self.channels_expansion)
+
+        # Color-layer input channels follow the reference's construction
+        # (channels_net * expansion**i for i in reversed(range(L-1))), which
+        # assumes expansion-symmetric stage widths (_autoencoders.py:417-429).
+        color_channels = [
+            self.channels_net * self.channels_expansion ** i
+            for i in reversed(range(self.compression_level - 1))]
+
+        fx = x
+        x_r: List[Any] = []
+        fx_brg: List[Any] = []
+        for i, (cin, cout, act) in enumerate(stages):
+            fx = op(cin, cout, self.kernel_size, self.groups, self.batch_norm,
+                    self.dropout, self.use_bias,
+                    self.act_layer_type if act else None,
+                    name=f"up_{i}")(fx, train=train)
+            if i == len(stages) - 1:
+                x_r_i = fx  # final identity color layer
+            elif self.multiscale_analysis:
+                g = self.channels_org if self.groups else 1
+                x_r_i = Conv2dReflect(self.channels_org, self.kernel_size, 1,
+                                      self.use_bias, g,
+                                      name=f"color_{i}")(fx)
+            else:
+                x_r_i = None
+            x_r.insert(0, x_r_i)
+            fx_brg.append(fx)
+
+        return x_r, fx_brg

@@ -1,0 +1,83 @@
+"""Straight-through bound operators and non-negative reparameterization.
+
+These mirror the gradient semantics the reference inherits from its entropy
+model / GDN dependencies (the ``LowerBound`` autograd trick and the
+``NonNegativeParametrizer``), re-expressed as JAX ``custom_vjp`` functions so
+XLA fuses them into surrounding elementwise work.
+
+Reference behavior sites: GDN activation option (src/models/tasks/
+_autoencoders.py:29-30) and the factorized entropy bottleneck
+(src/models/tasks/_autoencoders.py:475-502).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def lower_bound(x, bound):
+    """max(x, bound) with a straight-through-ish gradient.
+
+    The gradient is passed through whenever ``x >= bound`` or when the
+    incoming cotangent would push ``x`` upward (``g < 0``), which keeps
+    parameters from getting permanently stuck at the bound.
+    """
+    return jnp.maximum(x, bound)
+
+
+def _lower_bound_fwd(x, bound):
+    return jnp.maximum(x, bound), x
+
+
+def _lower_bound_bwd(bound, x, g):
+    pass_through = (x >= bound) | (g < 0)
+    return (jnp.where(pass_through, g, 0.0),)
+
+
+lower_bound.defvjp(_lower_bound_fwd, _lower_bound_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def upper_bound(x, bound):
+    """min(x, bound) with the mirrored straight-through gradient."""
+    return jnp.minimum(x, bound)
+
+
+def _upper_bound_fwd(x, bound):
+    return jnp.minimum(x, bound), x
+
+
+def _upper_bound_bwd(bound, x, g):
+    pass_through = (x <= bound) | (g > 0)
+    return (jnp.where(pass_through, g, 0.0),)
+
+
+upper_bound.defvjp(_upper_bound_fwd, _upper_bound_bwd)
+
+
+# --- Non-negative reparameterization ---------------------------------------
+#
+# A parameter ``v`` is stored as ``s = sqrt(max(v + pedestal, pedestal))`` and
+# recovered as ``v = lower_bound(s, bound)**2 - pedestal`` with
+# ``bound = sqrt(minimum + pedestal)``.  This matches the reparameterization
+# used by the reference's GDN layers so imported checkpoints evaluate
+# identically.
+
+REPARAM_OFFSET = 2 ** -18
+
+
+def nonneg_init(value, minimum=0.0):
+    """Map a desired (non-negative) value to its stored reparameterization."""
+    del minimum  # kept for signature symmetry; init does not use it
+    pedestal = REPARAM_OFFSET ** 2
+    return jnp.sqrt(jnp.maximum(value + pedestal, pedestal))
+
+
+def nonneg_param(stored, minimum=0.0):
+    """Recover the effective non-negative value from its stored form."""
+    pedestal = REPARAM_OFFSET ** 2
+    bound = (minimum + pedestal) ** 0.5
+    out = lower_bound(stored, bound)
+    return out * out - pedestal

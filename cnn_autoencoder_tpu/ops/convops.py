@@ -1,0 +1,146 @@
+"""Convolution building blocks with reference-equivalent geometry, NHWC/TPU-first.
+
+The reference composes its encoder/decoder from torch ``Conv2d`` layers with
+``padding_mode='reflect'`` and ``ConvTranspose2d`` layers with
+``output_padding`` (reference src/models/tasks/_autoencoders.py:53-304).  Here
+the same geometry is expressed directly in XLA terms:
+
+* reflect padding is applied explicitly (``jnp.pad(mode='reflect')``) followed
+  by a VALID conv, which XLA fuses into the convolution;
+* transposed convolution is a ``conv_general_dilated`` with ``lhs_dilation`` —
+  the native XLA formulation — with the padding arithmetic solved so output
+  sizes match torch's ``(in-1)*s - 2p + k + output_padding`` exactly.
+
+Kernels are stored HWIO (the TPU-preferred layout); the torch-checkpoint
+importer transposes/flips reference OIHW / (in,out,kh,kw) weights into this
+layout once at load time.
+"""
+
+import math
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def xavier_uniform_torchlike(gain: float) -> Callable:
+    """Xavier-uniform init matching torch's fan computation on conv weights.
+
+    The reference initializes every conv/deconv with
+    ``xavier_uniform_(gain=sqrt(2/1.01))`` and constant bias 0.01
+    (reference src/models/tasks/_autoencoders.py:37-42).  For an HWIO kernel
+    of shape (kh, kw, in, out): fan_in = in*kh*kw, fan_out = out*kh*kw.
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, cin, cout = shape
+        receptive = kh * kw
+        fan_in = cin * receptive
+        fan_out = cout * receptive
+        a = gain * math.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(key, shape, dtype, minval=-a, maxval=a)
+
+    return init
+
+
+DEFAULT_GAIN = math.sqrt(2.0 / 1.01)
+
+
+def bias_init_const(value: float = 0.01) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        return jnp.full(shape, value, dtype)
+
+    return init
+
+
+class Conv2dReflect(nn.Module):
+    """Conv with reflect padding, torch-Conv2d-equivalent geometry (NHWC)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = False
+    feature_group_count: int = 1
+    kernel_init: Callable = xavier_uniform_torchlike(DEFAULT_GAIN)
+    bias_init: Callable = bias_init_const(0.01)
+    dtype: jnp.dtype = None
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        pad = k // 2
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (k, k, cin // self.feature_group_count, self.features))
+        if pad > 0:
+            x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                        mode="reflect")
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype),
+            window_strides=(self.stride, self.stride),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+            precision=self.precision,
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias
+        return y.astype(x.dtype)
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """Transposed conv matching torch ConvTranspose2d geometry (NHWC).
+
+    Implemented as an input-dilated convolution: for torch parameters
+    (kernel k, stride s, padding p, output_padding op) the equivalent XLA op
+    is ``conv_general_dilated`` with ``lhs_dilation=(s, s)`` and per-side
+    padding ``(k-1-p, k-1-p+op)`` using the spatially-flipped kernel.
+
+    The kernel parameter is stored already-flipped in HWIO (I = input
+    channels), so the forward pass is a single dilated conv with no runtime
+    flip.  Output size: (in-1)*s - 2p + k + op.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    use_bias: bool = True
+    feature_group_count: int = 1
+    kernel_init: Callable = xavier_uniform_torchlike(DEFAULT_GAIN)
+    bias_init: Callable = bias_init_const(0.01)
+    dtype: jnp.dtype = None
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (k, k, cin // self.feature_group_count, self.features))
+        lo = k - 1 - self.padding
+        hi = k - 1 - self.padding + self.output_padding
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype),
+            window_strides=(1, 1),
+            padding=((lo, hi), (lo, hi)),
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+            precision=self.precision,
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias
+        return y.astype(x.dtype)

@@ -1,0 +1,63 @@
+"""Generalized Divisive Normalization (GDN / IGDN) for NHWC tensors.
+
+TPU-native equivalent of the GDN activation the reference pulls in from its
+compression dependency (activation option 'GDN' at
+reference src/models/tasks/_autoencoders.py:29-30).
+
+The normalization pool is a 1x1 convolution over channels, which on TPU is a
+plain channel-contraction matmul that XLA places on the MXU and fuses with the
+surrounding square / rsqrt / multiply VPU work.  Parameters use the same
+non-negative reparameterization as the reference so imported checkpoints are
+value-identical.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.bounds import REPARAM_OFFSET, nonneg_init, nonneg_param
+
+
+class GDN(nn.Module):
+    """y[c] = x[c] / sqrt(beta[c] + sum_k gamma[c,k] x[k]^2)  (inverse: multiply).
+
+    Parameters are stored reparameterized (see ops.bounds): ``beta`` with
+    minimum ``beta_min`` and ``gamma`` with minimum 0.
+    """
+
+    channels: int
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.channels
+
+        def beta_initializer(key):
+            del key
+            return nonneg_init(jnp.ones((c,), jnp.float32))
+
+        def gamma_initializer(key):
+            del key
+            return nonneg_init(self.gamma_init * jnp.eye(c, dtype=jnp.float32))
+
+        beta_stored = self.param("beta", beta_initializer)
+        # gamma[out, in] orientation matches the reference's (C_out, C_in, 1, 1)
+        # 1x1-conv weight.
+        gamma_stored = self.param("gamma", gamma_initializer)
+
+        beta = nonneg_param(beta_stored, self.beta_min)
+        gamma = nonneg_param(gamma_stored, 0.0)
+
+        x32 = x.astype(jnp.float32)
+        # HIGHEST precision: the norm pool feeds an rsqrt, and TPU's default
+        # bf16 matmul precision costs ~0.5 dB of reconstruction parity here.
+        norm = jnp.einsum("...i,oi->...o", x32 * x32, gamma,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32) + beta
+        if self.inverse:
+            out = x32 * jnp.sqrt(norm)
+        else:
+            out = x32 * jax.lax.rsqrt(norm)
+        return out.astype(x.dtype)

@@ -1,0 +1,18 @@
+"""Version and registry constants.
+
+TPU-native re-implementation of the constants module of the reference
+framework (reference: src/utils/_info.py:1-17).
+"""
+
+# Version of this TPU-native framework.
+__version__ = "1.0.0"
+
+# Model/code versions kept value-compatible with the reference so that
+# checkpoints remain mutually identifiable (reference: src/utils/_info.py:1-2).
+VER = "0.5.7"
+SEG_VER = "0.5.6"
+
+DATASETS = ["MNIST", "EMNIST", "CIFAR10", "CIFAR100", "ImageNet", "ImageNet.S3",
+            "Zarr", "Histology"]
+
+OPTIMIZERS = ["Adam", "SGD"]

@@ -1,0 +1,25 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+This is the idiomatic JAX analogue of multi-node testing without a cluster:
+all sharding/DP logic is exercised on 8 spoofed CPU devices
+(``--xla_force_host_platform_device_count=8``); real-TPU behavior is covered
+by bench.py and the driver's dryrun.
+
+Note: this environment registers a TPU backend from sitecustomize at
+interpreter start (overriding JAX_PLATFORMS), so the CPU selection must be
+made via ``jax.config.update`` after import.
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,91 @@
+"""Analyzer/Synthesizer structure and shape tests across configs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.models.autoencoder import Analyzer, Synthesizer
+
+
+@pytest.mark.parametrize("act", [None, "LeakyReLU", "GDN"])
+@pytest.mark.parametrize("residual", [False, True])
+def test_analyzer_shapes(act, residual):
+    level = 3
+    mod = Analyzer(channels_org=3, channels_net=8, channels_bn=16,
+                   compression_level=level, act_layer_type=act,
+                   use_residual=residual)
+    x = jnp.zeros((2, 32, 32, 3))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(params, x)
+    assert y.shape == (2, 32 // 2 ** level, 32 // 2 ** level, 16)
+
+
+@pytest.mark.parametrize("act", [None, "LeakyReLU", "GDN"])
+@pytest.mark.parametrize("residual", [False, True])
+def test_synthesizer_shapes(act, residual):
+    level = 3
+    mod = Synthesizer(channels_org=3, channels_net=8, channels_bn=16,
+                      compression_level=level, act_layer_type=act,
+                      use_residual=residual)
+    y = jnp.zeros((2, 4, 4, 16))
+    params = mod.init(jax.random.PRNGKey(0), y)
+    x_r, fx_brg = mod.apply(params, y)
+    assert len(x_r) == level
+    assert len(fx_brg) == level
+    assert x_r[0].shape == (2, 32, 32, 3)  # finest-first
+    assert all(r is None for r in x_r[1:])  # no multiscale color layers
+    # bridge features: coarse -> fine
+    assert fx_brg[0].shape == (2, 8, 8, 8)
+    assert fx_brg[-1].shape == (2, 32, 32, 3)
+
+
+def test_synthesizer_multiscale_pyramid():
+    level = 4
+    mod = Synthesizer(channels_org=3, channels_net=8, channels_bn=16,
+                      compression_level=level, channels_expansion=1,
+                      act_layer_type="LeakyReLU", multiscale_analysis=True)
+    y = jnp.zeros((1, 2, 2, 16))
+    params = mod.init(jax.random.PRNGKey(0), y)
+    x_r, fx_brg = mod.apply(params, y)
+    assert len(x_r) == level
+    # x_r[0] is the full-res reconstruction; deeper entries are coarser scales
+    assert x_r[0].shape == (1, 32, 32, 3)
+    assert x_r[1].shape == (1, 16, 16, 3)
+    assert x_r[2].shape == (1, 8, 8, 3)
+    assert x_r[3].shape == (1, 4, 4, 3)
+
+
+def test_roundtrip_shapes_jit():
+    enc = Analyzer(channels_org=3, channels_net=8, channels_bn=16,
+                   compression_level=2, act_layer_type="GDN")
+    dec = Synthesizer(channels_org=3, channels_net=8, channels_bn=16,
+                      compression_level=2, act_layer_type="GDN")
+    x = jnp.ones((1, 16, 16, 3)) * 0.5
+    pe = enc.init(jax.random.PRNGKey(0), x)
+    y = enc.apply(pe, x)
+    pd = dec.init(jax.random.PRNGKey(1), y)
+
+    @jax.jit
+    def roundtrip(pe, pd, x):
+        y = enc.apply(pe, x)
+        x_r, _ = dec.apply(pd, y)
+        return x_r[0]
+
+    out = roundtrip(pe, pd, x)
+    assert out.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_batch_norm_variant():
+    mod = Analyzer(channels_org=3, channels_net=4, channels_bn=8,
+                   compression_level=2, act_layer_type="ReLU",
+                   batch_norm=True)
+    x = jnp.ones((2, 8, 8, 3))
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables
+    y, updates = mod.apply(variables, x, train=True,
+                           mutable=["batch_stats"])
+    assert y.shape == (2, 2, 2, 8)
+    assert "batch_stats" in updates

@@ -1,0 +1,134 @@
+"""Factorized entropy bottleneck: math, aux loss, CDF baking, coding round trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.coding import rans
+from cnn_autoencoder_tpu.models.entropy import (
+    FactorizedEntropyBottleneck, aux_loss_fn, likelihood_fn,
+    logits_cumulative, medians_fn, update_cdf_tables)
+
+
+def _init_model(channels=4, filters=(3, 3, 3, 3), seed=0):
+    mod = FactorizedEntropyBottleneck(channels=channels, filters=filters)
+    y = jnp.zeros((1, 2, 2, channels))
+    variables = mod.init({"params": jax.random.PRNGKey(seed)}, y)
+    return mod, variables
+
+
+def test_init_parameter_shapes():
+    c, filters = 4, (3, 3, 3, 3)
+    _, variables = _init_model(c, filters)
+    p = variables["params"]
+    ext = (1,) + filters + (1,)
+    for i in range(len(filters) + 1):
+        assert p[f"matrix_{i}"].shape == (c, ext[i + 1], ext[i])
+        assert p[f"bias_{i}"].shape == (c, ext[i + 1], 1)
+        if i < len(filters):
+            assert p[f"factor_{i}"].shape == (c, ext[i + 1], 1)
+    assert p["quantiles"].shape == (c, 1, 3)
+    np.testing.assert_allclose(np.asarray(p["quantiles"][0, 0]),
+                               [-10.0, 0.0, 10.0])
+
+
+def test_logits_cumulative_monotone_in_v():
+    _, variables = _init_model()
+    p = variables["params"]
+    v = jnp.linspace(-30, 30, 101)[:, None] * jnp.ones((1, 4))
+    logits = logits_cumulative(p, v, 4)
+    diffs = np.diff(np.asarray(logits), axis=0)
+    assert np.all(diffs > -1e-5)  # softplus matrices => nondecreasing
+
+
+def test_likelihood_sums_to_one():
+    _, variables = _init_model()
+    p = variables["params"]
+    support = (jnp.arange(-300, 301, dtype=jnp.float32)[:, None]
+               * jnp.ones((1, 4)))
+    lik = likelihood_fn(p, support, 4)
+    total = np.asarray(lik).sum(axis=0)
+    np.testing.assert_allclose(total, 1.0, atol=1e-2)
+
+
+def test_quantize_modes():
+    mod, variables = _init_model()
+    y = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 4) * 3,
+                    jnp.float32)
+    # training: additive noise within +-0.5
+    y_q, p_y = mod.apply(variables, y, training=True,
+                         rngs={"noise": jax.random.PRNGKey(1)})
+    assert np.all(np.abs(np.asarray(y_q - y)) <= 0.5)
+    assert p_y.shape == y.shape
+    assert np.all(np.asarray(p_y) > 0)
+
+    # eval: round to integer grid offset by medians
+    y_q2, _ = mod.apply(variables, y, training=False)
+    med = np.asarray(medians_fn(variables["params"]))
+    frac = np.asarray(y_q2) - med
+    np.testing.assert_allclose(frac, np.round(frac), atol=1e-5)
+
+
+def test_aux_loss_gradient_moves_quantiles():
+    mod, variables = _init_model()
+    p = variables["params"]
+
+    def loss(params):
+        return aux_loss_fn(params, 4)
+
+    g = jax.grad(loss)(p)
+    # only the quantiles receive gradient (stop_gradient on the chain)
+    assert float(jnp.abs(g["quantiles"]).sum()) > 0
+    for k, v in g.items():
+        if k != "quantiles":
+            assert float(jnp.abs(v).sum()) == 0.0, k
+
+
+def _fit_quantiles(params, num_filters, steps=500, lr=0.05):
+    """Crude SGD on the aux loss so tails are meaningful before CDF baking."""
+    loss_grad = jax.jit(jax.grad(lambda q, p: aux_loss_fn(
+        {**p, "quantiles": q}, num_filters)))
+    q = params["quantiles"]
+    for _ in range(steps):
+        q = q - lr * loss_grad(q, params)
+    return {**params, "quantiles": q}
+
+
+def test_cdf_tables_and_rans_roundtrip():
+    c = 6
+    mod, variables = _init_model(channels=c, seed=3)
+    params = _fit_quantiles(variables["params"], 4)
+
+    tables = update_cdf_tables(params, (3, 3, 3, 3))
+    cdf, lengths, offsets = (tables["quantized_cdf"], tables["cdf_length"],
+                             tables["offset"])
+    assert cdf.shape[0] == c
+    assert np.all(lengths >= 3)
+    for ch in range(c):
+        row = cdf[ch, :lengths[ch]]
+        assert row[0] == 0 and row[-1] == 1 << 16
+        assert np.all(np.diff(row) >= 1)
+
+    # code a realistic latent: gaussian, channel-major flattening
+    rng = np.random.RandomState(0)
+    h = w = 8
+    y = rng.randn(c, h, w).astype(np.float32) * 2.0
+    med = np.asarray(params["quantiles"][:, 0, 1])
+    symbols = np.round(y - med[:, None, None]).astype(np.int32)
+    indexes = np.broadcast_to(np.arange(c, dtype=np.int32)[:, None, None],
+                              (c, h, w))
+
+    stream = rans.encode_with_indexes(symbols, indexes, cdf, lengths, offsets)
+    decoded = rans.decode_with_indexes(stream, indexes, cdf, lengths, offsets)
+    np.testing.assert_array_equal(decoded.reshape(c, h, w), symbols)
+
+    # rate sanity: actual bits close to the model's estimated bits
+    y_hat = (symbols + med[:, None, None]).astype(np.float32)
+    v = jnp.asarray(np.transpose(y_hat, (1, 2, 0)))  # channel-last
+    lik = likelihood_fn({k: jnp.asarray(np.asarray(p)) for k, p in
+                         params.items()}, v, 4)
+    est_bits = float(-jnp.sum(jnp.log2(lik)))
+    actual_bits = len(stream) * 8
+    assert actual_bits < est_bits * 1.2 + 128

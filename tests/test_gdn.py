@@ -1,0 +1,69 @@
+"""GDN correctness: closed-form math + reparameterization round trip."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.ops.bounds import (REPARAM_OFFSET, lower_bound,
+                                            nonneg_init, nonneg_param)
+from cnn_autoencoder_tpu.ops.gdn import GDN
+
+
+def test_nonneg_reparam_roundtrip():
+    v = jnp.asarray([0.0, 1e-6, 0.1, 1.0, 5.0])
+    stored = nonneg_init(v)
+    back = nonneg_param(stored, 0.0)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(v),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_lower_bound_gradient():
+    def f(x):
+        return jnp.sum(lower_bound(x, 1.0))
+
+    g = jax.grad(f)(jnp.asarray([0.5, 2.0]))
+    # below bound with positive cotangent -> blocked; above bound -> passes
+    np.testing.assert_allclose(np.asarray(g), [0.0, 1.0])
+
+    def f2(x):
+        return jnp.sum(-lower_bound(x, 1.0))
+
+    g2 = jax.grad(f2)(jnp.asarray([0.5, 2.0]))
+    # negative cotangent always passes (lets params escape the bound)
+    np.testing.assert_allclose(np.asarray(g2), [-1.0, -1.0])
+
+
+def test_gdn_forward_closed_form():
+    c = 4
+    mod = GDN(channels=c, inverse=False)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 5, c),
+                    jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(params, x)
+
+    # fresh init: beta == 1, gamma == 0.1 * I
+    xn = np.asarray(x)
+    expected = xn / np.sqrt(1.0 + 0.1 * xn ** 2)
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=1e-5)
+
+    mod_inv = GDN(channels=c, inverse=True)
+    y_inv = mod_inv.apply(params, x)
+    expected_inv = xn * np.sqrt(1.0 + 0.1 * xn ** 2)
+    np.testing.assert_allclose(np.asarray(y_inv), expected_inv, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_gdn_igdn_inverse_pair():
+    c = 8
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 4, 4, c) * 2,
+                    jnp.float32)
+    gdn = GDN(channels=c, inverse=False)
+    params = gdn.init(jax.random.PRNGKey(0), x)
+    y = gdn.apply(params, x)
+    # IGDN with the same parameters undoes GDN only approximately in general,
+    # but with diagonal gamma it's exact per-element: x/sqrt(n(x)) then
+    # multiply by sqrt(n(x')) where x' != x. So instead just check
+    # sign preservation and magnitude shrink for the forward direction.
+    assert np.all(np.sign(np.asarray(y)) == np.sign(np.asarray(x)))
+    assert np.all(np.abs(np.asarray(y)) <= np.abs(np.asarray(x)) + 1e-6)

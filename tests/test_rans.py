@@ -1,0 +1,113 @@
+"""rANS coder tests: round trips, native/Python bitstream identity, CDF quantizer."""
+
+import numpy as np
+import pytest
+
+from cnn_autoencoder_tpu.coding import _rans_py, rans
+from cnn_autoencoder_tpu.coding.cdf import pmf_to_quantized_cdf
+
+
+def _toy_tables(num_channels=3, support=9, seed=0):
+    rng = np.random.RandomState(seed)
+    max_len = support + 2
+    cdfs = np.zeros((num_channels, max_len), np.uint32)
+    lengths = np.zeros(num_channels, np.int32)
+    offsets = np.zeros(num_channels, np.int32)
+    for c in range(num_channels):
+        n = support - (c % 3)
+        pmf = rng.dirichlet(np.ones(n)) * (1 - 1e-4)
+        prob = np.concatenate([pmf, [1e-4]])
+        cdf = pmf_to_quantized_cdf(prob, 16)
+        cdfs[c, :len(cdf)] = cdf
+        lengths[c] = len(cdf)
+        offsets[c] = -(n // 2)
+    return cdfs, lengths, offsets
+
+
+def test_pmf_to_quantized_cdf_properties():
+    pmf = np.asarray([0.1, 0.4, 0.0, 0.3, 0.2])
+    cdf = pmf_to_quantized_cdf(pmf, 16)
+    assert cdf[0] == 0 and cdf[-1] == 65536
+    freqs = np.diff(cdf)
+    assert np.all(freqs >= 1)
+    # zero-prob symbol got exactly frequency 1
+    assert freqs[2] == 1
+
+
+def test_pmf_to_quantized_cdf_native_matches_numpy():
+    if not rans.native_available():
+        pytest.skip("native rANS unavailable")
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        n = rng.randint(2, 40)
+        pmf = rng.dirichlet(np.ones(n) * 0.3)
+        ref = pmf_to_quantized_cdf(pmf, 16)
+        nat = rans.pmf_to_quantized_cdf_native(pmf, 16)
+        np.testing.assert_array_equal(ref, nat)
+
+
+def test_python_rans_roundtrip():
+    cdfs, lengths, offsets = _toy_tables()
+    rng = np.random.RandomState(1)
+    n = 500
+    indexes = rng.randint(0, cdfs.shape[0], n)
+    # include out-of-range symbols to exercise bypass coding
+    symbols = rng.randint(-30, 30, n)
+    stream = _rans_py.encode_with_indexes(
+        symbols.tolist(), indexes.tolist(), cdfs.tolist(), lengths.tolist(),
+        offsets.tolist())
+    decoded = _rans_py.decode_with_indexes(
+        stream, indexes.tolist(), cdfs.tolist(), lengths.tolist(),
+        offsets.tolist())
+    np.testing.assert_array_equal(np.asarray(decoded), symbols)
+
+
+def test_native_matches_python_bitstream():
+    if not rans.native_available():
+        pytest.skip("native rANS unavailable")
+    cdfs, lengths, offsets = _toy_tables(seed=2)
+    rng = np.random.RandomState(2)
+    n = 300
+    indexes = rng.randint(0, cdfs.shape[0], n).astype(np.int32)
+    symbols = rng.randint(-25, 25, n).astype(np.int32)
+
+    py_stream = _rans_py.encode_with_indexes(
+        symbols.tolist(), indexes.tolist(), cdfs.tolist(), lengths.tolist(),
+        offsets.tolist())
+    native_stream = rans.encode_with_indexes(symbols, indexes, cdfs, lengths,
+                                             offsets)
+    assert py_stream == native_stream
+
+    decoded = rans.decode_with_indexes(native_stream, indexes, cdfs, lengths,
+                                       offsets)
+    np.testing.assert_array_equal(decoded, symbols)
+
+
+def test_batch_roundtrip():
+    cdfs, lengths, offsets = _toy_tables(seed=4)
+    rng = np.random.RandomState(4)
+    batch, n = 7, 256
+    indexes = rng.randint(0, cdfs.shape[0], n).astype(np.int32)
+    symbols = rng.randint(-20, 20, (batch, n)).astype(np.int32)
+
+    streams = rans.encode_batch(symbols, indexes, cdfs, lengths, offsets)
+    assert len(streams) == batch
+    # batch encode must agree with single encode
+    single = rans.encode_with_indexes(symbols[0], indexes, cdfs, lengths,
+                                      offsets)
+    assert streams[0] == single
+
+    decoded = rans.decode_batch(streams, indexes, cdfs, lengths, offsets)
+    np.testing.assert_array_equal(decoded, symbols)
+
+
+def test_empty_and_single_symbol():
+    cdfs, lengths, offsets = _toy_tables(seed=5)
+    for syms in ([], [0], [100], [-100]):
+        symbols = np.asarray(syms, np.int32)
+        indexes = np.zeros(len(syms), np.int32)
+        stream = rans.encode_with_indexes(symbols, indexes, cdfs, lengths,
+                                          offsets)
+        decoded = rans.decode_with_indexes(stream, indexes, cdfs, lengths,
+                                           offsets)
+        np.testing.assert_array_equal(decoded, symbols)
