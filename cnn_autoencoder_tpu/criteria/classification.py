@@ -1,0 +1,114 @@
+"""Classification/segmentation losses (JAX), matching the reference registry.
+
+Reference: src/models/criteria/_classification.py — CE / BCE-with-logits,
+weighted-BCE (first target channel is a per-pixel weight map), and WithAux
+variants for Inception-style auxiliary logits.
+"""
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _ce(pred: jnp.ndarray, t: jnp.ndarray, label_smoothing: float = 0.0,
+        weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Cross entropy over logits; targets are integer labels or
+    (B, ..., num_classes) probabilities.  Handles NHWC segmentation logits
+    by flattening spatial dims."""
+    num_classes = pred.shape[-1]
+    logits = pred.reshape(-1, num_classes)
+    if t.ndim == pred.ndim:
+        labels = t.reshape(-1, num_classes).astype(jnp.float32)
+        if label_smoothing > 0:
+            labels = (labels * (1 - label_smoothing)
+                      + label_smoothing / num_classes)
+        losses = optax.softmax_cross_entropy(logits, labels)
+    else:
+        labels = t.reshape(-1).astype(jnp.int32)
+        if label_smoothing > 0:
+            onehot = jax.nn.one_hot(labels, num_classes)
+            onehot = (onehot * (1 - label_smoothing)
+                      + label_smoothing / num_classes)
+            losses = optax.softmax_cross_entropy(logits, onehot)
+        else:
+            losses = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels)
+    if weight is not None:
+        w = weight.reshape(-1)[labels] if t.ndim != pred.ndim else 1.0
+        return jnp.sum(losses * w) / jnp.sum(w)
+    return jnp.mean(losses)
+
+
+def _bce(pred: jnp.ndarray, t: jnp.ndarray, reduce_mean: bool = True
+         ) -> jnp.ndarray:
+    losses = optax.sigmoid_binary_cross_entropy(pred, t.astype(jnp.float32))
+    return jnp.mean(losses) if reduce_mean else losses
+
+
+class CEClassLoss:
+    def __init__(self, weight=None, label_smoothing: float = 0.0, **_):
+        self._weight = None if weight is None else jnp.asarray(weight)
+        self._smooth = label_smoothing
+
+    def __call__(self, pred, t, **_):
+        return {"class_error": _ce(pred, t, self._smooth, self._weight),
+                "aux_class_error": jnp.asarray(0.0)}
+
+
+class BCEClassLoss:
+    def __init__(self, **_):
+        pass
+
+    def __call__(self, pred, t, **_):
+        return {"class_error": _bce(pred, t),
+                "aux_class_error": jnp.asarray(0.0)}
+
+
+class BCEWeightedClassLoss:
+    """BCE where target channel 0 is a per-pixel weight map (NHWC targets:
+    t[..., :1] = weights, t[..., 1:] = labels) — reference :11-16,57-66."""
+
+    def __init__(self, **_):
+        pass
+
+    def __call__(self, pred, t, **_):
+        losses = _bce(pred, t[..., 1:], reduce_mean=False)
+        return {"class_error": jnp.mean(t[..., :1] * losses),
+                "aux_class_error": jnp.asarray(0.0)}
+
+
+class CEClassLossWithAux:
+    def __init__(self, weight=None, label_smoothing: float = 0.0, **_):
+        self._weight = None if weight is None else jnp.asarray(weight)
+        self._smooth = label_smoothing
+
+    def __call__(self, pred, t, aux_pred=None, **_):
+        out = {"class_error": _ce(pred, t, self._smooth, self._weight)}
+        if aux_pred is not None:
+            out["aux_class_error"] = _ce(aux_pred, t, self._smooth,
+                                         self._weight)
+        else:
+            out["aux_class_error"] = jnp.asarray(0.0)
+        return out
+
+
+class BCEClassLossWithAux:
+    def __init__(self, **_):
+        pass
+
+    def __call__(self, pred, t, aux_pred=None, **_):
+        out = {"class_error": _bce(pred, t)}
+        out["aux_class_error"] = (_bce(aux_pred, t) if aux_pred is not None
+                                  else jnp.asarray(0.0))
+        return out
+
+
+CLASSLOSS_LIST = {
+    "CELoss": CEClassLoss,
+    "BCELoss": BCEClassLoss,
+    "WeightedBCELoss": BCEWeightedClassLoss,
+    "CELossWithAux": CEClassLossWithAux,
+    "BCELossWithAux": BCEClassLossWithAux,
+}

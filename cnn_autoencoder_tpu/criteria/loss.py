@@ -1,0 +1,168 @@
+"""General loss composer + criterion-string parser.
+
+Functional port of the reference's ``GeneralLoss``/``setup_loss``
+(reference src/models/criteria/_lossutils.py:5-151): sums
+
+* distortion (lambda-weighted; x255^2 for MSE variants),
+* rate (bpp) + the entropy model's auxiliary quantile loss,
+* energy penalty (beta-weighted, PenaltyA/PenaltyB),
+* classification/segmentation CE/BCE (mu-weighted, incl. aux logits),
+
+from a criterion string such as ``"RateMSE"``, ``"MultiscaleRateMSSSIM"``,
+``"RateMSEPenaltyA"`` or ``"RateMSECrossEntropy"``.
+
+Everything returned is a dict of jnp scalars; the composer is jit-safe.
+The ``net`` argument carries what the losses need from the model:
+``fact_ent_params`` + ``num_filters`` (aux loss), ``decoder_fn`` and
+``channel_e`` (PenaltyB).
+
+Notes vs the reference: the penalty registry is indexed by
+``penalty_loss_type`` (the reference indexes it by ``dist_loss_type`` at
+_lossutils.py:39, which only works by accidental key collision), and the
+zip-truncation of ``distortion_lambda`` against the multiscale distortion
+list is preserved for behavioral parity.
+"""
+
+from functools import reduce
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+
+from ..models.entropy import aux_loss_fn
+from .classification import CLASSLOSS_LIST
+from .ratedist import (DIST_LOSS_LIST, PENALTY_LOSS_LIST, RATE_LOSS_LIST,
+                       penalty_a, penalty_b)
+
+
+class GeneralLoss:
+    def __init__(self, dist_loss_type: Optional[str] = "MSE",
+                 rate_loss_type: Optional[str] = "Rate",
+                 penalty_loss_type: Optional[str] = None,
+                 class_loss_type: Optional[str] = None,
+                 distortion_lambda=0.1,
+                 penalty_beta: float = 0.001,
+                 class_error_mu: float = 1.0,
+                 class_error_aux_mu: float = 1.0,
+                 channel_e: int = 0,
+                 **kwargs):
+        self._components = []
+
+        if dist_loss_type is not None:
+            assert dist_loss_type in DIST_LOSS_LIST
+            self.dist_loss = DIST_LOSS_LIST[dist_loss_type](**kwargs)
+            self._multiplier = 255 ** 2 if "MSE" in dist_loss_type else 1
+            if not isinstance(distortion_lambda, (list, tuple)):
+                distortion_lambda = [distortion_lambda]
+            self._distortion_lambda = list(distortion_lambda)
+            self._components.append(self._dist_loss)
+
+        if rate_loss_type is not None:
+            assert rate_loss_type in RATE_LOSS_LIST
+            self.rate_loss = RATE_LOSS_LIST[rate_loss_type]
+            self._components.append(self._rate_loss)
+
+        if penalty_loss_type is not None and penalty_loss_type.lower() != "none":
+            assert penalty_loss_type in PENALTY_LOSS_LIST
+            self._penalty_type = penalty_loss_type
+            self._penalty_beta = penalty_beta
+            self._channel_e = channel_e
+            self._components.append(self._penalty_loss)
+
+        if class_loss_type is not None and class_loss_type.lower() != "none":
+            assert class_loss_type in CLASSLOSS_LIST
+            self.class_loss = CLASSLOSS_LIST[class_loss_type](**kwargs)
+            self._class_error_mu = class_error_mu
+            self._class_error_aux_mu = class_error_aux_mu
+            self._components.append(self._class_loss)
+
+    def _dist_loss(self, loss_dict, inputs, outputs, targets, net):
+        loss_dict.update(self.dist_loss(x=inputs, x_r=outputs["x_r"]))
+        loss_dict["dist"] = [self._multiplier * d for d in loss_dict["dist"]]
+        loss_dict["dist_loss"] = reduce(
+            lambda d1, d2: d1 + d2,
+            (d * w for d, w in zip(loss_dict["dist"],
+                                   self._distortion_lambda)))
+        loss_dict["loss"] = loss_dict["loss"] + loss_dict["dist_loss"]
+
+    def _rate_loss(self, loss_dict, inputs, outputs, targets, net):
+        loss_dict.update(self.rate_loss(x=inputs, p_y=outputs["p_y"]))
+        if net is not None and "fact_ent_params" in net:
+            loss_dict["entropy_loss"] = aux_loss_fn(
+                net["fact_ent_params"], net["num_filters"])
+        loss_dict["loss"] = loss_dict["loss"] + loss_dict["rate_loss"]
+
+    def _penalty_loss(self, loss_dict, inputs, outputs, targets, net):
+        if self._penalty_type == "PenaltyA":
+            loss_dict.update(penalty_a(x=inputs, y=outputs["y"]))
+        else:
+            loss_dict.update(penalty_b(y=outputs["y"],
+                                       decoder_fn=net["decoder_fn"],
+                                       channel_e=self._channel_e))
+        loss_dict["loss"] = (loss_dict["loss"]
+                             + self._penalty_beta
+                             * loss_dict["weighted_penalty"])
+
+    def _class_loss(self, loss_dict, inputs, outputs, targets, net):
+        if outputs.get("t_pred", None) is not None:
+            pred = outputs["t_pred"]
+            aux_pred = outputs.get("t_aux_pred", None)
+        else:
+            pred = outputs["s_pred"]
+            aux_pred = outputs.get("s_aux_pred", None)
+
+        loss_dict.update(self.class_loss(pred=pred, aux_pred=aux_pred,
+                                         t=targets))
+        loss_dict["loss"] = (loss_dict["loss"]
+                             + self._class_error_mu
+                             * loss_dict["class_error"]
+                             + self._class_error_aux_mu
+                             * loss_dict["aux_class_error"])
+
+    def __call__(self, inputs, outputs, targets=None, net=None
+                 ) -> Dict[str, jnp.ndarray]:
+        loss_dict = {"loss": jnp.asarray(0.0),
+                     "channel_e": jnp.asarray(-1)}
+        for component in self._components:
+            component(loss_dict, inputs, outputs, targets, net)
+        return loss_dict
+
+
+def setup_loss(criterion: str, **kwargs) -> GeneralLoss:
+    """Parse a criterion string into a configured GeneralLoss
+    (reference _lossutils.py:112-151)."""
+    crit = criterion.lower()
+
+    rate_loss_type = "Rate" if "rate" in crit else None
+
+    if "mse" in crit:
+        dist_loss_type = "MSE"
+    elif "msssim" in crit or "ms-ssim" in crit:
+        dist_loss_type = "MSSSIM"
+    else:
+        dist_loss_type = None
+
+    if "multiscale" in crit and dist_loss_type is not None:
+        dist_loss_type = "Multiscale" + dist_loss_type
+
+    if "penaltya" in crit or "pa" in crit:
+        penalty_loss_type = "PenaltyA"
+    elif "penaltyb" in crit or "pb" in crit:
+        penalty_loss_type = "PenaltyB"
+    else:
+        penalty_loss_type = "none"
+
+    if "bce" in crit or "binarycrossentropy" in crit:
+        class_loss_type = "BCELoss"
+    elif "ce" in crit or "crossentropy" in crit:
+        class_loss_type = "CELoss"
+    else:
+        class_loss_type = None
+
+    if class_loss_type is not None and "weighted" in crit:
+        class_loss_type = "Weighted" + class_loss_type
+
+    if class_loss_type is not None and "aux" in crit:
+        class_loss_type += "WithAux"
+
+    return GeneralLoss(dist_loss_type, rate_loss_type, penalty_loss_type,
+                       class_loss_type, **kwargs)

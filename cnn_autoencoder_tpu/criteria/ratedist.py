@@ -1,0 +1,174 @@
+"""Rate, distortion and energy-penalty losses (JAX, NHWC).
+
+Functional re-implementation of the reference's loss components
+(reference src/models/criteria/_ratedist.py):
+
+* ``RateLoss`` — bits-per-pixel from the entropy model's likelihoods (:45-54)
+* ``DistMSELoss`` / ``DistMSSSIMLoss`` (+ multiscale pyramid variants using
+  the 5x5 binomial kernel and bilinear half-downsampling, :10-42,57-107)
+* ``PenaltyA`` — entropy of the per-channel energy distribution (:110-135)
+* ``PenaltyB`` — variance of decoding a one-hot fake code (:138-162)
+
+All losses are pure functions of (inputs, outputs, ...) and jit-safe.
+Inputs/outputs are NHWC.
+"""
+
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.msssim import ms_ssim
+
+
+def rate_loss(x: jnp.ndarray, p_y: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """bpp estimate: -sum(log2 p_y) / (batch * H * W of the pixel input)."""
+    denom = x.shape[0] * x.shape[1] * x.shape[2]
+    return {"rate_loss": -jnp.sum(jnp.log2(p_y)) / denom}
+
+
+def dist_mse(x: jnp.ndarray, x_r: List[jnp.ndarray], **_) -> Dict[str, list]:
+    return {"dist": [jnp.mean((x_r[0] - x) ** 2)]}
+
+
+class DistMSSSIM:
+    """1 - MS-SSIM with the reference's scale-adaptive window/padding.
+
+    win_size = 11 - 2*scale, win_sigma = 1.5 / 2**scale; if the (possibly
+    downsampled) patch is too small for a 5-level pyramid, zero-pad both
+    images (reference _ratedist.py:66-90).
+    """
+
+    def __init__(self, patch_size: int, scale: int = 0,
+                 normalize: bool = False, **_):
+        self.data_range = 2 if normalize else 1
+        self.win_size = 11 - 2 * scale
+        self.win_sigma = 1.5 / 2 ** scale
+        pad = self.win_size - patch_size // 2 ** (scale + 4)
+        self.padding = pad * 2 ** 3 if pad > 0 else 0
+
+    def __call__(self, x: jnp.ndarray, x_r: List[jnp.ndarray], **_):
+        rec = x_r[0]
+        if self.padding > 0:
+            p = self.padding
+            pads = ((0, 0), (p, p), (p, p), (0, 0))
+            rec = jnp.pad(rec, pads)
+            x = jnp.pad(x, pads)
+        val = ms_ssim(rec, x, data_range=self.data_range,
+                      win_size=self.win_size, win_sigma=self.win_sigma)
+        return {"dist": [1.0 - val]}
+
+
+_PYR_KERNEL_1D = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def downsample_pyramid(x: jnp.ndarray) -> jnp.ndarray:
+    """5x5 binomial blur + bilinear 0.5x of an NHWC target (no gradient).
+
+    Matches the reference's pyramid construction (binomial kernel /256 with
+    padding 2, then F.interpolate(scale=0.5, bilinear, align_corners=False))
+    — reference _ratedist.py:10-28.
+    """
+    c = x.shape[-1]
+    k2d = jnp.outer(_PYR_KERNEL_1D, _PYR_KERNEL_1D)
+    kern = jnp.tile(k2d[:, :, None, None], (1, 1, 1, c))
+    blurred = jax.lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
+    # bilinear 0.5x with align_corners=False == 2x2 average pooling
+    summed = jax.lax.reduce_window(
+        blurred, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return jax.lax.stop_gradient(summed / 4.0)
+
+
+class PyramidLoss:
+    """Apply per-scale distortion criteria against a blurred target pyramid."""
+
+    def __init__(self, dist_criteria):
+        self._dist_criteria = dist_criteria
+
+    def __call__(self, x: jnp.ndarray, x_r: List[jnp.ndarray], **kwargs):
+        dist = []
+        x_org = x
+        for s, (x_r_s, d_crt) in enumerate(zip(x_r, self._dist_criteria)):
+            dist_s = d_crt(x_org, [x_r_s], **kwargs)
+            dist += dist_s["dist"]
+            if s < len(self._dist_criteria) - 1:
+                x_org = downsample_pyramid(x_org)
+        return {"dist": dist}
+
+
+def dist_mse_pyramid(compression_level: int = 4, **kwargs):
+    return PyramidLoss([lambda x, x_r, **_: dist_mse(x, x_r)
+                        for _ in range(compression_level)])
+
+
+def dist_msssim_pyramid(patch_size: int, compression_level: int = 4, **kwargs):
+    return PyramidLoss([DistMSSSIM(patch_size=patch_size, scale=s, **kwargs)
+                        for s in range(compression_level)])
+
+
+def penalty_a(x: jnp.ndarray, y: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Energy-compaction penalty A: entropy of per-channel energy shares.
+
+    Returns the penalty plus the (median over batch) max energy share and
+    its channel index, used by the PA stopping criterion and PenaltyB
+    (reference _ratedist.py:110-135).
+    """
+    x_mean = jnp.mean(x, axis=-1)                       # (B, H, W)
+    x_var = jax.lax.stop_gradient(
+        jnp.var(x_mean, axis=(1, 2))[:, None] + 1e-10)  # (B, 1)
+
+    a = jnp.var(y, axis=(1, 2)) / x_var                 # (B, C)
+    a = a / jnp.sum(a, axis=1, keepdims=True)
+    a = jnp.clip(a, 1e-10, 1.0)
+
+    p_a = jnp.mean(jnp.sum(-a * jnp.log2(a), axis=1))
+
+    a_sg = jax.lax.stop_gradient(a)
+    max_energy = jnp.median(jnp.max(a_sg, axis=1))
+    channel_e = jnp.median(jnp.argmax(a_sg, axis=1))
+
+    return {"weighted_penalty": p_a, "penalty": p_a, "energy": max_energy,
+            "channel_e": channel_e}
+
+
+def penalty_b(y: jnp.ndarray, decoder_fn: Callable, channel_e: int = 0
+              ) -> Dict[str, jnp.ndarray]:
+    """Energy-compaction penalty B: variance of decoding a one-hot code.
+
+    ``decoder_fn(code)`` must run the synthesis track on an NHWC latent
+    (reference _ratedist.py:138-162).
+    """
+    _, h, w, c = y.shape
+    fake_codes = jax.nn.one_hot(channel_e, c, dtype=y.dtype)
+    fake_codes = jnp.broadcast_to(fake_codes, (1, h, w, c))
+
+    fake_rec = decoder_fn(fake_codes)
+    if isinstance(fake_rec, (list, tuple)):
+        fake_rec = fake_rec[0]
+
+    b = jnp.var(fake_rec, axis=(1, 2, 3))
+    p_b = b[0]
+    return {"weighted_penalty": p_b,
+            "penalty": jax.lax.stop_gradient(p_b),
+            "energy": jax.lax.stop_gradient(p_b),
+            "channel_e": jnp.asarray(channel_e)}
+
+
+DIST_LOSS_LIST = {
+    "MSE": lambda **kw: dist_mse,
+    "MultiscaleMSE": dist_mse_pyramid,
+    "MSSSIM": lambda **kw: DistMSSSIM(**kw),
+    "MultiscaleMSSSIM": dist_msssim_pyramid,
+}
+
+PENALTY_LOSS_LIST = {
+    "PenaltyA": penalty_a,
+    "PenaltyB": penalty_b,
+}
+
+RATE_LOSS_LIST = {
+    "Rate": rate_loss,
+}

@@ -1,0 +1,257 @@
+"""Model factory: build/initialize the CAE module dict from config or checkpoint.
+
+Mirrors the reference's factory surface (reference src/models/tasks/
+_autoencoders.py:458-527): the model is a **dict of independently managed
+modules** ``{'encoder', 'decoder', 'fact_ent'[, 'class_model'][, 'seg_model']}``
+— separately freezable, separately optimized — except here each entry is a
+(flax module definition, variables pytree) pair and all state is explicit.
+
+``autoencoder_from_state_dict`` accepts either this framework's native
+checkpoints (see training/checkpoint.py) or reference ``.pth`` checkpoints
+(converted through utils/torch_import.py), making the reference's
+self-describing-checkpoint workflow work unchanged.
+"""
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .autoencoder import Analyzer, Synthesizer
+from .entropy import DEFAULT_FILTERS, FactorizedEntropyBottleneck
+
+# Architecture kwargs consumed by Analyzer/Synthesizer; everything else in a
+# checkpoint/args dict is ignored by the factory (same permissive style as
+# the reference's **kwargs plumbing).
+_NET_KEYS = ("channels_org", "channels_net", "channels_bn",
+             "compression_level", "channels_expansion", "kernel_size",
+             "groups", "batch_norm", "dropout", "use_residual",
+             "act_layer_type")
+
+
+def _net_kwargs(kwargs: Dict[str, Any]) -> Dict[str, Any]:
+    out = {k: kwargs[k] for k in _NET_KEYS if k in kwargs and
+           kwargs[k] is not None}
+    if kwargs.get("bias") is not None:
+        out["use_bias"] = bool(kwargs["bias"])
+    return out
+
+
+def setup_modules(channels_bn: int = 192, compression_level: int = 4,
+                  K: int = 4, r: int = 3,
+                  enabled_modules: Optional[Sequence[str]] = None,
+                  **kwargs) -> Dict[str, Any]:
+    """Build flax module definitions (no parameters yet).
+
+    Defaults match the reference factory (_autoencoders.py:458).  Classifier
+    and segmenter heads are created when ``class_model_type`` /
+    ``seg_model_type`` are given (registries in models.classifiers /
+    models.segmenters).
+    """
+    if enabled_modules is None:
+        enabled_modules = ["encoder", "decoder", "fact_ent"]
+        if kwargs.get("class_model_type"):
+            enabled_modules.append("class_model")
+        if kwargs.get("seg_model_type"):
+            enabled_modules.append("seg_model")
+
+    net_kwargs = _net_kwargs(kwargs)
+    modules: Dict[str, Any] = {}
+
+    if "encoder" in enabled_modules:
+        modules["encoder"] = Analyzer(channels_bn=channels_bn,
+                                      compression_level=compression_level,
+                                      **net_kwargs)
+
+    if "decoder" in enabled_modules:
+        modules["decoder"] = Synthesizer(
+            channels_bn=channels_bn, compression_level=compression_level,
+            multiscale_analysis=bool(kwargs.get("multiscale_analysis",
+                                                False)),
+            **net_kwargs)
+
+    if "fact_ent" in enabled_modules:
+        modules["fact_ent"] = FactorizedEntropyBottleneck(
+            channels=channels_bn, filters=tuple([r] * K))
+
+    if "class_model" in enabled_modules and kwargs.get("class_model_type"):
+        from .classifiers import CLASS_MODELS
+        modules["class_model"] = CLASS_MODELS[kwargs["class_model_type"]](
+            channels_bn=channels_bn,
+            cut_position=kwargs.get("cut_position", 0) or 0,
+            num_classes=kwargs.get("num_classes", 1000),
+            compression_level=compression_level,
+            patch_size=kwargs.get("patch_size", 128))
+
+    if "seg_model" in enabled_modules and kwargs.get("seg_model_type"):
+        from .segmenters import SEG_MODELS
+        modules["seg_model"] = SEG_MODELS[kwargs["seg_model_type"]](
+            channels_org=kwargs.get("channels_org", 3),
+            channels_bn=channels_bn,
+            compression_level=compression_level,
+            seg_channels_net=kwargs.get("seg_channels_net", 128),
+            seg_channels_bn=kwargs.get("seg_channels_bn", 48),
+            seg_channels_expansion=kwargs.get("seg_channels_expansion", 1),
+            num_classes=kwargs.get("num_classes", 1),
+            dropout=kwargs.get("dropout", 0.0),
+            batch_norm=bool(kwargs.get("batch_norm", False)))
+
+    return modules
+
+
+def init_params(modules: Dict[str, Any], rng: jax.Array,
+                input_size: Tuple[int, int] = (64, 64),
+                channels_org: int = 3, channels_bn: int = 192,
+                compression_level: int = 4) -> Dict[str, Any]:
+    """Initialize variables for every module with consistent latent shapes."""
+    h, w = input_size
+    keys = jax.random.split(rng, 8)
+    x = jnp.zeros((1, h, w, channels_org), jnp.float32)
+    variables: Dict[str, Any] = {}
+
+    if "encoder" in modules:
+        variables["encoder"] = modules["encoder"].init(keys[0], x)
+        y = modules["encoder"].apply(variables["encoder"], x)
+    else:
+        y = jnp.zeros((1, h // 2 ** compression_level,
+                       w // 2 ** compression_level, channels_bn), jnp.float32)
+
+    if "fact_ent" in modules:
+        variables["fact_ent"] = modules["fact_ent"].init(
+            {"params": keys[1]}, y)
+
+    if "decoder" in modules:
+        variables["decoder"] = modules["decoder"].init(keys[2], y)
+        _, fx_brg = modules["decoder"].apply(variables["decoder"], y)
+    else:
+        fx_brg = None
+
+    if "class_model" in modules:
+        variables["class_model"] = modules["class_model"].init(keys[3], y)
+
+    if "seg_model" in modules:
+        variables["seg_model"] = modules["seg_model"].init(keys[4], y,
+                                                           fx_brg=fx_brg)
+
+    return variables
+
+
+@dataclasses.dataclass
+class CAEModel:
+    """A built model: module definitions + variables + the config that
+    reconstructs it (the config dict is what gets checkpointed, making
+    checkpoints self-describing like the reference's)."""
+
+    modules: Dict[str, Any]
+    variables: Dict[str, Any]
+    config: Dict[str, Any]
+
+    @property
+    def compression_level(self) -> int:
+        return int(self.config.get("compression_level", 4))
+
+    @property
+    def channels_bn(self) -> int:
+        return int(self.config.get("channels_bn", 192))
+
+    @property
+    def filters(self) -> Tuple[int, ...]:
+        k = int(self.config.get("K", 4))
+        r = int(self.config.get("r", 3))
+        return tuple([r] * k)
+
+    def encode(self, x, train: bool = False):
+        return self.modules["encoder"].apply(self.variables["encoder"], x,
+                                             train=train)
+
+    def decode(self, y, train: bool = False):
+        return self.modules["decoder"].apply(self.variables["decoder"], y,
+                                             train=train)
+
+    def entropy(self, y, training: bool = False, rngs=None):
+        return self.modules["fact_ent"].apply(self.variables["fact_ent"], y,
+                                              training=training, rngs=rngs)
+
+
+def build_model(rng: Optional[jax.Array] = None, input_size=(64, 64),
+                **config) -> CAEModel:
+    """Create a fresh CAEModel from architecture kwargs."""
+    if rng is None:
+        rng = jax.random.PRNGKey(int(config.get("seed", 0) or 0))
+    modules = setup_modules(**config)
+    variables = init_params(
+        modules, rng, input_size=input_size,
+        channels_org=config.get("channels_org", 3),
+        channels_bn=config.get("channels_bn", 192),
+        compression_level=config.get("compression_level", 4))
+    return CAEModel(modules=modules, variables=variables, config=dict(config))
+
+
+def autoencoder_from_state_dict(checkpoint, train: bool = False,
+                                **_) -> CAEModel:
+    """Load a model from a checkpoint path or dict.
+
+    Accepts: this framework's native checkpoint files (.npz/.msgpack via
+    training.checkpoint), an in-memory state dict, or a reference torch
+    ``.pth`` (detected by extension / tensor types and converted through
+    utils.torch_import).  ``train`` is accepted for API parity; train/eval
+    behavior in JAX is chosen per-apply, not model-global.
+    """
+    del train
+    from ..training.checkpoint import load_checkpoint
+    state = load_checkpoint(checkpoint)
+
+    config = {k: v for k, v in state.items()
+              if not isinstance(v, dict) and k not in ("step",)}
+    modules = setup_modules(**state)
+
+    variables = {}
+    rng = jax.random.PRNGKey(0)
+    init_vars = init_params(
+        modules, rng,
+        input_size=state.get("init_input_size", (64, 64)),
+        channels_org=state.get("channels_org", 3),
+        channels_bn=state.get("channels_bn", 192),
+        compression_level=state.get("compression_level", 4))
+
+    for name, mod_vars in init_vars.items():
+        saved = state.get(name)
+        if saved is not None:
+            variables[name] = _merge_variables(mod_vars, saved)
+        else:
+            variables[name] = mod_vars
+
+    return CAEModel(modules=modules, variables=variables, config=config)
+
+
+def _merge_variables(template, saved):
+    """Overlay saved arrays onto an init template, checking shapes."""
+    flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
+    saved_flat = {_path_str(p): v
+                  for p, v in jax.tree_util.tree_flatten_with_path(saved)[0]}
+
+    def merge(path, leaf):
+        key = _path_str(path)
+        if key in saved_flat:
+            arr = jnp.asarray(saved_flat[key])
+            if arr.shape != leaf.shape:
+                raise ValueError(
+                    f"Checkpoint shape mismatch at {key}: "
+                    f"{arr.shape} vs {leaf.shape}")
+            return arr.astype(leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(merge, template)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)

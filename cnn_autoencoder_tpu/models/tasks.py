@@ -1,0 +1,110 @@
+"""Forward-pass composition with per-module enable/trainable gating.
+
+Functional equivalent of the reference's decorator-based composer
+(reference src/models/tasks/_taskutils.py:46-110): one ``forward_fn`` built
+from the enabled/trainable module sets, producing the same output dict
+``{x_r, fx_brg, y, y_q, p_y, t_pred, t_aux_pred, s_pred, s_aux_pred}``.
+
+The idiomatic JAX mapping of the reference's ``torch.set_grad_enabled``
+toggling is ``stop_gradient`` applied to the *parameters* of non-trainable
+modules: gradients flow **through** a frozen module to upstream trainable
+ones (exactly torch's semantics where only leaf params lose grads), while
+the frozen module's own params receive zero gradient.  Disabled modules
+degrade to identity/None stubs just like the reference's.
+"""
+
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+ALL_MODULES = ("encoder", "decoder", "fact_ent", "class_model", "seg_model")
+
+
+def _freeze(tree):
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, tree)
+
+
+def make_forward_fn(modules: Dict[str, Any],
+                    enabled_modules: Optional[Sequence[str]] = None,
+                    trainable_modules: Optional[Sequence[str]] = None
+                    ) -> Callable:
+    """Build ``forward(variables, x, train=False, rngs=None) ->
+    (outputs, new_state)``.
+
+    ``new_state`` carries mutated collections (batch_stats) per module when
+    ``train=True``; it is empty in eval mode.
+    """
+    if enabled_modules is None:
+        enabled_modules = [m for m in ALL_MODULES if m in modules]
+    if trainable_modules is None:
+        trainable_modules = []
+
+    enabled = [m for m in enabled_modules if m in modules]
+    trainable = set(trainable_modules)
+
+    def forward(variables: Dict[str, Any], x, train: bool = False,
+                rngs: Optional[Dict[str, jax.Array]] = None):
+        rngs = rngs or {}
+        new_state: Dict[str, Any] = {}
+
+        def run(name, *args, method_kwargs=None, mod_rngs=None):
+            mod_vars = variables[name]
+            if name not in trainable:
+                mod_vars = _freeze(mod_vars)
+            kwargs = dict(method_kwargs or {})
+            has_stats = "batch_stats" in mod_vars
+            if train and has_stats and name in trainable:
+                out, updates = modules[name].apply(
+                    mod_vars, *args, mutable=["batch_stats"],
+                    rngs=mod_rngs, **kwargs)
+                new_state[name] = updates
+                return out
+            return modules[name].apply(mod_vars, *args, rngs=mod_rngs,
+                                       **kwargs)
+
+        dropout_rngs = ({"dropout": rngs["dropout"]} if "dropout" in rngs
+                        else None)
+
+        if "encoder" in enabled:
+            y = run("encoder", x, method_kwargs={"train": train},
+                    mod_rngs=dropout_rngs)
+        else:
+            y = x
+
+        if "fact_ent" in enabled:
+            fe_rngs = {"noise": rngs["noise"]} if "noise" in rngs else None
+            y_q, p_y = run("fact_ent", y,
+                           method_kwargs={"training": train},
+                           mod_rngs=fe_rngs)
+        else:
+            y_q, p_y = y, None
+
+        if "decoder" in enabled:
+            x_r, fx_brg = run("decoder", y_q,
+                              method_kwargs={"train": train},
+                              mod_rngs=dropout_rngs)
+        else:
+            x_r, fx_brg = y_q, None
+
+        if "class_model" in enabled:
+            t_pred, t_aux_pred = run("class_model", y_q,
+                                     method_kwargs={"train": train},
+                                     mod_rngs=dropout_rngs)
+        else:
+            t_pred, t_aux_pred = None, None
+
+        if "seg_model" in enabled:
+            s_pred, s_aux_pred = run("seg_model", y_q,
+                                     method_kwargs={"train": train,
+                                                    "fx_brg": fx_brg},
+                                     mod_rngs=dropout_rngs)
+        else:
+            s_pred, s_aux_pred = None, None
+
+        outputs = dict(x_r=x_r, fx_brg=fx_brg, y=y, y_q=y_q, p_y=p_y,
+                       t_pred=t_pred, t_aux_pred=t_aux_pred,
+                       s_pred=s_pred, s_aux_pred=s_aux_pred)
+        return outputs, new_state
+
+    return forward

@@ -1,0 +1,77 @@
+"""Checkpoint I/O: self-describing single-file checkpoints + torch import.
+
+Equivalent of the reference's flat ``.pth`` checkpoint (reference
+src/utils/_loggers.py:104-135): one file holding all args, per-module
+variables, optimizer state and loss histories, so a checkpoint alone
+reconstructs the model (``setup_modules(**checkpoint)`` style).
+
+Format: msgpack (via flax.serialization) of
+``{"config": <json str>, "state": <pytree of arrays>}`` — no pickle.
+``load_checkpoint`` transparently accepts reference ``.pth`` files and
+converts them through utils/torch_import.py.
+"""
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+CHECKPOINT_EXT = ".msgpack"
+
+
+def _split_state(state: Dict[str, Any]):
+    """Separate JSON-able config scalars from array pytrees."""
+    config = {}
+    arrays = {}
+    for k, v in state.items():
+        if isinstance(v, dict):
+            arrays[k] = v
+        elif isinstance(v, (np.ndarray, jax.Array)):
+            arrays[k] = v
+        elif isinstance(v, (list, tuple)) and len(v) > 0 and isinstance(
+                v[0], (np.ndarray, jax.Array)):
+            arrays[k] = list(v)
+        else:
+            try:
+                json.dumps(v)
+                config[k] = v
+            except TypeError:
+                arrays[k] = v
+    return config, arrays
+
+
+def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
+    """Write a self-describing checkpoint; ``state`` mixes config scalars,
+    module variable dicts, optimizer pytrees and histories."""
+    config, arrays = _split_state(state)
+    arrays = jax.tree_util.tree_map(np.asarray, arrays)
+    payload = {"config": json.dumps(config), "state": arrays}
+    data = serialization.msgpack_serialize(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(source) -> Dict[str, Any]:
+    """Load a checkpoint into a flat state dict.
+
+    Accepts: an in-memory dict (returned as-is), a native msgpack file, or a
+    reference torch ``.pth`` file (auto-converted).
+    """
+    if isinstance(source, dict):
+        return source
+    if not isinstance(source, (str, os.PathLike)):
+        raise TypeError(f"Unsupported checkpoint source: {type(source)}")
+    path = os.fspath(source)
+    if path.endswith(".pth") or path.endswith(".pt"):
+        from ..utils.torch_import import load_torch_checkpoint
+        return load_torch_checkpoint(path)
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    state = dict(payload["state"])
+    state.update(json.loads(payload["config"]))
+    return state

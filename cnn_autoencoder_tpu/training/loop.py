@@ -1,0 +1,152 @@
+"""Training/validation loops: jitted step + host-side control.
+
+JAX redesign of the reference training loop (reference src/train_cae_ms.py:
+30-443).  The whole forward/backward/per-module-update is ONE jitted XLA
+program (optionally pjit-sharded over a data mesh); the host keeps what must
+stay on host: the penalty sub-iteration decision (variable-trip-count loop on
+one batch, reference :205-262), schedulers, early stopping, checkpointing.
+
+The reference's two backward passes (loss.backward() + aux_loss.backward(),
+:214-219) collapse into one combined scalar: the aux (quantile) objective and
+the main objective touch disjoint parameters by construction, so their
+gradients are computed together in a single pass and routed to the per-module
+optimizers.
+"""
+
+import functools
+import logging
+import time
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.tasks import make_forward_fn
+from .optim import apply_module_updates, setup_optimizers, split_aux_params
+
+
+def _net_aux(modules, variables):
+    """The ``net`` context passed to the loss composer."""
+    net = {}
+    if "fact_ent" in variables:
+        net["fact_ent_params"] = variables["fact_ent"]["params"]
+        net["num_filters"] = len(modules["fact_ent"].filters)
+    if "decoder" in modules and "decoder" in variables:
+        def decoder_fn(code):
+            x_r, _ = modules["decoder"].apply(variables["decoder"], code)
+            return x_r
+        net["decoder_fn"] = decoder_fn
+    return net
+
+
+def make_train_step(modules: Dict[str, Any], criterion,
+                    optimizers: Dict[str, Any],
+                    enabled_modules: Optional[Sequence[str]] = None,
+                    trainable_modules: Optional[Sequence[str]] = None,
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step.
+
+    Signature: ``train_step(variables, opt_states, acc_grads, lrs, x, t,
+    rng, step) -> (variables, opt_states, acc_grads, loss_dict)``.
+    ``lrs`` is a dict of f32 scalars (host-scheduled), ``step`` an int32
+    scalar; neither triggers retracing.
+    """
+    trainable = [m for m in (trainable_modules or []) if m in modules]
+    forward = make_forward_fn(modules, enabled_modules, trainable)
+
+    def step_fn(variables, opt_states, acc_grads, lrs, x, t, rng, step):
+        trainable_params = {k: variables[k]["params"] for k in trainable
+                            if k in variables}
+
+        def loss_fn(tp):
+            vars_full = {
+                k: ({**variables[k], "params": tp[k]} if k in tp
+                    else variables[k])
+                for k in variables}
+            rngs = {"noise": jax.random.fold_in(rng, 0),
+                    "dropout": jax.random.fold_in(rng, 1)}
+            outputs, mutated = forward(vars_full, x, train=True, rngs=rngs)
+            loss_dict = criterion(x, outputs, targets=t,
+                                  net=_net_aux(modules, vars_full))
+            total = jnp.mean(loss_dict["loss"])
+            if "entropy_loss" in loss_dict:
+                total = total + jnp.mean(loss_dict["entropy_loss"])
+            return total, (loss_dict, mutated, outputs)
+
+        grads, (loss_dict, mutated, outputs) = jax.grad(
+            loss_fn, has_aux=True)(trainable_params)
+
+        # fold mutated batch_stats back in
+        new_vars = {k: dict(v) for k, v in variables.items()}
+        for k, upd in mutated.items():
+            new_vars[k] = {**new_vars[k], **upd}
+
+        new_vars, new_opt_states, new_acc = apply_module_updates(
+            optimizers, grads, new_vars, opt_states, acc_grads, lrs, step)
+
+        stats = _summary_stats(outputs, loss_dict)
+        return new_vars, new_opt_states, new_acc, stats
+
+    if donate:
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2))
+    return jax.jit(step_fn)
+
+
+def make_eval_step(modules: Dict[str, Any], criterion,
+                   enabled_modules: Optional[Sequence[str]] = None
+                   ) -> Callable:
+    forward = make_forward_fn(modules, enabled_modules, trainable_modules=[])
+
+    @jax.jit
+    def eval_step(variables, x, t):
+        outputs, _ = forward(variables, x, train=False)
+        loss_dict = criterion(x, outputs, targets=t,
+                              net=_net_aux(modules, variables))
+        return _summary_stats(outputs, loss_dict)
+
+    return eval_step
+
+
+def _summary_stats(outputs, loss_dict):
+    """Device-side scalar summary (one small transfer per logging call)."""
+    stats = {k: v for k, v in loss_dict.items()
+             if not isinstance(v, (list, tuple))}
+    if isinstance(loss_dict.get("dist"), (list, tuple)):
+        stats["dist"] = jnp.stack([jnp.asarray(d)
+                                   for d in loss_dict["dist"]])
+    x_r = outputs.get("x_r")
+    if isinstance(x_r, (list, tuple)):
+        x_r = x_r[0]
+    if x_r is not None:
+        stats["x_r_min"] = x_r.min()
+        stats["x_r_max"] = x_r.max()
+        stats["x_r_std"] = x_r.std()
+    if outputs.get("y") is not None:
+        stats["y_min"] = outputs["y"].min()
+        stats["y_max"] = outputs["y"].max()
+    if outputs.get("p_y") is not None:
+        stats["p_y_min"] = outputs["p_y"].min()
+        stats["p_y_max"] = outputs["p_y"].max()
+    return stats
+
+
+def valid(eval_step, variables, data, progress_bar: bool = False,
+          logger: Optional[logging.Logger] = None):
+    """Full validation pass; returns (mean_loss, averaged metrics dict)."""
+    sum_loss = 0.0
+    count = 0
+    rec: Dict[str, list] = {}
+    for x, t in data:
+        stats = eval_step(variables, jnp.asarray(x),
+                          None if t is None else jnp.asarray(t))
+        stats = jax.device_get(stats)
+        sum_loss += float(stats["loss"])
+        count += 1
+        for k, v in stats.items():
+            rec.setdefault(k, []).append(np.asarray(v))
+    if count == 0:
+        return float("nan"), {}
+    avg = {"val_" + k: float(np.nanmean(np.stack(v)))
+           for k, v in rec.items() if np.asarray(v[0]).ndim == 0}
+    return sum_loss / count, avg

@@ -1,0 +1,191 @@
+"""Per-module optimizer partition (optax), aux-parameter split, grad accumulation.
+
+JAX re-design of the reference's optimizer setup (reference
+src/train_cae_ms.py:529-655):
+
+* one optimizer per trainable module, each with its own algorithm / lr /
+  weight decay (``-mopt encoder=str:Adam -mlr encoder=float:1e-4`` style);
+* entropy-model ``quantiles`` (and any param whose path contains ``aux``)
+  split into a separate ``<module>_aux`` optimizer, replacing the
+  reference's name-based parameter split (:592-596);
+* per-module gradient clipping (max-norm 1.0, reference :225) baked into
+  each optax chain;
+* gradient accumulation by summation, applied every ``grad_accumulate``
+  steps (reference :221-230).
+
+Learning rates are *runtime inputs* to the jitted step (f32 scalars), so
+host-side schedulers (ReduceLROnPlateau / warmup) adjust them without
+retracing — the idiomatic XLA split between compiled math and host control.
+"""
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _is_aux_path(path) -> bool:
+    for p in path:
+        key = getattr(p, "key", None)
+        if key is not None and ("quantiles" in str(key).lower()
+                                or "aux" in str(key).lower()):
+            return True
+    return False
+
+
+def split_aux_params(params):
+    """Partition a module's params into (main, aux) trees with None holes."""
+    main = jax.tree_util.tree_map_with_path(
+        lambda p, v: None if _is_aux_path(p) else v, params)
+    aux = jax.tree_util.tree_map_with_path(
+        lambda p, v: v if _is_aux_path(p) else None, params)
+    has_aux = any(v is not None
+                  for v in jax.tree_util.tree_leaves(aux, is_leaf=lambda x:
+                                                     x is None))
+    return main, (aux if has_aux else None)
+
+
+def make_transform(algo: str = "Adam", weight_decay: float = 0.0,
+                   clip_norm: float = 1.0) -> optax.GradientTransformation:
+    """Build the lr-less update chain; lr is applied at update time."""
+    parts = []
+    if clip_norm and clip_norm > 0:
+        parts.append(optax.clip_by_global_norm(clip_norm))
+    if algo == "Adam":
+        # torch-Adam semantics: L2 folded into the gradient before moments
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(optax.scale_by_adam())
+    elif algo == "AdamW":
+        parts.append(optax.scale_by_adam())
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+    elif algo == "SGD":
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+    else:
+        raise ValueError(f"Unknown optimizer algorithm: {algo}")
+    return optax.chain(*parts)
+
+
+@dataclasses.dataclass
+class ModuleOptimizer:
+    """One optimizer slot: a transform + static accumulation factor."""
+    tx: optax.GradientTransformation
+    grad_accumulate: int = 1
+
+
+def setup_optimizers(variables: Dict[str, Any],
+                     trainable_modules: Sequence[str],
+                     mod_optim_algo: Optional[Dict[str, str]] = None,
+                     mod_weight_decay: Optional[Dict[str, float]] = None,
+                     mod_aux_weight_decay: Optional[Dict[str, float]] = None,
+                     mod_grad_accumulate: Optional[Dict[str, int]] = None,
+                     clip_norm: float = 1.0):
+    """Create per-module (and per-module-aux) optimizers and initial states.
+
+    Returns (optimizers: {name: ModuleOptimizer}, opt_states pytree).
+    Names follow the reference: ``encoder``, ``fact_ent``, ``fact_ent_aux``…
+    """
+    mod_optim_algo = mod_optim_algo or {}
+    mod_weight_decay = mod_weight_decay or {}
+    mod_aux_weight_decay = mod_aux_weight_decay or {}
+    mod_grad_accumulate = mod_grad_accumulate or {}
+
+    optimizers: Dict[str, ModuleOptimizer] = {}
+    opt_states: Dict[str, Any] = {}
+    acc_grads: Dict[str, Any] = {}
+
+    for k in trainable_modules:
+        if k not in variables:
+            continue
+        params = variables[k]["params"]
+        main, aux = split_aux_params(params)
+        algo = mod_optim_algo.get(k, "Adam")
+        accum = int(mod_grad_accumulate.get(k, 1) or 1)
+
+        tx = make_transform(algo, mod_weight_decay.get(k, 0.0) or 0.0,
+                            clip_norm)
+        optimizers[k] = ModuleOptimizer(tx=tx, grad_accumulate=accum)
+        opt_states[k] = tx.init(main)
+        acc_grads[k] = jax.tree_util.tree_map(jnp.zeros_like, main)
+
+        if aux is not None:
+            tx_aux = make_transform(
+                algo, mod_aux_weight_decay.get(k, 0.0) or 0.0, clip_norm)
+            optimizers[k + "_aux"] = ModuleOptimizer(tx=tx_aux,
+                                                     grad_accumulate=accum)
+            opt_states[k + "_aux"] = tx_aux.init(aux)
+            acc_grads[k + "_aux"] = jax.tree_util.tree_map(jnp.zeros_like,
+                                                           aux)
+
+    return optimizers, opt_states, acc_grads
+
+
+def apply_module_updates(optimizers: Dict[str, ModuleOptimizer],
+                         grads: Dict[str, Any],
+                         variables: Dict[str, Any],
+                         opt_states: Dict[str, Any],
+                         acc_grads: Dict[str, Any],
+                         learning_rates: Dict[str, jnp.ndarray],
+                         step: jnp.ndarray):
+    """One optimizer step for every module slot (jit-safe).
+
+    Gradients accumulate by summation; every ``grad_accumulate`` steps the
+    transform runs and parameters move by ``-lr * update``.
+    """
+    new_vars = {k: dict(v) for k, v in variables.items()}
+    new_opt_states = dict(opt_states)
+    new_acc = dict(acc_grads)
+
+    for name, slot in optimizers.items():
+        mod = name[:-4] if name.endswith("_aux") else name
+        params = new_vars[mod]["params"]
+        main, aux = split_aux_params(params)
+        target = aux if name.endswith("_aux") else main
+
+        g_main, g_aux = split_aux_params(grads[mod])
+        g = g_aux if name.endswith("_aux") else g_main
+
+        acc = jax.tree_util.tree_map(lambda a, b: a + b, new_acc[name], g)
+
+        def do_update(operand):
+            acc_g, opt_state, prms = operand
+            updates, new_state = slot.tx.update(acc_g, opt_state, prms)
+            lr = learning_rates[name]
+            new_prms = jax.tree_util.tree_map(
+                lambda p, u: p - lr * u, prms, updates)
+            zeroed = jax.tree_util.tree_map(jnp.zeros_like, acc_g)
+            return zeroed, new_state, new_prms
+
+        def no_update(operand):
+            return operand
+
+        if slot.grad_accumulate <= 1:
+            acc, new_state, target = do_update(
+                (acc, new_opt_states[name], target))
+        else:
+            acc, new_state, target = jax.lax.cond(
+                step % slot.grad_accumulate == 0, do_update, no_update,
+                (acc, new_opt_states[name], target))
+
+        new_acc[name] = acc
+        new_opt_states[name] = new_state
+
+        # merge target back into the module's param tree
+        if name.endswith("_aux"):
+            merged = jax.tree_util.tree_map(
+                lambda m, a: m if a is None else a, main, target,
+                is_leaf=lambda x: x is None)
+            merged = jax.tree_util.tree_map(
+                lambda m, p: p if m is None else m, merged, params,
+                is_leaf=lambda x: x is None)
+        else:
+            merged = jax.tree_util.tree_map(
+                lambda m, p: p if m is None else m, target, params,
+                is_leaf=lambda x: x is None)
+        new_vars[mod]["params"] = merged
+
+    return new_vars, new_opt_states, new_acc

@@ -1,0 +1,260 @@
+"""Reference (torch) checkpoint importer.
+
+Converts reference ``.pth`` training checkpoints — the flat dict written by
+reference src/utils/_loggers.py:104-129 (args + per-module torch state dicts)
+— into this framework's native state layout, so RD parity against reference
+weights can be validated (the reference's own cross-framework path is
+scripts/transfer_weights.py:5-47; this importer plays that role for JAX).
+
+Layout conversions:
+* Conv2d OIHW -> HWIO;
+* ConvTranspose2d (in, out, kh, kw) -> HWIO **spatially flipped** (our
+  transposed conv is an lhs-dilated conv with pre-flipped kernels);
+* GDN beta/gamma imported as stored (both frameworks keep the
+  non-negative-reparameterized form);
+* entropy bottleneck ``_matrixK/_biasK/_factorK/quantiles`` ->
+  ``matrix_K/bias_K/factor_K/quantiles`` verbatim;
+* BatchNorm weight/bias/running_mean/running_var -> scale/bias/mean/var.
+
+The torch Sequential index layout inside each up/down unit depends on the
+architecture flags; ``_unit_layout`` reconstructs it from the config exactly
+as the reference constructors build it (_autoencoders.py:53-304).
+"""
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _np(t):
+    """torch tensor -> numpy (no torch import needed at module load)."""
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()
+
+
+def conv_weight_to_hwio(w) -> np.ndarray:
+    return np.transpose(_np(w), (2, 3, 1, 0))
+
+
+def deconv_weight_to_hwio_flipped(w) -> np.ndarray:
+    w = np.transpose(_np(w), (2, 3, 0, 1))
+    return np.ascontiguousarray(w[::-1, ::-1])
+
+
+def _strip_module_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
+    if any(k.startswith("module.") for k in sd):
+        return {k[len("module."):] if k.startswith("module.") else k: v
+                for k, v in sd.items()}
+    return sd
+
+
+def _unit_layout(act: Optional[str], batch_norm: bool, residual: bool,
+                 track: str) -> List[Tuple[str, int, str, str]]:
+    """(torch_sequential, torch_idx, kind, flax_name) for one unit.
+
+    ``kind`` in {conv, deconv, bn, gdn}; parameterless activation/dropout
+    slots only advance the index.  Mirrors the constructors at reference
+    _autoencoders.py:53-304.
+    """
+    down = track == "analysis"
+    conv_kind = "conv" if down else "deconv"
+    pre = act is not None and act != "GDN"
+    entries: List[Tuple[str, int, str, str]] = []
+
+    if not residual:
+        i = 0
+        if pre:
+            entries.append(("model", i, conv_kind,
+                            "conv_pre" if down else "deconv_pre"))
+            i += 1
+            if batch_norm:
+                entries.append(("model", i, "bn", "norm_pre"))
+                i += 1
+            i += 1  # elementwise activation
+        entries.append(("model", i, conv_kind,
+                        "conv_down" if down else "deconv_up"))
+        i += 1
+        if batch_norm:
+            entries.append(("model", i, "bn",
+                            "norm_down" if down else "norm_up"))
+            i += 1
+        if act == "GDN":
+            entries.append(("model", i, "gdn",
+                            "gdn_down" if down else "gdn_up"))
+        return entries
+
+    # Residual units: a res_model branch then the strided model branch.
+    i = 0
+    entries.append(("res_model", i, conv_kind,
+                    "res_conv1" if down else "res_deconv1"))
+    i += 1
+    if batch_norm:
+        entries.append(("res_model", i, "bn", "res_norm1"))
+        i += 1
+    if act == "GDN":
+        entries.append(("res_model", i, "gdn", "gdn_res"))
+    i += 1  # activation slot (GDN or elementwise or Identity)
+    if pre:
+        entries.append(("res_model", i, conv_kind,
+                        "res_conv2" if down else "res_deconv2"))
+        i += 1
+        if batch_norm:
+            entries.append(("res_model", i, "bn", "res_norm2"))
+            i += 1
+        if not down:
+            i += 1  # up-variant appends a trailing activation in res branch
+
+    j = 0
+    if pre:
+        j += 1  # leading activation in the strided branch
+    entries.append(("model", j, conv_kind,
+                    "conv_down" if down else "deconv_up"))
+    j += 1
+    if batch_norm:
+        entries.append(("model", j, "bn",
+                        "norm_down" if down else "norm_up"))
+        j += 1
+    if act == "GDN":
+        entries.append(("model", j, "gdn",
+                        "gdn_down" if down else "gdn_up"))
+    return entries
+
+
+def _import_unit(sd: Dict[str, Any], prefix: str, layout) -> Dict[str, Any]:
+    """Build flax param/batch_stats dicts for one unit from torch keys."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for seq, idx, kind, flax_name in layout:
+        base = f"{prefix}.{seq}.{idx}"
+        if kind in ("conv", "deconv"):
+            w = sd.get(f"{base}.weight")
+            if w is None:
+                continue
+            kernel = (conv_weight_to_hwio(w) if kind == "conv"
+                      else deconv_weight_to_hwio_flipped(w))
+            p = {"kernel": kernel}
+            if f"{base}.bias" in sd:
+                p["bias"] = _np(sd[f"{base}.bias"])
+            params[flax_name] = p
+        elif kind == "gdn":
+            if f"{base}.beta" not in sd:
+                continue
+            params[flax_name] = {"beta": _np(sd[f"{base}.beta"]),
+                                 "gamma": _np(sd[f"{base}.gamma"])
+                                 .reshape(sd[f"{base}.gamma"].shape[:2])}
+        elif kind == "bn":
+            if f"{base}.weight" not in sd:
+                continue
+            params[flax_name] = {"scale": _np(sd[f"{base}.weight"]),
+                                 "bias": _np(sd[f"{base}.bias"])}
+            stats[flax_name] = {"mean": _np(sd[f"{base}.running_mean"]),
+                                "var": _np(sd[f"{base}.running_var"])}
+    return params, stats
+
+
+def import_analyzer(sd: Dict[str, Any], compression_level: int,
+                    act_layer_type: Optional[str], batch_norm: bool,
+                    use_residual: bool) -> Dict[str, Any]:
+    sd = _strip_module_prefix(sd)
+    params, stats = {}, {}
+    for stage in range(compression_level):
+        act = act_layer_type if stage < compression_level - 1 else None
+        layout = _unit_layout(act, batch_norm, use_residual, "analysis")
+        p, s = _import_unit(sd, f"analysis_track.{stage}", layout)
+        if p:
+            params[f"down_{stage}"] = p
+        if s:
+            stats[f"down_{stage}"] = s
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def import_synthesizer(sd: Dict[str, Any], compression_level: int,
+                       act_layer_type: Optional[str], batch_norm: bool,
+                       use_residual: bool,
+                       multiscale_analysis: bool = False) -> Dict[str, Any]:
+    sd = _strip_module_prefix(sd)
+    params, stats = {}, {}
+    for stage in range(compression_level):
+        act = act_layer_type if stage < compression_level - 1 else None
+        layout = _unit_layout(act, batch_norm, use_residual, "synthesis")
+        p, s = _import_unit(sd, f"synthesis_track.{stage}", layout)
+        if p:
+            params[f"up_{stage}"] = p
+        if s:
+            stats[f"up_{stage}"] = s
+    if multiscale_analysis:
+        for i in range(compression_level - 1):
+            key = f"color_layers.{i}.0.weight"
+            if key in sd:
+                p = {"kernel": conv_weight_to_hwio(sd[key])}
+                bkey = f"color_layers.{i}.0.bias"
+                if bkey in sd:
+                    p["bias"] = _np(sd[bkey])
+                params[f"color_{i}"] = p
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def import_fact_ent(sd: Dict[str, Any], num_filters: int = 4
+                    ) -> Dict[str, Any]:
+    sd = _strip_module_prefix(sd)
+    params: Dict[str, Any] = {}
+    for i in range(num_filters + 1):
+        if f"_matrix{i}" in sd:
+            params[f"matrix_{i}"] = _np(sd[f"_matrix{i}"])
+        if f"_bias{i}" in sd:
+            params[f"bias_{i}"] = _np(sd[f"_bias{i}"])
+        if i < num_filters and f"_factor{i}" in sd:
+            params[f"factor_{i}"] = _np(sd[f"_factor{i}"])
+    if "quantiles" in sd:
+        params["quantiles"] = _np(sd["quantiles"])
+    return {"params": params}
+
+
+def convert_reference_checkpoint(chk: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference training-checkpoint dict -> native state dict.
+
+    Config scalars pass through; module state dicts are converted.  The
+    reference's persisted CDF buffers are ignored — tables are re-baked from
+    the quantiles (the reference itself force-updates on load,
+    _autoencoders.py:502).
+    """
+    state: Dict[str, Any] = {}
+    module_keys = ("encoder", "decoder", "fact_ent", "class_model",
+                   "seg_model")
+    for k, v in chk.items():
+        if k in module_keys or k.startswith("optimizer_") or \
+                k.startswith("scheduler_"):
+            continue
+        if isinstance(v, (str, int, float, bool, list, tuple)) or v is None:
+            state[k] = v
+
+    level = int(chk.get("compression_level", 4))
+    act = chk.get("act_layer_type")
+    bn = bool(chk.get("batch_norm", False))
+    res = bool(chk.get("use_residual", False))
+    k_filters = int(chk.get("K", 4))
+
+    if isinstance(chk.get("encoder"), dict):
+        state["encoder"] = import_analyzer(chk["encoder"], level, act, bn,
+                                           res)
+    if isinstance(chk.get("decoder"), dict):
+        state["decoder"] = import_synthesizer(
+            chk["decoder"], level, act, bn, res,
+            bool(chk.get("multiscale_analysis", False)))
+    if isinstance(chk.get("fact_ent"), dict):
+        state["fact_ent"] = import_fact_ent(chk["fact_ent"], k_filters)
+
+    return state
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    import torch
+    chk = torch.load(path, map_location="cpu", weights_only=False)
+    return convert_reference_checkpoint(chk)

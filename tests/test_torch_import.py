@@ -1,0 +1,318 @@
+"""Checkpoint-import parity: torch reference-architecture replica vs JAX.
+
+Builds torch modules following the reference's construction rules
+(reference src/models/tasks/_autoencoders.py:53-455 — NOT imported, the
+reference depends on compressai which is unavailable), produces a
+reference-style state dict, imports it through utils/torch_import.py, and
+checks the flax forward matches the torch forward to float32 tolerance.
+This is the load-bearing test for the <=0.05 dB RD-parity requirement.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.models.autoencoder import Analyzer, Synthesizer
+from cnn_autoencoder_tpu.models.entropy import (FactorizedEntropyBottleneck,
+                                                likelihood_fn)
+from cnn_autoencoder_tpu.utils.torch_import import (import_analyzer,
+                                                    import_fact_ent,
+                                                    import_synthesizer)
+
+
+# --- torch replica of the reference building blocks -------------------------
+
+class TorchGDN(nn.Module):
+    """compressai-equivalent GDN with non-negative reparameterized params."""
+
+    PED = 2 ** -36
+
+    def __init__(self, channels, inverse=False, beta_min=1e-6, gamma_init=0.1):
+        super().__init__()
+        self.inverse = inverse
+        self.beta_bound = (beta_min + self.PED) ** 0.5
+        self.gamma_bound = self.PED ** 0.5
+        beta = torch.sqrt(torch.ones(channels) + self.PED)
+        gamma = torch.sqrt(gamma_init * torch.eye(channels) + self.PED)
+        self.beta = nn.Parameter(beta)
+        self.gamma = nn.Parameter(gamma.reshape(channels, channels, 1, 1))
+
+    def forward(self, x):
+        beta = torch.clamp(self.beta, min=self.beta_bound) ** 2 - self.PED
+        gamma = torch.clamp(self.gamma, min=self.gamma_bound) ** 2 - self.PED
+        norm = F.conv2d(x ** 2, gamma, beta)
+        return x * torch.sqrt(norm) if self.inverse else x * torch.rsqrt(norm)
+
+
+def _t_act(act, ch, track):
+    if act is None or act == "Identity":
+        return nn.Identity()
+    if act == "LeakyReLU":
+        return nn.LeakyReLU(inplace=False)
+    if act == "ReLU":
+        return nn.ReLU(inplace=False)
+    if act == "GDN":
+        return TorchGDN(ch, inverse=track == "synthesis")
+    raise ValueError(act)
+
+
+def _t_down_unit(cin, cout, act, bn, bias, residual):
+    def conv(ci, co, stride):
+        return nn.Conv2d(ci, co, 3, stride=stride, padding=1, bias=bias,
+                         padding_mode="reflect")
+
+    pre = act is not None and act != "GDN"
+    if not residual:
+        model = []
+        if pre:
+            model += [conv(cin, cin, 1)]
+            if bn:
+                model += [nn.BatchNorm2d(cin, affine=True)]
+            model += [_t_act(act, cin, "analysis")]
+        model += [conv(cin, cout, 2)]
+        if bn:
+            model += [nn.BatchNorm2d(cout, affine=True)]
+        if act is not None:
+            model += [_t_act(act, cout, "analysis")]
+        unit = nn.Module()
+        unit.model = nn.Sequential(*model)
+        unit.forward = lambda x, u=unit: u.model(x)
+        return unit
+
+    res = [conv(cin, cin, 1)]
+    if bn:
+        res += [nn.BatchNorm2d(cin, affine=True)]
+    res += [_t_act(act, cin, "analysis")]
+    if pre:
+        res += [conv(cin, cin, 1)]
+        if bn:
+            res += [nn.BatchNorm2d(cin, affine=True)]
+    model = []
+    if pre:
+        model += [_t_act(act, cout, "analysis")]
+    model += [conv(cin, cout, 2)]
+    if bn:
+        model += [nn.BatchNorm2d(cout, affine=True)]
+    if act is not None:
+        model += [_t_act(act, cout, "analysis")]
+    unit = nn.Module()
+    unit.res_model = nn.Sequential(*res)
+    unit.model = nn.Sequential(*model)
+    unit.forward = lambda x, u=unit: u.model(u.res_model(x) + x)
+    return unit
+
+
+def _t_up_unit(cin, cout, act, bn, bias, residual):
+    def deconv(ci, co, stride, outpad):
+        return nn.ConvTranspose2d(ci, co, 3, stride=stride, padding=1,
+                                  output_padding=outpad, bias=bias)
+
+    pre = act is not None and act != "GDN"
+    if not residual:
+        model = []
+        if pre:
+            model += [deconv(cin, cin, 1, 0)]
+            if bn:
+                model += [nn.BatchNorm2d(cin, affine=True)]
+            model += [_t_act(act, cin, "synthesis")]
+        model += [deconv(cin, cout, 2, 1)]
+        if bn:
+            model += [nn.BatchNorm2d(cout, affine=True)]
+        if act is not None:
+            model += [_t_act(act, cout, "synthesis")]
+        unit = nn.Module()
+        unit.model = nn.Sequential(*model)
+        unit.forward = lambda x, u=unit: u.model(x)
+        return unit
+
+    res = [deconv(cin, cin, 1, 0)]
+    if bn:
+        res += [nn.BatchNorm2d(cin, affine=True)]
+    res += [_t_act(act, cin, "synthesis")]
+    if pre:
+        res += [deconv(cin, cin, 1, 0)]
+        if bn:
+            res += [nn.BatchNorm2d(cin, affine=True)]
+        res += [_t_act(act, cin, "synthesis")]
+    model = []
+    if pre:
+        model += [_t_act(act, cin, "synthesis")]
+    model += [deconv(cin, cout, 2, 1)]
+    if bn:
+        model += [nn.BatchNorm2d(cout, affine=True)]
+    if act is not None:
+        model += [_t_act(act, cout, "synthesis")]
+    unit = nn.Module()
+    unit.res_model = nn.Sequential(*res)
+    unit.model = nn.Sequential(*model)
+    unit.forward = lambda x, u=unit: u.model(u.res_model(x) + x)
+    return unit
+
+
+def _t_analyzer(level, net, bn_ch, act, batch_norm, bias, residual):
+    track = []
+    prev, curr = 3, net
+    for _ in range(level - 1):
+        track.append(_t_down_unit(prev, curr, act, batch_norm, bias,
+                                  residual))
+        prev, curr = curr, curr
+    track.append(_t_down_unit(prev, bn_ch, None, batch_norm, bias, residual))
+    m = nn.Module()
+    m.analysis_track = nn.Sequential(*track)
+    m.forward = lambda x, mm=m: mm.analysis_track(x)
+    return m
+
+
+def _t_synthesizer(level, net, bn_ch, act, batch_norm, bias, residual,
+                   multiscale):
+    track = []
+    prev, curr = bn_ch, net
+    for _ in range(level - 1):
+        track.append(_t_up_unit(prev, curr, act, batch_norm, bias, residual))
+        prev, curr = curr, curr
+    track.append(_t_up_unit(prev, 3, None, batch_norm, bias, residual))
+    m = nn.Module()
+    m.synthesis_track = nn.Sequential(*track)
+    if multiscale:
+        colors = [nn.Sequential(nn.Conv2d(net, 3, 3, padding=1, bias=bias,
+                                          padding_mode="reflect"))
+                  for _ in range(level - 1)]
+    else:
+        colors = [nn.Sequential(nn.Identity()) for _ in range(level - 1)]
+    colors += [nn.Identity()]
+    m.color_layers = nn.ModuleList(colors)
+
+    def fwd(x, mm=m, ms=multiscale):
+        fx = x
+        x_r = []
+        for up, color in zip(mm.synthesis_track, mm.color_layers):
+            fx = up(fx)
+            if isinstance(color, nn.Identity):
+                x_r.insert(0, fx)
+            elif ms:
+                x_r.insert(0, color(fx))
+            else:
+                x_r.insert(0, None)
+        return x_r
+
+    m.forward = fwd
+    return m
+
+
+CONFIGS = [
+    dict(act="GDN", batch_norm=False, bias=False, residual=False,
+         multiscale=False),
+    dict(act="LeakyReLU", batch_norm=False, bias=True, residual=False,
+         multiscale=True),
+    dict(act="GDN", batch_norm=False, bias=True, residual=True,
+         multiscale=False),
+    dict(act="ReLU", batch_norm=True, bias=False, residual=True,
+         multiscale=False),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+def test_encoder_import_parity(cfg):
+    torch.manual_seed(0)
+    level, net, bn_ch = 3, 6, 8
+    tmod = _t_analyzer(level, net, bn_ch, cfg["act"], cfg["batch_norm"],
+                       cfg["bias"], cfg["residual"])
+    tmod.eval()
+    sd = tmod.state_dict()
+
+    variables = import_analyzer(sd, level, cfg["act"], cfg["batch_norm"],
+                                cfg["residual"])
+    jmod = Analyzer(channels_org=3, channels_net=net, channels_bn=bn_ch,
+                    compression_level=level, act_layer_type=cfg["act"],
+                    batch_norm=cfg["batch_norm"], use_bias=cfg["bias"],
+                    use_residual=cfg["residual"])
+
+    x = np.random.RandomState(0).randn(2, 3, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        ref = tmod(torch.from_numpy(x)).numpy()
+    out = jmod.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+def test_decoder_import_parity(cfg):
+    torch.manual_seed(1)
+    level, net, bn_ch = 3, 6, 8
+    tmod = _t_synthesizer(level, net, bn_ch, cfg["act"], cfg["batch_norm"],
+                          cfg["bias"], cfg["residual"], cfg["multiscale"])
+    tmod.eval()
+    sd = tmod.state_dict()
+
+    variables = import_synthesizer(sd, level, cfg["act"], cfg["batch_norm"],
+                                   cfg["residual"], cfg["multiscale"])
+    jmod = Synthesizer(channels_org=3, channels_net=net, channels_bn=bn_ch,
+                       compression_level=level, act_layer_type=cfg["act"],
+                       batch_norm=cfg["batch_norm"], use_bias=cfg["bias"],
+                       use_residual=cfg["residual"],
+                       multiscale_analysis=cfg["multiscale"])
+
+    y = np.random.RandomState(1).randn(2, bn_ch, 2, 2).astype(np.float32)
+    with torch.no_grad():
+        ref_list = tmod(torch.from_numpy(y))
+    x_r, _ = jmod.apply(variables,
+                        jnp.asarray(np.transpose(y, (0, 2, 3, 1))))
+    for ref_s, out_s in zip(ref_list, x_r):
+        if ref_s is None:
+            assert out_s is None
+            continue
+        out_np = np.transpose(np.asarray(out_s), (0, 3, 1, 2))
+        np.testing.assert_allclose(out_np, ref_s.numpy(), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_fact_ent_import_parity():
+    """Import reference-style entropy-model params; check the likelihood."""
+    torch.manual_seed(2)
+    c, k, r = 5, 4, 3
+    filters = (1,) + (r,) * k + (1,)
+    scale = 10 ** (1 / (k + 1))
+    sd = {}
+    for i in range(k + 1):
+        init = math.log(math.expm1(1 / scale / filters[i + 1]))
+        sd[f"_matrix{i}"] = torch.full((c, filters[i + 1], filters[i]), init) \
+            + torch.randn(c, filters[i + 1], filters[i]) * 0.05
+        sd[f"_bias{i}"] = torch.rand(c, filters[i + 1], 1) - 0.5
+        if i < k:
+            sd[f"_factor{i}"] = torch.randn(c, filters[i + 1], 1) * 0.1
+    sd["quantiles"] = torch.tensor([[-12.0, 0.5, 12.0]]).repeat(c, 1) \
+        .reshape(c, 1, 3)
+
+    variables = import_fact_ent(sd, k)
+    p = variables["params"]
+
+    # torch-side reference likelihood (same math, independent impl)
+    def t_logits(v):  # v: (C, 1, N)
+        logits = v
+        for i in range(k + 1):
+            m = F.softplus(sd[f"_matrix{i}"])
+            logits = torch.matmul(m, logits) + sd[f"_bias{i}"]
+            if i < k:
+                logits = logits + torch.tanh(sd[f"_factor{i}"]) \
+                    * torch.tanh(logits)
+        return logits
+
+    v = torch.randn(c, 1, 64) * 4
+    lower = t_logits(v - 0.5)
+    upper = t_logits(v + 0.5)
+    sign = -torch.sign(lower + upper)
+    ref_lik = torch.abs(torch.sigmoid(sign * upper)
+                        - torch.sigmoid(sign * lower)).numpy()
+
+    v_cl = jnp.asarray(v.numpy()[:, 0, :].T)  # (N, C) channel-last
+    lik = likelihood_fn({kk: jnp.asarray(vv) for kk, vv in p.items()},
+                        v_cl, k, likelihood_bound=0)
+    np.testing.assert_allclose(np.asarray(lik).T, ref_lik[:, 0, :],
+                               rtol=1e-4, atol=1e-6)

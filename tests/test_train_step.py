@@ -1,0 +1,119 @@
+"""End-to-end train-step tests: loss decreases machinery, module gating, aux split."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.criteria.loss import setup_loss
+from cnn_autoencoder_tpu.models.factory import build_model
+from cnn_autoencoder_tpu.training.loop import (make_eval_step,
+                                               make_train_step, valid)
+from cnn_autoencoder_tpu.training.optim import setup_optimizers
+
+
+def _small_model(**over):
+    cfg = dict(channels_org=3, channels_net=8, channels_bn=16,
+               compression_level=2, K=4, r=3, act_layer_type="GDN")
+    cfg.update(over)
+    return build_model(jax.random.PRNGKey(0), input_size=(16, 16), **cfg)
+
+
+def test_train_step_updates_params_and_loss_is_finite():
+    model = _small_model()
+    criterion = setup_loss("RateMSE", distortion_lambda=0.1, patch_size=16)
+    trainable = ["encoder", "decoder", "fact_ent"]
+    optimizers, opt_states, acc = setup_optimizers(model.variables, trainable)
+    lrs = {k: jnp.float32(1e-3) for k in optimizers}
+
+    train_step = make_train_step(model.modules, criterion, optimizers,
+                                 trainable_modules=trainable, donate=False)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3),
+                    jnp.float32)
+    variables = model.variables
+    q_before = np.asarray(variables["fact_ent"]["params"]["quantiles"])
+    enc_before = np.asarray(
+        variables["encoder"]["params"]["down_0"]["conv_down"]["kernel"])
+
+    losses = []
+    for i in range(3):
+        variables, opt_states, acc, stats = train_step(
+            variables, opt_states, acc, lrs, x, None,
+            jax.random.PRNGKey(i), jnp.int32(i + 1))
+        losses.append(float(stats["loss"]))
+
+    assert all(np.isfinite(l) for l in losses)
+    q_after = np.asarray(variables["fact_ent"]["params"]["quantiles"])
+    enc_after = np.asarray(
+        variables["encoder"]["params"]["down_0"]["conv_down"]["kernel"])
+    assert not np.allclose(q_before, q_after)      # aux optimizer ran
+    assert not np.allclose(enc_before, enc_after)  # main optimizer ran
+    assert "rate_loss" in stats and "dist" in stats
+
+
+def test_frozen_module_does_not_move():
+    model = _small_model()
+    criterion = setup_loss("RateMSE", distortion_lambda=0.1, patch_size=16)
+    trainable = ["encoder", "fact_ent"]  # decoder frozen
+    optimizers, opt_states, acc = setup_optimizers(model.variables, trainable)
+    lrs = {k: jnp.float32(1e-3) for k in optimizers}
+    train_step = make_train_step(model.modules, criterion, optimizers,
+                                 trainable_modules=trainable, donate=False)
+
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 16, 16, 3), jnp.float32)
+    dec_before = jax.device_get(model.variables["decoder"])
+    variables, *_ = train_step(model.variables, opt_states, acc, lrs, x,
+                               None, jax.random.PRNGKey(0), jnp.int32(1))
+    dec_after = jax.device_get(variables["decoder"])
+    for a, b in zip(jax.tree_util.tree_leaves(dec_before),
+                    jax.tree_util.tree_leaves(dec_after)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_penalty_a_energy_reported():
+    model = _small_model()
+    criterion = setup_loss("RateMSEPenaltyA", distortion_lambda=0.1,
+                           penalty_beta=0.001, patch_size=16)
+    trainable = ["encoder", "decoder", "fact_ent"]
+    optimizers, opt_states, acc = setup_optimizers(model.variables, trainable)
+    lrs = {k: jnp.float32(1e-4) for k in optimizers}
+    train_step = make_train_step(model.modules, criterion, optimizers,
+                                 trainable_modules=trainable, donate=False)
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 16, 16, 3), jnp.float32)
+    _, _, _, stats = train_step(model.variables, opt_states, acc, lrs, x,
+                                None, jax.random.PRNGKey(0), jnp.int32(1))
+    assert 0.0 <= float(stats["energy"]) <= 1.0
+    assert 0 <= int(stats["channel_e"]) < 16
+
+
+def test_valid_loop():
+    model = _small_model()
+    criterion = setup_loss("RateMSE", distortion_lambda=0.1, patch_size=16)
+    eval_step = make_eval_step(model.modules, criterion)
+    rng = np.random.RandomState(3)
+    data = [(rng.rand(2, 16, 16, 3).astype(np.float32), None)
+            for _ in range(3)]
+    mean_loss, metrics = valid(eval_step, model.variables, data)
+    assert np.isfinite(mean_loss)
+    assert "val_rate_loss" in metrics
+
+
+def test_multiscale_criterion():
+    model = _small_model(multiscale_analysis=True, compression_level=3,
+                         act_layer_type="LeakyReLU")
+    criterion = setup_loss("MultiscaleRateMSE",
+                           distortion_lambda=[0.1, 0.05, 0.02],
+                           compression_level=3, channels_org=3,
+                           patch_size=16)
+    trainable = ["encoder", "decoder", "fact_ent"]
+    optimizers, opt_states, acc = setup_optimizers(model.variables, trainable)
+    lrs = {k: jnp.float32(1e-4) for k in optimizers}
+    train_step = make_train_step(model.modules, criterion, optimizers,
+                                 trainable_modules=trainable, donate=False)
+    x = jnp.asarray(np.random.RandomState(4).rand(2, 16, 16, 3), jnp.float32)
+    _, _, _, stats = train_step(model.variables, opt_states, acc, lrs, x,
+                                None, jax.random.PRNGKey(0), jnp.int32(1))
+    assert stats["dist"].shape == (3,)
+    assert np.all(np.isfinite(np.asarray(stats["dist"])))
