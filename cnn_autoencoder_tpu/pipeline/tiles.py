@@ -1,0 +1,288 @@
+"""Batched, pipelined tile compression/decompression over zarr stores.
+
+The TPU redesign of the reference's dask ``map_blocks``/``to_zarr`` pipelines
+(reference src/compress.py:29-168, src/decompress.py:24-140).  The reference
+runs the neural codec once per tile inside dask workers, paying a host<->device
+round trip and a serial rANS call per tile; here:
+
+* tiles are gathered into fixed-shape batches (static shapes -> one XLA
+  compile) and run through one jitted encode/decode program;
+* host entropy coding uses the OpenMP rANS batch API;
+* the three stages (zarr chunk IO on reader threads, TPU compute, host rANS +
+  writer) overlap through JAX's async dispatch: while the device runs batch
+  ``i+1``, the host codes and writes batch ``i``.
+
+Output layout is zarr v2 with the 'cae'/'cae_bn' codec in the chunk metadata,
+so the files are exactly what the reference ecosystem expects.
+"""
+
+import logging
+import math
+import os
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.imageio import image2array, map_axes_order, parse_roi
+from ..storage import zarr as zarrlib
+from ..storage.cae_codec import (CAECodecCore, ConvolutionalAutoencoder,
+                                 ConvolutionalAutoencoderBottleneck)
+from ..storage.codecs import Blosc, Zlib, get_codec
+
+LOGGER = logging.getLogger(__name__)
+
+
+def default_batch_tiles(patch_size: int) -> int:
+    """Pick a batch so one device batch is ~16-48 MB of uint8 pixels."""
+    return max(1, min(64, (1 << 25) // max(1, patch_size * patch_size * 3)))
+
+
+def normalize_to_yxc(z, data_axes: str = "TCZYX", roi=None):
+    """Transpose/select so the array-like is (Y, X, C), index 0 on others
+    (reference src/compress.py:89-100)."""
+    arr = z[...] if not isinstance(z, np.ndarray) else z
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim == 3 and data_axes in ("TCZYX", "YXC"):
+        data_axes = "YXC"
+    rem_axes = "".join(a for a in data_axes if a not in "YXC")
+    if arr.ndim != len(data_axes):
+        data_axes = data_axes[-arr.ndim:]
+        rem_axes = "".join(a for a in data_axes if a not in "YXC")
+    perm = map_axes_order(data_axes, rem_axes + "YXC")
+    arr = np.transpose(arr, perm)
+    if roi is not None:
+        roi = tuple(roi[a] for a in perm)
+        arr = arr[roi]
+    while arr.ndim > 3:
+        arr = arr[0]
+    return arr
+
+
+def _iter_batches(items: Sequence, batch: int):
+    for i in range(0, len(items), batch):
+        yield items[i:i + batch]
+
+
+def _tile_grid(h: int, w: int, p: int):
+    return [(i, j) for i in range(-(-h // p)) for j in range(-(-w // p))]
+
+
+def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
+                           out_path: str, data_group: str = "0/0",
+                           patch_size: int = 512,
+                           batch_tiles: Optional[int] = None,
+                           checkpoint_id: Optional[str] = None,
+                           progress_bar: bool = False) -> zarrlib.Array:
+    """Full-CAE path: pixel tiles -> 'cae' bitstream chunks."""
+    h, w, c = src.shape
+    p = min(patch_size, max(h, w))
+    batch = batch_tiles or default_batch_tiles(p)
+
+    root = zarrlib.Group.create(out_path)
+    arr = root.create_dataset(
+        data_group or "0/0", shape=(h, w, c), chunks=(p, p, c),
+        dtype=np.uint8,
+        compressor={"id": "cae", "checkpoint": checkpoint_id},
+        overwrite=True)
+
+    grid = _tile_grid(h, w, p)
+
+    def read_tile(ij):
+        i, j = ij
+        tile = np.zeros((p, p, c), np.uint8)
+        block = src[i * p:min((i + 1) * p, h), j * p:min((j + 1) * p, w)]
+        tile[:block.shape[0], :block.shape[1]] = block
+        return tile
+
+    pool = ThreadPoolExecutor(max_workers=8)
+    pending: List[Tuple[list, jax.Array]] = []
+
+    def flush_one():
+        idxs, sym_dev = pending.pop(0)
+        sym_np = np.asarray(sym_dev)
+        bufs = core.entropy_encode(sym_np, [(p, p)] * sym_np.shape[0])
+        for (i, j), buf in zip(idxs, bufs):
+            arr.write_chunk_raw((i, j, 0), buf)
+
+    for group in _iter_batches(grid, batch):
+        tiles = np.stack(list(pool.map(read_tile, group)))
+        sym = core.encode_tiles_device(jnp.asarray(tiles))
+        pending.append((group, sym))
+        if len(pending) >= 2:
+            flush_one()
+    while pending:
+        flush_one()
+    pool.shutdown()
+    return arr
+
+
+def compress_pixels_to_bottleneck(core: CAECodecCore, src: np.ndarray,
+                                  out_path: str, data_group: str = "0/0",
+                                  patch_size: int = 512,
+                                  batch_tiles: Optional[int] = None,
+                                  progress_bar: bool = False
+                                  ) -> zarrlib.Array:
+    """Bottleneck path: pixel tiles -> float latent chunks stored with the
+    self-describing 'cae_bn' codec (reference src/compress.py:38-62,103-113).
+    """
+    h, w, c = src.shape
+    p = min(patch_size, max(h, w))
+    batch = batch_tiles or default_batch_tiles(p)
+    level = core.level
+    lp_h, lp_w = core.latent_hw(p, p)
+    cbn = core.channels_bn
+
+    codec = ConvolutionalAutoencoderBottleneck(
+        channels_bn=cbn, fact_ent=core.model.variables["fact_ent"],
+        filters=list(core.model.filters))
+
+    lh, lw = core.latent_hw(h, w)
+    root = zarrlib.Group.create(out_path)
+    arr = root.create_dataset(
+        data_group or "0/0", shape=(lh, lw, cbn), chunks=(lp_h, lp_w, cbn),
+        dtype=np.float32, compressor=codec, overwrite=True)
+
+    grid = _tile_grid(h, w, p)
+
+    def read_tile(ij):
+        i, j = ij
+        tile = np.zeros((p, p, c), np.uint8)
+        block = src[i * p:min((i + 1) * p, h), j * p:min((j + 1) * p, w)]
+        tile[:block.shape[0], :block.shape[1]] = block
+        return tile
+
+    pool = ThreadPoolExecutor(max_workers=8)
+    pending = []
+
+    def flush_one():
+        idxs, y_dev = pending.pop(0)
+        y_np = np.asarray(y_dev)  # (B, lh, lw, C) float latent
+        for (i, j), y_tile in zip(idxs, y_np):
+            arr.write_chunk((i, j, 0), y_tile)
+
+    for group in _iter_batches(grid, batch):
+        tiles = np.stack(list(pool.map(read_tile, group)))
+        y = core._latent(jnp.asarray(tiles).astype(jnp.float32) / 255.0)
+        pending.append((group, y))
+        if len(pending) >= 2:
+            flush_one()
+    while pending:
+        flush_one()
+    pool.shutdown()
+    return arr
+
+
+def decompress_latents_to_pixels(core: CAECodecCore, src: zarrlib.Array,
+                                 out_path: str, component: str,
+                                 batch_tiles: Optional[int] = None,
+                                 compressor=None,
+                                 progress_bar: bool = False
+                                 ) -> zarrlib.Array:
+    """Decode a latent array ('cae_bn'-stored) back to pixels
+    (reference src/decompress.py:24-96)."""
+    if compressor is None:
+        compressor = Blosc(cname="zlib", clevel=9, shuffle=2)
+    lh, lw, cbn = src.shape
+    lp_h, lp_w, _ = src.chunks
+    level = core.level
+    scale = 2 ** level
+    h, w = lh * scale, lw * scale
+    p_h, p_w = lp_h * scale, lp_w * scale
+    batch = batch_tiles or default_batch_tiles(max(p_h, p_w))
+
+    root = zarrlib.Group.create(out_path)
+    out = root.create_dataset(component, shape=(h, w, 3),
+                              chunks=(p_h, p_w, 3), dtype=np.uint8,
+                              compressor=compressor, overwrite=True)
+
+    grid = list(src.chunk_ids())
+    pool = ThreadPoolExecutor(max_workers=8)
+
+    pending = []
+
+    def flush_one():
+        idxs, rec_dev = pending.pop(0)
+        rec_np = np.asarray(rec_dev)
+        futures = [pool.submit(out.write_chunk, ij, rec)
+                   for ij, rec in zip(idxs, rec_np)]
+        for f in futures:
+            f.result()
+
+    for group in _iter_batches(grid, batch):
+        y = np.stack(list(pool.map(src.read_chunk, group)))  # (B,lh,lw,C)
+        rec = core.decode_latents_device(y)
+        pending.append((group, rec))
+        if len(pending) >= 2:
+            flush_one()
+    while pending:
+        flush_one()
+    pool.shutdown()
+    return out
+
+
+def decompress_cae_array(src: zarrlib.Array, batch_tiles: Optional[int] = None
+                         ) -> np.ndarray:
+    """Materialize a 'cae'-coded pixel array via the batched decode path."""
+    codec = src.compressor
+    assert isinstance(codec, ConvolutionalAutoencoder), (
+        "source array is not 'cae'-coded")
+    core = codec.core
+    h, w, c = src.shape
+    p = src.chunks[0]
+    batch = batch_tiles or default_batch_tiles(p)
+    out = np.zeros(src.shape, np.uint8)
+
+    grid = list(src.chunk_ids())
+    pool = ThreadPoolExecutor(max_workers=8)
+    raw = list(pool.map(src.read_chunk_raw, grid))
+    pool.shutdown()
+
+    pending = []
+
+    def flush_one():
+        idxs, rec_dev, hw = pending.pop(0)
+        rec_np = np.asarray(rec_dev)
+        for ij, rec in zip(idxs, rec_np):
+            sl, valid = src.chunk_slices(ij)
+            out[sl] = rec[:valid[0], :valid[1], :valid[2]]
+
+    i = 0
+    while i < len(grid):
+        group, bufs = grid[i:i + batch], raw[i:i + batch]
+        i += batch
+        bufs = [b for b in bufs if b is not None]
+        sym, true_hw = core.entropy_decode(bufs)
+        rec = core.decode_tiles_device(sym)
+        pending.append((group, rec, true_hw))
+        if len(pending) >= 2:
+            flush_one()
+    while pending:
+        flush_one()
+    return out
+
+
+def copy_sidecar_metadata(src_path: str, dst_path: str) -> None:
+    """Copy labels/masks groups and OME metadata alongside the output
+    (reference src/compress.py:130-168)."""
+    if not os.path.isdir(src_path):
+        return
+    try:
+        src_root = zarrlib.open(src_path, mode="r")
+    except FileNotFoundError:
+        return
+    if not isinstance(src_root, zarrlib.Group):
+        return
+    dst_root = zarrlib.Group.create(dst_path)
+    for name in ("labels", "masks"):
+        if name in src_root and name not in dst_root:
+            shutil.copytree(os.path.join(src_path, name),
+                            os.path.join(dst_path, name))
+    ome_src = os.path.join(src_path, "OME")
+    ome_dst = os.path.join(dst_path, "OME")
+    if os.path.isdir(ome_src) and not os.path.isdir(ome_dst):
+        shutil.copytree(ome_src, ome_dst)

@@ -1,0 +1,387 @@
+"""Minimal zarr-v2 directory store: arrays, groups, attributes.
+
+The reference reads/writes gigapixel WSIs as zarr v2 trees through the zarr
+package (reference src/compress.py:111-128, src/decompress.py:77-96); zarr is
+not available in this environment, so the framework implements the format
+natively: ``.zgroup``/``.zarray``/``.zattrs`` JSON metadata, C-order chunk
+files with configurable dimension separator, codecs via storage.codecs.
+
+Scope: what the framework's pipelines need — whole-chunk read/write (the
+tile pipeline is chunk-aligned by design), basic slicing, group trees,
+attributes.  Compatibility is validated against tensorstore in tests.
+Chunk IO is thread-safe (one file per chunk) so the compress/decompress
+executors can fan out across threads.
+"""
+
+import builtins
+import itertools
+import json
+import os
+import shutil
+from typing import Any, Dict, Iterator, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .codecs import Codec, get_codec
+
+
+def _dtype_to_str(dt: np.dtype) -> str:
+    dt = np.dtype(dt)
+    if dt.byteorder == "=":
+        order = "<" if dt.itemsize > 1 else "|"
+    else:
+        order = dt.byteorder if dt.itemsize > 1 else "|"
+    return f"{order}{dt.kind}{dt.itemsize}"
+
+
+class Attributes(dict):
+    """Dict-backed .zattrs with write-through persistence."""
+
+    def __init__(self, path: str):
+        super().__init__()
+        self._path = path
+        if os.path.exists(path):
+            with builtins.open(path) as f:
+                self.update(json.load(f))
+
+    def _flush(self):
+        with builtins.open(self._path, "w") as f:
+            json.dump(self, f)
+
+    def __setitem__(self, k, v):
+        super().__setitem__(k, v)
+        self._flush()
+
+    def update(self, *args, **kwargs):
+        dict.update(self, *args, **kwargs)
+        if args or kwargs:
+            self._flush()
+
+    def put(self, d):
+        self.clear()
+        self.update(d)
+
+
+class Array:
+    """A zarr v2 array in a directory store."""
+
+    def __init__(self, path: str, meta: Dict[str, Any]):
+        self.path = path
+        self._meta = meta
+        self.shape = tuple(meta["shape"])
+        self.chunks = tuple(meta["chunks"])
+        self.dtype = np.dtype(meta["dtype"])
+        self.fill_value = meta.get("fill_value", 0)
+        self._sep = meta.get("dimension_separator", ".")
+        self.compressor = get_codec(meta.get("compressor"))
+        self.attrs = Attributes(os.path.join(path, ".zattrs"))
+
+    # -- construction ---------------------------------------------------
+
+    @classmethod
+    def create(cls, path: str, shape: Sequence[int], chunks: Sequence[int],
+               dtype, compressor: Optional[Union[Codec, Dict]] = None,
+               fill_value=0, dimension_separator: str = ".",
+               overwrite: bool = False) -> "Array":
+        if os.path.exists(os.path.join(path, ".zarray")) and not overwrite:
+            raise FileExistsError(f"Array already exists at {path}")
+        os.makedirs(path, exist_ok=True)
+        comp_cfg = None
+        if compressor is not None:
+            comp_cfg = (compressor.get_config()
+                        if isinstance(compressor, Codec) else dict(compressor))
+        meta = {
+            "zarr_format": 2,
+            "shape": list(int(s) for s in shape),
+            "chunks": list(int(c) for c in chunks),
+            "dtype": _dtype_to_str(np.dtype(dtype)),
+            "compressor": comp_cfg,
+            "fill_value": fill_value,
+            "order": "C",
+            "filters": None,
+            "dimension_separator": dimension_separator,
+        }
+        with builtins.open(os.path.join(path, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        return cls(path, meta)
+
+    @classmethod
+    def open(cls, path: str) -> "Array":
+        with builtins.open(os.path.join(path, ".zarray")) as f:
+            return cls(path, json.load(f))
+
+    # -- chunk addressing -------------------------------------------------
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def cdata_shape(self) -> Tuple[int, ...]:
+        return tuple(-(-s // c) for s, c in zip(self.shape, self.chunks))
+
+    @property
+    def nchunks(self) -> int:
+        n = 1
+        for c in self.cdata_shape:
+            n *= c
+        return n
+
+    def chunk_key(self, idx: Sequence[int]) -> str:
+        return self._sep.join(str(i) for i in idx)
+
+    def chunk_path(self, idx: Sequence[int]) -> str:
+        key = self.chunk_key(idx)
+        if self._sep == "/":
+            return os.path.join(self.path, *key.split("/"))
+        return os.path.join(self.path, key)
+
+    def chunk_slices(self, idx: Sequence[int]):
+        """(array slice, valid-extent shape) for chunk idx."""
+        starts = [i * c for i, c in zip(idx, self.chunks)]
+        stops = [min(st + c, s)
+                 for st, c, s in zip(starts, self.chunks, self.shape)]
+        sl = tuple(slice(st, sp) for st, sp in zip(starts, stops))
+        valid = tuple(sp - st for st, sp in zip(starts, stops))
+        return sl, valid
+
+    def chunk_ids(self) -> Iterator[Tuple[int, ...]]:
+        return itertools.product(*[range(n) for n in self.cdata_shape])
+
+    # -- chunk IO --------------------------------------------------------
+
+    def read_chunk(self, idx: Sequence[int]) -> np.ndarray:
+        """Full (padded) chunk; missing chunks come back as fill_value."""
+        p = self.chunk_path(idx)
+        if not os.path.exists(p):
+            return np.full(self.chunks, self.fill_value, self.dtype)
+        with builtins.open(p, "rb") as f:
+            raw = f.read()
+        if self.compressor is not None:
+            dec = self.compressor.decode(raw)
+            arr = np.asarray(dec)
+            if arr.dtype != self.dtype or arr.ndim != len(self.chunks):
+                arr = np.frombuffer(
+                    np.ascontiguousarray(arr).tobytes(), self.dtype)
+            arr = arr.reshape(self.chunks)
+        else:
+            arr = np.frombuffer(raw, self.dtype).reshape(self.chunks)
+        return arr
+
+    def write_chunk(self, idx: Sequence[int], data: np.ndarray) -> int:
+        """Write one full chunk (padded to chunk shape); returns stored bytes."""
+        data = np.ascontiguousarray(data, self.dtype)
+        if data.shape != tuple(self.chunks):
+            padded = np.full(self.chunks, self.fill_value, self.dtype)
+            padded[tuple(slice(0, s) for s in data.shape)] = data
+            data = padded
+        raw = (self.compressor.encode(data) if self.compressor is not None
+               else data.tobytes())
+        p = self.chunk_path(idx)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with builtins.open(p, "wb") as f:
+            f.write(raw)
+        return len(raw)
+
+    def write_chunk_raw(self, idx: Sequence[int], raw: bytes) -> int:
+        """Write pre-encoded chunk bytes (used by the pipelined encoder)."""
+        p = self.chunk_path(idx)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with builtins.open(p, "wb") as f:
+            f.write(raw)
+        return len(raw)
+
+    def read_chunk_raw(self, idx: Sequence[int]) -> Optional[bytes]:
+        p = self.chunk_path(idx)
+        if not os.path.exists(p):
+            return None
+        with builtins.open(p, "rb") as f:
+            return f.read()
+
+    # -- whole-array / sliced access ---------------------------------------
+
+    def __getitem__(self, key) -> np.ndarray:
+        if key is Ellipsis or key == slice(None):
+            key = tuple(slice(None) for _ in self.shape)
+        if not isinstance(key, tuple):
+            key = (key,)
+        key = key + tuple(slice(None) for _ in range(self.ndim - len(key)))
+        norm = []
+        for k, s in zip(key, self.shape):
+            if isinstance(k, int):
+                norm.append(slice(k, k + 1))
+            else:
+                norm.append(slice(*k.indices(s)))
+        out_shape = tuple(sl.stop - sl.start for sl in norm)
+        out = np.full(out_shape, self.fill_value, self.dtype)
+
+        lo = [sl.start for sl in norm]
+        hi = [sl.stop for sl in norm]
+        first = [l // c for l, c in zip(lo, self.chunks)]
+        last = [(h - 1) // c if h > l else l // c
+                for l, h, c in zip(lo, hi, self.chunks)]
+        for idx in itertools.product(*[range(f, la + 1)
+                                       for f, la in zip(first, last)]):
+            if any(h <= l for l, h in zip(lo, hi)):
+                continue
+            chunk = self.read_chunk(idx)
+            c_sl, a_sl = [], []
+            for d, (i, c) in enumerate(zip(idx, self.chunks)):
+                c0 = i * c
+                a0 = max(lo[d], c0)
+                a1 = min(hi[d], c0 + c)
+                c_sl.append(slice(a0 - c0, a1 - c0))
+                a_sl.append(slice(a0 - lo[d], a1 - lo[d]))
+            out[tuple(a_sl)] = chunk[tuple(c_sl)]
+
+        sq = tuple(i for i, k in enumerate(key)
+                   if isinstance(k, int))
+        if sq:
+            out = np.squeeze(out, axis=sq)
+        return out
+
+    def __setitem__(self, key, value):
+        value = np.asarray(value, self.dtype)
+        if key is Ellipsis or key == slice(None):
+            key = tuple(slice(None) for _ in self.shape)
+        if not isinstance(key, tuple):
+            key = (key,)
+        key = key + tuple(slice(None) for _ in range(self.ndim - len(key)))
+        norm = [slice(*k.indices(s)) if not isinstance(k, int)
+                else slice(k, k + 1)
+                for k, s in zip(key, self.shape)]
+        value = np.broadcast_to(
+            value, tuple(sl.stop - sl.start for sl in norm))
+
+        lo = [sl.start for sl in norm]
+        hi = [sl.stop for sl in norm]
+        first = [l // c for l, c in zip(lo, self.chunks)]
+        last = [(h - 1) // c if h > l else l // c
+                for l, h, c in zip(lo, hi, self.chunks)]
+        for idx in itertools.product(*[range(f, la + 1)
+                                       for f, la in zip(first, last)]):
+            _, valid = self.chunk_slices(idx)
+            aligned = all(
+                max(lo[d], idx[d] * self.chunks[d]) == idx[d] * self.chunks[d]
+                and min(hi[d], idx[d] * self.chunks[d] + self.chunks[d])
+                >= idx[d] * self.chunks[d] + valid[d]
+                for d in range(self.ndim))
+            chunk = (np.full(self.chunks, self.fill_value, self.dtype)
+                     if aligned else self.read_chunk(idx))
+            if not chunk.flags.writeable:
+                chunk = chunk.copy()
+            c_sl, v_sl = [], []
+            for d, (i, c) in enumerate(zip(idx, self.chunks)):
+                c0 = i * c
+                a0 = max(lo[d], c0)
+                a1 = min(hi[d], c0 + c)
+                c_sl.append(slice(a0 - c0, a1 - c0))
+                v_sl.append(slice(a0 - lo[d], a1 - lo[d]))
+            chunk[tuple(c_sl)] = value[tuple(v_sl)]
+            self.write_chunk(idx, chunk)
+
+    # -- stats -------------------------------------------------------------
+
+    @property
+    def nbytes(self) -> int:
+        return int(np.prod(self.shape)) * self.dtype.itemsize
+
+    @property
+    def nbytes_stored(self) -> int:
+        """Total bytes on disk (metadata + chunks) — the reference's bpp
+        accounting reads zarr's equivalent (reference src/test_cae.py:71-73)."""
+        total = 0
+        for root, _, files in os.walk(self.path):
+            for fn in files:
+                total += os.path.getsize(os.path.join(root, fn))
+        return total
+
+    def __repr__(self):
+        return (f"Array(shape={self.shape}, chunks={self.chunks}, "
+                f"dtype={self.dtype}, path={self.path!r})")
+
+
+class Group:
+    """A zarr v2 group (directory with .zgroup)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.attrs = Attributes(os.path.join(path, ".zattrs"))
+
+    @classmethod
+    def create(cls, path: str, overwrite: bool = False) -> "Group":
+        if overwrite and os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        zg = os.path.join(path, ".zgroup")
+        if not os.path.exists(zg):
+            with builtins.open(zg, "w") as f:
+                json.dump({"zarr_format": 2}, f)
+        return cls(path)
+
+    @classmethod
+    def open(cls, path: str) -> "Group":
+        if not os.path.exists(os.path.join(path, ".zgroup")):
+            raise FileNotFoundError(f"No zarr group at {path}")
+        return cls(path)
+
+    def create_group(self, name: str) -> "Group":
+        g = self
+        for part in str(name).split("/"):
+            g = Group.create(os.path.join(g.path, part))
+        return g
+
+    def create_dataset(self, name: str, **kwargs) -> Array:
+        parts = str(name).split("/")
+        g = self
+        for part in parts[:-1]:
+            g = Group.create(os.path.join(g.path, part))
+        return Array.create(os.path.join(g.path, parts[-1]), **kwargs)
+
+    def require_group(self, name: str) -> "Group":
+        return Group.create(os.path.join(self.path, name))
+
+    def __contains__(self, name: str) -> bool:
+        p = os.path.join(self.path, *str(name).split("/"))
+        return (os.path.exists(os.path.join(p, ".zarray"))
+                or os.path.exists(os.path.join(p, ".zgroup")))
+
+    def __getitem__(self, name: str):
+        p = os.path.join(self.path, *str(name).split("/"))
+        if os.path.exists(os.path.join(p, ".zarray")):
+            return Array.open(p)
+        if os.path.exists(os.path.join(p, ".zgroup")):
+            return Group(p)
+        raise KeyError(name)
+
+    def keys(self):
+        if not os.path.isdir(self.path):
+            return
+        for name in sorted(os.listdir(self.path)):
+            p = os.path.join(self.path, name)
+            if (os.path.exists(os.path.join(p, ".zarray"))
+                    or os.path.exists(os.path.join(p, ".zgroup"))):
+                yield name
+
+    def arrays(self, recursive: bool = False):
+        for name in self.keys():
+            node = self[name]
+            if isinstance(node, Array):
+                yield name, node
+            elif recursive:
+                for sub, arr in node.arrays(recursive=True):
+                    yield f"{name}/{sub}", arr
+
+    def __repr__(self):
+        return f"Group(path={self.path!r})"
+
+
+def open(path: str, mode: str = "r"):
+    """Open a zarr array or group at ``path`` (creates a group for 'a'/'w')."""
+    if os.path.exists(os.path.join(path, ".zarray")):
+        return Array.open(path)
+    if os.path.exists(os.path.join(path, ".zgroup")):
+        return Group(path)
+    if mode in ("a", "w"):
+        return Group.create(path, overwrite=(mode == "w"))
+    raise FileNotFoundError(f"No zarr array or group at {path}")

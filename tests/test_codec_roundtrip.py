@@ -1,0 +1,142 @@
+"""CAE codec + tile pipeline round trips (the serving path end to end)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.models.factory import build_model
+from cnn_autoencoder_tpu.pipeline.tiles import (
+    compress_pixels_to_bottleneck, compress_pixels_to_cae,
+    decompress_cae_array, decompress_latents_to_pixels)
+from cnn_autoencoder_tpu.storage import zarr as zarrlib
+from cnn_autoencoder_tpu.storage.cae_codec import (
+    CAECodecCore, ConvolutionalAutoencoder,
+    ConvolutionalAutoencoderBottleneck)
+from cnn_autoencoder_tpu.training.checkpoint import save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = build_model(jax.random.PRNGKey(0), input_size=(32, 32),
+                        channels_org=3, channels_net=8, channels_bn=16,
+                        compression_level=2, K=4, r=3,
+                        act_layer_type="GDN")
+    # nudge quantiles so the CDF support covers the latent range
+    import jax.numpy as jnp
+    from cnn_autoencoder_tpu.models.entropy import aux_loss_fn
+    p = model.variables["fact_ent"]["params"]
+    g = jax.jit(jax.grad(lambda q, pp: aux_loss_fn(
+        {**pp, "quantiles": q}, 4)))
+    q = p["quantiles"]
+    for _ in range(200):
+        q = q - 0.1 * g(q, p)
+    model.variables["fact_ent"]["params"] = {**p, "quantiles": q}
+    return model
+
+
+@pytest.fixture(scope="module")
+def core(small_model):
+    return CAECodecCore(small_model)
+
+
+def _image(h, w, seed=0):
+    rng = np.random.RandomState(seed)
+    # smooth-ish synthetic image (compressible)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (np.sin(yy / 7.0) + np.cos(xx / 11.0)) * 60 + 128
+    img = base[:, :, None] + rng.randn(h, w, 3) * 8
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_symbol_roundtrip_via_core(core):
+    img = _image(32, 32)
+    bufs = core.encode_tiles(img[None])
+    assert bufs[0][:16] == struct.pack(">QQ", 32, 32)
+    sym, true_hw = core.entropy_decode(bufs)
+    # lossless latent: re-encode must give same symbols
+    sym2 = np.asarray(core.encode_tiles_device(jnp.asarray(img[None])))
+    np.testing.assert_array_equal(sym, sym2)
+    rec = core.decode_tiles(bufs)
+    assert rec.shape == (1, 32, 32, 3)
+
+
+def test_codec_abi_roundtrip(small_model, tmp_path):
+    """Per-chunk Codec ABI: encode/decode through a checkpoint file."""
+    chk = dict(small_model.config)
+    chk.update(small_model.variables)
+    path = str(tmp_path / "model.msgpack")
+    save_checkpoint(path, chk)
+
+    codec = ConvolutionalAutoencoder(checkpoint=path)
+    img = _image(64, 64, seed=1)
+    buf = codec.encode(img)
+    rec = codec.decode(buf)
+    assert rec.shape == img.shape and rec.dtype == np.uint8
+    # reconstruction equals the direct decode of the same symbols
+    rec2 = codec.core.decode_tiles([buf])[0]
+    np.testing.assert_array_equal(rec, rec2)
+
+
+def test_non_divisible_tile(core):
+    """Tiles not divisible by 2^level round-trip with true-size headers."""
+    img = _image(30, 27, seed=2)
+    bufs = core.encode_tiles(img[None])
+    h, w = struct.unpack(">QQ", bufs[0][:16])
+    assert (h, w) == (30, 27)
+    rec = core.decode_tiles(bufs)
+    assert rec.shape == (1, 30, 27, 3)
+
+
+def test_pipeline_cae_zarr_roundtrip(small_model, core, tmp_path):
+    img = _image(70, 50, seed=3)
+    chk = dict(small_model.config)
+    chk.update(small_model.variables)
+    chk_path = str(tmp_path / "model.msgpack")
+    save_checkpoint(chk_path, chk)
+
+    out = str(tmp_path / "out.zarr")
+    arr = compress_pixels_to_cae(core, img, out, data_group="0/0",
+                                 patch_size=32, checkpoint_id=chk_path)
+    assert arr.shape == (70, 50, 3)
+    assert arr.nbytes_stored < img.nbytes  # actually compresses
+
+    # read back through the zarr codec layer (fresh open -> codec from config)
+    arr2 = zarrlib.open(out, mode="r")["0/0"]
+    rec_via_zarr = arr2[...]
+    # and through the batched pipeline
+    rec_via_pipeline = decompress_cae_array(arr2)
+    np.testing.assert_array_equal(rec_via_zarr, rec_via_pipeline)
+
+    # untrained model: reconstruction quality is meaningless, but the decode
+    # must produce a non-degenerate image
+    assert rec_via_zarr.std() > 0
+
+
+def test_pipeline_bottleneck_roundtrip(small_model, core, tmp_path):
+    img = _image(64, 64, seed=4)
+    out = str(tmp_path / "bn.zarr")
+    arr = compress_pixels_to_bottleneck(core, img, out, data_group="0/0",
+                                        patch_size=32)
+    assert arr.shape == (16, 16, 16)  # latent at level 2, bn=16
+    assert isinstance(arr.compressor, ConvolutionalAutoencoderBottleneck)
+
+    # decode latents -> pixels via pipeline
+    arr2 = zarrlib.open(out, mode="r")["0/0"]
+    out2 = str(tmp_path / "rec.zarr")
+    rec_arr = decompress_latents_to_pixels(core, arr2, out2,
+                                           component="decompressed/0/0/0")
+    assert rec_arr.shape == (64, 64, 3)
+    rec = zarrlib.open(out2, mode="r")["decompressed/0/0/0"][...]
+    assert rec.dtype == np.uint8
+
+    # cae_bn codec is self-describing: fresh open decodes latents exactly
+    y_direct = np.asarray(core._latent(
+        jnp.asarray(img[None], jnp.float32) / 255.0))[0]
+    med = core.medians
+    y_q_expected = np.round(y_direct - med) + med
+    got = arr2[...]
+    np.testing.assert_allclose(got[:8, :8], y_q_expected[:8, :8], atol=1e-5)

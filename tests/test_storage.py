@@ -1,0 +1,98 @@
+"""zarr-v2 store tests: round trips, slicing, groups, tensorstore interop."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cnn_autoencoder_tpu.storage import zarr as zarrlib
+from cnn_autoencoder_tpu.storage.codecs import Zlib, get_codec
+
+
+def test_array_roundtrip_full(tmp_path):
+    data = np.arange(24 * 16, dtype=np.uint8).reshape(24, 16)
+    arr = zarrlib.Array.create(str(tmp_path / "a.zarr"), shape=(24, 16),
+                               chunks=(8, 8), dtype=np.uint8,
+                               compressor=Zlib(1))
+    arr[...] = data
+    back = zarrlib.Array.open(str(tmp_path / "a.zarr"))
+    np.testing.assert_array_equal(back[...], data)
+    assert back.nbytes_stored > 0
+
+
+def test_array_ragged_edges_and_fill(tmp_path):
+    # shape not divisible by chunks; unwritten chunks read as fill
+    arr = zarrlib.Array.create(str(tmp_path / "b.zarr"), shape=(10, 7, 3),
+                               chunks=(4, 4, 3), dtype=np.float32,
+                               compressor=None, fill_value=-1)
+    arr[0:4, 0:4, :] = np.ones((4, 4, 3), np.float32)
+    out = arr[...]
+    np.testing.assert_array_equal(out[:4, :4], 1.0)
+    np.testing.assert_array_equal(out[4:, 4:], -1.0)
+    assert out.shape == (10, 7, 3)
+
+
+def test_array_partial_slicing(tmp_path):
+    rng = np.random.RandomState(0)
+    data = rng.randint(0, 255, (20, 30), np.uint8)
+    arr = zarrlib.Array.create(str(tmp_path / "c.zarr"), shape=(20, 30),
+                               chunks=(7, 9), dtype=np.uint8,
+                               compressor=Zlib(1))
+    arr[...] = data
+    np.testing.assert_array_equal(arr[3:15, 5:28], data[3:15, 5:28])
+    np.testing.assert_array_equal(arr[4], data[4])
+    # partial write across chunk boundaries
+    arr[5:12, 8:20] = 42
+    data[5:12, 8:20] = 42
+    np.testing.assert_array_equal(arr[...], data)
+
+
+def test_group_tree_and_attrs(tmp_path):
+    g = zarrlib.Group.create(str(tmp_path / "g.zarr"))
+    g.attrs["hello"] = "world"
+    sub = g.create_group("0")
+    a = sub.create_dataset("0", shape=(4, 4), chunks=(2, 2), dtype=np.uint8,
+                           compressor=None)
+    a[...] = np.eye(4, dtype=np.uint8)
+    a.attrs.update({"scale": 1.25})
+
+    g2 = zarrlib.open(str(tmp_path / "g.zarr"))
+    assert g2.attrs["hello"] == "world"
+    assert "0" in g2
+    arr = g2["0/0".split("/")[0]]["0"]
+    np.testing.assert_array_equal(arr[...], np.eye(4, dtype=np.uint8))
+    assert arr.attrs["scale"] == 1.25
+    assert dict(g2["0"]["0"].attrs)["scale"] == 1.25
+
+
+def test_tensorstore_reads_our_zarr(tmp_path):
+    ts = pytest.importorskip("tensorstore")
+    rng = np.random.RandomState(1)
+    data = rng.randint(0, 255, (33, 17, 3), np.uint8)
+    arr = zarrlib.Array.create(str(tmp_path / "i.zarr"), shape=data.shape,
+                               chunks=(16, 16, 3), dtype=np.uint8,
+                               compressor=Zlib(5))
+    arr[...] = data
+
+    t = ts.open({"driver": "zarr",
+                 "kvstore": {"driver": "file",
+                             "path": str(tmp_path / "i.zarr")}}).result()
+    np.testing.assert_array_equal(np.asarray(t.read().result()), data)
+
+
+def test_we_read_tensorstore_zarr(tmp_path):
+    ts = pytest.importorskip("tensorstore")
+    rng = np.random.RandomState(2)
+    data = rng.rand(12, 20).astype(np.float32)
+    t = ts.open({"driver": "zarr",
+                 "kvstore": {"driver": "file",
+                             "path": str(tmp_path / "j.zarr")},
+                 "metadata": {"shape": [12, 20], "chunks": [5, 8],
+                              "dtype": "<f4",
+                              "compressor": {"id": "zlib", "level": 3}},
+                 "create": True}).result()
+    t.write(data).result()
+
+    arr = zarrlib.Array.open(str(tmp_path / "j.zarr"))
+    np.testing.assert_array_equal(arr[...], data)
