@@ -1,0 +1,137 @@
+"""Benchmark: WSI-style compress+decompress throughput on one TPU chip.
+
+Protocol (mirrors the reference's measurement harness, reference
+src/test_cae.py:101-115: wall-clock over full compress then decompress of an
+image, bpp accounted from stored bytes):
+
+* synthesize a histology-like RGB image (smooth tissue structure + noise);
+* compress it through the full pipeline (tile batching -> jitted encoder ->
+  quantization -> native rANS -> zarr chunk store) with the 'cae' codec;
+* decompress it back (zarr chunks -> rANS decode -> jitted decoder -> pixels);
+* report megapixels/sec/chip over compress+decompress combined.
+
+Model: the flagship histology config (channels_net=128, channels_bn=48,
+compression_level=3, GDN), untrained weights + fitted quantiles — identical
+FLOPs/bytes to a trained model, so throughput is representative.
+
+vs_baseline: ratio against an estimated reference throughput of 25 MP/s for
+the reference's serial per-tile GPU pipeline (torch per-chunk module calls +
+single-threaded C++ rANS inside dask; the reference publishes no numbers —
+see BASELINE.md).  The driver's north star is 10x that estimate.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_GPU_MPS_ESTIMATE = 25.0
+
+IMAGE_H = int(os.environ.get("BENCH_IMAGE_H", 8192))
+IMAGE_W = int(os.environ.get("BENCH_IMAGE_W", 8192))
+PATCH = int(os.environ.get("BENCH_PATCH", 512))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+
+
+def synth_histology(h, w, seed=0):
+    """Smooth low-frequency tissue-like structure + stain noise."""
+    rng = np.random.RandomState(seed)
+    small = rng.rand(h // 64 + 2, w // 64 + 2, 3)
+    idx_y = (np.arange(h) / 64.0)
+    idx_x = (np.arange(w) / 64.0)
+    y0 = idx_y.astype(np.int32)
+    x0 = idx_x.astype(np.int32)
+    fy = (idx_y - y0)[:, None, None]
+    fx = (idx_x - x0)[None, :, None]
+    a = small[y0][:, x0]
+    b = small[y0][:, x0 + 1]
+    c = small[y0 + 1][:, x0]
+    d = small[y0 + 1][:, x0 + 1]
+    img = (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+           + c * fy * (1 - fx) + d * fy * fx)
+    img = img * 120 + 110 + rng.randn(h, w, 3) * 6
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.models.entropy import aux_loss_fn
+    from cnn_autoencoder_tpu.models.factory import build_model
+    from cnn_autoencoder_tpu.pipeline.tiles import (compress_pixels_to_cae,
+                                                    decompress_cae_array)
+    from cnn_autoencoder_tpu.storage import zarr as zarrlib
+
+    model = build_model(jax.random.PRNGKey(0), input_size=(PATCH, PATCH),
+                        channels_org=3, channels_net=128, channels_bn=48,
+                        compression_level=3, K=4, r=3, act_layer_type="GDN")
+
+    # fit quantiles so the latent support (and thus rANS work) is realistic
+    p = model.variables["fact_ent"]["params"]
+    g = jax.jit(jax.grad(lambda q, pp: aux_loss_fn({**pp, "quantiles": q},
+                                                   4)))
+    q = p["quantiles"]
+    for _ in range(300):
+        q = q - 0.1 * g(q, p)
+    model.variables["fact_ent"]["params"] = {**p, "quantiles": q}
+
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+    core = CAECodecCore(model)
+
+    img = synth_histology(IMAGE_H, IMAGE_W)
+    mp = IMAGE_H * IMAGE_W / 1e6
+
+    tmp = tempfile.mkdtemp(prefix="cae_bench_")
+    try:
+        # warmup (compile both directions)
+        out0 = os.path.join(tmp, "warm.zarr")
+        arr = compress_pixels_to_cae(core, img[:PATCH * 2, :PATCH * 2], out0,
+                                     patch_size=PATCH)
+        decompress_cae_array(arr, core=core)
+
+        best_mps = 0.0
+        bpp = None
+        for r in range(REPEATS):
+            out = os.path.join(tmp, f"bench_{r}.zarr")
+            t0 = time.perf_counter()
+            arr = compress_pixels_to_cae(core, img, out, patch_size=PATCH)
+            t1 = time.perf_counter()
+            rec = decompress_cae_array(arr, core=core)
+            t2 = time.perf_counter()
+            assert rec.shape == img.shape
+            bpp = arr.nbytes_stored * 8 / (IMAGE_H * IMAGE_W)
+            mps = mp / (t2 - t0)
+            best_mps = max(best_mps, mps)
+            print(f"# run {r}: compress {mp / (t1 - t0):.1f} MP/s, "
+                  f"decompress {mp / (t2 - t1):.1f} MP/s, "
+                  f"combined {mps:.1f} MP/s, {bpp:.3f} bpp",
+                  file=sys.stderr)
+            shutil.rmtree(out, ignore_errors=True)
+
+        result = {
+            "metric": "WSI compress+decompress megapixels/sec/chip",
+            "value": round(best_mps, 2),
+            "unit": "MP/s",
+            "vs_baseline": round(best_mps / REFERENCE_GPU_MPS_ESTIMATE, 2),
+            "detail": {
+                "image": [IMAGE_H, IMAGE_W],
+                "patch_size": PATCH,
+                "bpp": round(float(bpp), 3),
+                "model": "net128_bn48_cl3_gdn",
+                "device": str(jax.devices()[0]),
+            },
+        }
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

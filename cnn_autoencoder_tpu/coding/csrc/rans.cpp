@@ -103,54 +103,18 @@ inline uint32_t dec_get_bits(uint64_t &x, const uint32_t *&ptr,
 }
 
 // Encode one tile.  Returns number of bytes written, or -1 on overflow.
+//
+// Single reverse pass: rANS encodes back-to-front, so instead of
+// materializing a forward symbol list and replaying it reversed (two passes
+// + a heap vector, the layout the reference's coder uses), each source
+// symbol is visited once in reverse order and its bypass chunks are emitted
+// in reversed sub-order.  Bitstream-identical to the two-pass formulation.
 int64_t encode_one(const int32_t *symbols, const int32_t *indexes, int64_t n,
                    const uint32_t *cdfs, int64_t cdf_stride,
                    const int32_t *cdf_lengths, const int32_t *offsets,
                    uint8_t *out, int64_t capacity) {
-  std::vector<RansSymbol> syms;
-  syms.reserve(static_cast<size_t>(n) + 16);
-
-  for (int64_t i = 0; i < n; ++i) {
-    const int32_t idx = indexes[i];
-    const uint32_t *cdf = cdfs + idx * cdf_stride;
-    const int32_t max_value = cdf_lengths[idx] - 2;
-    int32_t value = symbols[i] - offsets[idx];
-
-    uint32_t raw_val = 0;
-    if (value < 0) {
-      raw_val = static_cast<uint32_t>(-2 * value - 1);
-      value = max_value;
-    } else if (value >= max_value) {
-      raw_val = static_cast<uint32_t>(2 * (value - max_value));
-      value = max_value;
-    }
-
-    syms.push_back({static_cast<uint16_t>(cdf[value]),
-                    static_cast<uint16_t>(cdf[value + 1] - cdf[value]),
-                    false});
-
-    if (value == max_value) {
-      int32_t n_bypass = 0;
-      while ((raw_val >> (kBypassPrecision * n_bypass)) != 0) {
-        ++n_bypass;
-      }
-      int32_t val = n_bypass;
-      while (val >= static_cast<int32_t>(kMaxBypassVal)) {
-        syms.push_back({static_cast<uint16_t>(kMaxBypassVal), 0, true});
-        val -= kMaxBypassVal;
-      }
-      syms.push_back({static_cast<uint16_t>(val), 0, true});
-      for (int32_t j = 0; j < n_bypass; ++j) {
-        const uint32_t chunk =
-            (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal;
-        syms.push_back({static_cast<uint16_t>(chunk), 0, true});
-      }
-    }
-  }
-
-  // Worst case: one renorm word per symbol + 2 flush words.
-  const int64_t max_words = static_cast<int64_t>(syms.size()) + 2;
-  if (capacity < max_words * 4) {
+  // Worst case per source symbol: 1 regular + ~11 bypass renorm words.
+  if (capacity < (n * 12 + 2) * 4) {
     return -1;
   }
 
@@ -158,12 +122,50 @@ int64_t encode_one(const int32_t *symbols, const int32_t *indexes, int64_t n,
   uint32_t *ptr = end;
   uint64_t state = kRans64L;
 
-  for (auto it = syms.rbegin(); it != syms.rend(); ++it) {
-    if (it->bypass) {
-      enc_put_bits(state, ptr, it->start, kBypassPrecision);
-    } else {
-      enc_put(state, ptr, it->start, it->range);
+  for (int64_t i = n - 1; i >= 0; --i) {
+    const int32_t idx = indexes[i];
+    const uint32_t *cdf = cdfs + idx * cdf_stride;
+    const int32_t max_value = cdf_lengths[idx] - 2;
+    int32_t value = symbols[i] - offsets[idx];
+
+    if (value >= 0 && value < max_value) {
+      // fast path: in-range symbol, no bypass
+      enc_put(state, ptr, cdf[value], cdf[value + 1] - cdf[value]);
+      continue;
     }
+
+    uint32_t raw_val;
+    if (value < 0) {
+      raw_val = static_cast<uint32_t>(-2 * value - 1);
+    } else {
+      raw_val = static_cast<uint32_t>(2 * (value - max_value));
+    }
+    value = max_value;
+
+    int32_t n_bypass = 0;
+    while ((raw_val >> (kBypassPrecision * n_bypass)) != 0) {
+      ++n_bypass;
+    }
+
+    // Forward emission order is: regular sym, count chunks
+    // ([15] * (n_bypass/15) then n_bypass%15), then raw chunks LSB-first.
+    // Encoding runs reversed: raw chunks MSB-first, count chunks reversed,
+    // then the regular symbol.
+    for (int32_t j = n_bypass - 1; j >= 0; --j) {
+      enc_put_bits(state, ptr,
+                   (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal,
+                   kBypassPrecision);
+    }
+    enc_put_bits(state, ptr,
+                 static_cast<uint32_t>(n_bypass)
+                     % kMaxBypassVal,
+                 kBypassPrecision);
+    for (int32_t j = 0;
+         j < n_bypass / static_cast<int32_t>(kMaxBypassVal); ++j) {
+      enc_put_bits(state, ptr, kMaxBypassVal, kBypassPrecision);
+    }
+
+    enc_put(state, ptr, cdf[value], cdf[value + 1] - cdf[value]);
   }
   enc_flush(state, ptr);
 

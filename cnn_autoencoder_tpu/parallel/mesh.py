@@ -1,0 +1,91 @@
+"""Device mesh + sharding rules (SPMD data/model parallelism).
+
+The reference's entire distributed story is single-process multi-GPU data
+parallelism via ``nn.DataParallel`` (reference src/models/tasks/
+_autoencoders.py:517).  The TPU-native replacement is a
+``jax.sharding.Mesh`` + NamedSharding annotations: the batch dimension is
+sharded over the ``data`` axis (gradient all-reduce rides ICI, inserted by
+XLA), and — beyond reference parity — channel-wise parameters can shard over
+a ``model`` axis (the factorized entropy model and conv output channels are
+channel-separable, so this is genuine tensor parallelism for the 1x1/channel
+work).  Multi-host extends the same mesh over DCN via
+``jax.distributed.initialize``; nothing in the step function changes.
+"""
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(data: Optional[int] = None, model: int = 1,
+                devices=None) -> Mesh:
+    """Create a (data, model) mesh; data defaults to all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model <= n, (data, model, n)
+    dev_array = np.asarray(devices[:data * model]).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def batch_spec(ndim: int) -> P:
+    return P(*(("data",) + (None,) * (ndim - 1)))
+
+
+def infer_param_spec(path, leaf, model_size: int) -> P:
+    """Sharding rule for one parameter.
+
+    Channel-separable parameters shard their channel axis over ``model`` when
+    divisible; everything else replicates.  With model=1 this degrades to
+    pure DP (reference parity).
+    """
+    if model_size <= 1 or not hasattr(leaf, "shape"):
+        return P()
+    shape = leaf.shape
+    names = [str(getattr(p, "key", "")) for p in path]
+    name = names[-1] if names else ""
+
+    if name == "kernel" and len(shape) == 4:
+        # HWIO conv kernel: shard output channels
+        if shape[3] % model_size == 0 and shape[3] >= 2 * model_size:
+            return P(None, None, None, "model")
+        return P()
+    if name == "gamma" and len(shape) == 2:
+        if shape[0] % model_size == 0:
+            return P("model", None)
+        return P()
+    if any("fact_ent" in n for n in names) and len(shape) >= 1:
+        # entropy-model params are (C, ...) channel-major
+        if shape[0] % model_size == 0 and shape[0] >= model_size:
+            return P(*(("model",) + (None,) * (len(shape) - 1)))
+        return P()
+    if len(shape) == 1 and shape[0] % model_size == 0 \
+            and shape[0] >= 2 * model_size:
+        return P("model")
+    return P()
+
+
+def shard_variables(mesh: Mesh, variables: Dict[str, Any]) -> Dict[str, Any]:
+    """device_put a variables tree with inferred NamedShardings."""
+    model_size = mesh.shape["model"]
+
+    def put(path, leaf):
+        spec = infer_param_spec(path, leaf, model_size)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, variables)
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def shard_batch(mesh: Mesh, batch):
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, batch_spec(x.ndim)))
+    return jax.tree_util.tree_map(put, batch)

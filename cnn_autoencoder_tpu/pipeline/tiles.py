@@ -99,25 +99,30 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
         tile[:block.shape[0], :block.shape[1]] = block
         return tile
 
-    pool = ThreadPoolExecutor(max_workers=8)
-    pending: List[Tuple[list, jax.Array]] = []
+    pool = ThreadPoolExecutor(max_workers=4)
+    flusher = ThreadPoolExecutor(max_workers=1)
+    inflight: List = []
 
-    def flush_one():
-        idxs, sym_dev = pending.pop(0)
-        sym_np = np.asarray(sym_dev)
+    def flush_one(idxs, sym_dev):
+        sym_np = np.asarray(sym_dev)[:len(idxs)]  # d2h (releases GIL)
         bufs = core.entropy_encode(sym_np, [(p, p)] * sym_np.shape[0])
         for (i, j), buf in zip(idxs, bufs):
             arr.write_chunk_raw((i, j, 0), buf)
 
     for group in _iter_batches(grid, batch):
-        tiles = np.stack(list(pool.map(read_tile, group)))
-        sym = core.encode_tiles_device(jnp.asarray(tiles))
-        pending.append((group, sym))
-        if len(pending) >= 2:
-            flush_one()
-    while pending:
-        flush_one()
+        tiles = list(pool.map(read_tile, group))
+        # fixed batch shape: pad the final group so the device program
+        # compiles exactly once
+        while len(tiles) < batch:
+            tiles.append(tiles[-1])
+        sym = core.encode_tiles_device(jnp.asarray(np.stack(tiles)))
+        inflight.append(flusher.submit(flush_one, group, sym))
+        while len(inflight) > 2:
+            inflight.pop(0).result()
+    for f in inflight:
+        f.result()
     pool.shutdown()
+    flusher.shutdown()
     return arr
 
 
@@ -161,13 +166,16 @@ def compress_pixels_to_bottleneck(core: CAECodecCore, src: np.ndarray,
 
     def flush_one():
         idxs, y_dev = pending.pop(0)
-        y_np = np.asarray(y_dev)  # (B, lh, lw, C) float latent
+        y_np = np.asarray(y_dev)[:len(idxs)]  # (B, lh, lw, C) float latent
         for (i, j), y_tile in zip(idxs, y_np):
             arr.write_chunk((i, j, 0), y_tile)
 
     for group in _iter_batches(grid, batch):
-        tiles = np.stack(list(pool.map(read_tile, group)))
-        y = core._latent(jnp.asarray(tiles).astype(jnp.float32) / 255.0)
+        tiles = list(pool.map(read_tile, group))
+        while len(tiles) < batch:
+            tiles.append(tiles[-1])
+        y = core._latent(jnp.asarray(np.stack(tiles)).astype(jnp.float32)
+                         / 255.0)
         pending.append((group, y))
         if len(pending) >= 2:
             flush_one()
@@ -207,15 +215,17 @@ def decompress_latents_to_pixels(core: CAECodecCore, src: zarrlib.Array,
 
     def flush_one():
         idxs, rec_dev = pending.pop(0)
-        rec_np = np.asarray(rec_dev)
+        rec_np = np.asarray(rec_dev)[:len(idxs)]
         futures = [pool.submit(out.write_chunk, ij, rec)
                    for ij, rec in zip(idxs, rec_np)]
         for f in futures:
             f.result()
 
     for group in _iter_batches(grid, batch):
-        y = np.stack(list(pool.map(src.read_chunk, group)))  # (B,lh,lw,C)
-        rec = core.decode_latents_device(y)
+        chunks = list(pool.map(src.read_chunk, group))
+        while len(chunks) < batch:
+            chunks.append(chunks[-1])
+        rec = core.decode_latents_device(np.stack(chunks))
         pending.append((group, rec))
         if len(pending) >= 2:
             flush_one()
@@ -225,13 +235,18 @@ def decompress_latents_to_pixels(core: CAECodecCore, src: zarrlib.Array,
     return out
 
 
-def decompress_cae_array(src: zarrlib.Array, batch_tiles: Optional[int] = None
-                         ) -> np.ndarray:
-    """Materialize a 'cae'-coded pixel array via the batched decode path."""
-    codec = src.compressor
-    assert isinstance(codec, ConvolutionalAutoencoder), (
-        "source array is not 'cae'-coded")
-    core = codec.core
+def decompress_cae_array(src: zarrlib.Array,
+                         batch_tiles: Optional[int] = None,
+                         core: Optional[CAECodecCore] = None) -> np.ndarray:
+    """Materialize a 'cae'-coded pixel array via the batched decode path.
+
+    ``core`` may be supplied to reuse an already-built model (the codec in
+    the array metadata is only constructed when not given)."""
+    if core is None:
+        codec = src.compressor
+        assert isinstance(codec, ConvolutionalAutoencoder), (
+            "source array is not 'cae'-coded")
+        core = codec.core
     h, w, c = src.shape
     p = src.chunks[0]
     batch = batch_tiles or default_batch_tiles(p)
@@ -246,7 +261,7 @@ def decompress_cae_array(src: zarrlib.Array, batch_tiles: Optional[int] = None
 
     def flush_one():
         idxs, rec_dev, hw = pending.pop(0)
-        rec_np = np.asarray(rec_dev)
+        rec_np = np.asarray(rec_dev)[:len(idxs)]
         for ij, rec in zip(idxs, rec_np):
             sl, valid = src.chunk_slices(ij)
             out[sl] = rec[:valid[0], :valid[1], :valid[2]]
@@ -257,6 +272,9 @@ def decompress_cae_array(src: zarrlib.Array, batch_tiles: Optional[int] = None
         i += batch
         bufs = [b for b in bufs if b is not None]
         sym, true_hw = core.entropy_decode(bufs)
+        if sym.shape[0] < batch:
+            pad = np.repeat(sym[-1:], batch - sym.shape[0], axis=0)
+            sym = np.concatenate([sym, pad], axis=0)
         rec = core.decode_tiles_device(sym)
         pending.append((group, rec, true_hw))
         if len(pending) >= 2:

@@ -57,8 +57,11 @@ class CAECodecCore:
         def encode_fn(x_u8):
             x = x_u8.astype(jnp.float32) / 255.0
             y = modules["encoder"].apply(variables["encoder"], x)
-            sym = jnp.round(y - med).astype(jnp.int32)
-            return jnp.transpose(sym, (0, 3, 1, 2))  # (B, C, h, w)
+            # int16 symbols: halves the device->host transfer (the tunnel
+            # link is the pipeline bottleneck); latents beyond +-32k would
+            # saturate, far outside any real operating range
+            sym = jnp.clip(jnp.round(y - med), -32768, 32767)
+            return jnp.transpose(sym.astype(jnp.int16), (0, 3, 1, 2))
 
         def decode_y_fn(y):
             x_r, _ = modules["decoder"].apply(variables["decoder"], y)
@@ -111,8 +114,9 @@ class CAECodecCore:
         b = sym_np.shape[0]
         lh, lw = sym_np.shape[2], sym_np.shape[3]
         idx = self._indexes(lh, lw)
-        streams = rans.encode_batch(sym_np.reshape(b, -1), idx, self.cdf,
-                                    self.cdf_length, self.offset)
+        streams = rans.encode_batch(
+            sym_np.reshape(b, -1).astype(np.int32, copy=False), idx,
+            self.cdf, self.cdf_length, self.offset)
         return [struct.pack(">QQ", th, tw) + s
                 for s, (th, tw) in zip(streams, true_hw)]
 
@@ -129,7 +133,10 @@ class CAECodecCore:
         return sym.reshape(len(bufs), self.channels_bn, lh, lw), true_hw
 
     def decode_tiles_device(self, sym: np.ndarray) -> jnp.ndarray:
-        return self._decode(jnp.asarray(sym))
+        # upload as int16 (symbols are small by construction)
+        return self._decode(jnp.asarray(
+            np.asarray(sym, np.int16) if not isinstance(sym, jnp.ndarray)
+            else sym))
 
     def decode_latents_device(self, y: np.ndarray) -> jnp.ndarray:
         """Decode float NHWC latents (medians already included)."""

@@ -73,8 +73,18 @@ class Array:
         self.dtype = np.dtype(meta["dtype"])
         self.fill_value = meta.get("fill_value", 0)
         self._sep = meta.get("dimension_separator", ".")
-        self.compressor = get_codec(meta.get("compressor"))
+        self._compressor = None
+        self._compressor_loaded = False
         self.attrs = Attributes(os.path.join(path, ".zattrs"))
+
+    @property
+    def compressor(self):
+        # lazy: heavyweight codecs (e.g. 'cae' loads a model) only
+        # materialize when chunk data is actually encoded/decoded
+        if not self._compressor_loaded:
+            self._compressor = get_codec(self._meta.get("compressor"))
+            self._compressor_loaded = True
+        return self._compressor
 
     # -- construction ---------------------------------------------------
 

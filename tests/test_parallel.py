@@ -1,0 +1,98 @@
+"""Sharded training on the spoofed 8-device CPU mesh + graft entry dryrun."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.criteria.loss import setup_loss
+from cnn_autoencoder_tpu.models.factory import build_model
+from cnn_autoencoder_tpu.parallel.mesh import (batch_spec, create_mesh,
+                                               infer_param_spec, shard_batch,
+                                               shard_variables)
+from cnn_autoencoder_tpu.training.loop import make_train_step
+from cnn_autoencoder_tpu.training.optim import setup_optimizers
+
+
+def test_mesh_creation():
+    mesh = create_mesh(data=4, model=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+
+def test_dp_train_step_matches_single_device():
+    """The same step on a (8,1) DP mesh must equal single-device numerics."""
+    model = build_model(jax.random.PRNGKey(0), input_size=(16, 16),
+                        channels_org=3, channels_net=8, channels_bn=16,
+                        compression_level=2, K=4, r=3, act_layer_type="GDN")
+    criterion = setup_loss("RateMSE", distortion_lambda=0.1, patch_size=16)
+    trainable = ["encoder", "decoder", "fact_ent"]
+
+    x = np.random.RandomState(0).rand(8, 16, 16, 3).astype(np.float32)
+
+    def run(sharded):
+        optimizers, opt_states, acc = setup_optimizers(model.variables,
+                                                       trainable)
+        step = make_train_step(model.modules, criterion, optimizers,
+                               trainable_modules=trainable, donate=False)
+        lrs = {k: jnp.float32(1e-3) for k in optimizers}
+        variables = model.variables
+        xs = jnp.asarray(x)
+        if sharded:
+            mesh = create_mesh(data=8, model=1)
+            with mesh:
+                variables = shard_variables(mesh, variables)
+                opt_states = shard_variables(mesh, opt_states)
+                acc = shard_variables(mesh, acc)
+                xs = shard_batch(mesh, xs)
+                new_vars, _, _, stats = step(variables, opt_states, acc, lrs,
+                                             xs, None, jax.random.PRNGKey(7),
+                                             jnp.int32(1))
+        else:
+            new_vars, _, _, stats = step(variables, opt_states, acc, lrs, xs,
+                                         None, jax.random.PRNGKey(7),
+                                         jnp.int32(1))
+        return float(stats["loss"]), jax.device_get(new_vars)
+
+    loss_1, vars_1 = run(sharded=False)
+    loss_8, vars_8 = run(sharded=True)
+    assert np.isclose(loss_1, loss_8, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(vars_1),
+                    jax.tree_util.tree_leaves(vars_8)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_model_axis_sharding_compiles_and_runs():
+    mesh = create_mesh(data=4, model=2)
+    model = build_model(jax.random.PRNGKey(0), input_size=(16, 16),
+                        channels_org=3, channels_net=8, channels_bn=16,
+                        compression_level=2, K=4, r=3, act_layer_type="GDN")
+    criterion = setup_loss("RateMSE", distortion_lambda=0.1, patch_size=16)
+    trainable = ["encoder", "decoder", "fact_ent"]
+    optimizers, opt_states, acc = setup_optimizers(model.variables, trainable)
+    step = make_train_step(model.modules, criterion, optimizers,
+                           trainable_modules=trainable, donate=False)
+    lrs = {k: jnp.float32(1e-3) for k in optimizers}
+    x = jnp.asarray(np.random.RandomState(1).rand(8, 16, 16, 3), jnp.float32)
+
+    with mesh:
+        variables = shard_variables(mesh, model.variables)
+        opt_states = shard_variables(mesh, opt_states)
+        acc = shard_variables(mesh, acc)
+        xs = shard_batch(mesh, x)
+        # entropy-model params actually sharded over the model axis
+        q = variables["fact_ent"]["params"]["quantiles"]
+        assert len(q.sharding.device_set) == 8 or \
+            "model" in str(q.sharding.spec)
+        _, _, _, stats = step(variables, opt_states, acc, lrs, xs, None,
+                              jax.random.PRNGKey(0), jnp.int32(1))
+    assert np.isfinite(float(stats["loss"]))
+
+
+def test_graft_entry_dryrun():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
