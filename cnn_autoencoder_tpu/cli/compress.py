@@ -1,0 +1,131 @@
+"""Compression entry point (reference src/compress.py equivalent).
+
+Same flag surface: ``-dd`` inputs, ``-o`` output, ``-cod CAE|Blosc|Jpeg|
+Jpeg2k|None``, ``-sbn`` bottleneck store, ``-ps`` patch size, data axes/ROI
+handling.  The CAE path runs the batched TPU tile pipeline instead of
+per-chunk dask tasks.
+"""
+
+import logging
+import os
+
+import numpy as np
+
+from ..data.datautils import get_filenames
+from ..data.imageio import image2array, parse_roi
+from ..pipeline.tiles import (compress_pixels_to_bottleneck,
+                              compress_pixels_to_cae, copy_sidecar_metadata,
+                              normalize_to_yxc)
+from ..storage import zarr as zarrlib
+from ..storage.cae_codec import CAECodecCore
+from ..storage.codecs import Blosc
+from ..storage.image_codecs import Jpeg, Jpeg2k
+from ..utils import loggers
+from ..utils.args import get_args
+
+LOGGER_NAME = "inference_log"
+
+
+def _load_yxc(input_filename, source_format, data_group, data_axes):
+    fn, rois = parse_roi(input_filename, source_format)
+    z = image2array(fn, source_format, data_group)
+    roi = rois[0] if rois else None
+    arr = normalize_to_yxc(z, data_axes=data_axes, roi=roi)
+    return fn, np.ascontiguousarray(arr)
+
+
+def compress_image(codec, checkpoint, input_filename, output_filename,
+                   patch_size=512, source_format="zarr", data_group="0/0",
+                   data_axes="TCZYX", progress_bar=False,
+                   save_as_bottleneck=False, gpu=False, core=None,
+                   batch_tiles=None):
+    """Compress one image into zarr (reference src/compress.py:29-168)."""
+    logger = logging.getLogger(LOGGER_NAME)
+    fn, src = _load_yxc(input_filename, source_format, data_group, data_axes)
+    if src.dtype != np.uint8:
+        src = np.clip(src, 0, 255).astype(np.uint8)
+    if not data_group:
+        data_group = "0/0"
+
+    if "CAE" in codec:
+        if core is None:
+            from ..models.factory import autoencoder_from_state_dict
+            core = CAECodecCore(autoencoder_from_state_dict(checkpoint))
+        if save_as_bottleneck:
+            compress_pixels_to_bottleneck(
+                core, src, output_filename, data_group=data_group,
+                patch_size=patch_size, batch_tiles=batch_tiles,
+                progress_bar=progress_bar)
+        else:
+            compress_pixels_to_cae(
+                core, src, output_filename, data_group=data_group,
+                patch_size=patch_size, batch_tiles=batch_tiles,
+                checkpoint_id=checkpoint if isinstance(checkpoint, str)
+                else None, progress_bar=progress_bar)
+    else:
+        if "Blosc" in codec:
+            compressor = Blosc(clevel=9)
+        elif "Jpeg2k" in codec:
+            compressor = Jpeg2k(level=90)
+        elif "Jpeg" in codec:
+            compressor = Jpeg(level=90)
+        elif "None" in codec:
+            compressor = None
+        else:
+            raise ValueError("Codec %s not supported" % codec)
+        h, w, c = src.shape
+        p = min(patch_size, max(h, w))
+        root = zarrlib.Group.create(output_filename)
+        arr = root.create_dataset(data_group, shape=src.shape,
+                                  chunks=(p, p, c), dtype=np.uint8,
+                                  compressor=compressor, overwrite=True)
+        arr[...] = src
+
+    if os.path.isdir(fn):
+        copy_sidecar_metadata(fn, output_filename)
+    logger.info("Compressed image %s into %s" % (input_filename,
+                                                 output_filename))
+    return output_filename
+
+
+def compress(args):
+    """Compress every input file (reference src/compress.py:171-209)."""
+    if not args.source_format.startswith("."):
+        args.source_format = "." + args.source_format
+
+    input_fn_list = get_filenames(args.data_dir, args.source_format,
+                                  data_mode="all")
+    output_dir = (args.output_dir if isinstance(args.output_dir, list)
+                  else [args.output_dir])
+
+    if ".zarr" not in output_dir[0].lower():
+        output_fn_list = []
+        for fn in input_fn_list:
+            base = fn[:fn.lower().find(args.source_format)]
+            base = base.replace("\\", "/").split("/")[-1]
+            output_fn_list.append(os.path.join(output_dir[0],
+                                               "%s.zarr" % base))
+    else:
+        output_fn_list = output_dir
+
+    core = None
+    if "CAE" in args.codec and args.checkpoint:
+        from ..models.factory import autoencoder_from_state_dict
+        core = CAECodecCore(autoencoder_from_state_dict(args.checkpoint))
+
+    for in_fn, out_fn in zip(input_fn_list, output_fn_list):
+        compress_image(codec=args.codec, checkpoint=args.checkpoint,
+                       input_filename=in_fn, output_filename=out_fn,
+                       patch_size=args.patch_size,
+                       source_format=args.source_format,
+                       data_axes=args.data_axes, data_group=args.data_group,
+                       progress_bar=args.progress_bar,
+                       save_as_bottleneck=args.save_as_bottleneck,
+                       gpu=args.gpu, core=core)
+
+
+if __name__ == "__main__":
+    args = get_args(task="encoder", mode="inference")
+    loggers.setup_logger(args)
+    compress(args)
+    logging.shutdown()

@@ -1,0 +1,131 @@
+"""Decompression entry point (reference src/decompress.py equivalent).
+
+Reads a compressed zarr ('cae'-coded pixels, or 'cae_bn' latents when a
+checkpoint is given), reconstructs through the batched TPU decode pipeline,
+and stores either a zarr pyramid component ``<label>/<group>/0`` with
+Blosc-zlib recompression or a PIL-supported image file.
+"""
+
+import logging
+import os
+
+import numpy as np
+
+from ..data.datautils import get_filenames
+from ..data.imageio import array_to_image, parse_roi
+from ..pipeline.tiles import (copy_sidecar_metadata, decompress_cae_array,
+                              decompress_latents_to_pixels)
+from ..storage import zarr as zarrlib
+from ..storage.cae_codec import CAECodecCore, ConvolutionalAutoencoder
+from ..storage.codecs import Blosc
+from ..utils import loggers
+from ..utils.args import get_args
+
+LOGGER_NAME = "inference_log"
+
+
+def decompress_image(input_filename, output_filename,
+                     destination_format="zarr", data_group="0/0",
+                     decomp_group="decompressed", checkpoint=None,
+                     progress_bar=False, gpu=False, core=None,
+                     reconstruction_level=-1, compute_pyramids=False):
+    """Decompress one zarr image (reference src/decompress.py:40-140)."""
+    compressor = Blosc(cname="zlib", clevel=9, shuffle=2)
+    fn, rois = parse_roi(input_filename, ".zarr")
+
+    src_root = zarrlib.open(fn, mode="r")
+    z_arr = src_root[data_group] if isinstance(src_root, zarrlib.Group) \
+        else src_root
+
+    if not data_group:
+        data_group = "0/0"
+    component = ("%s/%s" % (decomp_group, data_group) if decomp_group
+                 else data_group)
+    comp_pyr = "/".join(component.split("/")[:-1])
+
+    has_checkpoint = checkpoint is not None and (
+        not isinstance(checkpoint, str) or len(checkpoint) > 0)
+
+    if has_checkpoint or core is not None:
+        # latent ('cae_bn'-stored) input -> decoder
+        if core is None:
+            from ..models.factory import autoencoder_from_state_dict
+            core = CAECodecCore(autoencoder_from_state_dict(checkpoint))
+        out_arr = decompress_latents_to_pixels(
+            core, z_arr, output_filename, component=comp_pyr + "/0",
+            compressor=compressor, progress_bar=progress_bar)
+        rec = None
+    else:
+        # self-decoding input: the 'cae' codec in the metadata does the work
+        if isinstance(z_arr.compressor, ConvolutionalAutoencoder):
+            rec = decompress_cae_array(z_arr)
+        else:
+            rec = z_arr[...]
+        if "zarr" in destination_format:
+            root = zarrlib.Group.create(output_filename)
+            h, w = rec.shape[:2]
+            p = min(z_arr.chunks[0] * 1, h)
+            out_arr = root.create_dataset(
+                comp_pyr + "/0", shape=rec.shape,
+                chunks=(min(p, h), min(p, w), rec.shape[2]),
+                dtype=np.uint8, compressor=compressor, overwrite=True)
+            out_arr[...] = rec
+
+    if "zarr" in destination_format:
+        copy_sidecar_metadata(fn, output_filename)
+    else:
+        if rec is None:
+            rec = zarrlib.open(output_filename,
+                               mode="r")[comp_pyr + "/0"][...]
+        base = output_filename.split(destination_format)[0]
+        array_to_image(rec, base + destination_format)
+
+    return output_filename
+
+
+def decompress(args):
+    """Decompress every input (reference src/decompress.py:143-180)."""
+    logger = logging.getLogger(LOGGER_NAME)
+
+    if not args.destination_format.startswith("."):
+        args.destination_format = "." + args.destination_format
+
+    input_fn_list = get_filenames(args.data_dir, ".zarr", data_mode="all")
+    output_dir = (args.output_dir if isinstance(args.output_dir, list)
+                  else [args.output_dir])
+
+    if args.destination_format.lower() not in output_dir[0].lower():
+        output_fn_list = []
+        for fn in input_fn_list:
+            base = fn.split(".zarr")[0].replace("\\", "/").split("/")[-1]
+            output_fn_list.append(os.path.join(
+                output_dir[0], "%s%s" % (base, args.destination_format)))
+    else:
+        output_fn_list = output_dir
+
+    if args.task_label_identifier is None:
+        args.task_label_identifier = "decompressed"
+
+    core = None
+    if args.checkpoint:
+        from ..models.factory import autoencoder_from_state_dict
+        core = CAECodecCore(autoencoder_from_state_dict(args.checkpoint))
+
+    for in_fn, out_fn in zip(input_fn_list, output_fn_list):
+        logger.info("Decompressing %s into %s" % (in_fn, out_fn))
+        decompress_image(
+            input_filename=in_fn, output_filename=out_fn,
+            destination_format=args.destination_format,
+            data_group=args.data_group,
+            decomp_group=args.task_label_identifier,
+            progress_bar=args.progress_bar, checkpoint=args.checkpoint,
+            gpu=args.gpu, core=core,
+            reconstruction_level=getattr(args, "reconstruction_level", -1),
+            compute_pyramids=getattr(args, "compute_pyramids", False))
+
+
+if __name__ == "__main__":
+    args = get_args(task="decoder", mode="inference")
+    loggers.setup_logger(args)
+    decompress(args)
+    logging.shutdown()

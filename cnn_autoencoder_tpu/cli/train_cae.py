@@ -1,0 +1,297 @@
+"""Training entry point (reference src/train_cae_ms.py equivalent).
+
+Usage: ``python -m cnn_autoencoder_tpu.cli.train_cae -ds MNIST ...`` with the
+same flag surface as the reference.  The compiled XLA step covers
+forward/backward/per-module updates; the host loop keeps the reference's
+control semantics: penalty sub-iterations on the same batch until the energy
+criterion fires, validation + checkpointing every ``checkpoint_steps``,
+warmup + plateau schedulers, early stopping.
+"""
+
+import logging
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..criteria.loss import setup_loss
+from ..criteria.stopping import setup_stopping_criteria
+from ..data.datautils import get_data
+from ..models.factory import CAEModel, build_model, setup_modules
+from ..parallel.mesh import create_mesh, shard_batch, shard_variables
+from ..training import checkpoint as ckpt
+from ..training.loop import make_eval_step, make_train_step, valid
+from ..training.optim import setup_optimizers
+from ..training.schedulers import SCHEDULER_ALGORITHMS
+from ..utils import loggers
+from ..utils.args import get_args, parse_typed_arguments
+
+
+def setup_network(args, train: bool = True) -> CAEModel:
+    """Build (or resume) the model from args/checkpoint
+    (reference train_cae_ms.py:446-488)."""
+    args_dict = dict(args if isinstance(args, dict) else vars(args))
+    if args_dict.get("checkpoint"):
+        state = ckpt.load_checkpoint(args_dict["checkpoint"])
+        state.update({k: v for k, v in args_dict.items() if v is not None})
+        args_dict = state
+
+    args_dict["multiscale_analysis"] = "Multiscale" in args_dict.get(
+        "criterion", "")
+
+    from ..models.factory import autoencoder_from_state_dict
+    if args_dict.get("checkpoint"):
+        model = autoencoder_from_state_dict(args_dict)
+    else:
+        model = build_model(
+            jax.random.PRNGKey(int(args_dict.get("seed", 0) or 0)),
+            input_size=(args_dict.get("patch_size", 128),) * 2,
+            **{k: v for k, v in args_dict.items()
+               if k not in ("checkpoint",)})
+    return model
+
+
+def setup_criteria(args, checkpoint=None):
+    args_dict = dict(vars(args)) if not isinstance(args, dict) else dict(args)
+    if "PB" in args_dict.get("criterion", ""):
+        channel_e = 0
+        if checkpoint is not None:
+            state = ckpt.load_checkpoint(checkpoint)
+            channel_e = int(state.get("channel_e", 0) or 0)
+        args_dict["channel_e"] = channel_e
+    stopping_criteria = setup_stopping_criteria(**args_dict)
+    criterion = setup_loss(**args_dict)
+    return criterion, stopping_criteria
+
+
+def setup_optim(model: CAEModel, args):
+    """Per-module optimizers + host-side schedulers + LR dict
+    (reference train_cae_ms.py:529-655)."""
+    optim_algos = parse_typed_arguments(args.mod_optim_algo)
+    mod_lr = parse_typed_arguments(args.mod_learning_rate)
+    mod_wd = parse_typed_arguments(args.mod_weight_decay)
+    mod_aux_lr = parse_typed_arguments(args.mod_aux_learning_rate)
+    mod_aux_wd = parse_typed_arguments(args.mod_aux_weight_decay)
+    mod_accum = parse_typed_arguments(args.mod_grad_accumulate)
+
+    scheduler_algos = {}
+    for mod_pars in (args.mod_scheduler_algo or []):
+        mod = mod_pars[:mod_pars.find("=")]
+        sched_spec = mod_pars[mod_pars.find("=") + 1:]
+        sched_type = sched_spec.split(",")[0]
+        if sched_type.lower() == "none":
+            sched_type = None
+        sched_args = parse_typed_arguments(sched_spec.split(",")[1:])
+        scheduler_algos[mod] = (sched_type, sched_args)
+
+    trainable = [m for m in args.trainable_modules if m in model.variables]
+    default_algo = getattr(args, "optim_algo", "Adam")
+    algo_map = {k: optim_algos.get(k, default_algo) for k in trainable}
+
+    optimizers, opt_states, acc = setup_optimizers(
+        model.variables, trainable, mod_optim_algo=algo_map,
+        mod_weight_decay={k: mod_wd.get(k, args.weight_decay)
+                          for k in trainable},
+        mod_aux_weight_decay={k: mod_aux_wd.get(k, args.aux_weight_decay)
+                              for k in trainable},
+        mod_grad_accumulate={k: mod_accum.get(k, 1) for k in trainable})
+
+    lrs: Dict[str, float] = {}
+    for name in optimizers:
+        base = name[:-4] if name.endswith("_aux") else name
+        if name.endswith("_aux"):
+            lrs[name] = float(mod_aux_lr.get(base, args.aux_learning_rate))
+        else:
+            lrs[name] = float(mod_lr.get(base, args.learning_rate))
+
+    schedulers = {}
+    for name in optimizers:
+        base = name[:-4] if name.endswith("_aux") else name
+        sched_type, sched_args = scheduler_algos.get(base, (None, None))
+        if sched_type is not None:
+            schedulers[name] = SCHEDULER_ALGORITHMS[sched_type](
+                lrs, name, **(sched_args or {}))
+
+    if args.early_warmup > 0:
+        for name in list(optimizers):
+            schedulers[name + "_warmup"] = SCHEDULER_ALGORITHMS["LinearLR"](
+                lrs, name, start_factor=1.0 / args.early_warmup,
+                end_factor=1.0, total_iters=args.early_warmup)
+
+    return optimizers, opt_states, acc, schedulers, lrs
+
+
+def train(model, train_data, valid_data, criterion, stopping_criteria,
+          optimizers, opt_states, acc_grads, schedulers, lrs, args):
+    """Host training loop (reference train_cae_ms.py:120-443)."""
+    logger = logging.getLogger(args.mode + "_log")
+    trainable = [m for m in args.trainable_modules if m in model.variables]
+
+    train_step = make_train_step(model.modules, criterion, optimizers,
+                                 enabled_modules=args.enabled_modules,
+                                 trainable_modules=trainable, donate=False)
+    eval_step = make_eval_step(model.modules, criterion,
+                               enabled_modules=args.enabled_modules)
+
+    variables = model.variables
+    best_valid_loss = float("inf")
+    train_loss_history, valid_loss_history = [], []
+    channel_e_history = []
+    extra_metrics = None
+    rec_metrics = None
+    keep_training = True
+    completed = False
+    step = 0
+    rng = jax.random.PRNGKey(int(args.seed or 0))
+
+    while keep_training:
+        sum_loss = 0.0
+        for i, (x, t) in enumerate(train_data):
+            step += 1
+            x = jnp.asarray(x)
+            t = None if t is None else jnp.asarray(t)
+
+            if "penalty" in stopping_criteria:
+                stopping_criteria["penalty"].reset()
+
+            sub_step = 0
+            sub_step_loss = 0.0
+            while True:
+                sub_step += 1
+                rng, step_rng = jax.random.split(rng)
+                variables, opt_states, acc_grads, stats = train_step(
+                    variables, opt_states, acc_grads,
+                    {k: jnp.float32(v) for k, v in lrs.items()},
+                    x, t, step_rng, jnp.int32(step))
+                stats = jax.device_get(stats)
+                sub_step_loss += float(stats["loss"])
+                channel_e_history.append(int(stats.get("channel_e", -1)))
+
+                if "penalty" in stopping_criteria:
+                    stopping_criteria["penalty"].update(
+                        iteration=sub_step, metric=float(stats["energy"]))
+                    if not stopping_criteria["penalty"].check():
+                        break
+                else:
+                    break
+
+            sum_loss += sub_step_loss / sub_step
+
+            if i % max(1, int(0.01 * len(train_data))) == 0:
+                channel_e = int(np.median(channel_e_history)) \
+                    if channel_e_history else -1
+                lr_str = " ".join(f"{k}={v:.2e}" for k, v in lrs.items())
+                log_str, curr_rec = loggers.log_info(
+                    step, i + 1, len(train_data), stats,
+                    quantiles=np.asarray(
+                        variables["fact_ent"]["params"]["quantiles"])
+                    if "fact_ent" in variables else None,
+                    avg_loss=sum_loss / (i + 1), channel_e=channel_e,
+                    step_type="Training", lr=lr_str)
+                logger.debug(log_str)
+                if rec_metrics is None:
+                    rec_metrics = {m: [] for m in curr_rec}
+                for m, v in curr_rec.items():
+                    rec_metrics.setdefault(m, []).append(v)
+
+            keep_training = stopping_criteria["early_stopping"].check()
+
+            if (not keep_training
+                    or (step >= args.early_warmup
+                        and (step - args.early_warmup)
+                        % args.checkpoint_steps == 0) and step > 1):
+                train_loss = sum_loss / (i + 1)
+                valid_loss, val_avg_metrics = valid(eval_step, variables,
+                                                    valid_data)
+
+                for name, sched in schedulers.items():
+                    if name.endswith("_warmup"):
+                        continue
+                    sched.step(valid_loss)
+
+                train_loss_history.append(train_loss)
+                valid_loss_history.append(valid_loss)
+
+                trn_avg_metrics = {}
+                if rec_metrics is not None:
+                    for m, v in rec_metrics.items():
+                        vals = [x for x in v
+                                if isinstance(x, (int, float))]
+                        if vals:
+                            trn_avg_metrics["trn_" + m] = float(
+                                np.nanmean(vals))
+
+                channel_e = int(np.median(channel_e_history)) \
+                    if channel_e_history else -1
+                if extra_metrics is None:
+                    extra_metrics = {"channel_e": []}
+                extra_metrics["channel_e"].append(channel_e)
+                for m, v in {**trn_avg_metrics, **val_avg_metrics}.items():
+                    extra_metrics.setdefault(m, []).append(v)
+
+                scheduler_states = {k: s.state_dict()
+                                    for k, s in schedulers.items()}
+                best_valid_loss = loggers.checkpoint(
+                    step, variables, jax.device_get(opt_states),
+                    scheduler_states, best_valid_loss, train_loss_history,
+                    valid_loss_history, args,
+                    extra_info={"channel_e": channel_e,
+                                "extra_metrics": extra_metrics})
+                channel_e_history = []
+                rec_metrics = None
+
+                logger.info(
+                    "[Step {:06d} ({})] Training loss {:0.4f}, validation "
+                    "loss {:.4f}, best validation loss {:.4f}".format(
+                        step, "training" if keep_training else "stopping",
+                        train_loss, valid_loss, best_valid_loss))
+
+                stopping_criteria["early_stopping"].update(
+                    iteration=step, metric=valid_loss)
+            else:
+                stopping_criteria["early_stopping"].update(iteration=step)
+
+            if step <= args.early_warmup:
+                for name, sched in schedulers.items():
+                    if name.endswith("_warmup"):
+                        sched.step()
+
+            if not keep_training:
+                logger.info("**** Stopping criteria met: interrupting "
+                            "training ****")
+                break
+        else:
+            continue
+        break
+    else:
+        completed = True
+
+    model.variables = variables
+    return completed
+
+
+def main(args):
+    logger = logging.getLogger(args.mode + "_log")
+
+    train_data, valid_data, num_classes = get_data(args)
+    args.num_classes = num_classes
+
+    model = setup_network(args)
+    criterion, stopping_criteria = setup_criteria(args,
+                                                  checkpoint=args.checkpoint)
+    optimizers, opt_states, acc, schedulers, lrs = setup_optim(model, args)
+
+    logger.info("Network modules: %s (trainable: %s)"
+                % (list(model.modules), args.trainable_modules))
+    logger.info("Criterion: %s" % args.criterion)
+    logger.info("Optimizers: %s" % {k: lrs[k] for k in optimizers})
+
+    train(model, train_data, valid_data, criterion, stopping_criteria,
+          optimizers, opt_states, acc, schedulers, lrs, args)
+
+
+if __name__ == "__main__":
+    args = get_args(task="autoencoder", mode="training")
+    loggers.setup_logger(args)
+    main(args)

@@ -81,4 +81,6 @@ def array_to_image(arr: np.ndarray, filename: str, **save_kwargs):
     from PIL import Image
     if arr.ndim == 3 and arr.shape[-1] == 1:
         arr = arr[..., 0]
+    parent = os.path.dirname(os.path.abspath(filename))
+    os.makedirs(parent, exist_ok=True)
     Image.fromarray(arr).save(filename, **save_kwargs)

@@ -47,7 +47,8 @@ def normalize_to_yxc(z, data_axes: str = "TCZYX", roi=None):
     arr = z[...] if not isinstance(z, np.ndarray) else z
     if arr.ndim == 2:
         arr = arr[:, :, None]
-    if arr.ndim == 3 and data_axes in ("TCZYX", "YXC"):
+    if arr.ndim == 3 and len(data_axes) != 3:
+        # PIL-style HWC input with a 5-axis default spec: already YXC
         data_axes = "YXC"
     rem_axes = "".join(a for a in data_axes if a not in "YXC")
     if arr.ndim != len(data_axes):

@@ -1,0 +1,64 @@
+"""JPEG / JPEG2000 chunk codecs via PIL (classical-codec RD baselines).
+
+The reference uses imagecodecs' C JPEG/JPEG2000 through numcodecs (reference
+src/compress.py:17,69-72) as baselines for rate-distortion comparison.  PIL's
+C encoders fill that role here with the same Codec ABI; config mirrors the
+imagecodecs ``level`` parameter.
+"""
+
+import io
+
+import numpy as np
+
+from .codecs import Codec, ndarray_copy, register_codec
+
+
+class _PILImageCodec(Codec):
+    pil_format = None
+
+    def __init__(self, level: int = 90):
+        self.level = int(level)
+
+    def _save_kwargs(self):
+        return {"quality": self.level}
+
+    def encode(self, buf) -> bytes:
+        from PIL import Image
+        arr = np.asarray(buf)
+        if arr.ndim == 3 and arr.shape[-1] == 1:
+            arr = arr[..., 0]
+        bio = io.BytesIO()
+        Image.fromarray(arr).save(bio, format=self.pil_format,
+                                  **self._save_kwargs())
+        return bio.getvalue()
+
+    def decode(self, buf, out=None):
+        from PIL import Image
+        with Image.open(io.BytesIO(bytes(buf))) as im:
+            arr = np.asarray(im)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        return ndarray_copy(np.ascontiguousarray(arr), out)
+
+    def get_config(self):
+        return {"id": self.codec_id, "level": self.level}
+
+
+class Jpeg(_PILImageCodec):
+    codec_id = "imagecodecs_jpeg"
+    pil_format = "JPEG"
+
+
+class Jpeg2k(_PILImageCodec):
+    codec_id = "imagecodecs_jpeg2k"
+    pil_format = "JPEG2000"
+
+    def _save_kwargs(self):
+        # PIL JPEG2000: quality via quality_layers (PSNR-ish scale)
+        return {"quality_mode": "dB",
+                "quality_layers": [max(20.0, self.level / 2.0)],
+                "irreversible": True}
+
+
+register_codec(Jpeg)
+register_codec(Jpeg2k)

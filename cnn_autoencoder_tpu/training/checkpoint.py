@@ -47,6 +47,8 @@ def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
     """Write a self-describing checkpoint; ``state`` mixes config scalars,
     module variable dicts, optimizer pytrees and histories."""
     config, arrays = _split_state(state)
+    # normalize namedtuples/tuples (e.g. optax states) into plain dicts/lists
+    arrays = {k: serialization.to_state_dict(v) for k, v in arrays.items()}
     arrays = jax.tree_util.tree_map(np.asarray, arrays)
     payload = {"config": json.dumps(config), "state": arrays}
     data = serialization.msgpack_serialize(payload)

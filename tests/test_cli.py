@@ -1,0 +1,204 @@
+"""CLI integration tests: args system, train on synthetic MNIST,
+compress->decompress round trip through the command-line surface."""
+
+import gzip
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+import jax
+
+from cnn_autoencoder_tpu.utils.args import get_args, parse_typed_arguments
+
+
+def _write_idx_images(path, arr):
+    with gzip.open(path + ".gz", "wb") as f:
+        f.write(struct.pack(">I", 0x00000803))
+        f.write(struct.pack(">III", *arr.shape))
+        f.write(arr.astype(np.uint8).tobytes())
+
+
+def _write_idx_labels(path, arr):
+    with gzip.open(path + ".gz", "wb") as f:
+        f.write(struct.pack(">I", 0x00000801))
+        f.write(struct.pack(">I", arr.shape[0]))
+        f.write(arr.astype(np.uint8).tobytes())
+
+
+def _make_synthetic_mnist(root, n=64):
+    raw = os.path.join(root, "MNIST", "raw")
+    os.makedirs(raw, exist_ok=True)
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(n, 28, 28) * 255).astype(np.uint8)
+    labels = rng.randint(0, 10, n).astype(np.uint8)
+    _write_idx_images(os.path.join(raw, "train-images-idx3-ubyte"), imgs)
+    _write_idx_labels(os.path.join(raw, "train-labels-idx1-ubyte"), labels)
+    _write_idx_images(os.path.join(raw, "t10k-images-idx3-ubyte"), imgs[:16])
+    _write_idx_labels(os.path.join(raw, "t10k-labels-idx1-ubyte"),
+                      labels[:16])
+
+
+def test_get_args_defaults_and_config_override(tmp_path):
+    args = get_args("autoencoder", "training", args_list=["-rs", "7"])
+    assert args.seed == 7
+    assert args.criterion == "RateMSE"
+    assert args.channels_bn == 48
+    assert args.batch_size == 16
+    assert args.mode == "training" and args.task == "autoencoder"
+
+    cfg = {"batch_size": 4, "criterion": "RateMSSSIM"}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    args = get_args("autoencoder", "training",
+                    args_list=["-c", str(cfg_path), "-rs", "3"])
+    assert args.batch_size == 4
+    assert args.criterion == "RateMSSSIM"
+    # CLI overrides config
+    args = get_args("autoencoder", "training",
+                    args_list=["-c", str(cfg_path), "-bs", "8", "-rs", "3"])
+    assert args.batch_size == 8
+
+
+def test_task_mode_filtering():
+    enc_args = get_args("encoder", "inference", parser_only=True)
+    # encoder/inference has --save-bottleneck but not --criterion
+    helpstr = enc_args.format_help()
+    assert "--save-bottleneck" in helpstr
+    assert "--criterion" not in helpstr
+
+
+def test_parse_typed_arguments():
+    out = parse_typed_arguments(["encoder=float:1e-4", "fact_ent=int:2",
+                                 "decoder=str:Adam", "cls=none:x"])
+    assert out == {"encoder": 1e-4, "fact_ent": 2, "decoder": "Adam",
+                   "cls": None}
+
+
+def test_train_cli_mnist_smoke(tmp_path):
+    """Few steps of real training through the CLI main()."""
+    from cnn_autoencoder_tpu.cli.train_cae import main
+    from cnn_autoencoder_tpu.utils.loggers import setup_logger
+
+    _make_synthetic_mnist(str(tmp_path))
+    args = get_args("autoencoder", "training", args_list=[
+        "-ds", "MNIST", "-dd", str(tmp_path), "-ld", str(tmp_path),
+        "-rs", "1", "-bs", "8", "-vbs", "8", "-s", "4", "-cs", "2",
+        "-esp", "100", "-cr", "RateMSE", "-ich", "1", "-nch", "8",
+        "-bch", "8", "-cl", "2", "-act", "GDN", "-ps", "32",
+        "-trm", "encoder", "decoder", "fact_ent"])
+    setup_logger(args)
+    main(args)
+
+    # last checkpoint written and self-describing
+    files = [f for f in os.listdir(tmp_path) if f.startswith("last_")]
+    assert files, os.listdir(tmp_path)
+    from cnn_autoencoder_tpu.models.factory import autoencoder_from_state_dict
+    model = autoencoder_from_state_dict(os.path.join(str(tmp_path),
+                                                     files[0]))
+    assert model.channels_bn == 8
+    assert set(model.variables) >= {"encoder", "decoder", "fact_ent"}
+
+
+@pytest.fixture(scope="module")
+def trained_checkpoint(tmp_path_factory):
+    """A small checkpoint with fitted quantiles, saved to disk."""
+    import jax.numpy as jnp
+    from cnn_autoencoder_tpu.models.entropy import aux_loss_fn
+    from cnn_autoencoder_tpu.models.factory import build_model
+    from cnn_autoencoder_tpu.training.checkpoint import save_checkpoint
+
+    model = build_model(jax.random.PRNGKey(0), input_size=(32, 32),
+                        channels_org=3, channels_net=8, channels_bn=16,
+                        compression_level=2, K=4, r=3, act_layer_type="GDN")
+    p = model.variables["fact_ent"]["params"]
+    g = jax.jit(jax.grad(lambda q, pp: aux_loss_fn({**pp, "quantiles": q},
+                                                   4)))
+    q = p["quantiles"]
+    for _ in range(200):
+        q = q - 0.1 * g(q, p)
+    model.variables["fact_ent"]["params"] = {**p, "quantiles": q}
+
+    d = tmp_path_factory.mktemp("chk")
+    path = str(d / "model.msgpack")
+    chk = dict(model.config)
+    chk.update(model.variables)
+    save_checkpoint(path, chk)
+    return path
+
+
+def test_compress_decompress_cli_roundtrip(tmp_path, trained_checkpoint):
+    from PIL import Image
+
+    from cnn_autoencoder_tpu.cli.compress import compress
+    from cnn_autoencoder_tpu.cli.decompress import decompress
+    from cnn_autoencoder_tpu.storage import zarr as zarrlib
+
+    rng = np.random.RandomState(0)
+    img = np.clip(rng.rand(96, 80, 3) * 255, 0, 255).astype(np.uint8)
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    Image.fromarray(img).save(str(img_dir / "sample.png"))
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+
+    args = get_args("encoder", "inference", args_list=[
+        "-dd", str(img_dir), "-o", str(out_dir), "-if", "png",
+        "-cod", "CAE", "-chk", trained_checkpoint, "-ps", "32",
+        "-da", "YXC", "-ld", str(tmp_path)])
+    compress(args)
+
+    z = zarrlib.open(str(out_dir / "sample.zarr"), mode="r")
+    assert z["0/0"].shape == (96, 80, 3)
+    stored = z["0/0"].nbytes_stored
+    assert stored < img.nbytes
+
+    rec_dir = tmp_path / "rec"
+    rec_dir.mkdir()
+    dargs = get_args("decoder", "inference", args_list=[
+        "-dd", str(out_dir), "-o", str(rec_dir), "-of", "png",
+        "-dg", "0/0", "-ld", str(tmp_path)])
+    decompress(dargs)
+
+    rec = np.asarray(Image.open(str(rec_dir / "sample.png")))
+    assert rec.shape == img.shape
+    assert rec.std() > 0
+
+
+def test_compress_bottleneck_then_decode(tmp_path, trained_checkpoint):
+    from PIL import Image
+
+    from cnn_autoencoder_tpu.cli.compress import compress
+    from cnn_autoencoder_tpu.cli.decompress import decompress
+    from cnn_autoencoder_tpu.storage import zarr as zarrlib
+
+    rng = np.random.RandomState(1)
+    img = np.clip(rng.rand(64, 64, 3) * 255, 0, 255).astype(np.uint8)
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    Image.fromarray(img).save(str(img_dir / "x.png"))
+    out_dir = tmp_path / "bn_out"
+    out_dir.mkdir()
+
+    args = get_args("encoder", "inference", args_list=[
+        "-dd", str(img_dir), "-o", str(out_dir), "-if", "png",
+        "-cod", "CAE", "-chk", trained_checkpoint, "-ps", "32", "-sbn",
+        "-ld", str(tmp_path)])
+    compress(args)
+
+    z = zarrlib.open(str(out_dir / "x.zarr"), mode="r")
+    lat = z["0/0"]
+    assert lat.shape == (16, 16, 16)  # 64/2^2 latents, bn=16
+
+    rec_dir = tmp_path / "bn_rec"
+    rec_dir.mkdir()
+    dargs = get_args("decoder", "inference", args_list=[
+        "-dd", str(out_dir), "-o", str(rec_dir), "-of", "zarr",
+        "-dg", "0/0", "-chk", trained_checkpoint, "-ld", str(tmp_path)])
+    decompress(dargs)
+
+    out = zarrlib.open(str(rec_dir / "x.zarr"), mode="r")
+    rec = out["decompressed/0/0"][...]
+    assert rec.shape == (64, 64, 3) and rec.dtype == np.uint8
