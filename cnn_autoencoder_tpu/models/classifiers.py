@@ -1,0 +1,432 @@
+"""Compressed-domain classifier heads: ViT-B/16, ResNet-152, Inception-V3.
+
+Flax re-implementations of the reference's torchvision-derived heads
+(reference src/models/tasks/_classifiers.py): each architecture is "cut" at
+``cut_position`` and re-headed with a 1x1 conv from ``channels_bn`` so it
+consumes the quantized latent ``y_q`` directly; ``cut_position == 0`` runs the
+full network on pixels.  All NHWC.
+
+Norm choices follow the reference: ResNet uses per-channel GroupNorm
+(num_groups == channels) instead of BatchNorm (reference :78); Inception
+keeps BatchNorm (eps 1e-3) in its BasicConv2d blocks.
+"""
+
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --- ViT ---------------------------------------------------------------------
+
+
+class MLPBlock(nn.Module):
+    mlp_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = x.shape[-1]
+        x = nn.Dense(self.mlp_dim, name="fc1")(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(d, name="fc2")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class EncoderBlock(nn.Module):
+    num_heads: int
+    mlp_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.LayerNorm(epsilon=1e-6, name="ln_1")(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dropout_rate=self.dropout,
+            deterministic=not train, name="self_attention")(h, h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        x = x + h
+        h = nn.LayerNorm(epsilon=1e-6, name="ln_2")(x)
+        h = MLPBlock(self.mlp_dim, self.dropout, name="mlp")(h, train=train)
+        return x + h
+
+
+class ViTClassifierHead(nn.Module):
+    """ViT-B/16 cut at ``cut_position`` encoder layers
+    (reference _classifiers.py:12-61)."""
+
+    channels_org: int = 3
+    channels_bn: int = 768
+    cut_position: Optional[int] = 6
+    patch_size: int = 128
+    compression_level: int = 4
+    num_classes: int = 1000
+    dropout: float = 0.0
+    hidden_dim: int = 768
+    num_heads: int = 12
+    mlp_dim: int = 3072
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cut = 6 if self.cut_position is None else self.cut_position
+        num_layers = 12 - cut
+        if cut > 0:
+            x = nn.Conv(self.hidden_dim, (1, 1), use_bias=False,
+                        name="conv_proj")(x)
+        else:
+            x = nn.Conv(self.hidden_dim, (16, 16), strides=(16, 16),
+                        name="conv_proj")(x)
+        b, h, w, d = x.shape
+        tokens = x.reshape(b, h * w, d)
+
+        cls = self.param("class_token", nn.initializers.zeros,
+                         (1, 1, self.hidden_dim))
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, d)), tokens], axis=1)
+
+        pos = self.param("pos_embedding",
+                         nn.initializers.normal(stddev=0.02),
+                         (1, h * w + 1, self.hidden_dim))
+        tokens = tokens + pos
+        tokens = nn.Dropout(self.dropout, deterministic=not train)(tokens)
+
+        for i in range(num_layers):
+            tokens = EncoderBlock(self.num_heads, self.mlp_dim, self.dropout,
+                                  name=f"encoder_layer_{i}")(tokens,
+                                                             train=train)
+        tokens = nn.LayerNorm(epsilon=1e-6, name="ln")(tokens)
+        pred = nn.Dense(self.num_classes, name="head")(tokens[:, 0])
+        return pred, None
+
+
+# --- ResNet ------------------------------------------------------------------
+
+
+class GroupNormPerChannel(nn.Module):
+    """torch GroupNorm(num_groups=C, num_channels=C) equivalent."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        return nn.GroupNorm(num_groups=c, epsilon=1e-5)(x)
+
+
+class ResNetBottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = GroupNormPerChannel(name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                      padding=1, use_bias=False, name="conv2")(out)
+        out = GroupNormPerChannel(name="bn2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                      name="conv3")(out)
+        out = GroupNormPerChannel(name="bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes * 4, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               name="downsample_conv")(x)
+            identity = GroupNormPerChannel(name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNetClassifierHead(nn.Module):
+    """ResNet-152 (GroupNorm) cut at ``cut_position``
+    (reference _classifiers.py:64-117)."""
+
+    channels_org: int = 3
+    channels_bn: int = 768
+    cut_position: Optional[int] = 3
+    patch_size: int = 128
+    compression_level: int = 4
+    num_classes: int = 1000
+    layers: Tuple[int, ...] = (3, 8, 36, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cut = self.compression_level if self.cut_position is None \
+            else self.cut_position
+        out_channels = [64, 64 * 4, 128 * 4, 256 * 4, 512 * 4]
+
+        if cut > 0:
+            x = nn.Conv(out_channels[cut - 1], (1, 1), use_bias=False,
+                        name="conv1")(x)
+            x = GroupNormPerChannel(name="bn1")(x)
+            x = nn.relu(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                        use_bias=False, name="conv1")(x)
+            x = GroupNormPerChannel(name="bn1")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1),
+                                                                (1, 1)))
+
+        planes = (64, 128, 256, 512)
+        for stage in range(4):
+            if cut > stage + 1:
+                continue
+            stride = 1 if stage == 0 else 2
+            for blk in range(self.layers[stage]):
+                first = blk == 0
+                x = ResNetBottleneck(
+                    planes[stage], stride=stride if first else 1,
+                    downsample=first,
+                    name=f"layer{stage + 1}_block{blk}")(x)
+
+        x = jnp.mean(x, axis=(1, 2))
+        pred = nn.Dense(self.num_classes, name="fc")(x)
+        return pred, None
+
+
+# --- Inception V3 -------------------------------------------------------------
+
+
+class BasicConv2d(nn.Module):
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        elif isinstance(pad, tuple) and isinstance(pad[0], int):
+            pad = ((pad[0], pad[0]), (pad[1], pad[1]))
+        x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                    padding=pad, use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         momentum=0.9, name="bn")(x)
+        return nn.relu(x)
+
+
+def _avg_pool_3(x):
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                       count_include_pad=False)
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        b1 = BasicConv2d(64, (1, 1), name="branch1x1")(x, train)
+        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1")(x, train)
+        b5 = BasicConv2d(64, (5, 5), padding=2, name="branch5x5_2")(b5, train)
+        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x, train)
+        b3 = BasicConv2d(96, (3, 3), padding=1,
+                         name="branch3x3dbl_2")(b3, train)
+        b3 = BasicConv2d(96, (3, 3), padding=1,
+                         name="branch3x3dbl_3")(b3, train)
+        bp = BasicConv2d(self.pool_features, (1, 1),
+                         name="branch_pool")(_avg_pool_3(x), train)
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        b3 = BasicConv2d(384, (3, 3), strides=(2, 2),
+                         name="branch3x3")(x, train)
+        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x, train)
+        bd = BasicConv2d(96, (3, 3), padding=1,
+                         name="branch3x3dbl_2")(bd, train)
+        bd = BasicConv2d(96, (3, 3), strides=(2, 2),
+                         name="branch3x3dbl_3")(bd, train)
+        bp = nn.max_pool(x, (3, 3), strides=(2, 2))
+        return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+class InceptionC(nn.Module):
+    channels_7x7: int
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c7 = self.channels_7x7
+        b1 = BasicConv2d(192, (1, 1), name="branch1x1")(x, train)
+        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1")(x, train)
+        b7 = BasicConv2d(c7, (1, 7), padding=(0, 3),
+                         name="branch7x7_2")(b7, train)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0),
+                         name="branch7x7_3")(b7, train)
+        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1")(x, train)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0),
+                         name="branch7x7dbl_2")(bd, train)
+        bd = BasicConv2d(c7, (1, 7), padding=(0, 3),
+                         name="branch7x7dbl_3")(bd, train)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0),
+                         name="branch7x7dbl_4")(bd, train)
+        bd = BasicConv2d(192, (1, 7), padding=(0, 3),
+                         name="branch7x7dbl_5")(bd, train)
+        bp = BasicConv2d(192, (1, 1),
+                         name="branch_pool")(_avg_pool_3(x), train)
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x, train)
+        b3 = BasicConv2d(320, (3, 3), strides=(2, 2),
+                         name="branch3x3_2")(b3, train)
+        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1")(x, train)
+        b7 = BasicConv2d(192, (1, 7), padding=(0, 3),
+                         name="branch7x7x3_2")(b7, train)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0),
+                         name="branch7x7x3_3")(b7, train)
+        b7 = BasicConv2d(192, (3, 3), strides=(2, 2),
+                         name="branch7x7x3_4")(b7, train)
+        bp = nn.max_pool(x, (3, 3), strides=(2, 2))
+        return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+class InceptionE(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x, train)
+        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1")(x, train)
+        b3a = BasicConv2d(384, (1, 3), padding=(0, 1),
+                          name="branch3x3_2a")(b3, train)
+        b3b = BasicConv2d(384, (3, 1), padding=(1, 0),
+                          name="branch3x3_2b")(b3, train)
+        b3 = jnp.concatenate([b3a, b3b], axis=-1)
+        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1")(x, train)
+        bd = BasicConv2d(384, (3, 3), padding=1,
+                         name="branch3x3dbl_2")(bd, train)
+        bda = BasicConv2d(384, (1, 3), padding=(0, 1),
+                          name="branch3x3dbl_3a")(bd, train)
+        bdb = BasicConv2d(384, (3, 1), padding=(1, 0),
+                          name="branch3x3dbl_3b")(bd, train)
+        bd = jnp.concatenate([bda, bdb], axis=-1)
+        bp = BasicConv2d(192, (1, 1),
+                         name="branch_pool")(_avg_pool_3(x), train)
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionAux(nn.Module):
+    num_classes: int
+    skip_conv0: bool = False
+    conv1_in_override: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.avg_pool(x, (5, 5), strides=(3, 3))
+        if not self.skip_conv0:
+            x = BasicConv2d(128, (1, 1), name="conv0")(x, train)
+        if self.conv1_in_override:
+            x = nn.Conv(768, (1, 1), name="conv1_override")(x)
+        else:
+            x = BasicConv2d(768, (5, 5), name="conv1")(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.num_classes, name="fc")(x)
+
+
+class InceptionV3ClassifierHead(nn.Module):
+    """Inception-V3 with aux logits, cut at ``cut_position`` with
+    replication pre-padding to the stage's native spatial size
+    (reference _classifiers.py:120-204)."""
+
+    channels_org: int = 3
+    channels_bn: int = 768
+    cut_position: Optional[int] = 6
+    patch_size: int = 128
+    compression_level: int = 4
+    num_classes: int = 1000
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_channels = [32, 64, 192, 768, 1280, 2048]
+        in_shapes = [299, 149, 73, 35, 17, 8, 1]
+        bn_shape = x.shape[1]
+
+        cut = self.cut_position
+        if cut is None:
+            cut = int(np.argmin([abs(s - self.patch_size
+                                     // 2 ** self.compression_level)
+                                 for s in in_shapes]))
+
+        pad_lt = max(0, (in_shapes[cut] - bn_shape) // 2)
+        pad_rb = max(0, in_shapes[cut] - bn_shape - pad_lt)
+        if pad_lt > 0 or pad_rb > 0:
+            x = jnp.pad(x, ((0, 0), (pad_lt, pad_rb), (pad_lt, pad_rb),
+                            (0, 0)), mode="edge")
+
+        if cut > 0:
+            x = nn.Conv(out_channels[cut - 1], (1, 1), use_bias=False,
+                        name="Conv2d_1a_1x1")(x)
+        else:
+            x = BasicConv2d(32, (3, 3), strides=(2, 2),
+                            name="Conv2d_1a_3x3")(x, train)
+
+        if cut <= 1:
+            x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x, train)
+            x = BasicConv2d(64, (3, 3), padding=1,
+                            name="Conv2d_2b_3x3")(x, train)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        if cut <= 2:
+            x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x, train)
+            x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x, train)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        if cut <= 3:
+            x = InceptionA(32, name="Mixed_5b")(x, train)
+            x = InceptionA(64, name="Mixed_5c")(x, train)
+            x = InceptionA(64, name="Mixed_5d")(x, train)
+            x = InceptionB(name="Mixed_6a")(x, train)
+        if cut <= 4:
+            x = InceptionC(128, name="Mixed_6b")(x, train)
+            x = InceptionC(160, name="Mixed_6c")(x, train)
+            x = InceptionC(160, name="Mixed_6d")(x, train)
+            x = InceptionC(192, name="Mixed_6e")(x, train)
+
+        aux = None
+        if train or True:  # aux computed like the reference's _forward
+            aux = InceptionAux(self.num_classes, skip_conv0=cut > 4,
+                               conv1_in_override=cut > 4,
+                               name="AuxLogits")(x, train)
+        if cut <= 4:
+            x = InceptionD(name="Mixed_7a")(x, train)
+        if cut <= 5:
+            x = InceptionE(name="Mixed_7b")(x, train)
+            x = InceptionE(name="Mixed_7c")(x, train)
+
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        pred = nn.Dense(self.num_classes, name="fc")(x)
+        return pred, aux
+
+
+CLASS_MODELS = {
+    "ViT": ViTClassifierHead,
+    "ResNet": ResNetClassifierHead,
+    "InceptionV3": InceptionV3ClassifierHead,
+}
+
+
+def classifier_from_state_dict(checkpoint, train: bool = False, **_):
+    """Build a classifier head (module def + variables) from a checkpoint."""
+    del train
+    from ..training.checkpoint import load_checkpoint
+    state = load_checkpoint(checkpoint)
+    assert state.get("class_model_type") in CLASS_MODELS
+    module = CLASS_MODELS[state["class_model_type"]](
+        channels_org=state.get("channels_org", 3),
+        channels_bn=state.get("channels_bn", 768),
+        cut_position=state.get("cut_position"),
+        patch_size=state.get("patch_size", 128),
+        compression_level=state.get("compression_level", 4),
+        num_classes=state.get("num_classes", 1000) or 1000,
+        dropout=state.get("dropout", 0.0) or 0.0)
+    return module, state.get("class_model")

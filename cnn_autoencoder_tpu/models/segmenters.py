@@ -1,0 +1,227 @@
+"""Segmentation heads: UNet (full or decoder-only) and JNet.
+
+Flax re-implementation of reference src/models/tasks/_segmenters.py:
+``UNet`` with its own analysis track + concat skip connections, and ``JNet``
+— a decoder-only U-Net whose bottleneck ingests the CAE latent through a 1x1
+conv and whose skips come from the CAE decoder's bridge features ``fx_brg``.
+GroupNorm(num_groups == channels) replaces batch norm exactly as in the
+reference.  NHWC throughout.
+"""
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def _gn(x, use_norm: bool, name: str):
+    if not use_norm:
+        return x
+    return nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5, name=name)(x)
+
+
+class ProjectionUnit(nn.Module):
+    """Bridge projection: GN + ReLU + conv3x3 + GN + ReLU
+    (reference _segmenters.py:6-38)."""
+
+    channels_out: int
+    kernel_size: int = 3
+    batch_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fx = _gn(x, self.batch_norm, "bn1")
+        fx = nn.relu(fx)
+        fx = nn.Conv(self.channels_out, (self.kernel_size,) * 2,
+                     padding=self.kernel_size // 2, use_bias=False,
+                     name="c2")(fx)
+        fx = _gn(fx, self.batch_norm, "bn2")
+        return nn.relu(fx)
+
+
+class SegDownsamplingUnit(nn.Module):
+    channels_out: int
+    kernel_size: int = 3
+    batch_norm: bool = True
+    downsample: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.downsample:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        fx = nn.Conv(self.channels_out, (self.kernel_size,) * 2,
+                     padding=self.kernel_size // 2, use_bias=False,
+                     name="c1")(x)
+        fx = _gn(fx, self.batch_norm, "bn1")
+        fx = nn.relu(fx)
+        fx = nn.Conv(self.channels_out, (self.kernel_size,) * 2,
+                     padding=self.kernel_size // 2, use_bias=False,
+                     name="c2")(fx)
+        fx = _gn(fx, self.batch_norm, "bn2")
+        return nn.relu(fx)
+
+
+class SegUpsamplingUnit(nn.Module):
+    channels_unit: int
+    channels_out: int
+    kernel_size: int = 3
+    batch_norm: bool = True
+    upsample: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fx = nn.Conv(self.channels_unit, (self.kernel_size,) * 2,
+                     padding=self.kernel_size // 2, use_bias=False,
+                     name="c1")(x)
+        fx = _gn(fx, self.batch_norm, "bn1")
+        fx = nn.relu(fx)
+        fx = nn.Conv(self.channels_unit, (self.kernel_size,) * 2,
+                     padding=self.kernel_size // 2, use_bias=False,
+                     name="c2")(fx)
+        fx = _gn(fx, self.batch_norm, "bn2")
+        fx = nn.relu(fx)
+        if self.upsample:
+            fx = nn.ConvTranspose(self.channels_out, (2, 2), strides=(2, 2),
+                                  name="up")(fx)
+        return fx
+
+
+class BottleneckUnit(nn.Module):
+    channels_out: int
+    channels_up: int
+    kernel_size: int = 3
+    batch_norm: bool = True
+    downsample: bool = True
+    conv1_kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        if self.downsample:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        fx = nn.Conv(self.channels_out, (self.conv1_kernel,) * 2,
+                     padding=self.conv1_kernel // 2, use_bias=False,
+                     name="c1")(x)
+        fx = _gn(fx, self.batch_norm, "bn1")
+        fx = nn.relu(fx)
+        fx = nn.Conv(self.channels_out, (self.kernel_size,) * 2,
+                     padding=self.kernel_size // 2, use_bias=False,
+                     name="c2")(fx)
+        fx = _gn(fx, self.batch_norm, "bn2")
+        fx = nn.relu(fx)
+        return nn.ConvTranspose(self.channels_up, (2, 2), strides=(2, 2),
+                                name="up")(fx)
+
+
+class UNet(nn.Module):
+    """U-Net with optional own analysis track + concat bridges
+    (reference _segmenters.py:185-304)."""
+
+    channels_org: int = 3
+    channels_net: int = 64
+    channels_bn: int = 320
+    seg_channels_net: int = 64
+    seg_channels_bn: int = 1024
+    seg_channels_expansion: int = 2
+    channels_expansion: int = 1
+    compression_level: int = 4
+    num_classes: int = 1
+    use_analysis_track: bool = True
+    concat_bridges: bool = True
+    batch_norm: bool = True
+    bottleneck_from_latent: bool = False  # JNet: 1x1 conv, no pooling
+
+    @nn.compact
+    def __call__(self, x, fx_brg: Optional[List[Any]] = None,
+                 train: bool = False):
+        level = self.compression_level
+        snet, sexp = self.seg_channels_net, self.seg_channels_expansion
+
+        if self.use_analysis_track:
+            fx = x
+            fx_brg = []
+            ch_out_list = [int(snet * sexp ** c) for c in range(level)]
+            for i, ch_out in enumerate(ch_out_list):
+                fx = SegDownsamplingUnit(
+                    ch_out, batch_norm=self.batch_norm, downsample=i > 0,
+                    name=f"analysis_{i}")(fx)
+                fx_brg.insert(0, fx)
+            decoder_channels = [None] * level
+        else:
+            fx = x
+            decoder_channels = [self.channels_net
+                                * self.channels_expansion ** c
+                                for c in range(level - 1)]
+            decoder_channels += [self.channels_org]
+
+        fx = BottleneckUnit(
+            self.seg_channels_bn,
+            int(snet * sexp ** (level - 1)),
+            batch_norm=self.batch_norm,
+            downsample=not self.bottleneck_from_latent,
+            conv1_kernel=1 if self.bottleneck_from_latent else 3,
+            name="bottleneck")(fx)
+
+        ch_in_list = [int(snet * sexp ** c) for c in reversed(range(level))]
+        ch_out_list = [int(snet * sexp ** (c - 1))
+                       for c in reversed(range(level))]
+
+        for i, (dch, ch_in, ch_out) in enumerate(
+                zip(decoder_channels, ch_in_list, ch_out_list)):
+            if self.concat_bridges:
+                brg = fx_brg[i]
+                if dch is not None:
+                    brg = ProjectionUnit(ch_in, batch_norm=self.batch_norm,
+                                         name=f"bridge_proj_{i}")(brg)
+                fx = jnp.concatenate([brg, fx], axis=-1)
+            fx = SegUpsamplingUnit(
+                ch_in, ch_out, batch_norm=self.batch_norm,
+                upsample=i < level - 1, name=f"synthesis_{i}")(fx)
+
+        y = nn.Conv(self.num_classes, (1, 1), name="fc")(fx)
+        return y, None
+
+
+def JNet(channels_org=3, channels_net=64, channels_bn=320,
+         seg_channels_net=64, seg_channels_bn=1024,
+         seg_channels_expansion=2, channels_expansion=1,
+         compression_level=4, num_classes=1, concat_bridges=False,
+         batch_norm=True, **kwargs) -> UNet:
+    """Decoder-only U-Net over the CAE latent (reference
+    _segmenters.py:307-328): bottleneck = 1x1 conv from ``channels_bn``,
+    skips from the CAE decoder's ``fx_brg``."""
+    return UNet(channels_org=channels_org, channels_net=channels_net,
+                channels_bn=channels_bn, seg_channels_net=seg_channels_net,
+                seg_channels_bn=seg_channels_bn,
+                seg_channels_expansion=seg_channels_expansion,
+                channels_expansion=channels_expansion,
+                compression_level=compression_level,
+                num_classes=num_classes, use_analysis_track=False,
+                concat_bridges=concat_bridges, batch_norm=batch_norm,
+                bottleneck_from_latent=True)
+
+
+SEG_MODELS = {
+    "UNet": lambda **kw: UNet(**{k: v for k, v in kw.items()
+                                 if k in UNet.__dataclass_fields__}),
+    "JNet": JNet,
+}
+
+
+def segmenter_from_state_dict(checkpoint, train: bool = False, **_):
+    del train
+    from ..training.checkpoint import load_checkpoint
+    state = load_checkpoint(checkpoint)
+    seg_type = state.get("seg_model_type") or state.get("segment_model_type")
+    assert seg_type in SEG_MODELS
+    module = SEG_MODELS[seg_type](
+        channels_org=state.get("channels_org", 3),
+        channels_net=state.get("channels_net", 64),
+        channels_bn=state.get("channels_bn", 320),
+        seg_channels_net=state.get("seg_channels_net", 64),
+        seg_channels_bn=state.get("seg_channels_bn", 1024),
+        seg_channels_expansion=state.get("seg_channels_expansion", 2),
+        channels_expansion=state.get("channels_expansion", 1),
+        compression_level=state.get("compression_level", 4),
+        num_classes=state.get("num_classes", 1) or 1,
+        batch_norm=bool(state.get("batch_norm", True)))
+    return module, state.get("seg_model")

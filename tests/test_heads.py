@@ -1,0 +1,98 @@
+"""Classifier and segmentation heads: shapes, cut positions, task composition."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.models.classifiers import (InceptionV3ClassifierHead,
+                                                    ResNetClassifierHead,
+                                                    ViTClassifierHead)
+from cnn_autoencoder_tpu.models.segmenters import SEG_MODELS, UNet, JNet
+
+
+def test_vit_head_on_latent():
+    mod = ViTClassifierHead(channels_bn=16, cut_position=6, patch_size=64,
+                            compression_level=2, num_classes=10)
+    y_q = jnp.zeros((2, 16, 16, 16))
+    params = mod.init(jax.random.PRNGKey(0), y_q)
+    pred, aux = mod.apply(params, y_q)
+    assert pred.shape == (2, 10) and aux is None
+
+
+def test_vit_head_on_pixels():
+    mod = ViTClassifierHead(cut_position=0, patch_size=64, num_classes=5)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    pred, _ = mod.apply(params, x)
+    assert pred.shape == (1, 5)
+
+
+@pytest.mark.parametrize("cut", [0, 1, 3])
+def test_resnet_head(cut):
+    mod = ResNetClassifierHead(channels_bn=16, cut_position=cut,
+                               patch_size=64, compression_level=2,
+                               num_classes=7, layers=(1, 1, 1, 1))
+    x = jnp.zeros((1, 16, 16, 16) if cut > 0 else (1, 64, 64, 3))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    pred, aux = mod.apply(params, x)
+    assert pred.shape == (1, 7) and aux is None
+
+
+@pytest.mark.parametrize("cut", [3, 4, 5])
+def test_inception_head_on_latent(cut):
+    mod = InceptionV3ClassifierHead(channels_bn=16, cut_position=cut,
+                                    patch_size=64, compression_level=2,
+                                    num_classes=6)
+    y_q = jnp.zeros((1, 16, 16, 16))
+    variables = mod.init(jax.random.PRNGKey(0), y_q)
+    pred, aux = mod.apply(variables, y_q)
+    assert pred.shape == (1, 6)
+    assert aux is not None and aux.shape == (1, 6)
+
+
+def test_unet_full():
+    mod = UNet(channels_org=3, seg_channels_net=8, seg_channels_bn=32,
+               seg_channels_expansion=2, compression_level=3, num_classes=2)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    pred, _ = mod.apply(params, x)
+    assert pred.shape == (1, 32, 32, 2)
+
+
+def test_jnet_from_latent_and_bridges():
+    level = 3
+    mod = JNet(channels_org=3, channels_net=8, channels_bn=16,
+               seg_channels_net=8, seg_channels_bn=32,
+               seg_channels_expansion=2, compression_level=level,
+               num_classes=2, concat_bridges=True)
+    y_q = jnp.zeros((1, 4, 4, 16))
+    # bridge features from a CAE decoder: coarse -> fine, channels [8,8,3]
+    fx_brg = [jnp.zeros((1, 8, 8, 8)), jnp.zeros((1, 16, 16, 8)),
+              jnp.zeros((1, 32, 32, 3))]
+    params = mod.init(jax.random.PRNGKey(0), y_q, fx_brg=fx_brg)
+    pred, _ = mod.apply(params, y_q, fx_brg=fx_brg)
+    assert pred.shape == (1, 32, 32, 2)
+
+
+def test_full_task_composition_with_heads():
+    """encoder -> fact_ent -> decoder + classifier + segmenter in one forward."""
+    from cnn_autoencoder_tpu.models.factory import build_model
+    from cnn_autoencoder_tpu.models.tasks import make_forward_fn
+
+    model = build_model(
+        jax.random.PRNGKey(0), input_size=(32, 32), channels_org=3,
+        channels_net=8, channels_bn=16, compression_level=2, K=4, r=3,
+        act_layer_type="GDN", class_model_type="ViT", cut_position=6,
+        num_classes=4, patch_size=32, seg_model_type="JNet",
+        seg_channels_net=8, seg_channels_bn=32, seg_channels_expansion=2)
+    assert set(model.modules) == {"encoder", "decoder", "fact_ent",
+                                  "class_model", "seg_model"}
+
+    forward = make_forward_fn(model.modules)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    outputs, _ = forward(model.variables, x)
+    assert outputs["t_pred"].shape == (2, 4)
+    assert outputs["s_pred"].shape[0] == 2
+    assert outputs["x_r"][0].shape == (2, 32, 32, 3)
