@@ -33,12 +33,12 @@ def decompress_image(input_filename, output_filename,
     compressor = Blosc(cname="zlib", clevel=9, shuffle=2)
     fn, rois = parse_roi(input_filename, ".zarr")
 
+    if not data_group:
+        data_group = "0/0"
+
     src_root = zarrlib.open(fn, mode="r")
     z_arr = src_root[data_group] if isinstance(src_root, zarrlib.Group) \
         else src_root
-
-    if not data_group:
-        data_group = "0/0"
     component = ("%s/%s" % (decomp_group, data_group) if decomp_group
                  else data_group)
     comp_pyr = "/".join(component.split("/")[:-1])

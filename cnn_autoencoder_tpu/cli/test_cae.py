@@ -1,0 +1,174 @@
+"""RD evaluation harness (reference src/test_cae.py equivalent).
+
+Per input image: compress -> decompress round trip (timed), then RMSE, bpp
+(from stored zarr bytes), SSIM, MS-SSIM, PSNR and delta-E CIELAB; aggregates
+avg/std/med/min/max and writes ``metrics_stats_{seed}_CAE_{id}.pth`` in the
+same torch.save schema the reference's dump/compare scripts consume.
+
+Note: the reference's version of this harness had bit-rotted against its own
+compress/decompress APIs (reference test_cae.py:102,113,118); this one is
+wired to the live pipeline.
+"""
+
+import logging
+import math
+import os
+import shutil
+from time import perf_counter
+
+import numpy as np
+
+import jax
+
+from ..data.datautils import get_filenames
+from ..ops.msssim import ms_ssim
+from ..storage import zarr as zarrlib
+from ..utils import loggers
+from ..utils.args import get_args
+from ..utils.metrics import (compute_delta_cielab, compute_psnr, compute_rmse,
+                             structural_similarity)
+
+
+def compute_ms_ssim(x=None, x_r=None, **kwargs):
+    import jax.numpy as jnp
+    try:
+        val = ms_ssim(jnp.asarray(x_r, jnp.float32)[None],
+                      jnp.asarray(x, jnp.float32)[None], data_range=255)
+    except AssertionError:
+        # image too small for the 5-level pyramid; report NaN like a
+        # missing metric rather than aborting the sweep
+        return float("nan"), None
+    return float(val), None
+
+
+def compute_rate(x=None, y_q_ptr=None, **kwargs):
+    return 8 * float(y_q_ptr.nbytes_stored) / float(np.prod(x.shape[:-1])), \
+        None
+
+
+METRIC_FUN = {
+    "dist": lambda x=None, x_r=None, **kw: (compute_rmse(x, x_r), None),
+    "rate": compute_rate,
+    "ms-ssim": compute_ms_ssim,
+    "ssim": lambda x=None, x_r=None, **kw: (
+        structural_similarity(x, x_r, channel_axis=2), None),
+    "psnr": lambda x=None, x_r=None, **kw: (compute_psnr(x, x_r), None),
+    "delta_cielab": lambda x=None, x_r=None, **kw: (
+        compute_delta_cielab(x, x_r), None),
+}
+
+
+def test_image(checkpoint, input_filename, patch_size=512,
+               source_format="zarr", data_group="0/0", data_axes="TCZYX",
+               gpu=False, progress_bar=False,
+               temp_output_filename="./temp.zarr", core=None):
+    from .compress import compress_image
+    from .decompress import decompress_image
+
+    if not data_group:
+        data_group = "0/0"
+
+    e_time = perf_counter()
+    compress_image(codec="CAE", checkpoint=checkpoint,
+                   input_filename=input_filename,
+                   output_filename=temp_output_filename,
+                   patch_size=patch_size, source_format=source_format,
+                   data_group=data_group, data_axes=data_axes,
+                   progress_bar=progress_bar, gpu=gpu, core=core)
+    decompress_image(input_filename=temp_output_filename,
+                     output_filename=temp_output_filename,
+                     destination_format="zarr", data_group=data_group,
+                     decomp_group="decompressed",
+                     progress_bar=progress_bar)
+    e_time = perf_counter() - e_time
+
+    from .compress import _load_yxc
+    _, x = _load_yxc(input_filename, source_format, data_group, data_axes)
+
+    z = zarrlib.open(temp_output_filename, mode="r")
+    comp_pyr = "/".join(("decompressed/" + data_group).split("/")[:-1])
+    x_r = z[comp_pyr + "/0"][...]
+
+    x = np.squeeze(x).astype(np.float64)
+    x_r = np.squeeze(x_r).astype(np.float64)
+
+    all_metrics = {}
+    all_extra = {}
+    eval_time = perf_counter()
+    for m_k, fun in METRIC_FUN.items():
+        t0 = perf_counter()
+        score, extra = fun(x=x, x_r=x_r, y_q_ptr=z[data_group])
+        all_metrics[m_k + "_time"] = perf_counter() - t0
+        if extra is not None:
+            all_extra.update(extra)
+        all_metrics[m_k] = score if score >= 0.0 else np.nan  # nan stays nan
+    eval_time = perf_counter() - eval_time
+
+    all_metrics["execution_time"] = e_time
+    all_metrics["evaluation_time"] = eval_time
+    all_metrics.update(all_extra)
+    return all_metrics
+
+
+def test_cae(args):
+    """RD eval over all inputs (reference test_cae.py:167-234)."""
+    logger = logging.getLogger(args.mode + "_log")
+
+    input_fn_list = get_filenames(args.data_dir, args.source_format,
+                                  data_mode="all")
+
+    all_metrics_stats = {m_k: [] for m_k in METRIC_FUN}
+    all_metrics_stats["execution_time"] = []
+    all_metrics_stats["evaluation_time"] = []
+
+    output_dir = args.output_dir
+    if isinstance(output_dir, list):
+        output_dir = output_dir[0]
+    if not output_dir.lower().endswith(".zarr"):
+        output_dir += ".zarr"
+
+    core = None
+    if args.checkpoint:
+        from ..models.factory import autoencoder_from_state_dict
+        from ..storage.cae_codec import CAECodecCore
+        core = CAECodecCore(autoencoder_from_state_dict(args.checkpoint))
+
+    for i, in_fn in enumerate(input_fn_list):
+        all_metrics = test_image(
+            checkpoint=args.checkpoint, input_filename=in_fn,
+            patch_size=args.patch_size, source_format=args.source_format,
+            data_axes=args.data_axes, data_group=args.data_group,
+            temp_output_filename=output_dir, gpu=args.gpu, core=core)
+
+        avg_str = ""
+        for m_k in all_metrics_stats:
+            all_metrics_stats[m_k].append(all_metrics[m_k])
+            avg_str += "%s=%0.5f " % (m_k, np.nanmean(all_metrics[m_k]))
+        logger.debug("\t[{:05d}/{:05d}] Test metrics {}".format(
+            i + 1, len(input_fn_list), avg_str))
+
+    for m_k in list(all_metrics_stats.keys()):
+        vals = all_metrics_stats[m_k]
+        all_metrics_stats[m_k + "_stats"] = dict(
+            avg=float(np.nanmean(vals)), std=float(np.nanstd(vals)),
+            med=float(np.nanmedian(vals)), min=float(np.nanmin(vals)),
+            max=float(np.nanmax(vals)))
+        logger.debug("==== Test metrics %s=%0.4f (+-%0.4f)"
+                     % (m_k, np.nanmean(vals), np.nanstd(vals)))
+
+    all_metrics_stats["codec"] = "CAE"
+    all_metrics_stats["seed"] = args.seed
+
+    # torch.save keeps the stats files interchangeable with the reference's
+    # dump/compare scripts (reference test_cae.py:231-234)
+    import torch
+    torch.save(all_metrics_stats,
+               os.path.join(args.log_dir, "metrics_stats_%s_CAE_%s.pth"
+                            % (args.seed, args.log_identifier)))
+    return all_metrics_stats
+
+
+if __name__ == "__main__":
+    args = get_args(task="autoencoder", mode="test")
+    loggers.setup_logger(args)
+    test_cae(args)

@@ -1,0 +1,217 @@
+"""Classifier/segmenter evaluation harness
+(reference src/test_cae_classifier.py equivalent).
+
+Runs inference over a test queue, stores inputs/targets/scores/classes/top-k
+into a zarr results tree (``output{id}.zarr`` with groups ``input/ target/
+scores/ class/ topk/``), optionally crops per connected component, then
+computes out-of-core metrics + ROC curves from the stored tree.
+
+Layout note: predictions are stored channel-last (NHWC) — this framework's
+native layout — rather than the reference's NCHW.
+"""
+
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.datautils import get_data
+from ..models.tasks import make_forward_fn
+from ..storage import zarr as zarrlib
+from ..storage.codecs import Blosc
+from ..utils import loggers
+from ..utils.args import get_args
+from ..utils.metrics import (compute_class_metrics_streaming,
+                             compute_metrics_per_image, compute_roc_curve)
+
+
+def _softmax(x, axis=-1):
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _save_array(z_grp, name, data, chunks=None):
+    compressor = Blosc(cname="zlib", clevel=9, shuffle=2)
+    data = np.asarray(data)
+    z_grp.create_dataset(name, shape=data.shape,
+                         chunks=chunks or data.shape, dtype=data.dtype,
+                         compressor=compressor, overwrite=True)[...] = data
+
+
+def save_pred2zarr(save_filename, im_id, x, target, pred, seg_threshold,
+                   batch_size, patch_size, num_classes,
+                   compute_components_metrics, top_k=5, save_input=False):
+    """Store one batch of predictions (reference :21-157); NHWC layout."""
+    top_k = min(top_k, num_classes)
+    dense = pred.ndim == 4
+
+    if dense:
+        if target.ndim == 4 and target.shape[-1] > 1 and num_classes == 1:
+            target = target[..., 1:]
+    else:
+        target = np.asarray(target).reshape(-1, 1)
+        pred = np.asarray(pred).reshape(-1, num_classes)
+
+    if num_classes > 1:
+        pred_scores = _softmax(pred, axis=-1)
+        pred_class = np.argmax(pred, axis=-1)[..., None]
+        pred_class_top = np.argsort(pred, axis=-1)[..., -top_k:]
+    else:
+        pred_scores = 1.0 / (1.0 + np.exp(-pred))
+        pred_class = (pred_scores > seg_threshold)
+        pred_class_top = None
+
+    z_grp = zarrlib.Group.create(save_filename)
+    if save_input:
+        _save_array(z_grp, "input/%i/0" % im_id,
+                    np.clip(np.asarray(x) * 255, 0, 255).astype(np.uint8))
+    _save_array(z_grp, "target/%i/0" % im_id, np.asarray(target))
+    _save_array(z_grp, "scores/%i/0" % im_id,
+                pred_scores.astype(np.float32))
+    _save_array(z_grp, "class/%i/0" % im_id, pred_class.astype(np.uint8))
+    if pred_class_top is not None:
+        _save_array(z_grp, "topk/%i/0" % im_id,
+                    pred_class_top.astype(np.int32))
+
+    if compute_components_metrics and dense:
+        from scipy import ndimage
+        t2d = np.asarray(target)[..., 0] if target.ndim == 4 else target
+        labels, n_objs = ndimage.label(t2d, structure=np.ones((3,) * t2d.ndim))
+        h, w = target.shape[1:3]
+        for k in range(1, n_objs + 1):
+            coords = np.nonzero(labels == k)
+            cc_y, cc_x = coords[-2], coords[-1]
+            box = (slice(None),
+                   slice(max(0, cc_y.min() - 1), min(h, cc_y.max() + 2)),
+                   slice(max(0, cc_x.min() - 1), min(w, cc_x.max() + 2)),
+                   slice(None))
+            _save_array(z_grp, "target/%i/%i" % (im_id, k),
+                        np.asarray(target)[box])
+            _save_array(z_grp, "scores/%i/%i" % (im_id, k),
+                        pred_scores[box].astype(np.float32))
+            _save_array(z_grp, "class/%i/%i" % (im_id, k),
+                        pred_class[box].astype(np.uint8))
+            if save_input:
+                _save_array(z_grp, "input/%i/%i" % (im_id, k),
+                            np.clip(np.asarray(x)[box] * 255, 0,
+                                    255).astype(np.uint8))
+
+
+def infer(model, test_data, args):
+    """Store predictions for the whole test queue (reference :160-230)."""
+    logger = logging.getLogger(args.mode + "_log")
+    forward = make_forward_fn(model.modules)
+
+    @jax.jit
+    def forward_step(variables, x):
+        outputs, _ = forward(variables, x, train=False)
+        return (outputs["t_pred"] if outputs["t_pred"] is not None
+                else outputs["s_pred"])
+
+    save_filename = os.path.join(args.log_dir,
+                                 f"output{args.log_identifier}.zarr")
+    for i, (x, t) in enumerate(test_data):
+        pred = np.asarray(forward_step(model.variables, jnp.asarray(x)))
+        save_pred2zarr(save_filename, i, x, t, pred, args.seg_threshold,
+                       args.batch_size, args.patch_size, args.num_classes,
+                       args.compute_components_metrics, top_k=5,
+                       save_input=args.save_input)
+
+        if (i % max(1, int(len(test_data) * 0.1))) == 0:
+            metrics = compute_metrics_per_image(
+                pred, t, top_k=5, seg_threshold=args.seg_threshold,
+                num_classes=args.num_classes)
+            log_str = "Test metrics" + "".join(
+                " {}:{:.3f}".format(k, np.nanmean(m))
+                for k, m in metrics.items())
+            logger.info(log_str)
+    return True
+
+
+def _roc_to_zarr(pred_scores, target, component, args):
+    fpr, tpr, thrsh, roc_auc = compute_roc_curve(pred_scores, target)
+    save_filename = os.path.join(args.log_dir,
+                                 f"output{args.log_identifier}.zarr")
+    z_grp = zarrlib.Group.create(save_filename)
+    _save_array(z_grp, component + "/tpr", tpr)
+    _save_array(z_grp, component + "/fpr", fpr)
+    _save_array(z_grp, component + "/thrsh", thrsh)
+    return roc_auc
+
+
+def compute_metrics(args, object_level: bool = False):
+    """Out-of-core metrics over the stored prediction tree
+    (reference :267-373)."""
+    logger = logging.getLogger(args.mode + "_log")
+    type_level = "object_level" if object_level else "image_level"
+
+    path = os.path.join(args.log_dir, f"output{args.log_identifier}.zarr")
+    z = zarrlib.open(path, mode="r")
+
+    chunk_pairs = []
+    top_chunks = [] if "topk" in z else None
+    score_parts, target_parts = [], []
+
+    for i in z["target"].keys():
+        keys = (sorted(set(z["target"][i].keys()) - {"0"}) if object_level
+                else ["0"])
+        for k in keys:
+            pred_class = z["class"][i][k][...].reshape(-1)
+            target = z["target"][i][k][...]
+            tgt_flat = target.reshape(-1) if args.num_classes == 1 \
+                else target.reshape(-1)
+            chunk_pairs.append((pred_class, tgt_flat))
+            if top_chunks is not None and k in z["topk"][i]:
+                topk = z["topk"][i][k][...]
+                top_chunks.append(topk.reshape(-1, topk.shape[-1]))
+            if args.num_classes == 1:
+                score_parts.append(z["scores"][i][k][...].reshape(-1))
+                target_parts.append(tgt_flat)
+
+    metrics = compute_class_metrics_streaming(
+        chunk_pairs, args.num_classes, pred_class_top_chunks=top_chunks)
+
+    if args.num_classes == 1 and score_parts:
+        metrics["auc"] = _roc_to_zarr(np.concatenate(score_parts),
+                                      np.concatenate(target_parts) > 0.5,
+                                      type_level, args)
+
+    log_str = "Test metrics at " + type_level + "".join(
+        " {}:{:.3f}".format(m, v) for m, v in metrics.items())
+    logger.info(log_str)
+    return metrics
+
+
+def test(args):
+    """Entry point (reference :376-405)."""
+    logger = logging.getLogger(args.mode + "_log")
+    args.criterion = "CE"
+
+    out = get_data(args)
+    test_data, num_classes = out if len(out) == 2 else (out[0], out[2])
+    args.num_classes = num_classes
+
+    from .train_cae import setup_network
+    model = setup_network(args, train=False)
+
+    logger.info("Network modules: %s" % list(model.modules))
+
+    if not args.metrics_only:
+        infer(model, test_data, args)
+
+    metrics = compute_metrics(args, object_level=False)
+    if args.compute_components_metrics:
+        compute_metrics(args, object_level=True)
+    return metrics
+
+
+if __name__ == "__main__":
+    args = get_args(task="autoencoder", mode="test")
+    loggers.setup_logger(args)
+    test(args)
+    logging.shutdown()

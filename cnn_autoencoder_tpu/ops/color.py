@@ -1,0 +1,52 @@
+"""Color-space conversions and color-difference metrics (numpy).
+
+Replaces the skimage functions the reference's RD harness uses
+(reference src/test_cae.py:5,21-44): sRGB -> CIELAB (D65 reference white)
+and the CIE76 delta-E.  Matches skimage's conventions: uint8 inputs are
+scaled to [0, 1]; linearization uses the standard sRGB transfer curve.
+"""
+
+import numpy as np
+
+# sRGB -> XYZ (D65) matrix
+_RGB2XYZ = np.asarray([
+    [0.412453, 0.357580, 0.180423],
+    [0.212671, 0.715160, 0.072169],
+    [0.019334, 0.119193, 0.950227],
+], np.float64)
+
+# D65 reference white
+_WHITE = np.asarray([0.95047, 1.0, 1.08883], np.float64)
+
+
+def _srgb_to_linear(rgb):
+    rgb = np.asarray(rgb, np.float64)
+    return np.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4,
+                    rgb / 12.92)
+
+
+def rgb2xyz(rgb):
+    if rgb.dtype == np.uint8:
+        rgb = rgb.astype(np.float64) / 255.0
+    linear = _srgb_to_linear(rgb)
+    return linear @ _RGB2XYZ.T
+
+
+def rgb2lab(rgb):
+    """sRGB (HWC, uint8 or [0,1] float) -> CIELAB."""
+    xyz = rgb2xyz(np.asarray(rgb)) / _WHITE
+    eps = 0.008856451679035631   # (6/29)^3
+    kappa = 903.2962962962963    # (29/3)^3
+
+    f = np.where(xyz > eps, np.cbrt(xyz), (kappa * xyz + 16.0) / 116.0)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    lab = np.stack([116.0 * fy - 16.0,
+                    500.0 * (fx - fy),
+                    200.0 * (fy - fz)], axis=-1)
+    return lab
+
+
+def deltaE_cie76(lab1, lab2):
+    """Euclidean distance in CIELAB (CIE76)."""
+    return np.sqrt(np.sum((np.asarray(lab1, np.float64)
+                           - np.asarray(lab2, np.float64)) ** 2, axis=-1))

@@ -1,0 +1,107 @@
+"""Eval harness integration tests: RD round-trip metrics + classifier eval."""
+
+import gzip
+import os
+import struct
+
+import numpy as np
+import pytest
+
+import jax
+
+from cnn_autoencoder_tpu.utils.args import get_args
+
+
+def _fit_quantiles(model, steps=200):
+    import jax.numpy as jnp
+    from cnn_autoencoder_tpu.models.entropy import aux_loss_fn
+    p = model.variables["fact_ent"]["params"]
+    g = jax.jit(jax.grad(lambda q, pp: aux_loss_fn({**pp, "quantiles": q},
+                                                   4)))
+    q = p["quantiles"]
+    for _ in range(steps):
+        q = q - 0.1 * g(q, p)
+    model.variables["fact_ent"]["params"] = {**p, "quantiles": q}
+    return model
+
+
+def test_test_cae_harness(tmp_path):
+    from PIL import Image
+
+    from cnn_autoencoder_tpu.cli.test_cae import test_cae
+    from cnn_autoencoder_tpu.models.factory import build_model
+    from cnn_autoencoder_tpu.training.checkpoint import save_checkpoint
+
+    model = _fit_quantiles(build_model(
+        jax.random.PRNGKey(0), input_size=(32, 32), channels_org=3,
+        channels_net=8, channels_bn=16, compression_level=2, K=4, r=3,
+        act_layer_type="GDN"))
+    chk = dict(model.config)
+    chk.update(model.variables)
+    chk_path = str(tmp_path / "model.msgpack")
+    save_checkpoint(chk_path, chk)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        yy, xx = np.mgrid[0:176, 0:192]
+        img = np.clip((np.sin(yy / 7) + np.cos(xx / 5))[:, :, None] * 50
+                      + 128 + rng.randn(176, 192, 3) * 5, 0,
+                      255).astype(np.uint8)
+        Image.fromarray(img).save(str(img_dir / f"im{i}.png"))
+
+    args = get_args("autoencoder", "test", args_list=[
+        "-dd", str(img_dir), "-o", str(tmp_path / "tmp.zarr"),
+        "-chk", chk_path, "-ps", "32", "-ld", str(tmp_path), "-rs", "1"])
+    args.source_format = ".png"
+    from cnn_autoencoder_tpu.utils.loggers import setup_logger
+    setup_logger(args)
+    stats = test_cae(args)
+
+    for key in ("dist", "rate", "ms-ssim", "ssim", "psnr", "delta_cielab"):
+        assert key + "_stats" in stats
+        assert np.isfinite(stats[key + "_stats"]["avg"]), key
+    assert stats["rate_stats"]["avg"] > 0
+    assert stats["psnr_stats"]["avg"] > 0
+
+    # stats file readable via torch (reference schema)
+    import torch
+    saved = torch.load(str(tmp_path / "metrics_stats_1_CAE_.pth"),
+                       weights_only=False)
+    assert saved["codec"] == "CAE"
+
+
+def test_classifier_harness(tmp_path):
+    """infer + compute_metrics over stored predictions (latent classifier)."""
+    from cnn_autoencoder_tpu.cli.test_cae_classifier import (compute_metrics,
+                                                             infer)
+    from cnn_autoencoder_tpu.models.factory import build_model
+
+    model = build_model(
+        jax.random.PRNGKey(0), input_size=(32, 32), channels_org=1,
+        channels_net=8, channels_bn=16, compression_level=2, K=4, r=3,
+        act_layer_type="GDN", class_model_type="ViT", cut_position=6,
+        num_classes=10, patch_size=32)
+
+    rng = np.random.RandomState(0)
+    test_data = [(rng.rand(4, 32, 32, 1).astype(np.float32),
+                  rng.randint(0, 10, 4).astype(np.int64))
+                 for _ in range(3)]
+
+    args = get_args("autoencoder", "test", args_list=[
+        "-ld", str(tmp_path), "-rs", "1", "-bs", "4", "-ps", "32",
+        "-ncl", "10"])
+    args.num_classes = 10
+    from cnn_autoencoder_tpu.utils.loggers import setup_logger
+    setup_logger(args)
+
+    infer(model, test_data, args)
+
+    from cnn_autoencoder_tpu.storage import zarr as zarrlib
+    z = zarrlib.open(str(tmp_path / "output.zarr"), mode="r")
+    assert "target" in z and "scores" in z and "class" in z and "topk" in z
+
+    metrics = compute_metrics(args, object_level=False)
+    assert 0.0 <= metrics["acc"] <= 1.0
+    assert metrics["p"] == 12

@@ -1,0 +1,94 @@
+"""Metrics library tests: vs closed forms and (where available) torch/PIL."""
+
+import numpy as np
+import pytest
+
+from cnn_autoencoder_tpu.ops.color import deltaE_cie76, rgb2lab
+from cnn_autoencoder_tpu.utils import metrics as M
+
+
+def test_rgb2lab_reference_points():
+    # white -> L=100, a=b=0; black -> L=0
+    white = rgb2lab(np.asarray([[[255, 255, 255]]], np.uint8))
+    np.testing.assert_allclose(white[0, 0], [100.0, 0.0, 0.0], atol=0.01)
+    black = rgb2lab(np.asarray([[[0, 0, 0]]], np.uint8))
+    np.testing.assert_allclose(black[0, 0], [0.0, 0.0, 0.0], atol=0.01)
+    # mid-gray is achromatic
+    gray = rgb2lab(np.asarray([[[128, 128, 128]]], np.uint8))
+    assert abs(gray[0, 0, 1]) < 0.01 and abs(gray[0, 0, 2]) < 0.01
+    # pure red (well-known reference value)
+    red = rgb2lab(np.asarray([[[255, 0, 0]]], np.uint8))
+    np.testing.assert_allclose(red[0, 0], [53.24, 80.09, 67.20], atol=0.1)
+
+
+def test_delta_e():
+    lab1 = np.asarray([[[50.0, 10.0, -10.0]]])
+    lab2 = np.asarray([[[52.0, 13.0, -4.0]]])
+    np.testing.assert_allclose(deltaE_cie76(lab1, lab2)[0, 0],
+                               np.sqrt(4 + 9 + 36))
+
+
+def test_psnr_rmse():
+    x = np.full((8, 8, 3), 100.0)
+    x_r = np.full((8, 8, 3), 110.0)
+    assert M.compute_rmse(x, x_r) == pytest.approx(10.0)
+    assert M.compute_psnr(x, x_r) == pytest.approx(
+        20 * np.log10(255) - 10 * np.log10(100))
+
+
+def test_ssim_identity_and_degradation():
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:32, 0:32]
+    x = ((np.sin(yy / 5.0) + np.cos(xx / 7.0)) * 60 + 128)[:, :, None] \
+        * np.ones((1, 1, 3))
+    assert M.structural_similarity(x, x) == pytest.approx(1.0)
+    noisy = x + rng.randn(32, 32, 3) * 30
+    s = M.structural_similarity(x, noisy, data_range=255)
+    assert 0 < s < 0.9
+
+
+def test_classification_metrics_multiclass():
+    target = np.asarray([0, 1, 2, 1])
+    logits = np.asarray([[5.0, 1, 1], [1, 5, 1], [1, 5, 1], [1, 5, 1]])
+    m = M.compute_metrics_per_image(logits, target, top_k=2, num_classes=3)
+    assert m["acc"] == pytest.approx(0.75)
+    assert m["acc_top"] >= m["acc"]
+    assert m["tp"] == 3
+
+
+def test_classification_metrics_binary_seg():
+    target = np.zeros((1, 8, 8, 1))
+    target[0, :4] = 1
+    logits = np.full((1, 8, 8, 1), -5.0)
+    logits[0, :4] = 5.0
+    m = M.compute_metrics_per_image(logits, target, num_classes=1,
+                                    seg_threshold=0.5)
+    assert m["acc"] == pytest.approx(1.0)
+    assert m["f1"] == pytest.approx(1.0)
+    assert m["auc"] == pytest.approx(1.0)
+
+
+def test_roc_curve_simple():
+    target = np.asarray([0, 0, 1, 1])
+    scores = np.asarray([0.1, 0.4, 0.35, 0.8])
+    fpr, tpr, thr, roc_auc = M.compute_roc_curve(scores, target)
+    assert roc_auc == pytest.approx(0.75)
+    assert fpr[0] == 0 and tpr[-1] == 1
+
+
+def test_streaming_matches_in_memory():
+    rng = np.random.RandomState(1)
+    target = rng.randint(0, 5, 200)
+    pred_class = target.copy()
+    flip = rng.rand(200) < 0.3
+    pred_class[flip] = (pred_class[flip] + 1) % 5
+    m_stream = M.compute_class_metrics_streaming(
+        [(pred_class[:100], target[:100]), (pred_class[100:], target[100:])],
+        num_classes=5)
+    assert m_stream["acc"] == pytest.approx(np.mean(pred_class == target))
+
+
+def test_average_precision_perfect():
+    y = np.asarray([[1, 0], [0, 1]])
+    s = np.asarray([[0.9, 0.1], [0.2, 0.8]])
+    assert M.average_precision_score(y, s) == pytest.approx(1.0)
