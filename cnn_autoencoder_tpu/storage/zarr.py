@@ -210,12 +210,21 @@ class Array:
 
     # -- whole-array / sliced access ---------------------------------------
 
-    def __getitem__(self, key) -> np.ndarray:
-        if key is Ellipsis or key == slice(None):
-            key = tuple(slice(None) for _ in self.shape)
+    def _expand_key(self, key):
+        if key is Ellipsis or (isinstance(key, slice)
+                               and key == slice(None)):
+            return tuple(slice(None) for _ in self.shape)
         if not isinstance(key, tuple):
             key = (key,)
-        key = key + tuple(slice(None) for _ in range(self.ndim - len(key)))
+        if Ellipsis in key:
+            i = key.index(Ellipsis)
+            fill = self.ndim - (len(key) - 1)
+            key = key[:i] + tuple(slice(None) for _ in range(fill)) \
+                + key[i + 1:]
+        return key + tuple(slice(None) for _ in range(self.ndim - len(key)))
+
+    def __getitem__(self, key) -> np.ndarray:
+        key = self._expand_key(key)
         norm = []
         for k, s in zip(key, self.shape):
             if isinstance(k, int):
@@ -252,11 +261,7 @@ class Array:
 
     def __setitem__(self, key, value):
         value = np.asarray(value, self.dtype)
-        if key is Ellipsis or key == slice(None):
-            key = tuple(slice(None) for _ in self.shape)
-        if not isinstance(key, tuple):
-            key = (key,)
-        key = key + tuple(slice(None) for _ in range(self.ndim - len(key)))
+        key = self._expand_key(key)
         norm = [slice(*k.indices(s)) if not isinstance(k, int)
                 else slice(k, k + 1)
                 for k, s in zip(key, self.shape)]

@@ -1,0 +1,66 @@
+"""Benchmark lossless chunk compressors on a stored bottleneck array.
+
+Equivalent of reference scripts/compare_compressors.py: re-compress an
+existing latent array with each available codec and report stored bytes,
+bpp and wall time.  Uses the framework's codec registry (zlib/gzip/bz2/lzma
++ blosc when available) instead of numcodecs.
+"""
+
+import os
+import sys
+from time import perf_counter
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cnn_autoencoder_tpu.storage import zarr as zarrlib
+from cnn_autoencoder_tpu.storage.codecs import BZ2, Blosc, GZip, LZMACodec, \
+    Zlib
+
+COMPRESSORS = {
+    "Blosc": lambda clevel: Blosc(cname="blosclz", clevel=clevel, shuffle=1),
+    "Zlib": lambda clevel: Zlib(level=clevel),
+    "BZ2": lambda clevel: BZ2(level=clevel),
+    "GZip": lambda clevel: GZip(level=clevel),
+    "LZMA": lambda clevel: LZMACodec(preset=min(clevel, 9)),
+}
+
+
+def test_compressor(src: zarrlib.Array, comp_name: str, comp_level: int = 5,
+                    chunk_size: int = 1024, tmp_dir: str = "/tmp"):
+    h, w = src.shape[:2]
+    compressor = COMPRESSORS[comp_name](comp_level)
+    data = src[...]
+
+    out_path = os.path.join(tmp_dir, f"_cmp_{comp_name}.zarr")
+    e_time = perf_counter()
+    arr = zarrlib.Array.create(
+        out_path, shape=data.shape,
+        chunks=(min(chunk_size, h), min(chunk_size, w)) + data.shape[2:],
+        dtype=data.dtype, compressor=compressor, overwrite=True)
+    arr[...] = data
+    e_time = perf_counter() - e_time
+
+    stored = arr.nbytes_stored
+    bpp = stored * 8 / (h * w)
+    print("Array shape %s (%d bytes) compressed into %d bytes using %s "
+          "(level %d). BPP=%0.4f. Time=%0.3fs"
+          % (data.shape, data.nbytes, stored, comp_name, comp_level, bpp,
+             e_time))
+    import shutil
+    shutil.rmtree(out_path, ignore_errors=True)
+    return stored, e_time
+
+
+if __name__ == "__main__":
+    z_fn = sys.argv[1]
+    z_chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    z_clevel = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+    node = zarrlib.open(z_fn, mode="r")
+    src = node["0/0"] if isinstance(node, zarrlib.Group) else node
+
+    print("Test compressors for zarr files")
+    for comp_name in COMPRESSORS:
+        test_compressor(src, comp_name, z_clevel, z_chunk)

@@ -1,0 +1,136 @@
+"""Classical-codec RD sweep (JPEG/PNG baselines).
+
+Equivalent of reference scripts/compute_metrics.py: compress every source
+image at a given quality, compute RMSE / MS-SSIM / SSIM / PSNR / delta-E +
+bpp from the stored file size, and save ``metrics_stats_{codec}_{q}{id}.pth``
+in the same torch.save schema as the CAE harness — so codec-vs-CAE RD curves
+stay directly comparable.
+"""
+
+import argparse
+import os
+import sys
+from time import perf_counter
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cnn_autoencoder_tpu.utils.metrics import (compute_delta_cielab,
+                                               compute_psnr, compute_rmse,
+                                               structural_similarity)
+
+format_dict = {"JPEG": "jpeg", "PNG": "png"}
+
+
+def compute_ms_ssim(x, x_r):
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.ops.msssim import ms_ssim
+    try:
+        return float(ms_ssim(jnp.asarray(x_r, jnp.float32)[None],
+                             jnp.asarray(x, jnp.float32)[None],
+                             data_range=255))
+    except AssertionError:
+        return float("nan")
+
+
+metric_fun = {
+    "dist": compute_rmse,
+    "ms-ssim": compute_ms_ssim,
+    "ssim": lambda x, x_r: structural_similarity(x, x_r, channel_axis=2),
+    "psnr": compute_psnr,
+    "delta_cielab": compute_delta_cielab,
+}
+
+
+def compute_rate(img, comp_size):
+    return 8 * float(comp_size) / np.prod(img.shape[:-1])
+
+
+def metrics_image(src_fn, comp_fn):
+    with Image.open(src_fn) as im:
+        img_arr = np.asarray(im.convert("RGB"))
+    comp_size = os.path.getsize(comp_fn)
+    with Image.open(comp_fn) as im:
+        comp_arr = np.asarray(im.convert("RGB"))
+
+    metrics = {"rate": compute_rate(img_arr, comp_size)}
+    x = img_arr.astype(np.float64)
+    x_r = comp_arr.astype(np.float64)
+    for m_k, fun in metric_fun.items():
+        metrics[m_k] = fun(x, x_r)
+    return metrics
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        "Compute compression performance metrics between a compressed "
+        "image and the original one")
+    parser.add_argument("-sd", "--src-dir", type=str, dest="src_dir",
+                        default=".")
+    parser.add_argument("-dd", "--dst-dir", type=str, dest="dst_dir",
+                        default=".")
+    parser.add_argument("-sf", "--src-format", type=str, dest="src_format")
+    parser.add_argument("-df", "--dst-format", type=str, dest="dst_format",
+                        choices=list(format_dict.keys()))
+    parser.add_argument("-ld", "--log-dir", type=str, dest="log_dir",
+                        default=".")
+    parser.add_argument("-cq", "--comp-quality", type=int,
+                        dest="comp_quality", default=100)
+    parser.add_argument("-li", "--log-id", type=str, dest="log_identifier",
+                        default="")
+    args = parser.parse_args()
+
+    in_filenames = [".".join(fn.split(".")[:-1])
+                    for fn in os.listdir(args.src_dir)
+                    if fn.lower().endswith(format_dict[args.src_format])]
+
+    if "JPEG" in args.dst_format:
+        quality_opts = {"quality": args.comp_quality}
+    else:
+        quality_opts = {"compress_level": 9 - args.comp_quality // 10,
+                        "optimize": False}
+
+    all_metrics = {"time": []}
+    os.makedirs(args.dst_dir, exist_ok=True)
+    for in_fn in in_filenames:
+        src_fn = os.path.join(args.src_dir, "%s.%s"
+                              % (in_fn, format_dict[args.src_format]))
+        comp_fn = os.path.join(args.dst_dir,
+                               "temp.%s" % format_dict[args.dst_format])
+
+        e_time = perf_counter()
+        with Image.open(src_fn) as im:
+            im.save(comp_fn, format=args.dst_format, **quality_opts)
+        e_time = perf_counter() - e_time
+
+        scores = metrics_image(src_fn, comp_fn)
+        for m_k, v in scores.items():
+            all_metrics.setdefault(m_k, []).append(
+                v if v > 0.0 else np.nan)
+        all_metrics["time"].append(e_time)
+        os.remove(comp_fn)
+
+    all_metrics_stats = {}
+    for m_k, vals in all_metrics.items():
+        all_metrics_stats[m_k + "_stats"] = dict(
+            avg=float(np.nanmean(vals)), std=float(np.nanstd(vals)),
+            med=float(np.nanmedian(vals)), min=float(np.nanmin(vals)),
+            max=float(np.nanmax(vals)))
+    all_metrics.update(all_metrics_stats)
+    all_metrics["codec"] = args.dst_format
+    all_metrics["quality"] = args.comp_quality
+
+    import torch
+    torch.save(all_metrics,
+               os.path.join(args.log_dir, "metrics_stats_%s_%03d%s.pth"
+                            % (args.dst_format, args.comp_quality,
+                               args.log_identifier)))
+    print("Saved metrics for %s at quality %d" % (args.dst_format,
+                                                  args.comp_quality))
+
+
+if __name__ == "__main__":
+    main()

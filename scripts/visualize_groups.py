@@ -1,0 +1,99 @@
+"""Latent-space visualization: feature mosaics and 2-D embeddings.
+
+Equivalent of reference scripts/visualize_groups.py (a research notebook-as-
+script with hard-coded paths): loads latent arrays from zarr files, shows a
+per-channel feature mosaic, and projects latent vectors to 2-D with PCA
+(numpy; the reference used sklearn TSNE/Isomap).  Non-interactive by
+default: writes PNGs next to the input.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cnn_autoencoder_tpu.storage import zarr as zarrlib
+
+
+def pca_2d(x: np.ndarray) -> np.ndarray:
+    """Project rows of x to their top-2 principal components."""
+    x = x - x.mean(axis=0, keepdims=True)
+    _, _, vt = np.linalg.svd(x, full_matrices=False)
+    return x @ vt[:2].T
+
+
+def feature_mosaic(latent: np.ndarray, cols: int = 8) -> np.ndarray:
+    """(h, w, C) latent -> tiled per-channel grayscale mosaic."""
+    h, w, c = latent.shape
+    rows = -(-c // cols)
+    mosaic = np.zeros((rows * h, cols * w), np.float32)
+    for i in range(c):
+        r, cl = divmod(i, cols)
+        ch = latent[:, :, i]
+        lo, hi = ch.min(), ch.max()
+        mosaic[r * h:(r + 1) * h, cl * w:(cl + 1) * w] = \
+            (ch - lo) / (hi - lo + 1e-8)
+    return mosaic
+
+
+def main():
+    parser = argparse.ArgumentParser("Visualize latent feature groups")
+    parser.add_argument("-i", "--input", dest="inputs", type=str, nargs="+",
+                        help="zarr files containing latent arrays")
+    parser.add_argument("-dg", "--data-group", dest="data_group", type=str,
+                        default="0/0")
+    parser.add_argument("-o", "--out-dir", dest="out_dir", type=str,
+                        default=".")
+    args = parser.parse_args()
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    all_vectors = []
+    labels = []
+    for fn in args.inputs:
+        node = zarrlib.open(fn, mode="r")
+        latent = (node[args.data_group] if isinstance(node, zarrlib.Group)
+                  else node)[...]
+        while latent.ndim > 3:
+            latent = latent[0]
+
+        base = os.path.basename(fn).split(".zarr")[0]
+        plt.figure(figsize=(12, 8))
+        plt.imshow(feature_mosaic(latent), cmap="viridis")
+        plt.axis("off")
+        plt.title(f"{base} latent channels")
+        plt.savefig(os.path.join(args.out_dir, f"{base}_mosaic.png"),
+                    dpi=120, bbox_inches="tight")
+        plt.close()
+
+        vecs = latent.reshape(-1, latent.shape[-1])
+        sel = np.random.RandomState(0).choice(
+            len(vecs), size=min(2000, len(vecs)), replace=False)
+        all_vectors.append(vecs[sel])
+        labels.extend([base] * len(sel))
+        print("Wrote mosaic for", fn)
+
+    if all_vectors:
+        emb = pca_2d(np.concatenate(all_vectors))
+        plt.figure(figsize=(8, 8))
+        uniq = sorted(set(labels))
+        labels = np.asarray(labels)
+        for u in uniq:
+            pts = emb[labels == u]
+            plt.scatter(pts[:, 0], pts[:, 1], s=2, alpha=0.4, label=u)
+        plt.legend(markerscale=4)
+        plt.title("Latent PCA embedding")
+        plt.savefig(os.path.join(args.out_dir, "latent_embedding.png"),
+                    dpi=120, bbox_inches="tight")
+        plt.close()
+        print("Wrote latent_embedding.png")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""Scripts layer tests: masks, labels, dataset prep, weight transfer, dumps."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+def _make_wsi_zarr(path, h=512, w=512):
+    from cnn_autoencoder_tpu.storage import zarr as zarrlib
+    rng = np.random.RandomState(0)
+    img = np.full((h, w, 3), 235, np.uint8)  # background (bright)
+    img[100:400, 150:450] = (rng.rand(300, 300, 3) * 100 + 60).astype(
+        np.uint8)  # tissue (darker)
+    root = zarrlib.Group.create(path)
+    arr = root.create_dataset("0/0", shape=img.shape, chunks=(256, 256, 3),
+                              dtype=np.uint8, compressor=None,
+                              overwrite=True)
+    arr[...] = img
+    return img
+
+
+def test_compute_mask_and_labels(tmp_path):
+    from compute_labels import label_zarr
+    from compute_mask import mask_zarr
+
+    z_path = str(tmp_path / "slide.zarr")
+    _make_wsi_zarr(z_path)
+    # scaled_mag == default_mag: mask computed at native 512px so the fixed
+    # morphology thresholds (hole area 128^2) behave as on real slides
+    mask = mask_zarr(z_path, z_path, scaled_mag=40, default_mag=40,
+                     data_axes="YXC")
+    assert mask.ndim == 2
+    assert mask.any() and not mask.all()  # tissue found, not everything
+
+    from cnn_autoencoder_tpu.storage import zarr as zarrlib
+    z = zarrlib.open(z_path, mode="r")
+    assert "masks/0/0" in z
+    assert z["masks/0/0"].attrs["scaled_mag"] == 40
+
+    label_zarr(z_path, 3, z_path)
+    z = zarrlib.open(z_path, mode="r")
+    assert z["masks/1"].attrs["label"] == 3
+    assert z["masks/1/0"][...].max() == 3
+
+
+def test_zarr2dataset(tmp_path):
+    from zarr2dataset import main as z2d_main
+
+    from cnn_autoencoder_tpu.storage import zarr as zarrlib
+    rng = np.random.RandomState(1)
+    inputs = (rng.rand(16, 16, 3, 4) * 255).astype(np.uint8)
+    labels = (rng.rand(16, 16, 1, 4) > 0.5).astype(np.uint8)
+    in_path, lbl_path = str(tmp_path / "in.zarr"), str(tmp_path / "lb.zarr")
+    for path, data in ((in_path, inputs), (lbl_path, labels)):
+        arr = zarrlib.Array.create(path, shape=data.shape,
+                                   chunks=data.shape, dtype=np.uint8,
+                                   compressor=None)
+        arr[...] = data
+
+    dst = str(tmp_path / "ds")
+    z2d_main(in_path, lbl_path, dst)
+    files = sorted(os.listdir(dst))
+    assert files == ["%04d.zarr" % i for i in range(4)]
+    z0 = zarrlib.open(os.path.join(dst, "0000.zarr"), mode="r")
+    assert z0["0/0"].shape == (3, 16, 16)
+    assert z0["1/0"].shape == (1, 16, 16)
+
+
+def test_transfer_weights_cai2cae_and_torch2jax(tmp_path):
+    """compressai-style checkpoint -> CAE keys -> native JAX import."""
+    import torch
+    from transfer_weights import transfer_weights
+
+    # minimal compressai-style state dict: g_a with 2 convs (=1 unit),
+    # entropy_bottleneck params
+    chk_src = {
+        "g_a.0.weight": torch.randn(8, 3, 3, 3),
+        "g_a.1.weight": torch.randn(16, 8, 3, 3),
+        "g_s.0.weight": torch.randn(16, 8, 3, 3),
+        "g_s.1.weight": torch.randn(8, 3, 3, 3),
+        "entropy_bottleneck._matrices.0": torch.randn(16, 3, 1),
+        "entropy_bottleneck._biases.0": torch.randn(16, 3, 1),
+        "entropy_bottleneck._factors.0": torch.randn(16, 3, 1),
+        "entropy_bottleneck.quantiles": torch.randn(16, 1, 3),
+    }
+    out = transfer_weights(chk_src, cai2cae=True)
+    assert "analysis_track.0.model.0.weight" in out["encoder"]
+    assert "analysis_track.0.model.1.weight" in out["encoder"]
+    assert "_matrix0" in out["fact_entropy"]
+    assert "quantiles" in out["fact_entropy"]
+
+    # reverse direction restores compressai-style keys
+    chk_cae = {"encoder": out["encoder"], "decoder": out["decoder"],
+               "fact_ent": out["fact_entropy"]}
+    flat = {}
+    flat.update(chk_cae["decoder"])
+    flat.update(chk_cae["encoder"])
+    for k in chk_cae["fact_ent"]:
+        flat["fact_ent." + k] = chk_cae["fact_ent"][k]
+    back = transfer_weights(flat, cai2cae=False)
+    assert "g_a.0.weight" in back["encoder"]
+
+
+def test_torch2jax_roundtrip(tmp_path):
+    """Full reference .pth -> native msgpack -> loadable model."""
+    import torch
+
+    # reference-style training checkpoint (config + torch state dicts)
+    level, net, bn = 2, 6, 8
+    enc_sd = {}
+    # stage 0 (GDN act): conv_down at model.0, gdn at model.1
+    enc_sd["analysis_track.0.model.0.weight"] = torch.randn(net, 3, 3, 3)
+    enc_sd["analysis_track.0.model.1.beta"] = torch.rand(net) + 1
+    enc_sd["analysis_track.0.model.1.gamma"] = torch.rand(net, net, 1, 1)
+    enc_sd["analysis_track.1.model.0.weight"] = torch.randn(bn, net, 3, 3)
+    dec_sd = {}
+    dec_sd["synthesis_track.0.model.0.weight"] = torch.randn(bn, net, 3, 3)
+    dec_sd["synthesis_track.0.model.0.bias"] = torch.randn(net)
+    dec_sd["synthesis_track.0.model.1.beta"] = torch.rand(net) + 1
+    dec_sd["synthesis_track.0.model.1.gamma"] = torch.rand(net, net, 1, 1)
+    dec_sd["synthesis_track.1.model.0.weight"] = torch.randn(net, 3, 3, 3)
+    dec_sd["synthesis_track.1.model.0.bias"] = torch.randn(3)
+    fe_sd = {"quantiles": torch.randn(bn, 1, 3)}
+    for i in range(5):
+        fe_sd[f"_matrix{i}"] = torch.randn(bn, 3 if i < 4 else 1,
+                                           3 if 0 < i else 1)
+        fe_sd[f"_bias{i}"] = torch.randn(bn, 3 if i < 4 else 1, 1)
+        if i < 4:
+            fe_sd[f"_factor{i}"] = torch.randn(bn, 3 if i < 4 else 1, 1)
+
+    chk = dict(channels_org=3, channels_net=net, channels_bn=bn,
+               compression_level=level, K=4, r=3, act_layer_type="GDN",
+               bias=True, encoder=enc_sd, decoder=dec_sd, fact_ent=fe_sd)
+    pth = str(tmp_path / "ref.pth")
+    torch.save(chk, pth)
+
+    from cnn_autoencoder_tpu.models.factory import autoencoder_from_state_dict
+    model = autoencoder_from_state_dict(pth)
+    kernel = np.asarray(
+        model.variables["encoder"]["params"]["down_0"]["conv_down"]["kernel"])
+    ref_kernel = enc_sd["analysis_track.0.model.0.weight"].numpy()
+    np.testing.assert_allclose(kernel,
+                               np.transpose(ref_kernel, (2, 3, 1, 0)),
+                               rtol=1e-6)
+
+    # forward runs
+    import jax.numpy as jnp
+    y = model.encode(jnp.zeros((1, 16, 16, 3)))
+    assert y.shape == (1, 4, 4, bn)
+
+
+def test_dump_training_stats(tmp_path):
+    from dump_training_stats import parse_log, save_rows_csv
+    log = tmp_path / "t.log"
+    log.write_text(
+        "[000001][0001/0008] Training Loss 231.6022 D=[22890.2793] "
+        "Xr=-1.44,1.42,std=0.29 R=2.70 BN=-1.02,1.35 P=0.02,0.02 "
+        "A=329.644 QP=-10.00,0.00,10.00 E=0.512 Ch=3 lr=encoder=1.00e-04\n"
+        "not a metric line\n"
+        "[000002][0002/0008] Training Loss 230.1 D=[22800.1] R=2.65\n")
+    rows = parse_log(str(log))
+    assert len(rows) == 2
+    assert rows[0]["loss"] == pytest.approx(231.6022)
+    assert rows[0]["R"] == pytest.approx(2.70)
+    assert rows[0]["E"] == pytest.approx(0.512)
+    assert rows[0]["Ch"] == 3
+    out = tmp_path / "out.csv"
+    save_rows_csv(rows, str(out))
+    assert out.read_text().count("\n") == 3
+
+
+def test_compare_compressors(tmp_path, capsys):
+    from compare_compressors import test_compressor
+
+    from cnn_autoencoder_tpu.storage import zarr as zarrlib
+    rng = np.random.RandomState(0)
+    data = (rng.rand(64, 64, 8) * 10).astype(np.float32)
+    path = str(tmp_path / "bn.zarr")
+    root = zarrlib.Group.create(path)
+    arr = root.create_dataset("0/0", shape=data.shape, chunks=data.shape,
+                              dtype=np.float32, compressor=None)
+    arr[...] = data
+
+    stored, t = test_compressor(arr, "Zlib", 5, 32, tmp_dir=str(tmp_path))
+    assert 0 < stored < data.nbytes
