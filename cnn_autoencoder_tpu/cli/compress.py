@@ -38,7 +38,7 @@ def compress_image(codec, checkpoint, input_filename, output_filename,
                    patch_size=512, source_format="zarr", data_group="0/0",
                    data_axes="TCZYX", progress_bar=False,
                    save_as_bottleneck=False, gpu=False, core=None,
-                   batch_tiles=None):
+                   batch_tiles=None, add_offset=False):
     """Compress one image into zarr (reference src/compress.py:29-168)."""
     logger = logging.getLogger(LOGGER_NAME)
     fn, src = _load_yxc(input_filename, source_format, data_group, data_axes)
@@ -57,11 +57,13 @@ def compress_image(codec, checkpoint, input_filename, output_filename,
                 patch_size=patch_size, batch_tiles=batch_tiles,
                 progress_bar=progress_bar)
         else:
+            # halo = one decoder receptive-field's worth of context
+            offset = 2 ** core.level if add_offset else 0
             compress_pixels_to_cae(
                 core, src, output_filename, data_group=data_group,
                 patch_size=patch_size, batch_tiles=batch_tiles,
                 checkpoint_id=checkpoint if isinstance(checkpoint, str)
-                else None, progress_bar=progress_bar)
+                else None, offset=offset, progress_bar=progress_bar)
     else:
         if "Blosc" in codec:
             compressor = Blosc(clevel=9)
@@ -121,7 +123,8 @@ def compress(args):
                        data_axes=args.data_axes, data_group=args.data_group,
                        progress_bar=args.progress_bar,
                        save_as_bottleneck=args.save_as_bottleneck,
-                       gpu=args.gpu, core=core)
+                       gpu=args.gpu, core=core,
+                       add_offset=getattr(args, "add_offset", False))
 
 
 if __name__ == "__main__":

@@ -28,7 +28,8 @@ def decompress_image(input_filename, output_filename,
                      destination_format="zarr", data_group="0/0",
                      decomp_group="decompressed", checkpoint=None,
                      progress_bar=False, gpu=False, core=None,
-                     reconstruction_level=-1, compute_pyramids=False):
+                     reconstruction_level=-1, compute_pyramids=False,
+                     add_offset=False):
     """Decompress one zarr image (reference src/decompress.py:40-140)."""
     compressor = Blosc(cname="zlib", clevel=9, shuffle=2)
     fn, rois = parse_roi(input_filename, ".zarr")
@@ -51,9 +52,11 @@ def decompress_image(input_filename, output_filename,
         if core is None:
             from ..models.factory import autoencoder_from_state_dict
             core = CAECodecCore(autoencoder_from_state_dict(checkpoint))
+        halo = 2 if add_offset else 0  # latent-space halo for stitching
         out_arr = decompress_latents_to_pixels(
             core, z_arr, output_filename, component=comp_pyr + "/0",
-            compressor=compressor, progress_bar=progress_bar)
+            compressor=compressor, halo=halo,
+            rec_level=reconstruction_level, progress_bar=progress_bar)
         rec = None
     else:
         # self-decoding input: the 'cae' codec in the metadata does the work
@@ -72,6 +75,8 @@ def decompress_image(input_filename, output_filename,
             out_arr[...] = rec
 
     if "zarr" in destination_format:
+        if compute_pyramids:
+            _write_pyramid(output_filename, comp_pyr, compressor)
         copy_sidecar_metadata(fn, output_filename)
     else:
         if rec is None:
@@ -81,6 +86,29 @@ def decompress_image(input_filename, output_filename,
         array_to_image(rec, base + destination_format)
 
     return output_filename
+
+
+def _write_pyramid(output_filename, comp_pyr, compressor, levels=4):
+    """Store 2x-downsampled pyramid components '<group>/1..L' next to the
+    full-resolution reconstruction — the reference's unwired
+    --store-pyramids (reference _dataargs.py:354-364)."""
+    root = zarrlib.open(output_filename, mode="r")
+    base = root[comp_pyr + "/0"][...]
+    out_root = zarrlib.Group.create(output_filename)
+    cur = base.astype(np.float32)
+    for lvl in range(1, levels + 1):
+        h, w = cur.shape[:2]
+        if h < 2 or w < 2:
+            break
+        hh, ww = (h // 2) * 2, (w // 2) * 2
+        cur = cur[:hh, :ww].reshape(hh // 2, 2, ww // 2, 2, -1) \
+            .mean(axis=(1, 3))
+        arr = out_root.create_dataset(
+            "%s/%d" % (comp_pyr, lvl), shape=cur.shape,
+            chunks=(min(512, cur.shape[0]), min(512, cur.shape[1]),
+                    cur.shape[2]),
+            dtype=np.uint8, compressor=compressor, overwrite=True)
+        arr[...] = np.clip(cur, 0, 255).astype(np.uint8)
 
 
 def decompress(args):
@@ -121,7 +149,8 @@ def decompress(args):
             progress_bar=args.progress_bar, checkpoint=args.checkpoint,
             gpu=args.gpu, core=core,
             reconstruction_level=getattr(args, "reconstruction_level", -1),
-            compute_pyramids=getattr(args, "compute_pyramids", False))
+            compute_pyramids=getattr(args, "compute_pyramids", False),
+            add_offset=getattr(args, "add_offset", False))
 
 
 if __name__ == "__main__":

@@ -122,6 +122,25 @@ def setup_optim(model: CAEModel, args):
     return optimizers, opt_states, acc, schedulers, lrs
 
 
+def resume_optimizer(opt_states, schedulers, checkpoint):
+    """Restore optimizer/scheduler state from a checkpoint.
+
+    (The reference's resume path is broken — it calls load_state_dict on the
+    dict, reference train_cae_ms.py:677-681; this one works.)"""
+    from flax import serialization
+    state = ckpt.load_checkpoint(checkpoint)
+    for name in list(opt_states):
+        saved = state.get("optimizer_" + name)
+        if saved is not None:
+            opt_states[name] = serialization.from_state_dict(
+                opt_states[name], saved)
+    for name, sched in schedulers.items():
+        saved = state.get("scheduler_" + name)
+        if saved:
+            sched.load_state_dict(saved)
+    return opt_states
+
+
 def train(model, train_data, valid_data, criterion, stopping_criteria,
           optimizers, opt_states, acc_grads, schedulers, lrs, args):
     """Host training loop (reference train_cae_ms.py:120-443)."""
@@ -281,6 +300,10 @@ def main(args):
     criterion, stopping_criteria = setup_criteria(args,
                                                   checkpoint=args.checkpoint)
     optimizers, opt_states, acc, schedulers, lrs = setup_optim(model, args)
+
+    if getattr(args, "resume_optimizer", None) and args.checkpoint:
+        opt_states = resume_optimizer(opt_states, schedulers,
+                                      args.checkpoint)
 
     logger.info("Network modules: %s (trainable: %s)"
                 % (list(model.modules), args.trainable_modules))

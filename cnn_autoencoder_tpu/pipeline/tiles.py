@@ -78,26 +78,39 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
                            patch_size: int = 512,
                            batch_tiles: Optional[int] = None,
                            checkpoint_id: Optional[str] = None,
+                           offset: int = 0,
                            progress_bar: bool = False) -> zarrlib.Array:
-    """Full-CAE path: pixel tiles -> 'cae' bitstream chunks."""
+    """Full-CAE path: pixel tiles -> 'cae' bitstream chunks.
+
+    ``offset`` > 0 encodes each tile with a halo of real neighboring pixels
+    (the spatial analogue of context parallelism): the decoder's receptive
+    field then sees true context across chunk borders and the decode crops
+    the halo, eliminating stitching artifacts.  This implements what the
+    reference's --add-offset flag promised but never wired
+    (reference src/utils/args/_dataargs.py:135-143)."""
     h, w, c = src.shape
     p = min(patch_size, max(h, w))
     batch = batch_tiles or default_batch_tiles(p)
+    hal = offset
+    pe = p + 2 * hal  # encoded tile side
 
     root = zarrlib.Group.create(out_path)
     arr = root.create_dataset(
         data_group or "0/0", shape=(h, w, c), chunks=(p, p, c),
         dtype=np.uint8,
-        compressor={"id": "cae", "checkpoint": checkpoint_id},
+        compressor={"id": "cae", "checkpoint": checkpoint_id,
+                    "offset": hal},
         overwrite=True)
 
     grid = _tile_grid(h, w, p)
 
     def read_tile(ij):
         i, j = ij
-        tile = np.zeros((p, p, c), np.uint8)
-        block = src[i * p:min((i + 1) * p, h), j * p:min((j + 1) * p, w)]
-        tile[:block.shape[0], :block.shape[1]] = block
+        tile = np.zeros((pe, pe, c), np.uint8)
+        y0, x0 = i * p - hal, j * p - hal
+        ys, xs = max(0, y0), max(0, x0)
+        ye, xe = min(h, y0 + pe), min(w, x0 + pe)
+        tile[ys - y0:ye - y0, xs - x0:xe - x0] = src[ys:ye, xs:xe]
         return tile
 
     pool = ThreadPoolExecutor(max_workers=4)
@@ -106,7 +119,7 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
 
     def flush_one(idxs, sym_dev):
         sym_np = np.asarray(sym_dev)[:len(idxs)]  # d2h (releases GIL)
-        bufs = core.entropy_encode(sym_np, [(p, p)] * sym_np.shape[0])
+        bufs = core.entropy_encode(sym_np, [(pe, pe)] * sym_np.shape[0])
         for (i, j), buf in zip(idxs, bufs):
             arr.write_chunk_raw((i, j, 0), buf)
 
@@ -189,17 +202,23 @@ def compress_pixels_to_bottleneck(core: CAECodecCore, src: np.ndarray,
 def decompress_latents_to_pixels(core: CAECodecCore, src: zarrlib.Array,
                                  out_path: str, component: str,
                                  batch_tiles: Optional[int] = None,
-                                 compressor=None,
+                                 compressor=None, halo: int = 0,
+                                 rec_level: int = -1,
                                  progress_bar: bool = False
                                  ) -> zarrlib.Array:
     """Decode a latent array ('cae_bn'-stored) back to pixels
-    (reference src/decompress.py:24-96)."""
+    (reference src/decompress.py:24-96).
+
+    ``halo`` > 0 reads each latent chunk with that many latent pixels of
+    real neighboring context (the latent array is contiguous, so this costs
+    only reads, no storage), decodes the enlarged tile and crops — seamless
+    stitched reconstruction."""
     if compressor is None:
         compressor = Blosc(cname="zlib", clevel=9, shuffle=2)
     lh, lw, cbn = src.shape
     lp_h, lp_w, _ = src.chunks
     level = core.level
-    scale = 2 ** level
+    scale = 2 ** (level if rec_level in (-1, level) else rec_level)
     h, w = lh * scale, lw * scale
     p_h, p_w = lp_h * scale, lp_w * scale
     batch = batch_tiles or default_batch_tiles(max(p_h, p_w))
@@ -212,21 +231,46 @@ def decompress_latents_to_pixels(core: CAECodecCore, src: zarrlib.Array,
     grid = list(src.chunk_ids())
     pool = ThreadPoolExecutor(max_workers=8)
 
+    def read_latent(ij):
+        i, j = ij[0], ij[1]
+        if halo <= 0:
+            return src.read_chunk(ij)
+        le_h, le_w = lp_h + 2 * halo, lp_w + 2 * halo
+        tile = np.zeros((le_h, le_w, cbn), np.float32)
+        y0, x0 = i * lp_h - halo, j * lp_w - halo
+        ys, xs = max(0, y0), max(0, x0)
+        ye, xe = min(lh, y0 + le_h), min(lw, x0 + le_w)
+        block = src[ys:ye, xs:xe, :]
+        tile[ys - y0:ye - y0, xs - x0:xe - x0] = block
+        # edge-replicate outside the image so the decoder sees plausible
+        # context at true borders
+        tile[:ys - y0] = tile[ys - y0]
+        if ye - y0 < le_h:
+            tile[ye - y0:] = tile[ye - y0 - 1]
+        tile[:, :xs - x0] = tile[:, xs - x0:xs - x0 + 1]
+        if xe - x0 < le_w:
+            tile[:, xe - x0:] = tile[:, xe - x0 - 1:xe - x0]
+        return tile
+
     pending = []
+    crop = halo * scale
 
     def flush_one():
         idxs, rec_dev = pending.pop(0)
         rec_np = np.asarray(rec_dev)[:len(idxs)]
+        if crop:
+            rec_np = rec_np[:, crop:-crop, crop:-crop]
         futures = [pool.submit(out.write_chunk, ij, rec)
                    for ij, rec in zip(idxs, rec_np)]
         for f in futures:
             f.result()
 
     for group in _iter_batches(grid, batch):
-        chunks = list(pool.map(src.read_chunk, group))
+        chunks = list(pool.map(read_latent, group))
         while len(chunks) < batch:
             chunks.append(chunks[-1])
-        rec = core.decode_latents_device(np.stack(chunks))
+        rec = core.decode_latents_device(np.stack(chunks),
+                                         rec_level=rec_level)
         pending.append((group, rec))
         if len(pending) >= 2:
             flush_one()
@@ -250,6 +294,8 @@ def decompress_cae_array(src: zarrlib.Array,
         core = codec.core
     h, w, c = src.shape
     p = src.chunks[0]
+    comp_cfg = src._meta.get("compressor") or {}
+    offset = int(comp_cfg.get("offset", 0) or 0)
     batch = batch_tiles or default_batch_tiles(p)
     out = np.zeros(src.shape, np.uint8)
 
@@ -263,6 +309,8 @@ def decompress_cae_array(src: zarrlib.Array,
     def flush_one():
         idxs, rec_dev, hw = pending.pop(0)
         rec_np = np.asarray(rec_dev)[:len(idxs)]
+        if offset:
+            rec_np = rec_np[:, offset:-offset, offset:-offset]
         for ij, rec in zip(idxs, rec_np):
             sl, valid = src.chunk_slices(ij)
             out[sl] = rec[:valid[0], :valid[1], :valid[2]]

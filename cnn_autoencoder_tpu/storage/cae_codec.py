@@ -63,11 +63,15 @@ class CAECodecCore:
             sym = jnp.clip(jnp.round(y - med), -32768, 32767)
             return jnp.transpose(sym.astype(jnp.int16), (0, 3, 1, 2))
 
-        def decode_y_fn(y):
+        def decode_y_fn(y, rec_idx: int = 0):
             x_r, _ = modules["decoder"].apply(variables["decoder"], y)
+            if x_r[rec_idx] is None:
+                raise ValueError(
+                    "Partial reconstruction at this level needs a "
+                    "multiscale_analysis decoder (color layers)")
             # match the reference's clip->truncate uint8 conversion
             # (reference _autoencoders.py:576-578)
-            return jnp.clip(x_r[0] * 255.0, 0, 255).astype(jnp.uint8)
+            return jnp.clip(x_r[rec_idx] * 255.0, 0, 255).astype(jnp.uint8)
 
         def decode_fn(sym_cm):
             y = jnp.transpose(sym_cm, (0, 2, 3, 1)).astype(jnp.float32) + med
@@ -79,7 +83,7 @@ class CAECodecCore:
 
         self._encode = jax.jit(encode_fn)
         self._decode = jax.jit(decode_fn)
-        self._decode_y = jax.jit(decode_y_fn)
+        self._decode_y = jax.jit(decode_y_fn, static_argnums=(1,))
         self._latent = jax.jit(latent_fn)
 
     # -- geometry ---------------------------------------------------------
@@ -138,9 +142,16 @@ class CAECodecCore:
             np.asarray(sym, np.int16) if not isinstance(sym, jnp.ndarray)
             else sym))
 
-    def decode_latents_device(self, y: np.ndarray) -> jnp.ndarray:
-        """Decode float NHWC latents (medians already included)."""
-        return self._decode_y(jnp.asarray(y, jnp.float32))
+    def decode_latents_device(self, y: np.ndarray, rec_level: int = -1
+                              ) -> jnp.ndarray:
+        """Decode float NHWC latents (medians already included).
+
+        ``rec_level`` < level reconstructs at a coarser pyramid scale
+        (multiscale decoders only) — the reference's unwired --rec-level
+        (reference _dataargs.py:343-353)."""
+        rec_idx = 0 if rec_level in (-1, self.level) \
+            else self.level - rec_level
+        return self._decode_y(jnp.asarray(y, jnp.float32), rec_idx)
 
     def encode_tiles(self, tiles_u8, true_hw=None) -> List[bytes]:
         tiles_u8 = jnp.asarray(tiles_u8)
@@ -163,25 +174,35 @@ class ConvolutionalAutoencoder(Codec):
 
     codec_id = "cae"
 
-    def __init__(self, checkpoint, gpu: bool = False):
+    def __init__(self, checkpoint, gpu: bool = False, offset: int = 0):
         from ..models.factory import autoencoder_from_state_dict
         self.checkpoint = checkpoint if isinstance(checkpoint, str) else None
         del gpu  # device placement is JAX-global; kept for CLI parity
+        self.offset = int(offset or 0)
         model = autoencoder_from_state_dict(checkpoint)
         self.core = CAECodecCore(model)
 
     def encode(self, buf) -> bytes:
+        # chunks arrive without halo at this per-chunk ABI level; the
+        # pipelined writer handles halo'd encoding (pipeline/tiles.py)
         buf = np.asarray(buf)
         h, w, _ = buf.shape
+        if self.offset:
+            buf = np.pad(buf, ((self.offset,) * 2, (self.offset,) * 2,
+                               (0, 0)), mode="edge")
+            h, w = buf.shape[:2]
         return self.core.encode_tiles(buf[None].astype(np.uint8),
                                       [(h, w)])[0]
 
     def decode(self, buf, out=None):
         rec = self.core.decode_tiles([bytes(buf)])[0]
+        if self.offset:
+            rec = rec[self.offset:-self.offset, self.offset:-self.offset]
         return ndarray_copy(np.ascontiguousarray(rec), out)
 
     def get_config(self):
-        return {"id": self.codec_id, "checkpoint": self.checkpoint}
+        return {"id": self.codec_id, "checkpoint": self.checkpoint,
+                "offset": self.offset}
 
 
 class ConvolutionalAutoencoderBottleneck(Codec):

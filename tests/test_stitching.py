@@ -1,0 +1,168 @@
+"""Halo stitching, partial reconstruction, pyramids, optimizer resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.models.factory import build_model
+from cnn_autoencoder_tpu.pipeline.tiles import (
+    compress_pixels_to_bottleneck, compress_pixels_to_cae,
+    decompress_cae_array, decompress_latents_to_pixels)
+from cnn_autoencoder_tpu.storage import zarr as zarrlib
+from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+from cnn_autoencoder_tpu.training.checkpoint import save_checkpoint
+
+
+def _model(multiscale=False):
+    model = build_model(jax.random.PRNGKey(0), input_size=(32, 32),
+                        channels_org=3, channels_net=8, channels_bn=16,
+                        compression_level=2, K=4, r=3,
+                        act_layer_type="LeakyReLU" if multiscale else "GDN",
+                        multiscale_analysis=multiscale)
+    from cnn_autoencoder_tpu.models.entropy import aux_loss_fn
+    p = model.variables["fact_ent"]["params"]
+    g = jax.jit(jax.grad(lambda q, pp: aux_loss_fn({**pp, "quantiles": q},
+                                                   4)))
+    q = p["quantiles"]
+    for _ in range(150):
+        q = q - 0.1 * g(q, p)
+    model.variables["fact_ent"]["params"] = {**p, "quantiles": q}
+    return model
+
+
+def _image(h=96, w=96, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (np.sin(yy / 9.0) + np.cos(xx / 11.0))[:, :, None] * 55 + 128
+    img = img + np.random.RandomState(seed).randn(h, w, 3) * 4
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_cae_offset_roundtrip(tmp_path):
+    """Encode-side halo: output decodes to the right shape via both paths,
+    and the codec config is self-describing (offset recorded)."""
+    model = _model()
+    core = CAECodecCore(model)
+    chk = dict(model.config)
+    chk.update(model.variables)
+    chk_path = str(tmp_path / "m.msgpack")
+    save_checkpoint(chk_path, chk)
+
+    img = _image()
+    out = str(tmp_path / "off.zarr")
+    arr = compress_pixels_to_cae(core, img, out, patch_size=32,
+                                 checkpoint_id=chk_path, offset=4)
+    assert arr._meta["compressor"]["offset"] == 4
+
+    rec_pipeline = decompress_cae_array(arr, core=core)
+    assert rec_pipeline.shape == img.shape
+
+    # fresh open: the codec layer itself crops the halo
+    arr2 = zarrlib.open(out, mode="r")["0/0"]
+    rec_zarr = arr2[...]
+    np.testing.assert_array_equal(rec_zarr, rec_pipeline)
+
+
+def test_latent_halo_seamless_decode(tmp_path):
+    """Decode-side halo matches the un-tiled whole-image decode away from
+    image borders (true seamless stitching)."""
+    model = _model()
+    core = CAECodecCore(model)
+    img = _image(64, 64)
+
+    out = str(tmp_path / "bn.zarr")
+    arr = compress_pixels_to_bottleneck(core, img, out, patch_size=32)
+
+    # ground truth: decode the full latent as ONE tile
+    full_latent = arr[...]
+    rec_full = np.asarray(core.decode_latents_device(full_latent[None]))[0]
+
+    rec_dir_halo = str(tmp_path / "rec_halo.zarr")
+    decompress_latents_to_pixels(core, arr, rec_dir_halo, component="d/0",
+                                 halo=4)
+    rec_halo = zarrlib.open(rec_dir_halo, mode="r")["d/0"][...]
+
+    rec_dir_nohalo = str(tmp_path / "rec_nohalo.zarr")
+    decompress_latents_to_pixels(core, arr, rec_dir_nohalo, component="d/0",
+                                 halo=0)
+    rec_nohalo = zarrlib.open(rec_dir_nohalo, mode="r")["d/0"][...]
+
+    # interior band around the tile seam (y=32): halo decode must agree with
+    # the whole-image decode far better than the independent-tile decode
+    seam = (slice(28, 36), slice(8, 56))  # seam rows, away from true borders
+    err_halo = np.abs(rec_halo[seam].astype(int) - rec_full[seam].astype(int))
+    err_nohalo = np.abs(rec_nohalo[seam].astype(int)
+                        - rec_full[seam].astype(int))
+    assert err_halo.mean() <= err_nohalo.mean()
+    # with a halo of 4 latent pixels the decoder receptive field is fully
+    # covered: the interior seam region matches the un-tiled decode exactly
+    # (true image borders differ by design: edge-replicated halo there)
+    np.testing.assert_array_equal(rec_halo[seam], rec_full[seam])
+
+
+def test_rec_level_partial_reconstruction(tmp_path):
+    model = _model(multiscale=True)
+    core = CAECodecCore(model)
+    img = _image(64, 64)
+    out = str(tmp_path / "bn.zarr")
+    arr = compress_pixels_to_bottleneck(core, img, out, patch_size=64)
+
+    rec_dir = str(tmp_path / "rec.zarr")
+    decompress_latents_to_pixels(core, arr, rec_dir, component="d/0",
+                                 rec_level=1)
+    rec = zarrlib.open(rec_dir, mode="r")["d/0"][...]
+    assert rec.shape == (32, 32, 3)  # half resolution at rec level 1
+
+
+def test_pyramid_output(tmp_path):
+    from cnn_autoencoder_tpu.cli.decompress import _write_pyramid
+    from cnn_autoencoder_tpu.storage.codecs import Zlib
+
+    root = zarrlib.Group.create(str(tmp_path / "p.zarr"))
+    base = root.create_dataset("d/0", shape=(64, 48, 3), chunks=(64, 48, 3),
+                               dtype=np.uint8, compressor=None)
+    base[...] = _image(64, 48)
+    _write_pyramid(str(tmp_path / "p.zarr"), "d", Zlib(1), levels=3)
+
+    z = zarrlib.open(str(tmp_path / "p.zarr"), mode="r")
+    assert z["d/1"].shape == (32, 24, 3)
+    assert z["d/2"].shape == (16, 12, 3)
+    assert z["d/3"].shape == (8, 6, 3)
+
+
+def test_optimizer_resume(tmp_path):
+    """Optimizer state round-trips through a checkpoint (the reference's
+    resume path was broken; ours must restore adam moments exactly)."""
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.cli.train_cae import resume_optimizer
+    from cnn_autoencoder_tpu.criteria.loss import setup_loss
+    from cnn_autoencoder_tpu.training.loop import make_train_step
+    from cnn_autoencoder_tpu.training.optim import setup_optimizers
+    from cnn_autoencoder_tpu.utils.loggers import checkpoint as save_ckpt
+
+    model = _model()
+    criterion = setup_loss("RateMSE", distortion_lambda=0.1, patch_size=16)
+    trainable = ["encoder", "decoder", "fact_ent"]
+    optimizers, opt_states, acc = setup_optimizers(model.variables, trainable)
+    step = make_train_step(model.modules, criterion, optimizers,
+                           trainable_modules=trainable, donate=False)
+    lrs = {k: jnp.float32(1e-3) for k in optimizers}
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3), jnp.float32)
+    variables, opt_states, acc, _ = step(model.variables, opt_states, acc,
+                                         lrs, x, None, jax.random.PRNGKey(0),
+                                         jnp.int32(1))
+
+    args = {"log_dir": str(tmp_path), "version": "t", "seed": 0,
+            "log_identifier": ""}
+    save_ckpt(1, variables, jax.device_get(opt_states), {}, float("inf"),
+              [1.0], [1.0], args)
+
+    # fresh states, then resume
+    _, fresh_states, _ = setup_optimizers(model.variables, trainable)
+    restored = resume_optimizer(
+        fresh_states, {}, str(tmp_path / "last_vert_0.msgpack"))
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(opt_states)),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_allclose(a, b)
