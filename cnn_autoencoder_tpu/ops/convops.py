@@ -46,6 +46,29 @@ def xavier_uniform_torchlike(gain: float) -> Callable:
 
 DEFAULT_GAIN = math.sqrt(2.0 / 1.01)
 
+# Global matmul/conv precision for the conv stack.  HIGHEST (f32 on MXU)
+# preserves reference RD parity; DEFAULT (bf16 multiplies) trades ~1e-3
+# relative error for several-fold MXU throughput.  Override per-process via
+# CAE_TPU_PRECISION=default|high|highest or set_default_precision().
+import os as _os
+
+_PRECISION_MAP = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+_DEFAULT_PRECISION = _PRECISION_MAP[
+    _os.environ.get("CAE_TPU_PRECISION", "highest").lower()]
+
+
+def set_default_precision(name: str) -> None:
+    global _DEFAULT_PRECISION
+    _DEFAULT_PRECISION = _PRECISION_MAP[name.lower()]
+
+
+def get_default_precision():
+    return _DEFAULT_PRECISION
+
 
 def bias_init_const(value: float = 0.01) -> Callable:
     def init(key, shape, dtype=jnp.float32):
@@ -66,7 +89,7 @@ class Conv2dReflect(nn.Module):
     kernel_init: Callable = xavier_uniform_torchlike(DEFAULT_GAIN)
     bias_init: Callable = bias_init_const(0.01)
     dtype: jnp.dtype = None
-    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    precision: jax.lax.Precision = None
 
     @nn.compact
     def __call__(self, x):
@@ -86,7 +109,7 @@ class Conv2dReflect(nn.Module):
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.feature_group_count,
-            precision=self.precision,
+            precision=self.precision or _DEFAULT_PRECISION,
             preferred_element_type=jnp.float32,
         )
         if self.use_bias:
@@ -118,7 +141,7 @@ class ConvTranspose2dTorch(nn.Module):
     kernel_init: Callable = xavier_uniform_torchlike(DEFAULT_GAIN)
     bias_init: Callable = bias_init_const(0.01)
     dtype: jnp.dtype = None
-    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    precision: jax.lax.Precision = None
 
     @nn.compact
     def __call__(self, x):
@@ -137,7 +160,7 @@ class ConvTranspose2dTorch(nn.Module):
             lhs_dilation=(self.stride, self.stride),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.feature_group_count,
-            precision=self.precision,
+            precision=self.precision or _DEFAULT_PRECISION,
             preferred_element_type=jnp.float32,
         )
         if self.use_bias:
