@@ -1,0 +1,6 @@
+"""Entropy coding: rANS coder (C++ core + Python oracle) and CDF tools."""
+
+from . import rans
+from .cdf import pmf_to_quantized_cdf
+
+__all__ = ["rans", "pmf_to_quantized_cdf"]

@@ -1,0 +1,17 @@
+"""Public criteria surface (reference src/models/criteria/__init__.py)."""
+
+from .classification import CLASSLOSS_LIST
+from .loss import GeneralLoss, setup_loss
+from .ratedist import (DIST_LOSS_LIST, PENALTY_LOSS_LIST, RATE_LOSS_LIST,
+                       DistMSSSIM, PyramidLoss, dist_mse, penalty_a,
+                       penalty_b, rate_loss)
+from .stopping import (EarlyStoppingPatience, EarlyStoppingTarget,
+                       StoppingCriterion, setup_stopping_criteria)
+
+__all__ = [
+    "GeneralLoss", "setup_loss", "CLASSLOSS_LIST", "DIST_LOSS_LIST",
+    "PENALTY_LOSS_LIST", "RATE_LOSS_LIST", "DistMSSSIM", "PyramidLoss",
+    "dist_mse", "penalty_a", "penalty_b", "rate_loss",
+    "StoppingCriterion", "EarlyStoppingPatience", "EarlyStoppingTarget",
+    "setup_stopping_criteria",
+]

@@ -1,0 +1,13 @@
+"""Data layer exports."""
+
+from .datautils import get_data, get_filenames, get_zarr_dataset
+from .loader import ArrayDataset, DataLoader, Subset, random_split
+from .zarr_dataset import (BlueNoisePatchSampler, GridPatchSampler,
+                           IterableLoader, LabeledZarrDataset, ZarrDataset)
+
+__all__ = [
+    "get_data", "get_filenames", "get_zarr_dataset",
+    "ArrayDataset", "DataLoader", "Subset", "random_split",
+    "ZarrDataset", "LabeledZarrDataset", "GridPatchSampler",
+    "BlueNoisePatchSampler", "IterableLoader",
+]

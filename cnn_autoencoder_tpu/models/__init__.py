@@ -1,0 +1,36 @@
+"""Public model surface (mirrors the reference's models package exports,
+reference src/models/__init__.py)."""
+
+from .autoencoder import (Analyzer, DownsamplingUnit,
+                          ResidualDownsamplingUnit, ResidualUpsamplingUnit,
+                          Synthesizer, UpsamplingUnit)
+from .entropy import (FactorizedEntropyBottleneck, aux_loss_fn,
+                      likelihood_fn, medians_fn, update_cdf_tables)
+from .factory import (CAEModel, autoencoder_from_state_dict, build_model,
+                      init_params, setup_modules)
+from .tasks import make_forward_fn
+
+__all__ = [
+    "Analyzer", "Synthesizer", "DownsamplingUnit", "UpsamplingUnit",
+    "ResidualDownsamplingUnit", "ResidualUpsamplingUnit",
+    "FactorizedEntropyBottleneck", "aux_loss_fn", "likelihood_fn",
+    "medians_fn", "update_cdf_tables",
+    "CAEModel", "autoencoder_from_state_dict", "build_model", "init_params",
+    "setup_modules", "make_forward_fn",
+]
+
+
+def __getattr__(name):
+    # heavier optional heads load lazily
+    if name in ("CLASS_MODELS", "ViTClassifierHead", "ResNetClassifierHead",
+                "InceptionV3ClassifierHead", "classifier_from_state_dict"):
+        from . import classifiers
+        return getattr(classifiers, name)
+    if name in ("SEG_MODELS", "UNet", "JNet", "segmenter_from_state_dict"):
+        from . import segmenters
+        return getattr(segmenters, name)
+    if name in ("ConvolutionalAutoencoder",
+                "ConvolutionalAutoencoderBottleneck", "CAECodecCore"):
+        from ..storage import cae_codec
+        return getattr(cae_codec, name)
+    raise AttributeError(name)

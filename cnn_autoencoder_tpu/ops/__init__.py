@@ -1,0 +1,12 @@
+"""Compute primitives: GDN, conv geometry, MS-SSIM, color, bounds."""
+
+from .bounds import lower_bound, nonneg_init, nonneg_param, upper_bound
+from .convops import (Conv2dReflect, ConvTranspose2dTorch,
+                      get_default_precision, set_default_precision)
+from .gdn import GDN
+from .msssim import ms_ssim, ssim
+
+__all__ = ["GDN", "Conv2dReflect", "ConvTranspose2dTorch", "ms_ssim",
+           "ssim", "lower_bound", "upper_bound", "nonneg_init",
+           "nonneg_param", "set_default_precision",
+           "get_default_precision"]

@@ -1,0 +1,7 @@
+"""SPMD parallelism: mesh creation and sharding rules."""
+
+from .mesh import (batch_spec, create_mesh, infer_param_spec, replicate,
+                   shard_batch, shard_variables)
+
+__all__ = ["create_mesh", "shard_variables", "shard_batch", "replicate",
+           "batch_spec", "infer_param_spec"]

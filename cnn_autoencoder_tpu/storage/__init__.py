@@ -1,0 +1,19 @@
+"""Storage layer: native zarr-v2 store + codec registry."""
+
+from . import zarr
+from .codecs import (BZ2, Blosc, Codec, GZip, LZMACodec, Zlib, get_codec,
+                     register_codec)
+
+__all__ = ["zarr", "Codec", "get_codec", "register_codec", "Zlib", "GZip",
+           "BZ2", "LZMACodec", "Blosc"]
+
+
+def __getattr__(name):
+    if name in ("ConvolutionalAutoencoder",
+                "ConvolutionalAutoencoderBottleneck", "CAECodecCore"):
+        from . import cae_codec
+        return getattr(cae_codec, name)
+    if name in ("Jpeg", "Jpeg2k"):
+        from . import image_codecs
+        return getattr(image_codecs, name)
+    raise AttributeError(name)

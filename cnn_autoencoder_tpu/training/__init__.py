@@ -1,0 +1,11 @@
+"""Training: optimizers, schedulers, loops, checkpoints."""
+
+from .checkpoint import load_checkpoint, save_checkpoint
+from .loop import make_eval_step, make_train_step, valid
+from .optim import apply_module_updates, setup_optimizers, split_aux_params
+from .schedulers import SCHEDULER_ALGORITHMS
+
+__all__ = ["save_checkpoint", "load_checkpoint", "make_train_step",
+           "make_eval_step", "valid", "setup_optimizers",
+           "apply_module_updates", "split_aux_params",
+           "SCHEDULER_ALGORITHMS"]

@@ -1,0 +1,21 @@
+"""Public utils surface (mirrors reference src/utils/__init__.py, which
+re-exports args, datasets, loggers and metrics)."""
+
+from ..data.datautils import get_data, get_filenames
+from ..data.imageio import (array_to_image, image2array, map_axes_order,
+                            parse_roi)
+from .args import (build_parser, get_args, override_config_file,
+                   parse_typed_arguments)
+from .loggers import checkpoint, log_info, save_state, setup_logger
+from .metrics import (compute_class_metrics, compute_class_metrics_streaming,
+                      compute_metrics_per_image, compute_roc_curve)
+
+__all__ = [
+    "get_args", "build_parser", "override_config_file",
+    "parse_typed_arguments",
+    "get_data", "get_filenames", "parse_roi", "image2array",
+    "map_axes_order", "array_to_image",
+    "setup_logger", "checkpoint", "save_state", "log_info",
+    "compute_metrics_per_image", "compute_class_metrics",
+    "compute_class_metrics_streaming", "compute_roc_curve",
+]

@@ -1,0 +1,189 @@
+"""Data layer: loaders, samplers, augmentations, zarr patch datasets."""
+
+import numpy as np
+import pytest
+
+from cnn_autoencoder_tpu.data.augs import (AddGaussianNoise, CenterCrop,
+                                           Compose, MapLabels, MergeLabels,
+                                           Normalize, Pad, RandomCrop,
+                                           RandomElasticDeformationInputTarget,
+                                           RandomRotationInputTarget,
+                                           ToFloat, WeightsDistances,
+                                           get_mnist_transform,
+                                           get_zarr_transform)
+from cnn_autoencoder_tpu.data.loader import (ArrayDataset, DataLoader,
+                                             random_split)
+from cnn_autoencoder_tpu.data.zarr_dataset import (BlueNoisePatchSampler,
+                                                   GridPatchSampler,
+                                                   IterableLoader,
+                                                   LabeledZarrDataset,
+                                                   ZarrDataset)
+from cnn_autoencoder_tpu.storage import zarr as zarrlib
+
+
+def test_loader_batching_and_shuffle():
+    xs = np.arange(10)[:, None].astype(np.float32)
+    ds = ArrayDataset(xs)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, seed=0, prefetch=2)
+    batches = list(dl)
+    assert [b[0].shape[0] for b in batches] == [4, 4, 2]
+    seen = np.sort(np.concatenate([b[0][:, 0] for b in batches]))
+    np.testing.assert_array_equal(seen, np.arange(10))
+
+    dl2 = DataLoader(ds, batch_size=4, drop_last=True)
+    assert len(dl2) == 2
+    assert all(b[0].shape[0] == 4 for b in dl2)
+
+
+def test_random_split_deterministic():
+    ds = ArrayDataset(np.arange(20)[:, None])
+    a1, b1 = random_split(ds, [15, 5], seed=3)
+    a2, b2 = random_split(ds, [15, 5], seed=3)
+    np.testing.assert_array_equal(a1.indices, a2.indices)
+    assert len(set(a1.indices) & set(b1.indices)) == 0
+
+
+def test_mnist_transform_shapes():
+    t = get_mnist_transform("training", normalize=True)
+    x = np.zeros((28, 28, 1), np.uint8)
+    out = t(x)
+    assert out.shape == (32, 32, 1)
+    assert out.min() == pytest.approx(-1.0)
+
+
+def test_basic_augs():
+    x = np.random.RandomState(0).rand(20, 24, 3).astype(np.float32)
+    assert RandomCrop(16)(x).shape == (16, 16, 3)
+    assert CenterCrop(16)(x).shape == (16, 16, 3)
+    assert CenterCrop(32)(x).shape == (32, 32, 3)  # pad if needed
+    noisy = AddGaussianNoise(0, 0.01)(x)
+    assert noisy.shape == x.shape and not np.array_equal(noisy, x)
+    assert 0 <= noisy.min() and noisy.max() <= 1
+
+
+def test_paired_augs_share_geometry():
+    rng = np.random.RandomState(0)
+    x = rng.rand(32, 32, 3).astype(np.float32)
+    t = np.zeros((32, 32, 1), np.float32)
+    t[8:24, 8:24] = 1.0
+
+    np.random.seed(0)
+    x2, t2 = RandomRotationInputTarget(90.0)((x, t))
+    assert x2.shape == x.shape and t2.shape == t.shape
+    assert set(np.unique(t2)) <= {0.0, 1.0}  # nearest-neighbor target
+
+    np.random.seed(0)
+    x3, t3 = RandomElasticDeformationInputTarget(5)((x, t))
+    assert x3.shape == x.shape and t3.shape == t.shape
+
+
+def test_weight_maps():
+    t = np.zeros((16, 16, 1), np.float32)
+    t[2:6, 2:6] = 1
+    t[10:14, 10:14] = 1
+    out = WeightsDistances(class_weights=[1.0, 2.0], sigma=3, w_0=5)(t)
+    assert out.shape == (16, 16, 2)  # weight channel + target
+    assert out[..., 0].max() > 2.0  # boosted near objects
+    np.testing.assert_array_equal(out[..., 1], t[..., 0])
+
+
+def test_map_merge_labels():
+    t = np.zeros((4, 4, 3))
+    t[..., 0] = 1
+    t[..., 1] = 1
+    assert np.all(MapLabels()(t) == 2)
+    m = MergeLabels("max")(np.arange(16).reshape(1, 4, 4))
+    assert m.shape == (1,)
+
+
+def test_grid_and_bluenoise_samplers():
+    grid = GridPatchSampler(patch_size=32)
+    pos = grid.positions(128, 96)
+    assert len(pos) == 4 * 3
+    assert (0, 0) in pos and (96, 64) in pos
+
+    bn = BlueNoisePatchSampler(patch_size=32, sampling_radius=32)
+    rng = np.random.RandomState(0)
+    pts = bn.positions(256, 256, rng)
+    assert len(pts) > 4
+    pts_arr = np.asarray(pts)
+    # Poisson-disk: pairwise min distance >= radius (allow integer rounding)
+    d2 = ((pts_arr[:, None] - pts_arr[None]) ** 2).sum(-1)
+    d2[np.arange(len(pts)), np.arange(len(pts))] = 1e9
+    assert np.sqrt(d2.min()) >= 32 - 2
+
+
+def _make_labeled_zarr(path, h=96, w=96):
+    rng = np.random.RandomState(0)
+    root = zarrlib.Group.create(path)
+    img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    arr = root.create_dataset("0/0", shape=img.shape, chunks=(32, 32, 3),
+                              dtype=np.uint8, compressor=None)
+    arr[...] = img
+    lbl = (rng.rand(h, w, 1) > 0.5).astype(np.uint8)
+    larr = root.create_dataset("labels/0/0", shape=lbl.shape,
+                               chunks=(32, 32, 1), dtype=np.uint8,
+                               compressor=None)
+    larr[...] = lbl
+    # low-res mask covering only the left half
+    mask = np.zeros((12, 12), np.uint8)
+    mask[:, :6] = 1
+    marr = root.create_dataset("masks/0/0", shape=mask.shape,
+                               chunks=mask.shape, dtype=np.uint8,
+                               compressor=None)
+    marr[...] = mask
+    return img, lbl
+
+
+def test_zarr_dataset_grid_patches(tmp_path):
+    path = str(tmp_path / "a.zarr")
+    img, _ = _make_labeled_zarr(path)
+    ds = ZarrDataset([path], patch_size=32, data_group="0/0",
+                     data_axes="YXC")
+    patches = list(ds)
+    assert len(patches) == 9
+    x0, t0 = patches[0]
+    assert x0.shape == (32, 32, 3) and t0 is None
+    np.testing.assert_array_equal(x0, img[:32, :32])
+
+
+def test_zarr_dataset_masked(tmp_path):
+    path = str(tmp_path / "b.zarr")
+    _make_labeled_zarr(path)
+    ds = ZarrDataset([path], patch_size=32, data_group="0/0",
+                     data_axes="YXC", mask_group="masks/0/0",
+                     mask_data_axes="YX")
+    # only left-half positions pass the mask
+    assert len(ds) < 9 and len(ds) >= 3
+
+
+def test_labeled_zarr_dataset(tmp_path):
+    path = str(tmp_path / "c.zarr")
+    img, lbl = _make_labeled_zarr(path)
+    ds = LabeledZarrDataset([path], patch_size=32, data_group="0/0",
+                            data_axes="YXC",
+                            labels_data_group="labels/0/0",
+                            labels_data_axes="YXC")
+    x0, t0 = next(iter(ds))
+    assert x0.shape == (32, 32, 3)
+    assert t0.shape == (32, 32, 1)
+    np.testing.assert_array_equal(t0, lbl[:32, :32])
+
+    loader = IterableLoader(ds, batch_size=4)
+    xb, tb = next(iter(loader))
+    assert xb.shape == (4, 32, 32, 3) and tb.shape == (4, 32, 32, 1)
+
+
+def test_worker_sharding(tmp_path):
+    paths = []
+    for i in range(3):
+        pth = str(tmp_path / f"f{i}.zarr")
+        _make_labeled_zarr(pth, 64, 64)
+        paths.append(pth)
+    ds_all = ZarrDataset(paths, patch_size=32, data_axes="YXC")
+    n_all = len(ds_all)
+    n_shards = sum(
+        len(ZarrDataset(paths, patch_size=32,
+                        data_axes="YXC").shard(w, 2))
+        for w in range(2))
+    assert n_shards == n_all

@@ -1,0 +1,102 @@
+"""Penalty-criterion training: sub-iteration loop + stopping integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.criteria.loss import setup_loss
+from cnn_autoencoder_tpu.criteria.stopping import setup_stopping_criteria
+from cnn_autoencoder_tpu.models.factory import build_model
+from cnn_autoencoder_tpu.training.loop import make_train_step
+from cnn_autoencoder_tpu.training.optim import setup_optimizers
+
+
+def test_penalty_sub_iteration_loop():
+    """The PA stopping criterion drives repeated steps on one batch until
+    the energy target is met or sub_iter_steps is exhausted
+    (reference train_cae_ms.py:205-262)."""
+    model = build_model(jax.random.PRNGKey(0), input_size=(16, 16),
+                        channels_org=3, channels_net=8, channels_bn=16,
+                        compression_level=2, K=4, r=3, act_layer_type="GDN")
+    criterion = setup_loss("RateMSEPA", distortion_lambda=0.1,
+                           penalty_beta=0.01, patch_size=16)
+    stopping = setup_stopping_criteria(steps=100,
+                                       criterion="RateMSEPA",
+                                       energy_limit=0.99,  # easy target
+                                       sub_iter_steps=5,
+                                       early_patience=10)
+    assert "penalty" in stopping
+
+    trainable = ["encoder", "decoder", "fact_ent"]
+    optimizers, opt_states, acc = setup_optimizers(model.variables, trainable)
+    step = make_train_step(model.modules, criterion, optimizers,
+                           trainable_modules=trainable, donate=False)
+    lrs = {k: jnp.float32(1e-3) for k in optimizers}
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3), jnp.float32)
+
+    variables = model.variables
+    stopping["penalty"].reset()
+    sub_steps = 0
+    while True:
+        sub_steps += 1
+        variables, opt_states, acc, stats = step(
+            variables, opt_states, acc, lrs, x, None,
+            jax.random.PRNGKey(sub_steps), jnp.int32(sub_steps))
+        stopping["penalty"].update(iteration=sub_steps,
+                                   metric=float(stats["energy"]))
+        if not stopping["penalty"].check():
+            break
+        assert sub_steps < 10, "sub-iteration loop failed to terminate"
+
+    # energy of a fresh random model is spread across channels (<= 0.99),
+    # so the easy target stops the loop on the first check
+    assert 1 <= sub_steps <= 5
+    assert 0 <= float(stats["energy"]) <= 1.0
+
+
+def test_penalty_b_training_step():
+    model = build_model(jax.random.PRNGKey(1), input_size=(16, 16),
+                        channels_org=3, channels_net=8, channels_bn=16,
+                        compression_level=2, K=4, r=3, act_layer_type="GDN")
+    criterion = setup_loss("RateMSEPB", distortion_lambda=0.1,
+                           penalty_beta=0.01, channel_e=3, patch_size=16)
+    trainable = ["encoder", "decoder", "fact_ent"]
+    optimizers, opt_states, acc = setup_optimizers(model.variables, trainable)
+    step = make_train_step(model.modules, criterion, optimizers,
+                           trainable_modules=trainable, donate=False)
+    lrs = {k: jnp.float32(1e-4) for k in optimizers}
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 16, 16, 3), jnp.float32)
+    _, _, _, stats = step(model.variables, opt_states, acc, lrs, x, None,
+                          jax.random.PRNGKey(0), jnp.int32(1))
+    assert int(stats["channel_e"]) == 3
+    assert np.isfinite(float(stats["weighted_penalty"]))
+
+
+def test_scheduler_reduces_lr_on_plateau():
+    from cnn_autoencoder_tpu.training.schedulers import ReduceLROnPlateau
+    lrs = {"encoder": 1e-3}
+    sched = ReduceLROnPlateau(lrs, "encoder", factor=0.5, patience=1)
+    sched.step(1.0)
+    sched.step(1.0)   # bad 1
+    sched.step(1.0)   # bad 2 > patience -> reduce
+    assert lrs["encoder"] == pytest.approx(5e-4)
+
+    # state round trip
+    state = sched.state_dict()
+    lrs2 = {"encoder": 1e-3}
+    sched2 = ReduceLROnPlateau(lrs2, "encoder", factor=0.5, patience=1)
+    sched2.load_state_dict(state)
+    assert lrs2["encoder"] == pytest.approx(5e-4)
+
+
+def test_warmup_scheduler_ramp():
+    from cnn_autoencoder_tpu.training.schedulers import LinearLR
+    lrs = {"encoder": 1e-3}
+    sched = LinearLR(lrs, "encoder", start_factor=0.1, end_factor=1.0,
+                     total_iters=10)
+    assert lrs["encoder"] == pytest.approx(1e-4)
+    for _ in range(10):
+        sched.step()
+    assert lrs["encoder"] == pytest.approx(1e-3)
