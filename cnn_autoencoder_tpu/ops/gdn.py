@@ -51,6 +51,15 @@ class GDN(nn.Module):
         gamma = nonneg_param(gamma_stored, 0.0)
 
         x32 = x.astype(jnp.float32)
+
+        from .pallas.gdn_kernel import fused_gdn, pallas_enabled
+        if pallas_enabled():
+            # single-VMEM-pass fused kernel (square+pool+rsqrt+scale)
+            shape = x32.shape
+            out = fused_gdn(x32.reshape(-1, c), gamma, beta,
+                            self.inverse).reshape(shape)
+            return out.astype(x.dtype)
+
         # HIGHEST precision: the norm pool feeds an rsqrt, and TPU's default
         # bf16 matmul precision costs ~0.5 dB of reconstruction parity here.
         norm = jnp.einsum("...i,oi->...o", x32 * x32, gamma,

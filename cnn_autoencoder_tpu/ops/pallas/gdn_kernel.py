@@ -1,0 +1,112 @@
+"""Fused GDN Pallas kernel: square -> channel matmul -> rsqrt -> scale.
+
+GDN is the hottest non-conv op in the CAE stacks (every encoder/decoder
+stage).  Its XLA form is four HBM-bound elementwise passes around one small
+matmul; this kernel keeps the whole chain in VMEM: one tile of activations
+is read once, the C x C normalization pool runs on the MXU, and the output
+is written once.
+
+The public entry ``fused_gdn`` is differentiable (custom VJP with a
+recomputed XLA backward) and falls back to pure XLA off-TPU or when
+``CAE_TPU_PALLAS=0``.  Channels are zero-padded to the 128-lane boundary
+inside the wrapper; padded channels see beta=1 so their rsqrt stays finite.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except ImportError:  # pragma: no cover
+    _PALLAS_OK = False
+
+_ROW_TILE = 512
+
+
+def pallas_enabled() -> bool:
+    if os.environ.get("CAE_TPU_PALLAS", "1") == "0":
+        return False
+    return _PALLAS_OK and jax.default_backend() == "tpu"
+
+
+def _gdn_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, inverse: bool):
+    x = x_ref[:]
+    norm = jnp.dot(x * x, gamma_ref[:],
+                   preferred_element_type=jnp.float32) + beta_ref[:]
+    if inverse:
+        o_ref[:] = x * jnp.sqrt(norm)
+    else:
+        o_ref[:] = x * jax.lax.rsqrt(norm)
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+def _gdn_pallas(x2d, gamma, beta, inverse: bool, interpret: bool = False):
+    n, c = x2d.shape
+    cp = _round_up(c, 128)
+    npad = _round_up(max(n, 8), _ROW_TILE)
+
+    x_p = jnp.zeros((npad, cp), jnp.float32).at[:n, :c].set(x2d)
+    # gamma stored transposed for the dot: norm = x2 @ gamma_t + beta
+    gamma_t = jnp.zeros((cp, cp), jnp.float32).at[:c, :c].set(gamma.T)
+    beta_p = jnp.ones((1, cp), jnp.float32).at[0, :c].set(beta)
+
+    grid = (npad // _ROW_TILE,)
+    out = pl.pallas_call(
+        functools.partial(_gdn_kernel, inverse=inverse),
+        out_shape=jax.ShapeDtypeStruct((npad, cp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_ROW_TILE, cp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, cp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROW_TILE, cp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_p, gamma_t, beta_p)
+    return out[:n, :c]
+
+
+def _gdn_xla(x2d, gamma, beta, inverse: bool):
+    norm = jnp.einsum("nc,oc->no", x2d * x2d, gamma,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32) + beta
+    return x2d * (jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_gdn(x2d, gamma, beta, inverse: bool = False,
+              use_pallas: bool = True):
+    """y = x * (beta + x^2 gamma^T)^(+-1/2) over (N, C) activations."""
+    if use_pallas and pallas_enabled():
+        return _gdn_pallas(x2d, gamma, beta, inverse)
+    return _gdn_xla(x2d, gamma, beta, inverse)
+
+
+def _fused_gdn_fwd(x2d, gamma, beta, inverse, use_pallas):
+    y = fused_gdn(x2d, gamma, beta, inverse, use_pallas)
+    return y, (x2d, gamma, beta)
+
+
+def _fused_gdn_bwd(inverse, use_pallas, res, g):
+    x, gamma, beta = res
+
+    def f(x, gamma, beta):
+        return _gdn_xla(x, gamma, beta, inverse)
+
+    _, vjp = jax.vjp(f, x, gamma, beta)
+    return vjp(g)
+
+
+fused_gdn.defvjp(_fused_gdn_fwd, _fused_gdn_bwd)

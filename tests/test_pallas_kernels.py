@@ -1,0 +1,58 @@
+"""Pallas kernels, validated in interpreter mode against the XLA math."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.ops.pallas.gdn_kernel import (_gdn_pallas, _gdn_xla,
+                                                       fused_gdn)
+
+
+@pytest.mark.parametrize("n,c", [(64, 16), (300, 48), (1000, 192),
+                                 (7, 5)])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_gdn_kernel_matches_xla(n, c, inverse):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(n, c), jnp.float32)
+    gamma = jnp.asarray(rng.rand(c, c) * 0.1, jnp.float32)
+    beta = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+
+    ref = _gdn_xla(x, gamma, beta, inverse)
+    out = _gdn_pallas(x, gamma, beta, inverse, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_gdn_gradient():
+    """custom VJP: gradient equals the plain-XLA gradient."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(32, 8), jnp.float32)
+    gamma = jnp.asarray(rng.rand(8, 8) * 0.1, jnp.float32)
+    beta = jnp.asarray(rng.rand(8) + 0.5, jnp.float32)
+
+    def loss_fused(x, gamma, beta):
+        return jnp.sum(fused_gdn(x, gamma, beta, False, False) ** 2)
+
+    def loss_ref(x, gamma, beta):
+        return jnp.sum(_gdn_xla(x, gamma, beta, False) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, gamma, beta)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_gdn_module_unchanged_off_tpu():
+    """On CPU the module takes the XLA path and old numerics hold."""
+    from cnn_autoencoder_tpu.ops.gdn import GDN
+    c = 4
+    mod = GDN(channels=c)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 5, c), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(params, x)
+    xn = np.asarray(x)
+    expected = xn / np.sqrt(1.0 + 0.1 * xn ** 2)
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=1e-5)
