@@ -96,15 +96,23 @@ def main():
                                      patch_size=PATCH)
         decompress_cae_array(arr, core=core)
 
+        from cnn_autoencoder_tpu.utils.profiling import (GLOBAL_TIMER,
+                                                          trace)
         best_mps = 0.0
         bpp = None
         for r in range(REPEATS):
             out = os.path.join(tmp, f"bench_{r}.zarr")
+            GLOBAL_TIMER.reset()
             t0 = time.perf_counter()
-            arr = compress_pixels_to_cae(core, img, out, patch_size=PATCH)
-            t1 = time.perf_counter()
-            rec = decompress_cae_array(arr, core=core)
+            with trace():
+                arr = compress_pixels_to_cae(core, img, out,
+                                             patch_size=PATCH)
+                t1 = time.perf_counter()
+                rec = decompress_cae_array(arr, core=core)
             t2 = time.perf_counter()
+            stage_report = GLOBAL_TIMER.report()
+            if stage_report:
+                print("# stages:", stage_report, file=sys.stderr)
             assert rec.shape == img.shape
             bpp = arr.nbytes_stored * 8 / (IMAGE_H * IMAGE_W)
             mps = mp / (t2 - t0)

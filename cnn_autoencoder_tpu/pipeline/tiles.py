@@ -29,6 +29,7 @@ import numpy as np
 
 from ..data.imageio import image2array, map_axes_order, parse_roi
 from ..storage import zarr as zarrlib
+from ..utils.profiling import GLOBAL_TIMER, profiling_enabled
 from ..storage.cae_codec import (CAECodecCore, ConvolutionalAutoencoder,
                                  ConvolutionalAutoencoderBottleneck)
 from ..storage.codecs import Blosc, Zlib, get_codec
@@ -118,18 +119,25 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
     inflight: List = []
 
     def flush_one(idxs, sym_dev):
-        sym_np = np.asarray(sym_dev)[:len(idxs)]  # d2h (releases GIL)
-        bufs = core.entropy_encode(sym_np, [(pe, pe)] * sym_np.shape[0])
-        for (i, j), buf in zip(idxs, bufs):
-            arr.write_chunk_raw((i, j, 0), buf)
+        mp = len(idxs) * p * p / 1e6
+        with GLOBAL_TIMER.stage("compress/d2h_sym", mp):
+            sym_np = np.asarray(sym_dev)[:len(idxs)]  # d2h (releases GIL)
+        with GLOBAL_TIMER.stage("compress/rans", mp):
+            bufs = core.entropy_encode(sym_np, [(pe, pe)] * sym_np.shape[0])
+        with GLOBAL_TIMER.stage("compress/write", mp):
+            for (i, j), buf in zip(idxs, bufs):
+                arr.write_chunk_raw((i, j, 0), buf)
 
     for group in _iter_batches(grid, batch):
-        tiles = list(pool.map(read_tile, group))
-        # fixed batch shape: pad the final group so the device program
-        # compiles exactly once
-        while len(tiles) < batch:
-            tiles.append(tiles[-1])
-        sym = core.encode_tiles_device(jnp.asarray(np.stack(tiles)))
+        mp = len(group) * p * p / 1e6
+        with GLOBAL_TIMER.stage("compress/read", mp):
+            tiles = list(pool.map(read_tile, group))
+            # fixed batch shape: pad the final group so the device program
+            # compiles exactly once
+            while len(tiles) < batch:
+                tiles.append(tiles[-1])
+        with GLOBAL_TIMER.stage("compress/h2d+dispatch", mp):
+            sym = core.encode_tiles_device(jnp.asarray(np.stack(tiles)))
         inflight.append(flusher.submit(flush_one, group, sym))
         while len(inflight) > 2:
             inflight.pop(0).result()

@@ -1,0 +1,86 @@
+"""Lightweight tracing/profiling for the tile pipeline and training loop.
+
+The reference has only ad-hoc perf_counter spans (reference
+src/test_cae.py:101-115); here profiling is a first-class subsystem:
+
+* ``StageTimer`` — named wall-clock accumulators with call counts and
+  MB/MP throughput, printable as a one-line report;
+* ``trace(path)`` — context manager around ``jax.profiler`` emitting a
+  TensorBoard-loadable device trace (enable in bench/train with
+  CAE_TPU_TRACE=/path/to/dir).
+"""
+
+import contextlib
+import os
+import threading
+import time
+from typing import Dict, Optional
+
+
+class StageTimer:
+    """Thread-safe named stage accumulators."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._total: Dict[str, float] = {}
+        self._count: Dict[str, int] = {}
+        self._units: Dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str, units: float = 0.0):
+        """Time a block; ``units`` adds throughput accounting (e.g. MB/MP)."""
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self._total[name] = self._total.get(name, 0.0) + dt
+                self._count[name] = self._count.get(name, 0) + 1
+                self._units[name] = self._units.get(name, 0.0) + units
+
+    def report(self) -> str:
+        with self._lock:
+            parts = []
+            for name in sorted(self._total):
+                t = self._total[name]
+                n = self._count[name]
+                u = self._units[name]
+                s = f"{name}: {t:.3f}s/{n}x"
+                if u > 0 and t > 0:
+                    s += f" ({u / t:.1f} u/s)"
+                parts.append(s)
+        return " | ".join(parts)
+
+    def totals(self) -> Dict[str, float]:
+        with self._lock:
+            return dict(self._total)
+
+    def reset(self):
+        with self._lock:
+            self._total.clear()
+            self._count.clear()
+            self._units.clear()
+
+
+# process-global timer used by pipeline/tiles.py when profiling is on
+GLOBAL_TIMER = StageTimer()
+
+
+def profiling_enabled() -> bool:
+    return os.environ.get("CAE_TPU_PROFILE", "0") == "1"
+
+
+@contextlib.contextmanager
+def trace(trace_dir: Optional[str] = None):
+    """jax.profiler device trace when CAE_TPU_TRACE (or arg) is set."""
+    trace_dir = trace_dir or os.environ.get("CAE_TPU_TRACE")
+    if not trace_dir:
+        yield
+        return
+    import jax
+    jax.profiler.start_trace(trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
