@@ -126,22 +126,28 @@ int64_t encode_one(const int32_t *symbols, const int32_t *indexes, int64_t n,
     const int32_t idx = indexes[i];
     const uint32_t *cdf = cdfs + idx * cdf_stride;
     const int32_t max_value = cdf_lengths[idx] - 2;
-    int32_t value = symbols[i] - offsets[idx];
+    // 64-bit: symbol-offset can exceed int32 and the escape value
+    // -2v-1 / 2(v-max) can exceed uint32/2 — avoid overflow UB
+    const int64_t value64 =
+        static_cast<int64_t>(symbols[i]) - offsets[idx];
 
-    if (value >= 0 && value < max_value) {
+    if (value64 >= 0 && value64 < max_value) {
       // fast path: in-range symbol, no bypass
+      const int32_t value = static_cast<int32_t>(value64);
       enc_put(state, ptr, cdf[value], cdf[value + 1] - cdf[value]);
       continue;
     }
 
-    uint32_t raw_val;
-    if (value < 0) {
-      raw_val = static_cast<uint32_t>(-2 * value - 1);
+    uint64_t raw_val;
+    if (value64 < 0) {
+      raw_val = static_cast<uint64_t>(-2 * value64 - 1);
     } else {
-      raw_val = static_cast<uint32_t>(2 * (value - max_value));
+      raw_val = static_cast<uint64_t>(2 * (value64 - max_value));
     }
-    value = max_value;
+    const int32_t value = max_value;
 
+    // raw_val < 2^33; shifting a 64-bit value by up to 4*9=36 bits is
+    // well-defined (a 32-bit shift of 32+ bits is UB and loops on x86)
     int32_t n_bypass = 0;
     while ((raw_val >> (kBypassPrecision * n_bypass)) != 0) {
       ++n_bypass;
@@ -152,9 +158,11 @@ int64_t encode_one(const int32_t *symbols, const int32_t *indexes, int64_t n,
     // Encoding runs reversed: raw chunks MSB-first, count chunks reversed,
     // then the regular symbol.
     for (int32_t j = n_bypass - 1; j >= 0; --j) {
-      enc_put_bits(state, ptr,
-                   (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal,
-                   kBypassPrecision);
+      enc_put_bits(
+          state, ptr,
+          static_cast<uint32_t>(raw_val >> (j * kBypassPrecision))
+              & kMaxBypassVal,
+          kBypassPrecision);
     }
     enc_put_bits(state, ptr,
                  static_cast<uint32_t>(n_bypass)
@@ -208,17 +216,20 @@ void decode_one(const uint8_t *data, int64_t data_len,
         val = dec_get_bits(state, ptr, end, kBypassPrecision);
         n_bypass += val;
       }
-      uint32_t raw_val = 0;
-      for (uint32_t j = 0; j < n_bypass; ++j) {
-        raw_val |= dec_get_bits(state, ptr, end, kBypassPrecision)
+      uint64_t raw_val = 0;
+      for (uint32_t j = 0; j < n_bypass && j < 16; ++j) {
+        raw_val |= static_cast<uint64_t>(
+                       dec_get_bits(state, ptr, end, kBypassPrecision))
                    << (j * kBypassPrecision);
       }
-      value = static_cast<int32_t>(raw_val >> 1);
+      const int64_t v64 = static_cast<int64_t>(raw_val >> 1);
+      int64_t out64;
       if (raw_val & 1) {
-        value = -value - 1;
+        out64 = -v64 - 1;
       } else {
-        value += max_value;
+        out64 = v64 + max_value;
       }
+      value = static_cast<int32_t>(out64);
     }
 
     out[i] = value + offsets[idx];

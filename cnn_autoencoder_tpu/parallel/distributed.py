@@ -1,0 +1,63 @@
+"""Multi-host initialization (DCN) for pod-scale data parallelism.
+
+The reference has no multi-node story at all (nn.DataParallel only); here a
+multi-host run is the same SPMD program over a larger mesh: call
+``initialize_multihost()`` once per process before any jax usage, then
+``create_mesh`` from parallel.mesh sees all global devices and the train
+step is unchanged — XLA routes the gradient all-reduce over ICI within a
+slice and DCN across slices.
+"""
+
+import logging
+import os
+from typing import Optional
+
+LOGGER = logging.getLogger(__name__)
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> bool:
+    """jax.distributed.initialize from args or standard env vars.
+
+    Returns True when multi-host mode was initialized; single-process runs
+    (no coordinator configured) return False and proceed on local devices.
+    """
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "COORDINATOR_ADDRESS")
+    if num_processes is None and "NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and "PROCESS_ID" in os.environ:
+        process_id = int(os.environ["PROCESS_ID"])
+
+    if coordinator_address is None and num_processes is None:
+        # TPU pod slices auto-configure from the metadata server
+        try:
+            jax.distributed.initialize()
+            if jax.process_count() > 1:
+                LOGGER.info("multi-host: process %d/%d, %d global devices",
+                            jax.process_index(), jax.process_count(),
+                            len(jax.devices()))
+                return True
+        except Exception:
+            pass
+        return False
+
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    LOGGER.info("multi-host: process %d/%d, %d global devices",
+                jax.process_index(), jax.process_count(),
+                len(jax.devices()))
+    return True
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The slice of a global batch this process should feed (per-host data
+    loading for multi-host DP)."""
+    import jax
+    per = global_batch // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)

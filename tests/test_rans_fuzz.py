@@ -1,0 +1,93 @@
+"""rANS fuzz/property tests: random tables, adversarial symbols, big streams."""
+
+import numpy as np
+import pytest
+
+from cnn_autoencoder_tpu.coding import rans
+from cnn_autoencoder_tpu.coding.cdf import pmf_to_quantized_cdf
+
+
+def _random_tables(rng, channels, max_support=40):
+    max_len = max_support + 2
+    cdfs = np.zeros((channels, max_len), np.uint32)
+    lengths = np.zeros(channels, np.int32)
+    offsets = np.zeros(channels, np.int32)
+    for c in range(channels):
+        n = rng.randint(2, max_support)
+        alpha = rng.choice([0.05, 0.3, 1.0, 5.0])
+        pmf = rng.dirichlet(np.ones(n) * alpha)
+        pmf = pmf * (1 - 1e-5)
+        cdf = pmf_to_quantized_cdf(np.concatenate([pmf, [1e-5]]), 16)
+        cdfs[c, :len(cdf)] = cdf
+        lengths[c] = len(cdf)
+        offsets[c] = rng.randint(-50, 50)
+    return cdfs, lengths, offsets
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_roundtrip(seed):
+    rng = np.random.RandomState(seed)
+    channels = rng.randint(1, 16)
+    cdfs, lengths, offsets = _random_tables(rng, channels)
+    n = rng.randint(1, 5000)
+    indexes = rng.randint(0, channels, n).astype(np.int32)
+    # mix of in-range and far-out-of-range symbols
+    symbols = np.where(rng.rand(n) < 0.8,
+                       rng.randint(-20, 60, n),
+                       rng.randint(-100000, 100000, n)).astype(np.int32)
+    symbols = symbols + offsets[indexes]  # bias toward valid region
+
+    stream = rans.encode_with_indexes(symbols, indexes, cdfs, lengths,
+                                      offsets)
+    decoded = rans.decode_with_indexes(stream, indexes, cdfs, lengths,
+                                       offsets)
+    np.testing.assert_array_equal(decoded, symbols)
+
+
+def test_extreme_values():
+    cdfs, lengths, offsets = _random_tables(np.random.RandomState(0), 2)
+    extremes = np.asarray([2 ** 30, -(2 ** 30), 0, 1, -1], np.int32)
+    idx = np.zeros(5, np.int32)
+    stream = rans.encode_with_indexes(extremes, idx, cdfs, lengths, offsets)
+    decoded = rans.decode_with_indexes(stream, idx, cdfs, lengths, offsets)
+    np.testing.assert_array_equal(decoded, extremes)
+
+
+def test_long_stream_and_compression_ratio():
+    """A strongly peaked distribution must compress well below 1 byte/sym."""
+    rng = np.random.RandomState(1)
+    n_sup = 21
+    xs = np.arange(n_sup) - 10
+    pmf = np.exp(-0.5 * (xs / 1.0) ** 2)
+    pmf = pmf / pmf.sum() * (1 - 1e-6)
+    cdf = pmf_to_quantized_cdf(np.concatenate([pmf, [1e-6]]), 16)
+    cdfs = cdf[None].astype(np.uint32)
+    lengths = np.asarray([len(cdf)], np.int32)
+    offsets = np.asarray([-10], np.int32)
+
+    n = 200_000
+    symbols = np.clip(np.round(rng.randn(n)), -10, 10).astype(np.int32)
+    idx = np.zeros(n, np.int32)
+    stream = rans.encode_with_indexes(symbols, idx, cdfs, lengths, offsets)
+
+    # entropy of N(0,1) rounded ~ 2.1 bits/sym; allow overhead
+    bits_per_sym = len(stream) * 8 / n
+    assert bits_per_sym < 2.4, bits_per_sym
+
+    decoded = rans.decode_with_indexes(stream, idx, cdfs, lengths, offsets)
+    np.testing.assert_array_equal(decoded, symbols)
+
+
+def test_batch_consistency_fuzz():
+    rng = np.random.RandomState(2)
+    cdfs, lengths, offsets = _random_tables(rng, 4)
+    n, b = 777, 9
+    indexes = rng.randint(0, 4, n).astype(np.int32)
+    symbols = rng.randint(-30, 30, (b, n)).astype(np.int32)
+    streams = rans.encode_batch(symbols, indexes, cdfs, lengths, offsets)
+    for i in range(b):
+        single = rans.encode_with_indexes(symbols[i], indexes, cdfs,
+                                          lengths, offsets)
+        assert streams[i] == single
+    decoded = rans.decode_batch(streams, indexes, cdfs, lengths, offsets)
+    np.testing.assert_array_equal(decoded, symbols)
