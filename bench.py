@@ -32,6 +32,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_GPU_MPS_ESTIMATE = 25.0
+TURBO = os.environ.get("BENCH_TURBO", "0") == "1"
 
 IMAGE_H = int(os.environ.get("BENCH_IMAGE_H", 8192))
 IMAGE_W = int(os.environ.get("BENCH_IMAGE_W", 8192))
@@ -83,7 +84,17 @@ def main():
     model.variables["fact_ent"]["params"] = {**p, "quantiles": q}
 
     from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
-    core = CAECodecCore(model)
+    if TURBO:
+        from cnn_autoencoder_tpu.pipeline.tiles import (
+            compress_pixels_to_cae_turbo, decompress_cae_turbo_array)
+        from cnn_autoencoder_tpu.storage.turbo_codec import CAETurboCore
+        core = CAETurboCore(model)
+        compress_fn = compress_pixels_to_cae_turbo
+        decompress_fn = decompress_cae_turbo_array
+    else:
+        core = CAECodecCore(model)
+        compress_fn = compress_pixels_to_cae
+        decompress_fn = decompress_cae_array
 
     img = synth_histology(IMAGE_H, IMAGE_W)
     mp = IMAGE_H * IMAGE_W / 1e6
@@ -92,9 +103,9 @@ def main():
     try:
         # warmup (compile both directions)
         out0 = os.path.join(tmp, "warm.zarr")
-        arr = compress_pixels_to_cae(core, img[:PATCH * 2, :PATCH * 2], out0,
-                                     patch_size=PATCH)
-        decompress_cae_array(arr, core=core)
+        arr = compress_fn(core, img[:PATCH * 2, :PATCH * 2], out0,
+                          patch_size=PATCH)
+        decompress_fn(arr, core=core)
 
         from cnn_autoencoder_tpu.utils.profiling import (GLOBAL_TIMER,
                                                           trace)
@@ -105,10 +116,9 @@ def main():
             GLOBAL_TIMER.reset()
             t0 = time.perf_counter()
             with trace():
-                arr = compress_pixels_to_cae(core, img, out,
-                                             patch_size=PATCH)
+                arr = compress_fn(core, img, out, patch_size=PATCH)
                 t1 = time.perf_counter()
-                rec = decompress_cae_array(arr, core=core)
+                rec = decompress_fn(arr, core=core)
             t2 = time.perf_counter()
             stage_report = GLOBAL_TIMER.report()
             if stage_report:
@@ -133,6 +143,7 @@ def main():
                 "patch_size": PATCH,
                 "bpp": round(float(bpp), 3),
                 "model": "net128_bn48_cl3_gdn",
+                "turbo": TURBO,
                 "device": str(jax.devices()[0]),
             },
         }

@@ -1,0 +1,254 @@
+"""On-device vectorized rANS: entropy coding fused into the jitted forward.
+
+The reference (and our reference-compatible path) runs entropy coding on the
+host CPU, so every tile's full symbol plane crosses the host<->device link
+and the coder competes for host cores.  This module codes ON the TPU: the
+latent is split into S interleaved streams per tile, each stream runs a
+byte-wise rANS as a `lax.scan`, all streams advance in lockstep across the
+vector lanes, and only (approximately) the compressed bytes leave the device.
+
+Design (rANS-24/8, all int32 — TPU has no 64-bit integer lanes):
+* state in [2^16, 2^24): 12-bit probability precision, byte renormalization
+  (at most 2 bytes per symbol, handled as two masked emits);
+* encode scans symbols in reverse, emitting (byte, flag) pairs; byte
+  positions come from an exclusive cumsum and one scatter builds the final
+  per-stream buffers back-to-front, so the decoder reads strictly forward;
+* decode uses a per-channel 4096-entry symbol lookup table (gathers);
+* out-of-support values are NOT escape-coded on device: the encoder returns
+  an escape count and the caller falls back to the host (reference-
+  compatible) coder for that batch — with trained quantiles this is rare;
+* output buffers have a static per-stream capacity; overflow is reported
+  and the caller retries with a larger bucket.
+
+This bitstream ('cae_tpu' codec) is intentionally NOT compatible with the
+reference's single-stream rANS — it is the turbo serving path; the 'cae'
+codec remains the compatibility path.
+"""
+
+import functools
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PRECISION = 12
+PROB_SCALE = 1 << PRECISION
+STATE_MIN = 1 << 16
+MASK = PROB_SCALE - 1
+FLUSH_BYTES = 3  # final state < 2^24
+
+
+class DeviceTables(NamedTuple):
+    """Per-channel coding tables, device-resident."""
+    freq: jnp.ndarray      # (C, L) int32
+    start: jnp.ndarray     # (C, L) int32
+    slot: jnp.ndarray      # (C, 4096) int32: cum -> symbol value
+    offset: jnp.ndarray    # (C,) int32
+    support: int           # L
+
+
+def bake_device_tables(params, filters: Sequence[int],
+                       extra_support: int = 8) -> DeviceTables:
+    """12-bit tables over a widened quantile support.
+
+    Mirrors models.entropy.update_cdf_tables but at PRECISION bits, without
+    the escape bucket (escapes fall back to the host coder), and with a
+    dense cum->symbol LUT for O(1) device decode.
+    """
+    from ..coding.cdf import pmf_to_quantized_cdf
+    from ..models.entropy import logits_cumulative
+
+    params = jax.tree_util.tree_map(np.asarray, dict(params))
+    quantiles = params["quantiles"]
+    medians = quantiles[:, 0, 1]
+    minima = np.clip(np.ceil(medians - quantiles[:, 0, 0]).astype(np.int64),
+                     0, None) + extra_support
+    maxima = np.clip(np.ceil(quantiles[:, 0, 2] - medians).astype(np.int64),
+                     0, None) + extra_support
+    offset = (-minima).astype(np.int32)
+    pmf_length = (maxima + minima + 1).astype(np.int64)
+    max_length = int(pmf_length.max())
+
+    samples = (np.arange(max_length, dtype=np.float32)[:, None]
+               + (medians - minima)[None, :])
+    jparams = {k: jnp.asarray(v) for k, v in params.items()}
+    num_filters = len(filters)
+    lower = np.asarray(logits_cumulative(jparams, jnp.asarray(samples - 0.5),
+                                         num_filters, stop_gradient=True))
+    upper = np.asarray(logits_cumulative(jparams, jnp.asarray(samples + 0.5),
+                                         num_filters, stop_gradient=True))
+    sign = -np.sign(lower + upper)
+
+    def sig(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    pmf = np.abs(sig(sign * upper) - sig(sign * lower)).T  # (C, L)
+
+    channels = pmf.shape[0]
+    freq = np.zeros((channels, max_length), np.int32)
+    start = np.zeros((channels, max_length), np.int32)
+    slot = np.zeros((channels, PROB_SCALE), np.int32)
+    for c in range(channels):
+        n = int(pmf_length[c])
+        prob = pmf[c, :n].astype(np.float64)
+        prob = prob / prob.sum()
+        cdf = pmf_to_quantized_cdf(prob, PRECISION)
+        f = np.diff(cdf)
+        freq[c, :n] = f
+        start[c, :n] = cdf[:-1]
+        # pad region: freq 1 to keep division well-defined (never used)
+        freq[c, n:] = 1
+        slot[c] = np.repeat(np.arange(n), f)
+
+    return DeviceTables(freq=jnp.asarray(freq), start=jnp.asarray(start),
+                        slot=jnp.asarray(slot),
+                        offset=jnp.asarray(offset), support=max_length)
+
+
+def stream_channel_map(num_channels: int, latent_hw: Tuple[int, int],
+                       num_streams: int) -> np.ndarray:
+    """(T, S) channel index per (step, stream) for a channel-major latent.
+
+    Flattened symbol p (channel-major, p = c*h*w + y*w + x) goes to stream
+    p % S at step p // S; the total is padded up to S*T.
+    """
+    h, w = latent_hw
+    n = num_channels * h * w
+    s = num_streams
+    t = -(-n // s)
+    p = np.arange(s * t)
+    ch = np.minimum(p // (h * w), num_channels - 1).astype(np.int32)
+    return ch.reshape(t, s)
+
+
+def pack_streams(symbols_flat: jnp.ndarray, num_streams: int) -> jnp.ndarray:
+    """(B, N) channel-major symbols -> (B, T, S) interleaved, zero-padded."""
+    b, n = symbols_flat.shape
+    s = num_streams
+    t = -(-n // s)
+    pad = s * t - n
+    if pad:
+        symbols_flat = jnp.pad(symbols_flat, ((0, 0), (0, pad)))
+    return symbols_flat.reshape(b, t, s)
+
+
+def unpack_streams(sym_ts: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(B, T, S) -> (B, N)."""
+    b = sym_ts.shape[0]
+    return sym_ts.reshape(b, -1)[:, :n]
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def encode_device(symbols: jnp.ndarray, channel_map: jnp.ndarray,
+                  tables: DeviceTables, capacity: int):
+    """Encode (B, T, S) int32 symbols -> ((B, S, capacity) u8, lengths,
+    escape count).
+
+    ``lengths`` includes the 3 flush bytes.  Caller must check
+    ``escapes == 0`` and ``lengths.max() <= capacity``.
+    """
+    b, t, s = symbols.shape
+
+    freq_flat = tables.freq.reshape(-1)
+    start_flat = tables.start.reshape(-1)
+    support = tables.support
+
+    v = symbols - tables.offset[channel_map][None]     # (B, T, S)
+    esc = jnp.sum((v < 0) | (v >= support))
+    v = jnp.clip(v, 0, support - 1)
+
+    flat_idx = channel_map * support + v               # (B, T, S)
+    f = freq_flat[flat_idx].astype(jnp.int32)
+    st = start_flat[flat_idx].astype(jnp.int32)
+
+    def encode_one_batch(f_b, st_b):
+        # scan over reversed steps; carry: state (S,)
+        def step(x, fs):
+            fk, stk = fs
+            thresh = fk << PRECISION
+            e1 = x >= thresh
+            b1 = (x & 0xFF).astype(jnp.uint8)
+            x = jnp.where(e1, x >> 8, x)
+            e2 = x >= thresh
+            b2 = (x & 0xFF).astype(jnp.uint8)
+            x = jnp.where(e2, x >> 8, x)
+            x = ((x // fk) << PRECISION) + (x % fk) + stk
+            return x, (b1, e1, b2, e2)
+
+        init = jnp.full((s,), STATE_MIN, jnp.int32)
+        x_final, (b1, e1, b2, e2) = jax.lax.scan(
+            step, init, (f_b[::-1], st_b[::-1]))
+
+        # emissions in scan order k, slots (b1 then b2): (T, 2, S)
+        bytes_emit = jnp.stack([b1, b2], axis=1)
+        flags = jnp.stack([e1, e2], axis=1)
+
+        flags_flat = flags.reshape(t * 2, s)
+        bytes_flat = bytes_emit.reshape(t * 2, s)
+        g = jnp.cumsum(flags_flat.astype(jnp.int32), axis=0) - flags_flat
+        total = flags_flat.sum(axis=0).astype(jnp.int32)      # (S,)
+        # reversed layout after the 3 flush bytes
+        pos = jnp.where(flags_flat, FLUSH_BYTES + total[None] - 1 - g,
+                        capacity)  # OOB -> dropped
+
+        buf = jnp.zeros((s, capacity), jnp.uint8)
+        s_idx = jnp.broadcast_to(jnp.arange(s)[None], (t * 2, s))
+        buf = buf.at[s_idx.reshape(-1), pos.reshape(-1)].set(
+            bytes_flat.reshape(-1), mode="drop")
+        # flush: state (< 2^24) little-endian in the first 3 bytes
+        buf = buf.at[:, 0].set((x_final & 0xFF).astype(jnp.uint8))
+        buf = buf.at[:, 1].set(((x_final >> 8) & 0xFF).astype(jnp.uint8))
+        buf = buf.at[:, 2].set(((x_final >> 16) & 0xFF).astype(jnp.uint8))
+        return buf, total + FLUSH_BYTES
+
+    bufs, lengths = jax.vmap(encode_one_batch)(f, st)
+    return bufs, lengths, esc
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def decode_device(bufs: jnp.ndarray, channel_map: jnp.ndarray,
+                  tables: DeviceTables, num_steps: int):
+    """Decode (B, S, CAP) u8 buffers -> (B, T, S) int32 symbols."""
+    b, s, cap = bufs.shape
+    t = num_steps
+    freq_flat = tables.freq.reshape(-1)
+    start_flat = tables.start.reshape(-1)
+    slot_flat = tables.slot.reshape(-1)
+    support = tables.support
+
+    def decode_one_batch(buf):
+        buf_i32 = buf.astype(jnp.int32)
+        x0 = buf_i32[:, 0] | (buf_i32[:, 1] << 8) | (buf_i32[:, 2] << 16)
+        pos0 = jnp.full((s,), FLUSH_BYTES, jnp.int32)
+
+        def step(carry, ch_row):
+            x, pos = carry
+            cum = x & MASK
+            val = slot_flat[ch_row * PROB_SCALE + cum]
+            fi = ch_row * support + val
+            fk = freq_flat[fi]
+            stk = start_flat[fi]
+            x = fk * (x >> PRECISION) + cum - stk
+            # up to two byte refills (clamped reads past the end are
+            # gated by `need`, so exhausted streams never consume garbage)
+            take = jnp.take_along_axis(
+                buf_i32, jnp.minimum(pos, cap - 1)[:, None],
+                axis=1)[:, 0]
+            need = x < STATE_MIN
+            x = jnp.where(need, (x << 8) | take, x)
+            pos = pos + need.astype(jnp.int32)
+            take = jnp.take_along_axis(
+                buf_i32, jnp.minimum(pos, cap - 1)[:, None],
+                axis=1)[:, 0]
+            need = x < STATE_MIN
+            x = jnp.where(need, (x << 8) | take, x)
+            pos = pos + need.astype(jnp.int32)
+            return (x, pos), val
+
+        (_, _), vals = jax.lax.scan(step, (x0, pos0), channel_map)
+        return vals  # (T, S)
+
+    vals = jax.vmap(decode_one_batch)(bufs)
+    sym = vals + tables.offset[channel_map][None]
+    return sym

@@ -361,3 +361,85 @@ def copy_sidecar_metadata(src_path: str, dst_path: str) -> None:
     ome_dst = os.path.join(dst_path, "OME")
     if os.path.isdir(ome_src) and not os.path.isdir(ome_dst):
         shutil.copytree(ome_src, ome_dst)
+
+
+def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
+                                 data_group: str = "0/0",
+                                 patch_size: int = 512,
+                                 batch_tiles: Optional[int] = None,
+                                 checkpoint_id: Optional[str] = None,
+                                 progress_bar: bool = False):
+    """Turbo path: conv + quantize + entropy coding fused on device
+    ('cae_tpu' chunks); only compressed bytes cross the link."""
+    from ..storage.turbo_codec import CAETurboCore
+    assert isinstance(core, CAETurboCore)
+    h, w, c = src.shape
+    p = min(patch_size, max(h, w))
+    batch = batch_tiles or default_batch_tiles(p)
+
+    root = zarrlib.Group.create(out_path)
+    arr = root.create_dataset(
+        data_group or "0/0", shape=(h, w, c), chunks=(p, p, c),
+        dtype=np.uint8,
+        compressor={"id": "cae_tpu", "checkpoint": checkpoint_id,
+                    "num_streams": core.num_streams},
+        overwrite=True)
+
+    grid = _tile_grid(h, w, p)
+
+    def read_tile(ij):
+        i, j = ij
+        tile = np.zeros((p, p, c), np.uint8)
+        block = src[i * p:min((i + 1) * p, h), j * p:min((j + 1) * p, w)]
+        tile[:block.shape[0], :block.shape[1]] = block
+        return tile
+
+    pool = ThreadPoolExecutor(max_workers=4)
+    flusher = ThreadPoolExecutor(max_workers=1)
+    inflight = []
+
+    def flush_one(idxs, bufs):
+        for (i, j), buf in zip(idxs, bufs[:len(idxs)]):
+            arr.write_chunk_raw((i, j, 0), buf)
+
+    for group in _iter_batches(grid, batch):
+        tiles = list(pool.map(read_tile, group))
+        while len(tiles) < batch:
+            tiles.append(tiles[-1])
+        bufs = core.encode_tiles(np.stack(tiles))
+        inflight.append(flusher.submit(flush_one, group, bufs))
+        while len(inflight) > 2:
+            inflight.pop(0).result()
+    for f in inflight:
+        f.result()
+    pool.shutdown()
+    flusher.shutdown()
+    return arr
+
+
+def decompress_cae_turbo_array(src: zarrlib.Array,
+                               batch_tiles: Optional[int] = None,
+                               core=None) -> np.ndarray:
+    """Materialize a 'cae_tpu'-coded array via batched device decode."""
+    if core is None:
+        core = src.compressor.core
+    h, w, c = src.shape
+    p = src.chunks[0]
+    batch = batch_tiles or default_batch_tiles(p)
+    out = np.zeros(src.shape, np.uint8)
+
+    grid = list(src.chunk_ids())
+    pool = ThreadPoolExecutor(max_workers=8)
+    raw = list(pool.map(src.read_chunk_raw, grid))
+    pool.shutdown()
+
+    i = 0
+    while i < len(grid):
+        group = grid[i:i + batch]
+        bufs = [b for b in raw[i:i + batch] if b is not None]
+        i += batch
+        rec = core.decode_tiles(bufs)
+        for ij, r in zip(group, rec):
+            sl, valid = src.chunk_slices(ij)
+            out[sl] = r[:valid[0], :valid[1], :valid[2]]
+    return out

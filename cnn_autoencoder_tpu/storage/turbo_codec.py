@@ -1,0 +1,200 @@
+"""'cae_tpu' turbo codec: the ENTIRE codec fused into one XLA program.
+
+The reference splits its codec across device (convs) and host (rANS); the
+turbo path runs conv analysis, quantization AND entropy coding inside a
+single jitted program (coding/device_rans.py), so per tile only compressed
+bytes (+ per-stream lengths) cross the host<->device link — the BASELINE
+north-star's "entropy bottleneck fused into the forward pass".
+
+Bitstream (per chunk, self-framed):
+  '>QQ' true (h, w) pixels
+  u8    version (1)
+  u16   num_streams S
+  u32[S] per-stream byte lengths
+  concatenated per-stream rANS-24/8 payloads
+
+Not bitstream-compatible with the reference 'cae' codec (that one remains
+the compatibility path); escapes or capacity overflows fall back to the
+reference-compatible host coder automatically.
+"""
+
+import struct
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..coding.device_rans import (bake_device_tables, decode_device,
+                                  encode_device, pack_streams,
+                                  stream_channel_map, unpack_streams)
+from ..models.entropy import medians_fn
+from .cae_codec import CAECodecCore, _ceil_to
+from .codecs import Codec, ndarray_copy, register_codec
+
+VERSION = 1
+DEFAULT_STREAMS = 256
+
+
+class CAETurboCore:
+    """Device-coded encode/decode built on top of a CAECodecCore."""
+
+    def __init__(self, model, num_streams: int = DEFAULT_STREAMS):
+        self.base = CAECodecCore(model)
+        self.model = model
+        self.level = self.base.level
+        self.channels_bn = self.base.channels_bn
+        self.num_streams = num_streams
+        self.tables = bake_device_tables(
+            model.variables["fact_ent"]["params"], model.filters)
+        self._ch_maps = {}
+        med = jnp.asarray(self.base.medians)
+        modules, variables = model.modules, model.variables
+
+        def encode_fused(x_u8, ch_map, capacity):
+            x = x_u8.astype(jnp.float32) / 255.0
+            y = modules["encoder"].apply(variables["encoder"], x)
+            sym = jnp.round(y - med).astype(jnp.int32)
+            sym_cm = jnp.transpose(sym, (0, 3, 1, 2))     # (B, C, lh, lw)
+            flat = sym_cm.reshape(sym_cm.shape[0], -1)
+            packed = pack_streams(flat, ch_map.shape[1])
+            return encode_device(packed, ch_map, self.tables, capacity)
+
+        def decode_fused(bufs, ch_map, num_steps, lh, lw):
+            packed = decode_device(bufs, ch_map, self.tables, num_steps)
+            n = self.channels_bn * lh * lw
+            flat = unpack_streams(packed, n)
+            sym_cm = flat.reshape(-1, self.channels_bn, lh, lw)
+            y = jnp.transpose(sym_cm, (0, 2, 3, 1)).astype(jnp.float32) + med
+            x_r, _ = modules["decoder"].apply(variables["decoder"], y)
+            return jnp.clip(x_r[0] * 255.0, 0, 255).astype(jnp.uint8)
+
+        self._encode = jax.jit(encode_fused, static_argnums=(2,))
+        self._decode = jax.jit(decode_fused, static_argnums=(2, 3, 4))
+
+    # -- geometry -----------------------------------------------------------
+
+    def _latent_hw(self, h, w):
+        return self.base.latent_hw(h, w)
+
+    def _get_ch_map(self, lh, lw):
+        key = (lh, lw)
+        if key not in self._ch_maps:
+            self._ch_maps[key] = jnp.asarray(stream_channel_map(
+                self.channels_bn, (lh, lw), self.num_streams))
+        return self._ch_maps[key]
+
+    def _steps(self, lh, lw):
+        n = self.channels_bn * lh * lw
+        return -(-n // self.num_streams)
+
+    # -- encode -------------------------------------------------------------
+
+    def encode_tiles(self, tiles_u8, true_hw=None) -> List[bytes]:
+        """(B, H, W, 3) uint8 -> framed turbo bitstreams (host fallback on
+        escapes/overflow)."""
+        tiles_u8 = jnp.asarray(tiles_u8)
+        bsz, h, w, _ = tiles_u8.shape
+        if true_hw is None:
+            true_hw = [(h, w)] * bsz
+        ph, pw = self.base.padded_hw(h, w)
+        if (ph, pw) != (h, w):
+            tiles_u8 = jnp.pad(
+                tiles_u8, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
+                mode="reflect")
+        lh, lw = self._latent_hw(ph, pw)
+        ch_map = self._get_ch_map(lh, lw)
+        t = self._steps(lh, lw)
+
+        capacity = max(64, t)  # ~8 bits/symbol/stream starting bucket
+        for _ in range(4):
+            bufs, lengths, esc = self._encode(tiles_u8, ch_map, capacity)
+            esc = int(esc)
+            lengths_np = np.asarray(lengths)
+            if esc == 0 and lengths_np.max() <= capacity:
+                bufs_np = np.asarray(bufs)
+                return self._frame(bufs_np, lengths_np, true_hw)
+            if esc > 0:
+                break
+            capacity *= 2
+
+        # fall back to the reference-compatible host coder
+        sym = np.asarray(self.base.encode_tiles_device(tiles_u8))
+        return self.base.entropy_encode(sym, true_hw)
+
+    def _frame(self, bufs_np, lengths_np, true_hw) -> List[bytes]:
+        out = []
+        s = self.num_streams
+        for i, (th, tw) in enumerate(true_hw):
+            parts = [struct.pack(">QQ", th, tw),
+                     struct.pack(">BH", VERSION, s),
+                     lengths_np[i].astype(">u4").tobytes()]
+            for j in range(s):
+                parts.append(bufs_np[i, j, :lengths_np[i, j]].tobytes())
+            out.append(b"".join(parts))
+        return out
+
+    # -- decode -------------------------------------------------------------
+
+    def decode_tiles(self, bufs: List[bytes]) -> np.ndarray:
+        th, tw = struct.unpack(">QQ", bytes(bufs[0][:16]))
+        version, s = struct.unpack(">BH", bytes(bufs[0][16:19]))
+        if version != VERSION:
+            # not a turbo frame: defer to the compatibility core
+            return self.base.decode_tiles(bufs)
+        ph, pw = self.base.padded_hw(th, tw)
+        lh, lw = self._latent_hw(ph, pw)
+        t = self._steps(lh, lw)
+
+        batch = len(bufs)
+        lengths = np.zeros((batch, s), np.int64)
+        payloads = []
+        for i, raw in enumerate(bufs):
+            raw = bytes(raw)
+            ln = np.frombuffer(raw[19:19 + 4 * s], ">u4").astype(np.int64)
+            lengths[i] = ln
+            payloads.append(raw[19 + 4 * s:])
+
+        cap = max(64, int(lengths.max()))
+        dev_bufs = np.zeros((batch, s, cap), np.uint8)
+        for i in range(batch):
+            flat = np.frombuffer(payloads[i], np.uint8)
+            offs = np.concatenate([[0], np.cumsum(lengths[i])])
+            for j in range(s):
+                dev_bufs[i, j, :lengths[i, j]] = flat[offs[j]:offs[j + 1]]
+
+        rec = np.asarray(self._decode(jnp.asarray(dev_bufs),
+                                      self._get_ch_map(lh, lw), t, lh, lw))
+        return rec[:, :th, :tw, :]
+
+
+class ConvolutionalAutoencoderTurbo(Codec):
+    """zarr codec id 'cae_tpu' (turbo device-coded bitstream)."""
+
+    codec_id = "cae_tpu"
+
+    def __init__(self, checkpoint, num_streams: int = DEFAULT_STREAMS,
+                 gpu: bool = False):
+        from ..models.factory import autoencoder_from_state_dict
+        del gpu
+        self.checkpoint = checkpoint if isinstance(checkpoint, str) else None
+        self.num_streams = num_streams
+        self.core = CAETurboCore(autoencoder_from_state_dict(checkpoint),
+                                 num_streams=num_streams)
+
+    def encode(self, buf) -> bytes:
+        buf = np.asarray(buf)
+        h, w, _ = buf.shape
+        return self.core.encode_tiles(buf[None].astype(np.uint8),
+                                      [(h, w)])[0]
+
+    def decode(self, buf, out=None):
+        rec = self.core.decode_tiles([bytes(buf)])[0]
+        return ndarray_copy(np.ascontiguousarray(rec), out)
+
+    def get_config(self):
+        return {"id": self.codec_id, "checkpoint": self.checkpoint,
+                "num_streams": self.num_streams}
+
+
+register_codec(ConvolutionalAutoencoderTurbo)

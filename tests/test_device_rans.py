@@ -1,0 +1,142 @@
+"""On-device rANS: round trips, compression ratio, host-fallback signals."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.coding.device_rans import (bake_device_tables,
+                                                    decode_device,
+                                                    encode_device,
+                                                    pack_streams,
+                                                    stream_channel_map,
+                                                    unpack_streams)
+from cnn_autoencoder_tpu.models.entropy import aux_loss_fn
+from cnn_autoencoder_tpu.models.factory import build_model
+
+
+@pytest.fixture(scope="module")
+def fitted_params():
+    model = build_model(jax.random.PRNGKey(0), input_size=(32, 32),
+                        channels_org=3, channels_net=8, channels_bn=8,
+                        compression_level=2, K=4, r=3, act_layer_type="GDN")
+    p = model.variables["fact_ent"]["params"]
+    g = jax.jit(jax.grad(lambda q, pp: aux_loss_fn({**pp, "quantiles": q},
+                                                   4)))
+    q = p["quantiles"]
+    for _ in range(200):
+        q = q - 0.1 * g(q, p)
+    return {**p, "quantiles": q}
+
+
+def test_tables_shapes(fitted_params):
+    tables = bake_device_tables(fitted_params, (3, 3, 3, 3))
+    c = 8
+    assert tables.freq.shape[0] == c
+    assert tables.slot.shape == (c, 4096)
+    # freq rows sum to 2^12 over the support
+    freq = np.asarray(tables.freq)
+    start = np.asarray(tables.start)
+    for ch in range(c):
+        n = int(np.argmax(start[ch] + freq[ch] >= 4096)) + 1
+        assert start[ch, n - 1] + freq[ch, n - 1] == 4096
+
+
+def test_roundtrip_gaussian(fitted_params):
+    tables = bake_device_tables(fitted_params, (3, 3, 3, 3))
+    c, h, w = 8, 8, 8
+    rng = np.random.RandomState(0)
+    y = rng.randn(3, c, h, w) * 2.0
+    med = np.asarray(fitted_params["quantiles"][:, 0, 1])
+    sym = np.round(y - med[None, :, None, None]).astype(np.int32)
+    sym_flat = sym.reshape(3, -1)
+
+    s = 32
+    ch_map = jnp.asarray(stream_channel_map(c, (h, w), s))
+    packed = pack_streams(jnp.asarray(sym_flat), s)
+    cap = packed.shape[1] * 2 + 8
+
+    bufs, lengths, esc = encode_device(packed, ch_map, tables, cap)
+    assert int(esc) == 0
+    assert int(jnp.max(lengths)) <= cap
+
+    decoded = decode_device(bufs, ch_map, tables, packed.shape[1])
+    out = np.asarray(unpack_streams(decoded, sym_flat.shape[1]))
+    np.testing.assert_array_equal(out, sym_flat)
+
+
+def _gaussian_tables(c=8, sigma=1.5, support=21):
+    """DeviceTables matched to round(N(0, sigma))."""
+    from cnn_autoencoder_tpu.coding.cdf import pmf_to_quantized_cdf
+    from cnn_autoencoder_tpu.coding.device_rans import (PROB_SCALE,
+                                                        DeviceTables)
+    xs = np.arange(support) - support // 2
+    pmf = np.exp(-0.5 * (xs / sigma) ** 2)
+    pmf = pmf / pmf.sum()
+    cdf = pmf_to_quantized_cdf(pmf, 12)
+    f = np.diff(cdf)
+    freq = np.tile(f[None], (c, 1)).astype(np.int32)
+    start = np.tile(cdf[:-1][None], (c, 1)).astype(np.int32)
+    slot = np.tile(np.repeat(np.arange(support), f)[None],
+                   (c, 1)).astype(np.int32)
+    offset = np.full((c,), -(support // 2), np.int32)
+    return DeviceTables(freq=jnp.asarray(freq), start=jnp.asarray(start),
+                        slot=jnp.asarray(slot), offset=jnp.asarray(offset),
+                        support=support)
+
+
+def test_compression_ratio():
+    """With matched tables, actual bytes approach the source entropy."""
+    c, h, w = 8, 32, 32
+    sigma = 1.5
+    tables = _gaussian_tables(c, sigma)
+    rng = np.random.RandomState(1)
+    sym = np.clip(np.round(rng.randn(2, c, h, w) * sigma), -10,
+                  10).astype(np.int32)
+    sym_flat = sym.reshape(2, -1)
+
+    s = 16  # few streams: flush overhead (3 B/stream) stays small
+    ch_map = jnp.asarray(stream_channel_map(c, (h, w), s))
+    packed = pack_streams(jnp.asarray(sym_flat), s)
+    cap = packed.shape[1] * 2 + 8
+    bufs, lengths, esc = encode_device(packed, ch_map, tables, cap)
+    assert int(esc) == 0
+
+    total_bytes = int(jnp.sum(lengths))
+    bits_per_sym = total_bytes * 8 / sym_flat.size
+    # rounded N(0,1.5) entropy ~2.6 bits; 12-bit tables + stream overheads
+    assert bits_per_sym < 3.0, bits_per_sym
+    out = unpack_streams(decode_device(bufs, ch_map, tables,
+                                       packed.shape[1]), sym_flat.shape[1])
+    np.testing.assert_array_equal(np.asarray(out), sym_flat)
+
+
+def test_escape_detection(fitted_params):
+    tables = bake_device_tables(fitted_params, (3, 3, 3, 3))
+    c, h, w = 8, 4, 4
+    sym = np.zeros((1, c, h, w), np.int32)
+    sym[0, 0, 0, 0] = 10_000  # far outside support
+    s = 16
+    ch_map = jnp.asarray(stream_channel_map(c, (h, w), s))
+    packed = pack_streams(jnp.asarray(sym.reshape(1, -1)), s)
+    _, _, esc = encode_device(packed, ch_map, tables,
+                              packed.shape[1] * 2 + 8)
+    assert int(esc) == 1
+
+
+def test_jit_static_shapes(fitted_params):
+    """encode/decode compile once per (shape, capacity)."""
+    tables = bake_device_tables(fitted_params, (3, 3, 3, 3))
+    c, h, w = 8, 8, 8
+    s = 32
+    ch_map = jnp.asarray(stream_channel_map(c, (h, w), s))
+    rng = np.random.RandomState(2)
+    for seed in range(3):
+        sym = np.round(rng.randn(2, c * h * w) * 2).astype(np.int32)
+        packed = pack_streams(jnp.asarray(sym), s)
+        cap = packed.shape[1] * 2 + 8
+        bufs, lengths, esc = encode_device(packed, ch_map, tables, cap)
+        out = decode_device(bufs, ch_map, tables, packed.shape[1])
+        np.testing.assert_array_equal(
+            np.asarray(unpack_streams(out, sym.shape[1])), sym)
