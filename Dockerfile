@@ -1,0 +1,23 @@
+# TPU-host image for cnn_autoencoder_tpu (the reference ships a CUDA
+# Dockerfile; this is the TPU-VM equivalent).
+FROM python:3.12-slim
+
+RUN apt-get update && apt-get install -y --no-install-recommends \
+        g++ make \
+    && rm -rf /var/lib/apt/lists/*
+
+WORKDIR /opt/cnn_autoencoder_tpu
+COPY pyproject.toml README.md ./
+COPY cnn_autoencoder_tpu ./cnn_autoencoder_tpu
+COPY scripts ./scripts
+
+# On a TPU VM install jax[tpu] against Google's libtpu releases.
+RUN pip install --no-cache-dir "jax[tpu]" \
+        -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
+    && pip install --no-cache-dir .
+
+# Pre-build the native rANS library
+RUN python -c "from cnn_autoencoder_tpu.coding import rans; \
+               assert rans.native_available()"
+
+ENTRYPOINT ["python", "-m", "cnn_autoencoder_tpu.cli.train_cae"]

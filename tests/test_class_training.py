@@ -1,0 +1,79 @@
+"""Compressed-domain classifier/segmenter training through the train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.criteria.loss import setup_loss
+from cnn_autoencoder_tpu.models.factory import build_model
+from cnn_autoencoder_tpu.training.loop import make_train_step
+from cnn_autoencoder_tpu.training.optim import setup_optimizers
+
+
+def test_latent_classifier_training_step():
+    """encoder frozen, classifier trainable, RateMSECE objective
+    (the reference's compressed-domain classification setup)."""
+    model = build_model(
+        jax.random.PRNGKey(0), input_size=(32, 32), channels_org=3,
+        channels_net=8, channels_bn=16, compression_level=2, K=4, r=3,
+        act_layer_type="GDN", class_model_type="ViT", cut_position=6,
+        num_classes=5, patch_size=32)
+    criterion = setup_loss("RateMSECE", distortion_lambda=0.1,
+                           class_error_mu=1.0, class_error_aux_mu=0.0,
+                           patch_size=32)
+    trainable = ["class_model"]
+    optimizers, opt_states, acc = setup_optimizers(model.variables, trainable)
+    step = make_train_step(model.modules, criterion, optimizers,
+                           trainable_modules=trainable, donate=False)
+    lrs = {k: jnp.float32(1e-3) for k in optimizers}
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(4, 32, 32, 3), jnp.float32)
+    t = jnp.asarray(rng.randint(0, 5, 4))
+
+    enc_before = jax.device_get(model.variables["encoder"])
+    cls_before = jax.device_get(
+        model.variables["class_model"]["params"]["head"]["kernel"])
+
+    variables = model.variables
+    for i in range(3):
+        variables, opt_states, acc, stats = step(
+            variables, opt_states, acc, lrs, x, t, jax.random.PRNGKey(i),
+            jnp.int32(i + 1))
+
+    assert np.isfinite(float(stats["class_error"]))
+    # classifier moved, encoder frozen
+    cls_after = np.asarray(
+        variables["class_model"]["params"]["head"]["kernel"])
+    assert not np.allclose(cls_before, cls_after)
+    for a, b in zip(jax.tree_util.tree_leaves(enc_before),
+                    jax.tree_util.tree_leaves(
+                        jax.device_get(variables["encoder"]))):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_segmenter_training_step_bce():
+    model = build_model(
+        jax.random.PRNGKey(1), input_size=(32, 32), channels_org=3,
+        channels_net=8, channels_bn=16, compression_level=2, K=4, r=3,
+        act_layer_type="GDN", seg_model_type="JNet", seg_channels_net=8,
+        seg_channels_bn=32, seg_channels_expansion=2, num_classes=1)
+    criterion = setup_loss("RateMSEBCE", distortion_lambda=0.1,
+                           class_error_mu=1.0, class_error_aux_mu=0.0,
+                           patch_size=32)
+    trainable = ["seg_model"]
+    optimizers, opt_states, acc = setup_optimizers(model.variables, trainable)
+    step = make_train_step(model.modules, criterion, optimizers,
+                           trainable_modules=trainable, donate=False)
+    lrs = {k: jnp.float32(1e-3) for k in optimizers}
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    t = jnp.asarray((rng.rand(2, 32, 32, 1) > 0.5).astype(np.float32))
+
+    _, _, _, stats = step(model.variables, opt_states, acc, lrs, x, t,
+                          jax.random.PRNGKey(0), jnp.int32(1))
+    assert np.isfinite(float(stats["class_error"]))
+    assert np.isfinite(float(stats["loss"]))
