@@ -59,9 +59,13 @@ def decompress_image(input_filename, output_filename,
             rec_level=reconstruction_level, progress_bar=progress_bar)
         rec = None
     else:
-        # self-decoding input: the 'cae' codec in the metadata does the work
-        if isinstance(z_arr.compressor, ConvolutionalAutoencoder):
+        # self-decoding input: the codec in the metadata does the work
+        comp_id = (z_arr._meta.get("compressor") or {}).get("id")
+        if comp_id == "cae":
             rec = decompress_cae_array(z_arr)
+        elif comp_id == "cae_tpu":
+            from ..pipeline.tiles import decompress_cae_turbo_array
+            rec = decompress_cae_turbo_array(z_arr)
         else:
             rec = z_arr[...]
         if "zarr" in destination_format:

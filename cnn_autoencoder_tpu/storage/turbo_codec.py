@@ -157,11 +157,13 @@ class CAETurboCore:
 
         cap = max(64, int(lengths.max()))
         dev_bufs = np.zeros((batch, s, cap), np.uint8)
+        # vectorized scatter: byte k of the concatenated payload belongs to
+        # stream searchsorted(offsets, k) at column k - offset[stream]
+        col_grid = np.arange(cap)
         for i in range(batch):
             flat = np.frombuffer(payloads[i], np.uint8)
-            offs = np.concatenate([[0], np.cumsum(lengths[i])])
-            for j in range(s):
-                dev_bufs[i, j, :lengths[i, j]] = flat[offs[j]:offs[j + 1]]
+            mask = col_grid[None, :] < lengths[i][:, None]      # (S, cap)
+            dev_bufs[i][mask] = flat[:int(lengths[i].sum())]
 
         rec = np.asarray(self._decode(jnp.asarray(dev_bufs),
                                       self._get_ch_map(lh, lw), t, lh, lw))

@@ -187,3 +187,31 @@ def test_worker_sharding(tmp_path):
                         data_axes="YXC").shard(w, 2))
         for w in range(2))
     assert n_shards == n_all
+
+
+def test_cifar_pickle_loader(tmp_path):
+    import pickle
+
+    from cnn_autoencoder_tpu.data.cifar import get_cifar10
+    root = tmp_path / "cifar-10-batches-py"
+    root.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(1, 6):
+        batch = {b"data": rng.randint(0, 255, (20, 3072), np.uint8),
+                 b"labels": list(rng.randint(0, 10, 20))}
+        with open(root / f"data_batch_{i}", "wb") as f:
+            pickle.dump(batch, f)
+    with open(root / "test_batch", "wb") as f:
+        pickle.dump({b"data": rng.randint(0, 255, (10, 3072), np.uint8),
+                     b"labels": list(rng.randint(0, 10, 10))}, f)
+
+    train, valid, n = get_cifar10(str(tmp_path), batch_size=8,
+                                  val_batch_size=8, mode="training")
+    assert n == 10
+    x, t = next(iter(train))
+    assert x.shape == (8, 32, 32, 3) and x.dtype == np.float32
+    assert t.shape == (8,)
+
+    test, n = get_cifar10(str(tmp_path), batch_size=4, mode="test")
+    x, t = next(iter(test))
+    assert x.shape == (4, 32, 32, 3)
