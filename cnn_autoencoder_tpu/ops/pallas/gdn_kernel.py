@@ -36,7 +36,9 @@ def pallas_enabled() -> bool:
 
 def _gdn_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, inverse: bool):
     x = x_ref[:]
+    # HIGHEST: f32 MXU passes — the norm feeds an rsqrt; bf16 costs ~5e-4
     norm = jnp.dot(x * x, gamma_ref[:],
+                   precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=jnp.float32) + beta_ref[:]
     if inverse:
         o_ref[:] = x * jnp.sqrt(norm)
