@@ -38,6 +38,9 @@ IMAGE_H = int(os.environ.get("BENCH_IMAGE_H", 8192))
 IMAGE_W = int(os.environ.get("BENCH_IMAGE_W", 8192))
 PATCH = int(os.environ.get("BENCH_PATCH", 512))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+# total wall budget: the TPU tunnel in this environment is congestion-prone;
+# report best-of-whatever-fits rather than risk the driver's timeout
+BUDGET_S = float(os.environ.get("BENCH_BUDGET", 420))
 
 
 def synth_histology(h, w, seed=0):
@@ -111,7 +114,11 @@ def main():
                                                           trace)
         best_mps = 0.0
         bpp = None
+        bench_t0 = time.perf_counter()
         for r in range(REPEATS):
+            if r > 0 and time.perf_counter() - bench_t0 > BUDGET_S:
+                print(f"# budget reached after {r} runs", file=sys.stderr)
+                break
             out = os.path.join(tmp, f"bench_{r}.zarr")
             GLOBAL_TIMER.reset()
             t0 = time.perf_counter()
