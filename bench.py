@@ -34,8 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_GPU_MPS_ESTIMATE = 25.0
 TURBO = os.environ.get("BENCH_TURBO", "0") == "1"
 
-IMAGE_H = int(os.environ.get("BENCH_IMAGE_H", 8192))
-IMAGE_W = int(os.environ.get("BENCH_IMAGE_W", 8192))
+IMAGE_H = int(os.environ.get("BENCH_IMAGE_H", 4096))
+IMAGE_W = int(os.environ.get("BENCH_IMAGE_W", 4096))
 PATCH = int(os.environ.get("BENCH_PATCH", 512))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 # total wall budget: the TPU tunnel in this environment is congestion-prone;
