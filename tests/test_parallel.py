@@ -96,3 +96,16 @@ def test_graft_entry_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_graft_entry_single_chip_lowering():
+    """entry() must be jittable (the driver compile-checks it)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import jax
+    fn, args = mod.entry()
+    lowered = jax.jit(fn).lower(*args)
+    assert lowered is not None
