@@ -1,0 +1,75 @@
+"""Gradient accumulation and batch-norm state updates in the train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.criteria.loss import setup_loss
+from cnn_autoencoder_tpu.models.factory import build_model
+from cnn_autoencoder_tpu.training.loop import make_train_step
+from cnn_autoencoder_tpu.training.optim import setup_optimizers
+
+
+def test_gradient_accumulation_applies_every_k_steps():
+    model = build_model(jax.random.PRNGKey(0), input_size=(16, 16),
+                        channels_org=3, channels_net=8, channels_bn=16,
+                        compression_level=2, K=4, r=3, act_layer_type="GDN")
+    criterion = setup_loss("RateMSE", distortion_lambda=0.1, patch_size=16)
+    trainable = ["encoder"]
+    optimizers, opt_states, acc = setup_optimizers(
+        model.variables, trainable, mod_grad_accumulate={"encoder": 2})
+    step = make_train_step(model.modules, criterion, optimizers,
+                           trainable_modules=trainable, donate=False)
+    lrs = {k: jnp.float32(1e-3) for k in optimizers}
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3), jnp.float32)
+
+    def kernel_of(v):
+        return np.asarray(v["encoder"]["params"]["down_0"]["conv_down"]
+                          ["kernel"])
+
+    v0 = kernel_of(model.variables)
+    variables, opt_states, acc, _ = step(
+        model.variables, opt_states, acc, lrs, x, None,
+        jax.random.PRNGKey(0), jnp.int32(1))
+    # step 1 (1 % 2 != 0): gradient accumulated, no param change
+    np.testing.assert_array_equal(kernel_of(variables), v0)
+    acc_sum1 = float(sum(jnp.abs(l).sum()
+                         for l in jax.tree_util.tree_leaves(acc)))
+    assert acc_sum1 > 0
+
+    variables, opt_states, acc, _ = step(
+        variables, opt_states, acc, lrs, x, None, jax.random.PRNGKey(1),
+        jnp.int32(2))
+    # step 2 (2 % 2 == 0): update applied and accumulator reset
+    assert not np.allclose(kernel_of(variables), v0)
+    acc_sum2 = float(sum(jnp.abs(l).sum()
+                         for l in jax.tree_util.tree_leaves(acc)))
+    assert acc_sum2 == 0.0
+
+
+def test_batch_norm_stats_update_in_training():
+    model = build_model(jax.random.PRNGKey(0), input_size=(16, 16),
+                        channels_org=3, channels_net=8, channels_bn=16,
+                        compression_level=2, K=4, r=3,
+                        act_layer_type="ReLU", batch_norm=True)
+    assert "batch_stats" in model.variables["encoder"]
+    criterion = setup_loss("RateMSE", distortion_lambda=0.1, patch_size=16)
+    trainable = ["encoder", "decoder", "fact_ent"]
+    optimizers, opt_states, acc = setup_optimizers(model.variables, trainable)
+    step = make_train_step(model.modules, criterion, optimizers,
+                           trainable_modules=trainable, donate=False)
+    lrs = {k: jnp.float32(1e-3) for k in optimizers}
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3) + 2.0,
+                    jnp.float32)
+
+    def mean_of(v):
+        return np.asarray(jax.tree_util.tree_leaves(
+            v["encoder"]["batch_stats"])[0])
+
+    m0 = mean_of(model.variables)
+    variables, *_ = step(model.variables, opt_states, acc, lrs, x, None,
+                         jax.random.PRNGKey(0), jnp.int32(1))
+    m1 = mean_of(variables)
+    assert not np.allclose(m0, m1), "running stats did not update"
