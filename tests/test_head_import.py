@@ -1,0 +1,127 @@
+"""Head checkpoint import: torchvision-layout state dicts -> flax variables.
+
+torchvision itself is unavailable here, so these tests build synthetic state
+dicts with torchvision's exact key layout and shapes, import them, and check
+(a) every flax parameter is covered (tree paths match exactly), (b) the
+loaded model runs, (c) values land where expected.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.models.classifiers import (InceptionV3ClassifierHead,
+                                                    ResNetClassifierHead,
+                                                    ViTClassifierHead)
+from cnn_autoencoder_tpu.models.factory import _merge_variables, _path_str
+from cnn_autoencoder_tpu.utils.torch_import import (import_resnet,
+                                                    import_vit)
+
+
+def _paths(tree):
+    return {(_path_str(p)) for p, _ in
+            jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def _rnd(*shape):
+    return np.random.RandomState(sum(shape)).randn(*shape).astype(
+        np.float32) * 0.02
+
+
+def test_vit_import_covers_all_params():
+    cut, num_classes, cbn = 10, 7, 16
+    num_layers = 12 - cut
+    hidden, mlp = 768, 3072
+    mod = ViTClassifierHead(channels_bn=cbn, cut_position=cut, patch_size=32,
+                            compression_level=2, num_classes=num_classes)
+    y_q = jnp.zeros((1, 8, 8, cbn))
+    template = mod.init(jax.random.PRNGKey(0), y_q)
+
+    tokens = 8 * 8 + 1
+    sd = {
+        "conv_proj.weight": _rnd(hidden, cbn, 1, 1),
+        "class_token": _rnd(1, 1, hidden),
+        "encoder.pos_embedding": _rnd(1, tokens, hidden),
+        "encoder.ln.weight": np.ones(hidden, np.float32),
+        "encoder.ln.bias": np.zeros(hidden, np.float32),
+        "heads.head.weight": _rnd(num_classes, hidden),
+        "heads.head.bias": np.zeros(num_classes, np.float32),
+    }
+    for i in range(num_layers):
+        b = f"encoder.layers.encoder_layer_{i}"
+        sd.update({
+            f"{b}.ln_1.weight": np.ones(hidden, np.float32),
+            f"{b}.ln_1.bias": np.zeros(hidden, np.float32),
+            f"{b}.ln_2.weight": np.ones(hidden, np.float32),
+            f"{b}.ln_2.bias": np.zeros(hidden, np.float32),
+            f"{b}.self_attention.in_proj_weight": _rnd(3 * hidden, hidden),
+            f"{b}.self_attention.in_proj_bias": np.zeros(3 * hidden,
+                                                         np.float32),
+            f"{b}.self_attention.out_proj.weight": _rnd(hidden, hidden),
+            f"{b}.self_attention.out_proj.bias": np.zeros(hidden,
+                                                          np.float32),
+            f"{b}.mlp.0.weight": _rnd(mlp, hidden),
+            f"{b}.mlp.0.bias": np.zeros(mlp, np.float32),
+            f"{b}.mlp.3.weight": _rnd(hidden, mlp),
+            f"{b}.mlp.3.bias": np.zeros(hidden, np.float32),
+        })
+
+    imported = import_vit(sd, num_layers=num_layers)
+    assert _paths(imported) == _paths(template), (
+        _paths(template) ^ _paths(imported))
+
+    variables = _merge_variables(template, imported)
+    pred, _ = mod.apply(variables, y_q)
+    assert pred.shape == (1, num_classes)
+    # head weights landed transposed
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["head"]["kernel"]),
+        sd["heads.head.weight"].T)
+
+
+def test_resnet_import_covers_all_params():
+    layers = (2, 2, 2, 2)
+    cut, cbn, num_classes = 3, 16, 5
+    mod = ResNetClassifierHead(channels_bn=cbn, cut_position=cut,
+                               patch_size=32, compression_level=2,
+                               num_classes=num_classes, layers=layers)
+    y_q = jnp.zeros((1, 8, 8, cbn))
+    template = mod.init(jax.random.PRNGKey(0), y_q)
+
+    out_channels = [64, 256, 512, 1024, 2048]
+    sd = {"conv1.weight": _rnd(out_channels[cut - 1], cbn, 1, 1),
+          "bn1.weight": np.ones(out_channels[cut - 1], np.float32),
+          "bn1.bias": np.zeros(out_channels[cut - 1], np.float32),
+          "fc.weight": _rnd(num_classes, 2048),
+          "fc.bias": np.zeros(num_classes, np.float32)}
+
+    planes = (64, 128, 256, 512)
+    for stage in range(cut - 1, 4):
+        in_ch = out_channels[stage] if stage >= cut - 1 else None
+        cin = out_channels[stage]
+        for blk in range(layers[stage]):
+            b = f"layer{stage + 1}.{blk}"
+            p = planes[stage]
+            first = blk == 0
+            c_in = cin if first else p * 4
+            sd[f"{b}.conv1.weight"] = _rnd(p, c_in, 1, 1)
+            sd[f"{b}.conv2.weight"] = _rnd(p, p, 3, 3)
+            sd[f"{b}.conv3.weight"] = _rnd(p * 4, p, 1, 1)
+            for j, ch in ((1, p), (2, p), (3, p * 4)):
+                sd[f"{b}.bn{j}.weight"] = np.ones(ch, np.float32)
+                sd[f"{b}.bn{j}.bias"] = np.zeros(ch, np.float32)
+            if first:
+                sd[f"{b}.downsample.0.weight"] = _rnd(p * 4, c_in, 1, 1)
+                sd[f"{b}.downsample.1.weight"] = np.ones(p * 4, np.float32)
+                sd[f"{b}.downsample.1.bias"] = np.zeros(p * 4, np.float32)
+
+    imported = import_resnet(sd, layers=layers)
+    missing = _paths(template) - _paths(imported)
+    extra = _paths(imported) - _paths(template)
+    assert not missing and not extra, (missing, extra)
+
+    variables = _merge_variables(template, imported)
+    pred, _ = mod.apply(variables, y_q)
+    assert pred.shape == (1, num_classes)
