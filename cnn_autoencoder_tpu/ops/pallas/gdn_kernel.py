@@ -31,7 +31,11 @@ _ROW_TILE = 512
 def pallas_enabled() -> bool:
     if os.environ.get("CAE_TPU_PALLAS", "1") == "0":
         return False
-    return _PALLAS_OK and jax.default_backend() == "tpu"
+    if not (_PALLAS_OK and jax.default_backend() == "tpu"):
+        return False
+    # multi-chip meshes: automatic SPMD partitioning of the kernel is not
+    # validated; let XLA handle GDN there
+    return len(jax.devices()) == 1
 
 
 def _gdn_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, inverse: bool):

@@ -76,6 +76,10 @@ def make_train_step(modules: Dict[str, Any], criterion,
 
         grads, (loss_dict, mutated, outputs) = jax.grad(
             loss_fn, has_aux=True)(trainable_params)
+        loss_dict = dict(loss_dict)
+        loss_dict["x_min"] = x.min()
+        loss_dict["x_max"] = x.max()
+        loss_dict["x_std"] = x.std()
 
         # fold mutated batch_stats back in
         new_vars = {k: dict(v) for k, v in variables.items()}

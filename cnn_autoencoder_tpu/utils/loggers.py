@@ -116,6 +116,9 @@ def log_info(step, sub_step, len_data, stats: Dict[str, Any],
         dist = np.atleast_1d(stats["dist"])
         log_string += " D=[{}]".format(",".join("%0.4f" % d for d in dist))
         recorded["D"] = [float(d) for d in dist]
+        if "x_min" in stats:
+            log_string += " Xo={:.2f},{:.2f},std={:.2f}".format(
+                stats["x_min"], stats["x_max"], stats["x_std"])
         if "x_r_min" in stats:
             log_string += " Xr={:.2f},{:.2f},std={:.2f}".format(
                 stats["x_r_min"], stats["x_r_max"], stats["x_r_std"])
