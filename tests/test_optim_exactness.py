@@ -1,0 +1,95 @@
+"""Per-module optimizer must match a hand-rolled optax reference exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cnn_autoencoder_tpu.training.optim import (apply_module_updates,
+                                                setup_optimizers,
+                                                split_aux_params)
+
+
+def test_module_update_matches_plain_optax_adam():
+    """One module, no aux params: our update == clip(1.0) + adam + lr."""
+    rng = np.random.RandomState(0)
+    params = {"w": jnp.asarray(rng.randn(4, 3), jnp.float32),
+              "b": jnp.asarray(rng.randn(3), jnp.float32)}
+    grads = {"w": jnp.asarray(rng.randn(4, 3) * 5, jnp.float32),
+             "b": jnp.asarray(rng.randn(3) * 5, jnp.float32)}
+    variables = {"m": {"params": params}}
+
+    optimizers, opt_states, acc = setup_optimizers(variables, ["m"])
+    lr = 1e-3
+
+    new_vars, new_opt, new_acc = apply_module_updates(
+        optimizers, {"m": grads}, variables, opt_states, acc,
+        {"m": jnp.float32(lr)}, jnp.int32(1))
+
+    # reference: optax chain identical to ours
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.scale_by_adam())
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    expected = jax.tree_util.tree_map(lambda p, u: p - lr * u, params,
+                                      updates)
+
+    for a, b in zip(jax.tree_util.tree_leaves(new_vars["m"]["params"]),
+                    jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_aux_split_routes_gradients_independently():
+    """quantiles go to the aux optimizer with its own lr; main params keep
+    theirs; neither update leaks into the other."""
+    rng = np.random.RandomState(1)
+    params = {"kernel": jnp.asarray(rng.randn(4, 4), jnp.float32),
+              "quantiles": jnp.asarray(rng.randn(4, 1, 3), jnp.float32)}
+    grads = {"kernel": jnp.asarray(np.full((4, 4), 0.01), jnp.float32),
+             "quantiles": jnp.asarray(np.full((4, 1, 3), 0.01),
+                                      jnp.float32)}
+    variables = {"fe": {"params": params}}
+
+    optimizers, opt_states, acc = setup_optimizers(variables, ["fe"])
+    assert set(optimizers) == {"fe", "fe_aux"}
+
+    lrs = {"fe": jnp.float32(0.0), "fe_aux": jnp.float32(1e-2)}
+    new_vars, _, _ = apply_module_updates(
+        optimizers, {"fe": grads}, variables, opt_states, acc, lrs,
+        jnp.int32(1))
+    # main lr 0: kernel unchanged; aux lr > 0: quantiles moved
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["fe"]["params"]["kernel"]),
+        np.asarray(params["kernel"]))
+    assert not np.allclose(np.asarray(new_vars["fe"]["params"]["quantiles"]),
+                           np.asarray(params["quantiles"]))
+
+    lrs = {"fe": jnp.float32(1e-2), "fe_aux": jnp.float32(0.0)}
+    optimizers, opt_states, acc = setup_optimizers(variables, ["fe"])
+    new_vars, _, _ = apply_module_updates(
+        optimizers, {"fe": grads}, variables, opt_states, acc, lrs,
+        jnp.int32(1))
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["fe"]["params"]["quantiles"]),
+        np.asarray(params["quantiles"]))
+    assert not np.allclose(np.asarray(new_vars["fe"]["params"]["kernel"]),
+                           np.asarray(params["kernel"]))
+
+
+def test_split_aux_params_paths():
+    params = {"a": {"quantiles": jnp.zeros(3), "w": jnp.ones(2)},
+              "aux_bias": jnp.zeros(1)}
+    main, aux = split_aux_params(params)
+    leaves_main = {k for k, v in
+                   jax.tree_util.tree_flatten_with_path(main)[0]}
+    assert aux is not None
+    # aux got quantiles and aux_bias; main got w
+    aux_paths = [str(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(aux)[0]]
+    assert any("quantiles" in p for p in aux_paths)
+    assert any("aux_bias" in p for p in aux_paths)
+    main_paths = [str(p) for p, _ in
+                  jax.tree_util.tree_flatten_with_path(main)[0]]
+    assert any("'w'" in p for p in main_paths)
+    assert not any("quantiles" in p for p in main_paths)
