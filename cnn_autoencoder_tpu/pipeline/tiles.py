@@ -38,7 +38,11 @@ LOGGER = logging.getLogger(__name__)
 
 
 def default_batch_tiles(patch_size: int) -> int:
-    """Pick a batch so one device batch is ~16-48 MB of uint8 pixels."""
+    """Pick a batch so one device batch is ~32 MB of uint8 pixels.
+
+    Batches balance two costs: per-round-trip latency (wants bigger) and
+    pipeline overlap between device compute and host coding (wants at least
+    two batches in flight)."""
     return max(1, min(64, (1 << 25) // max(1, patch_size * patch_size * 3)))
 
 
