@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_GPU_MPS_ESTIMATE = 25.0
 TURBO = os.environ.get("BENCH_TURBO", "0") == "1"
+FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
 
 IMAGE_H = int(os.environ.get("BENCH_IMAGE_H", 4096))
 IMAGE_W = int(os.environ.get("BENCH_IMAGE_W", 4096))
@@ -94,6 +95,17 @@ def main():
         core = CAETurboCore(model)
         compress_fn = compress_pixels_to_cae_turbo
         decompress_fn = decompress_cae_turbo_array
+    elif FUSED:
+        from cnn_autoencoder_tpu.pipeline.tiles import (
+            compress_image_fused, decompress_image_fused)
+        core = CAECodecCore(model)
+
+        def compress_fn(core, img, out, patch_size):
+            return compress_image_fused(core, img, out,
+                                        patch_size=patch_size)
+
+        def decompress_fn(arr, core):
+            return decompress_image_fused(arr, core=core)
     else:
         core = CAECodecCore(model)
         compress_fn = compress_pixels_to_cae
@@ -151,6 +163,7 @@ def main():
                 "bpp": round(float(bpp), 3),
                 "model": "net128_bn48_cl3_gdn",
                 "turbo": TURBO,
+                "fused": FUSED,
                 "device": str(jax.devices()[0]),
             },
         }

@@ -447,3 +447,121 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
             sl, valid = src.chunk_slices(ij)
             out[sl] = r[:valid[0], :valid[1], :valid[2]]
     return out
+
+
+# --- whole-image fused paths -------------------------------------------------
+#
+# On remote/tunneled TPUs every execute+fetch round trip costs fixed latency,
+# so for images that fit device memory the fastest schedule is ONE jitted
+# program per direction: upload the image once, lax.map the tile codec over
+# chunks inside the program (bounding activation memory), fetch the full
+# symbol plane (or pixels) once.
+
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.lru_cache(maxsize=8)
+def _fused_encode_program(core_id, grid_h, grid_w, p, chunk):
+    core = _FUSED_CORES[core_id]
+
+    def run(img):  # (grid_h*p, grid_w*p, 3) uint8
+        tiles = img.reshape(grid_h, p, grid_w, p, 3)
+        tiles = jnp.transpose(tiles, (0, 2, 1, 3, 4)).reshape(-1, p, p, 3)
+        n = tiles.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            tiles = jnp.concatenate(
+                [tiles, jnp.repeat(tiles[-1:], pad, axis=0)], axis=0)
+        groups = tiles.reshape(-1, chunk, p, p, 3)
+        sym = _jax.lax.map(core._encode, groups)
+        return sym.reshape(-1, *sym.shape[2:])[:n]
+
+    return _jax.jit(run)
+
+
+@_functools.lru_cache(maxsize=8)
+def _fused_decode_program(core_id, n_tiles, chunk):
+    core = _FUSED_CORES[core_id]
+
+    def run(sym):  # (n, C, lh, lw) int16
+        pad = (-n_tiles) % chunk
+        if pad:
+            sym = jnp.concatenate(
+                [sym, jnp.repeat(sym[-1:], pad, axis=0)], axis=0)
+        groups = sym.reshape(-1, chunk, *sym.shape[1:])
+        rec = _jax.lax.map(core._decode, groups)
+        return rec.reshape(-1, *rec.shape[2:])[:n_tiles]
+
+    return _jax.jit(run)
+
+
+_FUSED_CORES: dict = {}
+
+
+def _register_core(core):
+    cid = id(core)
+    _FUSED_CORES[cid] = core
+    return cid
+
+
+def compress_image_fused(core: CAECodecCore, src: np.ndarray, out_path: str,
+                         data_group: str = "0/0", patch_size: int = 512,
+                         chunk: int = 16,
+                         checkpoint_id: Optional[str] = None
+                         ) -> zarrlib.Array:
+    """Whole-image single-program compress: 2 link round trips total."""
+    h, w, c = src.shape
+    p = min(patch_size, max(h, w))
+    grid_h, grid_w = -(-h // p), -(-w // p)
+
+    padded = np.zeros((grid_h * p, grid_w * p, c), np.uint8)
+    padded[:h, :w] = src
+
+    cid = _register_core(core)
+    program = _fused_encode_program(cid, grid_h, grid_w, p, chunk)
+    sym = np.asarray(program(jnp.asarray(padded)))  # one execute+fetch
+
+    root = zarrlib.Group.create(out_path)
+    arr = root.create_dataset(
+        data_group or "0/0", shape=(h, w, c), chunks=(p, p, c),
+        dtype=np.uint8,
+        compressor={"id": "cae", "checkpoint": checkpoint_id, "offset": 0},
+        overwrite=True)
+
+    bufs = core.entropy_encode(sym, [(p, p)] * sym.shape[0])
+    k = 0
+    for i in range(grid_h):
+        for j in range(grid_w):
+            arr.write_chunk_raw((i, j, 0), bufs[k])
+            k += 1
+    return arr
+
+
+def decompress_image_fused(src: zarrlib.Array,
+                           core: Optional[CAECodecCore] = None,
+                           chunk: int = 16) -> np.ndarray:
+    """Whole-image single-program decompress mirror."""
+    if core is None:
+        codec = src.compressor
+        assert isinstance(codec, ConvolutionalAutoencoder)
+        core = codec.core
+    h, w, c = src.shape
+    p = src.chunks[0]
+    grid = list(src.chunk_ids())
+
+    pool = ThreadPoolExecutor(max_workers=8)
+    raw = [b for b in pool.map(src.read_chunk_raw, grid) if b is not None]
+    pool.shutdown()
+
+    sym, true_hw = core.entropy_decode(raw)  # host, all tiles at once
+    cid = _register_core(core)
+    program = _fused_decode_program(cid, sym.shape[0], chunk)
+    rec = np.asarray(program(jnp.asarray(sym, np.int16)))
+
+    out = np.zeros(src.shape, np.uint8)
+    for ij, r in zip(grid, rec):
+        sl, valid = src.chunk_slices(ij)
+        out[sl] = r[:valid[0], :valid[1], :valid[2]]
+    return out
