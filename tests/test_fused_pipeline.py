@@ -1,0 +1,53 @@
+"""Whole-image fused compress/decompress equals the batched pipeline."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.models.factory import build_model
+from cnn_autoencoder_tpu.pipeline.tiles import (compress_image_fused,
+                                                compress_pixels_to_cae,
+                                                decompress_cae_array,
+                                                decompress_image_fused)
+from cnn_autoencoder_tpu.storage import zarr as zarrlib
+from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+
+@pytest.fixture(scope="module")
+def core():
+    model = build_model(jax.random.PRNGKey(0), input_size=(32, 32),
+                        channels_org=3, channels_net=8, channels_bn=16,
+                        compression_level=2, K=4, r=3, act_layer_type="GDN")
+    from cnn_autoencoder_tpu.models.entropy import aux_loss_fn
+    p = model.variables["fact_ent"]["params"]
+    g = jax.jit(jax.grad(lambda q, pp: aux_loss_fn({**pp, "quantiles": q},
+                                                   4)))
+    q = p["quantiles"]
+    for _ in range(200):
+        q = q - 0.1 * g(q, p)
+    model.variables["fact_ent"]["params"] = {**p, "quantiles": q}
+    return CAECodecCore(model)
+
+
+def test_fused_equals_batched(core, tmp_path):
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:96, 0:80]
+    img = np.clip((np.sin(yy / 9.0) + np.cos(xx / 11.0))[:, :, None]
+                  * np.ones((1, 1, 3)) * 55 + 128
+                  + rng.randn(96, 80, 3) * 4, 0, 255).astype(np.uint8)
+
+    a1 = compress_image_fused(core, img, str(tmp_path / "f.zarr"),
+                              patch_size=32, chunk=4)
+    rec1 = decompress_image_fused(a1, core=core, chunk=4)
+    a2 = compress_pixels_to_cae(core, img, str(tmp_path / "b.zarr"),
+                                patch_size=32)
+    rec2 = decompress_cae_array(a2, core=core)
+
+    np.testing.assert_array_equal(rec1, rec2)
+    assert a1.nbytes_stored == a2.nbytes_stored
+
+    # zarr-layer reads of the fused output also work (same 'cae' format)
+    fresh = zarrlib.open(str(tmp_path / "f.zarr"), mode="r")["0/0"]
+    np.testing.assert_array_equal(fresh.chunks, a2.chunks)
