@@ -47,7 +47,18 @@ def compress_image(codec, checkpoint, input_filename, output_filename,
     if not data_group:
         data_group = "0/0"
 
-    if "CAE" in codec:
+    if codec == "CAETPU":
+        from ..pipeline.tiles import compress_pixels_to_cae_turbo
+        from ..storage.turbo_codec import CAETurboCore
+        if not isinstance(core, CAETurboCore):
+            from ..models.factory import autoencoder_from_state_dict
+            core = CAETurboCore(autoencoder_from_state_dict(checkpoint))
+        compress_pixels_to_cae_turbo(
+            core, src, output_filename, data_group=data_group,
+            patch_size=patch_size, batch_tiles=batch_tiles,
+            checkpoint_id=checkpoint if isinstance(checkpoint, str)
+            else None, progress_bar=progress_bar)
+    elif "CAE" in codec:
         if core is None:
             from ..models.factory import autoencoder_from_state_dict
             core = CAECodecCore(autoencoder_from_state_dict(checkpoint))
@@ -111,7 +122,11 @@ def compress(args):
         output_fn_list = output_dir
 
     core = None
-    if "CAE" in args.codec and args.checkpoint:
+    if args.codec == "CAETPU" and args.checkpoint:
+        from ..models.factory import autoencoder_from_state_dict
+        from ..storage.turbo_codec import CAETurboCore
+        core = CAETurboCore(autoencoder_from_state_dict(args.checkpoint))
+    elif "CAE" in args.codec and args.checkpoint:
         from ..models.factory import autoencoder_from_state_dict
         core = CAECodecCore(autoencoder_from_state_dict(args.checkpoint))
 

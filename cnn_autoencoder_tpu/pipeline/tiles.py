@@ -327,21 +327,30 @@ def decompress_cae_array(src: zarrlib.Array,
             sl, valid = src.chunk_slices(ij)
             out[sl] = rec[:valid[0], :valid[1], :valid[2]]
 
-    i = 0
-    while i < len(grid):
-        group, bufs = grid[i:i + batch], raw[i:i + batch]
-        i += batch
-        bufs = [b for b in bufs if b is not None]
+    def rans_decode_group(i):
+        bufs = [b for b in raw[i:i + batch] if b is not None]
         sym, true_hw = core.entropy_decode(bufs)
         if sym.shape[0] < batch:
             pad = np.repeat(sym[-1:], batch - sym.shape[0], axis=0)
             sym = np.concatenate([sym, pad], axis=0)
+        return sym, true_hw
+
+    # overlap: host rANS for batch i+1 runs while the device decodes batch i
+    rans_pool = ThreadPoolExecutor(max_workers=1)
+    starts = list(range(0, len(grid), batch))
+    futures = {starts[0]: rans_pool.submit(rans_decode_group, starts[0])}
+    for k, i in enumerate(starts):
+        sym, true_hw = futures.pop(i).result()
+        if k + 1 < len(starts):
+            futures[starts[k + 1]] = rans_pool.submit(rans_decode_group,
+                                                      starts[k + 1])
         rec = core.decode_tiles_device(sym)
-        pending.append((group, rec, true_hw))
+        pending.append((grid[i:i + batch], rec, true_hw))
         if len(pending) >= 2:
             flush_one()
     while pending:
         flush_one()
+    rans_pool.shutdown()
     return out
 
 
