@@ -208,9 +208,11 @@ def autoencoder_from_state_dict(checkpoint, train: bool = False,
 
     variables = {}
     rng = jax.random.PRNGKey(0)
+    ps = state.get("patch_size") or 64
+    init_size = tuple(state.get("init_input_size") or (ps, ps))
     init_vars = init_params(
         modules, rng,
-        input_size=state.get("init_input_size", (64, 64)),
+        input_size=init_size,
         channels_org=state.get("channels_org", 3),
         channels_bn=state.get("channels_bn", 192),
         compression_level=state.get("compression_level", 4))

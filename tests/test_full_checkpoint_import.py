@@ -1,0 +1,98 @@
+"""Full reference training checkpoint (.pth with all five modules) import."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _fe_state(torch, c, k=4, r=3):
+    filters = (1,) + (r,) * k + (1,)
+    scale = 10 ** (1 / (k + 1))
+    sd = {"quantiles": torch.tensor([[-10.0, 0.0, 10.0]]).repeat(c, 1)
+          .reshape(c, 1, 3)}
+    for i in range(k + 1):
+        init = math.log(math.expm1(1 / scale / filters[i + 1]))
+        sd[f"_matrix{i}"] = torch.full((c, filters[i + 1], filters[i]), init)
+        sd[f"_bias{i}"] = torch.rand(c, filters[i + 1], 1) - 0.5
+        if i < k:
+            sd[f"_factor{i}"] = torch.zeros(c, filters[i + 1], 1)
+    return sd
+
+
+def test_full_reference_checkpoint_with_heads(tmp_path):
+    import torch
+
+    level, net, bn, ncls = 2, 6, 8, 4
+    # encoder/decoder (GDN act, bias)
+    enc = {"analysis_track.0.model.0.weight": torch.randn(net, 3, 3, 3),
+           "analysis_track.0.model.0.bias": torch.randn(net),
+           "analysis_track.0.model.1.beta": torch.rand(net) + 1,
+           "analysis_track.0.model.1.gamma": torch.rand(net, net, 1, 1),
+           "analysis_track.1.model.0.weight": torch.randn(bn, net, 3, 3),
+           "analysis_track.1.model.0.bias": torch.randn(bn)}
+    dec = {"synthesis_track.0.model.0.weight": torch.randn(bn, net, 3, 3),
+           "synthesis_track.0.model.0.bias": torch.randn(net),
+           "synthesis_track.0.model.1.beta": torch.rand(net) + 1,
+           "synthesis_track.0.model.1.gamma": torch.rand(net, net, 1, 1),
+           "synthesis_track.1.model.0.weight": torch.randn(net, 3, 3, 3),
+           "synthesis_track.1.model.0.bias": torch.randn(3)}
+
+    # ViT head cut at 10 (2 encoder layers), torchvision layout
+    hidden, mlp, tokens = 768, 3072, 8 * 8 + 1
+    cls = {"conv_proj.weight": torch.randn(hidden, bn, 1, 1),
+           "class_token": torch.randn(1, 1, hidden),
+           "encoder.pos_embedding": torch.randn(1, tokens, hidden),
+           "encoder.ln.weight": torch.ones(hidden),
+           "encoder.ln.bias": torch.zeros(hidden),
+           "heads.head.weight": torch.randn(ncls, hidden),
+           "heads.head.bias": torch.zeros(ncls)}
+    for i in range(2):
+        b = f"encoder.layers.encoder_layer_{i}"
+        cls.update({
+            f"{b}.ln_1.weight": torch.ones(hidden),
+            f"{b}.ln_1.bias": torch.zeros(hidden),
+            f"{b}.ln_2.weight": torch.ones(hidden),
+            f"{b}.ln_2.bias": torch.zeros(hidden),
+            f"{b}.self_attention.in_proj_weight": torch.randn(3 * hidden,
+                                                              hidden) * .02,
+            f"{b}.self_attention.in_proj_bias": torch.zeros(3 * hidden),
+            f"{b}.self_attention.out_proj.weight": torch.randn(hidden,
+                                                               hidden) * .02,
+            f"{b}.self_attention.out_proj.bias": torch.zeros(hidden),
+            f"{b}.mlp.0.weight": torch.randn(mlp, hidden) * 0.02,
+            f"{b}.mlp.0.bias": torch.zeros(mlp),
+            f"{b}.mlp.3.weight": torch.randn(hidden, mlp) * 0.02,
+            f"{b}.mlp.3.bias": torch.zeros(hidden),
+        })
+
+    chk = dict(channels_org=3, channels_net=net, channels_bn=bn,
+               compression_level=level, K=4, r=3, act_layer_type="GDN",
+               bias=True, patch_size=32, num_classes=ncls,
+               class_model_type="ViT", cut_position=10,
+               encoder=enc, decoder=dec,
+               fact_ent=_fe_state(torch, bn), class_model=cls)
+    path = str(tmp_path / "full.pth")
+    torch.save(chk, path)
+
+    from cnn_autoencoder_tpu.models.factory import autoencoder_from_state_dict
+    model = autoencoder_from_state_dict(path)
+    assert set(model.modules) >= {"encoder", "decoder", "fact_ent",
+                                  "class_model"}
+
+    # forward through the whole composed graph
+    from cnn_autoencoder_tpu.models.tasks import make_forward_fn
+    forward = make_forward_fn(model.modules)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3), jnp.float32)
+    outputs, _ = forward(model.variables, x)
+    assert outputs["t_pred"].shape == (1, ncls)
+    assert outputs["x_r"][0].shape == (1, 32, 32, 3)
+
+    # head weights landed (not init): head kernel equals the torch transpose
+    np.testing.assert_allclose(
+        np.asarray(model.variables["class_model"]["params"]["head"]
+                   ["kernel"]),
+        chk["class_model"]["heads.head.weight"].numpy().T, rtol=1e-6)
