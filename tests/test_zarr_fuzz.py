@@ -1,0 +1,53 @@
+"""Zarr store fuzz: random shapes/chunks/slices vs a numpy reference."""
+
+import numpy as np
+import pytest
+
+from cnn_autoencoder_tpu.storage import zarr as zarrlib
+from cnn_autoencoder_tpu.storage.codecs import Zlib
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_read_write_slices(tmp_path, seed):
+    rng = np.random.RandomState(seed)
+    ndim = rng.randint(1, 4)
+    shape = tuple(rng.randint(1, 40) for _ in range(ndim))
+    chunks = tuple(rng.randint(1, s + 1) for s in shape)
+    dtype = rng.choice([np.uint8, np.int16, np.float32])
+
+    ref = np.zeros(shape, dtype)
+    arr = zarrlib.Array.create(str(tmp_path / f"f{seed}.zarr"), shape=shape,
+                               chunks=chunks, dtype=dtype,
+                               compressor=Zlib(1) if rng.rand() < 0.5
+                               else None)
+    arr[...] = ref
+
+    for _ in range(12):
+        sl = tuple(slice(rng.randint(0, s), rng.randint(1, s + 1) or 1)
+                   for s in shape)
+        sl = tuple(slice(min(a.start, a.stop - 1) if a.stop > 0 else 0,
+                         max(a.stop, a.start + 1)) for a in sl)
+        if rng.rand() < 0.5:
+            val = rng.randint(0, 100, tuple(max(0, s.stop - s.start)
+                                            for s in sl)).astype(dtype)
+            if val.size == 0:
+                continue
+            ref[sl] = val
+            arr[sl] = val
+        else:
+            np.testing.assert_array_equal(arr[sl], ref[sl])
+
+    np.testing.assert_array_equal(arr[...], ref)
+
+
+def test_int_indexing_consistency(tmp_path):
+    rng = np.random.RandomState(0)
+    data = rng.randint(0, 255, (9, 13, 3), np.uint8)
+    arr = zarrlib.Array.create(str(tmp_path / "i.zarr"), shape=data.shape,
+                               chunks=(4, 5, 2), dtype=np.uint8,
+                               compressor=Zlib(1))
+    arr[...] = data
+    np.testing.assert_array_equal(arr[3], data[3])
+    np.testing.assert_array_equal(arr[3, 2:7], data[3, 2:7])
+    np.testing.assert_array_equal(arr[..., 1], data[..., 1])
+    np.testing.assert_array_equal(arr[2:5, ..., 0], data[2:5, ..., 0])
