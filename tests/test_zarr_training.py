@@ -1,0 +1,56 @@
+"""End-to-end training on the Zarr/WSI data path (the flagship config)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from cnn_autoencoder_tpu.storage import zarr as zarrlib
+from cnn_autoencoder_tpu.utils.args import get_args
+
+
+def _make_wsi(path, h=128, w=128, seed=0):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip((np.sin(yy / 11.0) + np.cos(xx / 7.0))[:, :, None]
+                  * np.ones((1, 1, 3)) * 50 + 128
+                  + rng.randn(h, w, 3) * 5, 0, 255).astype(np.uint8)
+    root = zarrlib.Group.create(path)
+    arr = root.create_dataset("0/0", shape=img.shape, chunks=(64, 64, 3),
+                              dtype=np.uint8, compressor=None)
+    arr[...] = img
+
+
+def test_train_cli_on_zarr_dataset(tmp_path):
+    from cnn_autoencoder_tpu.cli.train_cae import main
+    from cnn_autoencoder_tpu.utils.loggers import setup_logger
+
+    data_dir = tmp_path / "wsis"
+    data_dir.mkdir()
+    for i in range(2):
+        _make_wsi(str(data_dir / f"train_{i}.zarr"), seed=i)
+    _make_wsi(str(data_dir / "val_0.zarr"), seed=9)
+
+    args = get_args("autoencoder", "training", args_list=[
+        "-ds", "Zarr", "-dd", str(data_dir), "-ld", str(tmp_path),
+        "-rs", "2", "-bs", "4", "-vbs", "4", "-s", "3", "-cs", "2",
+        "-esp", "100", "-cr", "RateMSE", "-nch", "8", "-bch", "8",
+        "-cl", "2", "-act", "GDN", "-ps", "32", "-dg", "0/0",
+        "-da", "YXC", "-trm", "encoder", "decoder", "fact_ent"])
+    setup_logger(args)
+    main(args)
+
+    files = [f for f in os.listdir(tmp_path) if f.startswith("last_")]
+    assert files, os.listdir(tmp_path)
+
+    # the checkpoint round-trips into a servable codec core
+    from cnn_autoencoder_tpu.models.factory import autoencoder_from_state_dict
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+    model = autoencoder_from_state_dict(str(tmp_path / files[0]))
+    core = CAECodecCore(model)
+    img = np.random.RandomState(0).randint(0, 255, (64, 64, 3), np.uint8)
+    bufs = core.encode_tiles(img[None])
+    rec = core.decode_tiles(bufs)
+    assert rec.shape == (1, 64, 64, 3)
