@@ -77,3 +77,32 @@ def load_checkpoint(source) -> Dict[str, Any]:
     state = dict(payload["state"])
     state.update(json.loads(payload["config"]))
     return state
+
+
+# --- orbax backend (optional) -------------------------------------------------
+
+
+def save_checkpoint_orbax(path: str, state: Dict[str, Any]) -> None:
+    """Directory-based orbax checkpoint (async-capable, multi-host-safe).
+
+    The msgpack single-file format stays the default; orbax is offered for
+    pod-scale training where per-host async saves matter.
+    """
+    import orbax.checkpoint as ocp
+
+    config, arrays = _split_state(state)
+    arrays = {k: serialization.to_state_dict(v) for k, v in arrays.items()}
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, {"config_json": json.dumps(config),
+                          "state": arrays}, force=True)
+
+
+def load_checkpoint_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(os.path.abspath(path))
+    state = dict(payload["state"])
+    state.update(json.loads(payload["config_json"]))
+    return state

@@ -44,16 +44,25 @@ def make_train_step(modules: Dict[str, Any], criterion,
                     optimizers: Dict[str, Any],
                     enabled_modules: Optional[Sequence[str]] = None,
                     trainable_modules: Optional[Sequence[str]] = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, remat: bool = False) -> Callable:
     """Build the jitted train step.
 
     Signature: ``train_step(variables, opt_states, acc_grads, lrs, x, t,
     rng, step) -> (variables, opt_states, acc_grads, loss_dict)``.
     ``lrs`` is a dict of f32 scalars (host-scheduled), ``step`` an int32
-    scalar; neither triggers retracing.
+    scalar; neither triggers retracing.  ``remat=True`` rematerializes the
+    forward during backprop (jax.checkpoint), trading FLOPs for HBM — for
+    large patch sizes / deep stacks.
     """
     trainable = [m for m in (trainable_modules or []) if m in modules]
-    forward = make_forward_fn(modules, enabled_modules, trainable)
+    forward_raw = make_forward_fn(modules, enabled_modules, trainable)
+    if remat:
+        forward = jax.checkpoint(
+            lambda variables, x, rngs: forward_raw(variables, x, train=True,
+                                                   rngs=rngs),
+            static_argnums=())
+    else:
+        forward = None
 
     def step_fn(variables, opt_states, acc_grads, lrs, x, t, rng, step):
         trainable_params = {k: variables[k]["params"] for k in trainable
@@ -66,7 +75,11 @@ def make_train_step(modules: Dict[str, Any], criterion,
                 for k in variables}
             rngs = {"noise": jax.random.fold_in(rng, 0),
                     "dropout": jax.random.fold_in(rng, 1)}
-            outputs, mutated = forward(vars_full, x, train=True, rngs=rngs)
+            if remat:
+                outputs, mutated = forward(vars_full, x, rngs)
+            else:
+                outputs, mutated = forward_raw(vars_full, x, train=True,
+                                               rngs=rngs)
             loss_dict = criterion(x, outputs, targets=t,
                                   net=_net_aux(modules, vars_full))
             total = jnp.mean(loss_dict["loss"])

@@ -73,3 +73,45 @@ def test_batch_norm_stats_update_in_training():
                          jax.random.PRNGKey(0), jnp.int32(1))
     m1 = mean_of(variables)
     assert not np.allclose(m0, m1), "running stats did not update"
+
+
+def test_remat_train_step_matches_plain():
+    """jax.checkpoint rematerialization changes memory, not numerics."""
+    model = build_model(jax.random.PRNGKey(0), input_size=(16, 16),
+                        channels_org=3, channels_net=8, channels_bn=16,
+                        compression_level=2, K=4, r=3, act_layer_type="GDN")
+    criterion = setup_loss("RateMSE", distortion_lambda=0.1, patch_size=16)
+    trainable = ["encoder", "decoder", "fact_ent"]
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3), jnp.float32)
+
+    results = []
+    for remat in (False, True):
+        optimizers, opt_states, acc = setup_optimizers(model.variables,
+                                                       trainable)
+        step = make_train_step(model.modules, criterion, optimizers,
+                               trainable_modules=trainable, donate=False,
+                               remat=remat)
+        lrs = {k: jnp.float32(1e-3) for k in optimizers}
+        new_vars, _, _, stats = step(model.variables, opt_states, acc, lrs,
+                                     x, None, jax.random.PRNGKey(3),
+                                     jnp.int32(1))
+        results.append((float(stats["loss"]), jax.device_get(new_vars)))
+
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(results[0][1]),
+                    jax.tree_util.tree_leaves(results[1][1])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from cnn_autoencoder_tpu.training.checkpoint import (
+        load_checkpoint_orbax, save_checkpoint_orbax)
+    state = {"channels_bn": 8, "K": 4,
+             "encoder": {"params": {"w": np.ones((2, 3), np.float32)}}}
+    path = str(tmp_path / "ckpt_orbax")
+    save_checkpoint_orbax(path, state)
+    back = load_checkpoint_orbax(path)
+    assert back["channels_bn"] == 8
+    np.testing.assert_array_equal(back["encoder"]["params"]["w"],
+                                  state["encoder"]["params"]["w"])
