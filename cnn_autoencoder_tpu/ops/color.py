@@ -26,8 +26,12 @@ def _srgb_to_linear(rgb):
 
 
 def rgb2xyz(rgb):
+    rgb = np.asarray(rgb)
     if rgb.dtype == np.uint8:
         rgb = rgb.astype(np.float64) / 255.0
+    elif np.issubdtype(rgb.dtype, np.floating) and rgb.max() > 1.5:
+        # 0..255-scaled floats (common when metrics cast uint8 images)
+        rgb = rgb / 255.0
     linear = _srgb_to_linear(rgb)
     return linear @ _RGB2XYZ.T
 
