@@ -1,0 +1,85 @@
+"""End-to-end RD parity: imported reference weights must produce the SAME
+quantized symbols and (near-)identical reconstructions as the torch pipeline.
+
+This is the executable form of the <=0.05 dB PSNR-at-equal-bpp requirement:
+if symbols are bit-identical, bpp is identical; if reconstructions match to
+float32 tolerance, PSNR delta ~ 0.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.models.autoencoder import Analyzer, Synthesizer
+from cnn_autoencoder_tpu.utils.torch_import import (import_analyzer,
+                                                    import_synthesizer)
+from tests.test_torch_import import _t_analyzer, _t_synthesizer
+
+
+@pytest.mark.parametrize("act", ["GDN", "LeakyReLU"])
+def test_pipeline_symbols_and_reconstruction_parity(act):
+    torch.manual_seed(0)
+    level, net, bn_ch = 3, 8, 12
+    t_enc = _t_analyzer(level, net, bn_ch, act, False, act != "GDN", False)
+    t_dec = _t_synthesizer(level, net, bn_ch, act, False, act != "GDN",
+                           False, False)
+    t_enc.eval()
+    t_dec.eval()
+
+    j_enc = Analyzer(channels_org=3, channels_net=net, channels_bn=bn_ch,
+                     compression_level=level, act_layer_type=act,
+                     use_bias=act != "GDN")
+    j_dec = Synthesizer(channels_org=3, channels_net=net, channels_bn=bn_ch,
+                        compression_level=level, act_layer_type=act,
+                        use_bias=act != "GDN")
+    v_enc = import_analyzer(t_enc.state_dict(), level, act, False, False)
+    v_dec = import_synthesizer(t_dec.state_dict(), level, act, False, False)
+
+    # a realistic image through BOTH pipelines
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = np.clip((np.sin(yy / 9.0) + np.cos(xx / 11.0))[:, :, None]
+                  * np.ones((1, 1, 3)) * 55 + 128
+                  + rng.randn(64, 64, 3) * 4, 0, 255).astype(np.uint8)
+    medians = rng.randn(bn_ch).astype(np.float32) * 0.1
+
+    # torch pipeline (reference semantics: /255, encode, round(y - med))
+    with torch.no_grad():
+        xt = torch.from_numpy(img.transpose(2, 0, 1)[None]).float() / 255.0
+        y_t = t_enc(xt).numpy()[0]                       # (C, h, w)
+    sym_t = np.round(y_t - medians[:, None, None]).astype(np.int32)
+
+    # jax pipeline
+    xj = jnp.asarray(img[None], jnp.float32) / 255.0
+    y_j = np.asarray(j_enc.apply(v_enc, xj))[0]          # (h, w, C)
+    sym_j = np.round(y_j - medians).astype(np.int32)
+
+    # latents match to fp32 tolerance...
+    np.testing.assert_allclose(np.transpose(y_j, (2, 0, 1)), y_t,
+                               rtol=1e-4, atol=1e-4)
+    # ...and the quantized symbols (hence bitstream and bpp) are IDENTICAL
+    # (allow rare half-integer boundary flips: none expected here)
+    mismatch = np.mean(sym_j.transpose(2, 0, 1) != sym_t)
+    assert mismatch == 0.0, f"{mismatch:.2e} of symbols flipped"
+
+    # reconstructions from the same quantized latent match closely
+    y_q_t = sym_t + medians[:, None, None]
+    with torch.no_grad():
+        rec_t = t_dec(torch.from_numpy(y_q_t[None]).float())[0].numpy()[0]
+    y_q_j = jnp.asarray((sym_j + medians)[None], jnp.float32)
+    rec_j, _ = j_dec.apply(v_dec, y_q_j)
+    rec_j = np.transpose(np.asarray(rec_j[0])[0], (2, 0, 1))
+
+    np.testing.assert_allclose(rec_j, rec_t, rtol=1e-4, atol=1e-4)
+
+    # the uint8 outputs (reference truncation semantics) agree essentially
+    # everywhere -> PSNR delta ~0 at identical bpp
+    u8_t = np.clip(rec_t * 255.0, 0, 255).astype(np.uint8)
+    u8_j = np.clip(rec_j * 255.0, 0, 255).astype(np.uint8)
+    frac_diff = np.mean(u8_t != u8_j)
+    assert frac_diff < 5e-3, frac_diff
+    if frac_diff:
+        assert np.abs(u8_t.astype(int) - u8_j.astype(int)).max() <= 1
