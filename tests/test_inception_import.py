@@ -1,0 +1,100 @@
+"""Inception-V3 head import: torchvision-layout state dict -> flax variables.
+
+Complements tests/test_head_import.py (ViT, ResNet).  torchvision is not
+available here, so the torch-layout state dict is synthesized FROM the flax
+template by inverting the importer's layout rules — valid because the flax
+head mirrors torchvision Inception3's module names 1:1 (see
+models/classifiers.py, reference src/models/_classifiers.py:120-204).
+Checks: (a) every flax param/stat path is covered exactly, (b) kernels land
+transposed OIHW->HWIO and fc lands transposed, (c) the merged model runs.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.models.classifiers import InceptionV3ClassifierHead
+from cnn_autoencoder_tpu.models.factory import _merge_variables, _path_str
+from cnn_autoencoder_tpu.utils.torch_import import import_inception
+
+
+def _paths(tree):
+    return {_path_str(p) for p, _ in
+            jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def _rnd(shape, seed):
+    return np.random.RandomState(seed % (2 ** 31)).randn(*shape).astype(
+        np.float32) * 0.02
+
+
+def _synthesize_sd(params, stats):
+    """Invert the import layout: flax template -> torch-layout state dict."""
+    sd = {}
+
+    def walk(pnode, snode, prefix):
+        if "conv" in pnode and "bn" in pnode:       # BasicConv2d
+            k = pnode["conv"]["kernel"]             # HWIO
+            sd[prefix + ".conv.weight"] = _rnd(
+                (k.shape[3], k.shape[2], k.shape[0], k.shape[1]), hash(prefix))
+            c = k.shape[3]
+            sd[prefix + ".bn.weight"] = np.ones(c, np.float32)
+            sd[prefix + ".bn.bias"] = np.zeros(c, np.float32)
+            sd[prefix + ".bn.running_mean"] = _rnd((c,), hash(prefix) + 1)
+            sd[prefix + ".bn.running_var"] = np.ones(c, np.float32)
+            return
+        for name, sub in pnode.items():
+            path = f"{prefix}.{name}" if prefix else name
+            if name == "Conv2d_1a_1x1":             # cut re-head: bare conv,
+                k = sub["kernel"]                   # torch keeps 3x3 name
+                sd["Conv2d_1a_3x3.weight"] = _rnd(
+                    (k.shape[3], k.shape[2], k.shape[0], k.shape[1]), 7)
+            elif name == "fc":
+                k = sub["kernel"]                   # (in, out)
+                sd[path + ".weight"] = _rnd((k.shape[1], k.shape[0]),
+                                            hash(path))
+                sd[path + ".bias"] = np.zeros(k.shape[1], np.float32)
+            else:
+                walk(sub, snode.get(name, {}), path)
+
+    walk(params, stats, "")
+    return sd
+
+
+def test_inception_import_covers_all_params():
+    cbn, num_classes = 16, 5
+    mod = InceptionV3ClassifierHead(channels_bn=cbn, cut_position=4,
+                                    patch_size=128, compression_level=4,
+                                    num_classes=num_classes)
+    y_q = jnp.zeros((1, 8, 8, cbn))
+    template = mod.init(jax.random.PRNGKey(0), y_q, train=True)
+
+    sd = _synthesize_sd(template["params"], template["batch_stats"])
+    imported = import_inception(sd)
+
+    missing = _paths(template) - _paths(imported)
+    extra = _paths(imported) - _paths(template)
+    assert not missing and not extra, (missing, extra)
+
+    # layout conversions: conv OIHW->HWIO transpose, fc (out,in)->(in,out)
+    got = np.asarray(
+        imported["params"]["Mixed_6b"]["branch1x1"]["conv"]["kernel"])
+    np.testing.assert_array_equal(
+        got, sd["Mixed_6b.branch1x1.conv.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(
+        np.asarray(imported["params"]["fc"]["kernel"]), sd["fc.weight"].T)
+    np.testing.assert_array_equal(
+        np.asarray(imported["params"]["AuxLogits"]["fc"]["kernel"]),
+        sd["AuxLogits.fc.weight"].T)
+    np.testing.assert_array_equal(
+        np.asarray(imported["batch_stats"]["Mixed_6c"]["branch7x7_2"]["bn"]
+                   ["mean"]),
+        sd["Mixed_6c.branch7x7_2.bn.running_mean"])
+
+    # the merged model runs and produces logits (+ aux in train mode)
+    variables = _merge_variables(template, imported)
+    pred, aux = mod.apply(variables, y_q, train=True,
+                          mutable=["batch_stats"])[0]
+    assert pred.shape == (1, num_classes)
+    assert aux.shape == (1, num_classes)
