@@ -215,3 +215,47 @@ def test_cifar_pickle_loader(tmp_path):
     test, n = get_cifar10(str(tmp_path), batch_size=4, mode="test")
     x, t = next(iter(test))
     assert x.shape == (4, 32, 32, 3)
+
+
+def _write_idx_gz(path, arr):
+    """Write an idx(.gz) file (the torchvision raw-download format)."""
+    import gzip
+    import struct
+    code = {np.dtype(np.uint8): 0x08}[arr.dtype]
+    header = struct.pack(">I", (code << 8) | arr.ndim)
+    header += struct.pack(">" + "I" * arr.ndim, *arr.shape)
+    with gzip.open(path, "wb") as f:
+        f.write(header + arr.tobytes())
+
+
+def test_emnist_loader_from_gz_idx(tmp_path):
+    """EMNIST routes through get_data and reads gzipped idx files
+    (torchvision raw layout EMNIST/raw/*.gz)."""
+    from cnn_autoencoder_tpu.data.datautils import get_data
+
+    raw = tmp_path / "EMNIST" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (24, 28, 28), np.uint8).astype(np.uint8)
+    labels = rng.randint(0, 62, (24,)).astype(np.uint8)
+    _write_idx_gz(str(raw / "train-images-idx3-ubyte.gz"), imgs)
+    _write_idx_gz(str(raw / "train-labels-idx1-ubyte.gz"), labels)
+    _write_idx_gz(str(raw / "t10k-images-idx3-ubyte.gz"), imgs[:8])
+    _write_idx_gz(str(raw / "t10k-labels-idx1-ubyte.gz"), labels[:8])
+
+    train, valid, n_cls = get_data({"dataset": "EMNIST",
+                                    "data_dir": [str(tmp_path)],
+                                    "batch_size": 4, "val_batch_size": 4,
+                                    "mode": "training", "seed": 1})
+    assert n_cls == 62
+    xb, tb = next(iter(train))
+    assert xb.shape == (4, 32, 32, 1) and xb.dtype == np.float32  # Pad(2)
+    assert tb.shape == (4,)
+    assert len(train) + len(valid) == (24 + 3) // 4 + 1  # 22/4↑ + 2/4↑
+
+    test, n_cls = get_data({"dataset": "EMNIST", "data_dir": str(tmp_path),
+                            "batch_size": 8, "mode": "testing"})
+    assert n_cls == 62
+    xb, tb = next(iter(test))
+    assert xb.shape == (8, 32, 32, 1)
+    np.testing.assert_array_equal(tb, labels[:8].astype(np.int64))
