@@ -125,7 +125,7 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
     def flush_one(idxs, sym_dev):
         mp = len(idxs) * p * p / 1e6
         with GLOBAL_TIMER.stage("compress/d2h_sym", mp):
-            sym_np = np.asarray(sym_dev)[:len(idxs)]  # d2h (releases GIL)
+            sym_np = core.fetch_symbols(sym_dev)[:len(idxs)]  # d2h int8
         with GLOBAL_TIMER.stage("compress/rans", mp):
             bufs = core.entropy_encode(sym_np, [(pe, pe)] * sym_np.shape[0])
         with GLOBAL_TIMER.stage("compress/write", mp):
@@ -484,8 +484,9 @@ def _fused_encode_program(core_id, grid_h, grid_w, p, chunk):
             tiles = jnp.concatenate(
                 [tiles, jnp.repeat(tiles[-1:], pad, axis=0)], axis=0)
         groups = tiles.reshape(-1, chunk, p, p, 3)
-        sym = _jax.lax.map(core._encode, groups)
-        return sym.reshape(-1, *sym.shape[2:])[:n]
+        sym8, over, sym16 = _jax.lax.map(core._encode, groups)
+        return (sym8.reshape(-1, *sym8.shape[2:])[:n], jnp.sum(over),
+                sym16.reshape(-1, *sym16.shape[2:])[:n])
 
     return _jax.jit(run)
 
@@ -530,7 +531,7 @@ def compress_image_fused(core: CAECodecCore, src: np.ndarray, out_path: str,
 
     cid = _register_core(core)
     program = _fused_encode_program(cid, grid_h, grid_w, p, chunk)
-    sym = np.asarray(program(jnp.asarray(padded)))  # one execute+fetch
+    sym = core.fetch_symbols(program(jnp.asarray(padded)))  # execute+fetch
 
     root = zarrlib.Group.create(out_path)
     arr = root.create_dataset(
@@ -567,7 +568,9 @@ def decompress_image_fused(src: zarrlib.Array,
     sym, true_hw = core.entropy_decode(raw)  # host, all tiles at once
     cid = _register_core(core)
     program = _fused_decode_program(cid, sym.shape[0], chunk)
-    rec = np.asarray(program(jnp.asarray(sym, np.int16)))
+    up_dtype = np.int8 if (-128 <= sym.min() and sym.max() <= 127) \
+        else np.int16
+    rec = np.asarray(program(jnp.asarray(sym, up_dtype)))
 
     out = np.zeros(src.shape, np.uint8)
     for ij, r in zip(grid, rec):

@@ -57,11 +57,14 @@ class CAECodecCore:
         def encode_fn(x_u8):
             x = x_u8.astype(jnp.float32) / 255.0
             y = modules["encoder"].apply(variables["encoder"], x)
-            # int16 symbols: halves the device->host transfer (the tunnel
-            # link is the pipeline bottleneck); latents beyond +-32k would
-            # saturate, far outside any real operating range
+            # symbols ship int8 (quarters the device->host transfer — the
+            # tunnel link is the pipeline bottleneck; trained latents sit
+            # well inside +-127) with an int16 copy fetched only on the
+            # rare overflow (fetch_symbols decides from the device count).
             sym = jnp.clip(jnp.round(y - med), -32768, 32767)
-            return jnp.transpose(sym.astype(jnp.int16), (0, 3, 1, 2))
+            sym = jnp.transpose(sym.astype(jnp.int16), (0, 3, 1, 2))
+            overflow = jnp.sum((sym > 127) | (sym < -128)).astype(jnp.int32)
+            return sym.astype(jnp.int8), overflow, sym
 
         def decode_y_fn(y, rec_idx: int = 0):
             x_r, _ = modules["decoder"].apply(variables["decoder"], y)
@@ -103,8 +106,10 @@ class CAECodecCore:
 
     # -- batched fast path --------------------------------------------------
 
-    def encode_tiles_device(self, tiles_u8: jnp.ndarray) -> jnp.ndarray:
-        """Device step only: (B, H, W, C) uint8 -> (B, C, lh, lw) int32."""
+    def encode_tiles_device(self, tiles_u8: jnp.ndarray):
+        """Device step only: (B, H, W, C) uint8 ->
+        (sym_i8, overflow_count, sym_i16) device arrays, channel-major.
+        Pass the result to ``fetch_symbols`` for the host copy."""
         b, h, w, _ = tiles_u8.shape
         ph, pw = self.padded_hw(h, w)
         if (ph, pw) != (h, w):
@@ -112,6 +117,19 @@ class CAECodecCore:
                                ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
                                mode="reflect")
         return self._encode(tiles_u8)
+
+    @staticmethod
+    def fetch_symbols(sym_dev) -> np.ndarray:
+        """Device->host symbol copy: int8 fast path, int16 on overflow.
+
+        One device_get round trip fetches the int8 view and the overflow
+        count together; the int16 copy moves only if any symbol fell
+        outside int8 range (effectively never for trained models)."""
+        sym8, overflow, sym16 = sym_dev
+        sym8_np, n_over = jax.device_get((sym8, overflow))
+        if int(n_over) == 0:
+            return sym8_np
+        return np.asarray(sym16)
 
     def entropy_encode(self, sym_np: np.ndarray, true_hw) -> List[bytes]:
         """Host step: channel-major symbols -> framed bitstreams."""
@@ -137,10 +155,16 @@ class CAECodecCore:
         return sym.reshape(len(bufs), self.channels_bn, lh, lw), true_hw
 
     def decode_tiles_device(self, sym: np.ndarray) -> jnp.ndarray:
-        # upload as int16 (symbols are small by construction)
-        return self._decode(jnp.asarray(
-            np.asarray(sym, np.int16) if not isinstance(sym, jnp.ndarray)
-            else sym))
+        # upload int8 when the decoded symbols allow it (they almost always
+        # do), int16 otherwise; the decode program retraces once per dtype
+        if not isinstance(sym, jnp.ndarray):
+            sym = np.asarray(sym)
+            if sym.dtype != np.int8 and \
+                    -128 <= sym.min() and sym.max() <= 127:
+                sym = sym.astype(np.int8)
+            elif sym.dtype not in (np.int8, np.int16):
+                sym = sym.astype(np.int16)
+        return self._decode(jnp.asarray(sym))
 
     def decode_latents_device(self, y: np.ndarray, rec_level: int = -1
                               ) -> jnp.ndarray:
@@ -158,7 +182,7 @@ class CAECodecCore:
         if true_hw is None:
             true_hw = [(tiles_u8.shape[1], tiles_u8.shape[2])] \
                 * tiles_u8.shape[0]
-        sym = np.asarray(self.encode_tiles_device(tiles_u8))
+        sym = self.fetch_symbols(self.encode_tiles_device(tiles_u8))
         return self.entropy_encode(sym, true_hw)
 
     def decode_tiles(self, bufs: List[bytes]) -> np.ndarray:

@@ -119,7 +119,7 @@ class CAETurboCore:
             capacity *= 2
 
         # fall back to the reference-compatible host coder
-        sym = np.asarray(self.base.encode_tiles_device(tiles_u8))
+        sym = self.base.fetch_symbols(self.base.encode_tiles_device(tiles_u8))
         return self.base.entropy_encode(sym, true_hw)
 
     def _frame(self, bufs_np, lengths_np, true_hw) -> List[bytes]:

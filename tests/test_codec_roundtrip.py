@@ -58,7 +58,8 @@ def test_symbol_roundtrip_via_core(core):
     assert bufs[0][:16] == struct.pack(">QQ", 32, 32)
     sym, true_hw = core.entropy_decode(bufs)
     # lossless latent: re-encode must give same symbols
-    sym2 = np.asarray(core.encode_tiles_device(jnp.asarray(img[None])))
+    sym2 = core.fetch_symbols(core.encode_tiles_device(jnp.asarray(
+        img[None])))
     np.testing.assert_array_equal(sym, sym2)
     rec = core.decode_tiles(bufs)
     assert rec.shape == (1, 32, 32, 3)
@@ -140,3 +141,22 @@ def test_pipeline_bottleneck_roundtrip(small_model, core, tmp_path):
     y_q_expected = np.round(y_direct - med) + med
     got = arr2[...]
     np.testing.assert_allclose(got[:8, :8], y_q_expected[:8, :8], atol=1e-5)
+
+
+def test_fetch_symbols_int8_fast_path_and_overflow_fallback():
+    """fetch_symbols returns the int8 view when all symbols fit, the int16
+    copy when any symbol overflows int8 (exact either way)."""
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+    small = np.array([[-128, 0], [127, 5]], np.int16)
+    dev = (jnp.asarray(small.astype(np.int8)), jnp.int32(0),
+           jnp.asarray(small))
+    out = CAECodecCore.fetch_symbols(dev)
+    assert out.dtype == np.int8
+    np.testing.assert_array_equal(out.astype(np.int16), small)
+
+    big = np.array([[300, 0], [-129, 5]], np.int16)
+    dev = (jnp.asarray(big.astype(np.int8)), jnp.int32(2), jnp.asarray(big))
+    out = CAECodecCore.fetch_symbols(dev)
+    assert out.dtype == np.int16
+    np.testing.assert_array_equal(out, big)
