@@ -4,21 +4,24 @@ The reference (and our reference-compatible path) runs entropy coding on the
 host CPU, so every tile's full symbol plane crosses the host<->device link
 and the coder competes for host cores.  This module codes ON the TPU: the
 latent is split into S interleaved streams per tile, each stream runs a
-byte-wise rANS as a `lax.scan`, all streams advance in lockstep across the
+word-wise rANS as a `lax.scan`, all streams advance in lockstep across the
 vector lanes, and only (approximately) the compressed bytes leave the device.
 
-Design (rANS-24/8, all int32 — TPU has no 64-bit integer lanes):
-* state in [2^16, 2^24): 12-bit probability precision, byte renormalization
-  (at most 2 bytes per symbol, handled as two masked emits);
-* encode scans symbols in reverse, emitting (byte, flag) pairs; byte
+Design (rANS-32/16, uint32 state — TPU has no 64-bit integer lanes):
+* state in [2^16, 2^32): 12-bit probability precision, 16-bit word
+  renormalization -> AT MOST ONE masked emit/refill per symbol (the
+  previous rANS-24/8 design needed two byte refills per symbol);
+* the whole decode step needs TWO gathers: one from a packed per-channel
+  LUT (C, 4096) uint32 holding ``val<<24 | start<<12 | (freq-1)`` and one
+  word refill — versus five in a naive freq/start/slot/2-refill layout;
+* encode scans symbols in reverse, emitting (word, flag) pairs; word
   positions come from an exclusive cumsum and one scatter builds the final
   per-stream buffers back-to-front, so the decoder reads strictly forward;
-* decode uses a per-channel 4096-entry symbol lookup table (gathers);
 * out-of-support values are NOT escape-coded on device: the encoder returns
   an escape count and the caller falls back to the host (reference-
   compatible) coder for that batch — with trained quantiles this is rare;
-* output buffers have a static per-stream capacity; overflow is reported
-  and the caller retries with a larger bucket.
+* output buffers have a static per-stream capacity (in 16-bit words);
+  overflow is reported and the caller retries with a larger bucket.
 
 This bitstream ('cae_tpu' codec) is intentionally NOT compatible with the
 reference's single-stream rANS — it is the turbo serving path; the 'cae'
@@ -34,9 +37,12 @@ import numpy as np
 
 PRECISION = 12
 PROB_SCALE = 1 << PRECISION
-STATE_MIN = 1 << 16
+STATE_MIN = 1 << 16          # = renorm base: one 16-bit word per renorm
 MASK = PROB_SCALE - 1
-FLUSH_BYTES = 3  # final state < 2^24
+FLUSH_WORDS = 2              # final state < 2^32 -> two 16-bit words
+# emit while x >= freq << EMIT_SHIFT  (= freq * b*L / 2^PRECISION with
+# b = L = 2^16); after one 16-bit emit the state is always back in range
+EMIT_SHIFT = 20
 
 
 class DeviceTables(NamedTuple):
@@ -69,6 +75,10 @@ def bake_device_tables(params, filters: Sequence[int],
     offset = (-minima).astype(np.int32)
     pmf_length = (maxima + minima + 1).astype(np.int64)
     max_length = int(pmf_length.max())
+    if max_length > 255:
+        raise ValueError(
+            f"device rANS supports <=255 symbol values/channel (packed LUT "
+            f"val field); got {max_length} — use the host coder")
 
     samples = (np.arange(max_length, dtype=np.float32)[:, None]
                + (medians - minima)[None, :])
@@ -142,65 +152,56 @@ def unpack_streams(sym_ts: jnp.ndarray, n: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnums=(3,))
 def encode_device(symbols: jnp.ndarray, channel_map: jnp.ndarray,
                   tables: DeviceTables, capacity: int):
-    """Encode (B, T, S) int32 symbols -> ((B, S, capacity) u8, lengths,
-    escape count).
+    """Encode (B, T, S) int32 symbols -> ((B, S, capacity) u16 words,
+    lengths in words, escape count).
 
-    ``lengths`` includes the 3 flush bytes.  Caller must check
+    ``lengths`` includes the 2 flush words.  Caller must check
     ``escapes == 0`` and ``lengths.max() <= capacity``.
     """
     b, t, s = symbols.shape
-
-    freq_flat = tables.freq.reshape(-1)
-    start_flat = tables.start.reshape(-1)
     support = tables.support
+
+    # packed (start << 12) | (freq - 1): one gather for both fields
+    enc_packed = ((tables.start.astype(jnp.uint32) << PRECISION)
+                  | (tables.freq - 1).astype(jnp.uint32)).reshape(-1)
 
     v = symbols - tables.offset[channel_map][None]     # (B, T, S)
     esc = jnp.sum((v < 0) | (v >= support))
     v = jnp.clip(v, 0, support - 1)
 
-    flat_idx = channel_map * support + v               # (B, T, S)
-    f = freq_flat[flat_idx].astype(jnp.int32)
-    st = start_flat[flat_idx].astype(jnp.int32)
+    p = enc_packed[channel_map * support + v]          # (B, T, S) uint32
+    f = (p & jnp.uint32(MASK)) + jnp.uint32(1)
+    st = p >> PRECISION
 
     def encode_one_batch(f_b, st_b):
-        # scan over reversed steps; carry: state (S,)
+        # scan over reversed steps; carry: state (S,) uint32
         def step(x, fs):
             fk, stk = fs
-            thresh = fk << PRECISION
-            e1 = x >= thresh
-            b1 = (x & 0xFF).astype(jnp.uint8)
-            x = jnp.where(e1, x >> 8, x)
-            e2 = x >= thresh
-            b2 = (x & 0xFF).astype(jnp.uint8)
-            x = jnp.where(e2, x >> 8, x)
+            e = (x >> EMIT_SHIFT) >= fk
+            w = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+            x = jnp.where(e, x >> 16, x)
             x = ((x // fk) << PRECISION) + (x % fk) + stk
-            return x, (b1, e1, b2, e2)
+            return x, (w, e)
 
-        init = jnp.full((s,), STATE_MIN, jnp.int32)
-        x_final, (b1, e1, b2, e2) = jax.lax.scan(
-            step, init, (f_b[::-1], st_b[::-1]))
+        init = jnp.full((s,), STATE_MIN, jnp.uint32)
+        x_final, (words, flags) = jax.lax.scan(
+            step, init, (f_b[::-1], st_b[::-1]))       # (T, S)
 
-        # emissions in scan order k, slots (b1 then b2): (T, 2, S)
-        bytes_emit = jnp.stack([b1, b2], axis=1)
-        flags = jnp.stack([e1, e2], axis=1)
-
-        flags_flat = flags.reshape(t * 2, s)
-        bytes_flat = bytes_emit.reshape(t * 2, s)
-        g = jnp.cumsum(flags_flat.astype(jnp.int32), axis=0) - flags_flat
-        total = flags_flat.sum(axis=0).astype(jnp.int32)      # (S,)
-        # reversed layout after the 3 flush bytes
-        pos = jnp.where(flags_flat, FLUSH_BYTES + total[None] - 1 - g,
+        g = jnp.cumsum(flags.astype(jnp.int32), axis=0) - flags
+        total = flags.sum(axis=0).astype(jnp.int32)    # (S,)
+        # reversed layout after the 2 flush words
+        pos = jnp.where(flags, FLUSH_WORDS + total[None] - 1 - g,
                         capacity)  # OOB -> dropped
 
-        buf = jnp.zeros((s, capacity), jnp.uint8)
-        s_idx = jnp.broadcast_to(jnp.arange(s)[None], (t * 2, s))
+        buf = jnp.zeros((s, capacity), jnp.uint16)
+        s_idx = jnp.broadcast_to(jnp.arange(s)[None], (t, s))
         buf = buf.at[s_idx.reshape(-1), pos.reshape(-1)].set(
-            bytes_flat.reshape(-1), mode="drop")
-        # flush: state (< 2^24) little-endian in the first 3 bytes
-        buf = buf.at[:, 0].set((x_final & 0xFF).astype(jnp.uint8))
-        buf = buf.at[:, 1].set(((x_final >> 8) & 0xFF).astype(jnp.uint8))
-        buf = buf.at[:, 2].set(((x_final >> 16) & 0xFF).astype(jnp.uint8))
-        return buf, total + FLUSH_BYTES
+            words.reshape(-1), mode="drop")
+        # flush: state (< 2^32) as two little-endian 16-bit words
+        buf = buf.at[:, 0].set((x_final & jnp.uint32(0xFFFF))
+                               .astype(jnp.uint16))
+        buf = buf.at[:, 1].set((x_final >> 16).astype(jnp.uint16))
+        return buf, total + FLUSH_WORDS
 
     bufs, lengths = jax.vmap(encode_one_batch)(f, st)
     return bufs, lengths, esc
@@ -209,42 +210,40 @@ def encode_device(symbols: jnp.ndarray, channel_map: jnp.ndarray,
 @functools.partial(jax.jit, static_argnums=(3,))
 def decode_device(bufs: jnp.ndarray, channel_map: jnp.ndarray,
                   tables: DeviceTables, num_steps: int):
-    """Decode (B, S, CAP) u8 buffers -> (B, T, S) int32 symbols."""
+    """Decode (B, S, CAP) u16 word buffers -> (B, T, S) int32 symbols."""
     b, s, cap = bufs.shape
-    t = num_steps
-    freq_flat = tables.freq.reshape(-1)
-    start_flat = tables.start.reshape(-1)
-    slot_flat = tables.slot.reshape(-1)
-    support = tables.support
+    # NOTE: symbol values must fit 8 bits (support <= 255) — enforced by
+    # bake_device_tables; hand-built tables must respect the same limit.
+    # packed (C, 4096) LUT: cum -> val<<24 | start<<12 | (freq-1); the
+    # whole decode step then needs ONE table gather + ONE word refill
+    st_at = jnp.take_along_axis(tables.start, tables.slot, axis=1)
+    fq_at = jnp.take_along_axis(tables.freq, tables.slot, axis=1)
+    dec_packed = ((tables.slot.astype(jnp.uint32) << 24)
+                  | (st_at.astype(jnp.uint32) << PRECISION)
+                  | (fq_at - 1).astype(jnp.uint32)).reshape(-1)
 
     def decode_one_batch(buf):
-        buf_i32 = buf.astype(jnp.int32)
-        x0 = buf_i32[:, 0] | (buf_i32[:, 1] << 8) | (buf_i32[:, 2] << 16)
-        pos0 = jnp.full((s,), FLUSH_BYTES, jnp.int32)
+        buf_u32 = buf.astype(jnp.uint32)
+        x0 = buf_u32[:, 0] | (buf_u32[:, 1] << 16)
+        pos0 = jnp.full((s,), FLUSH_WORDS, jnp.int32)
 
         def step(carry, ch_row):
             x, pos = carry
-            cum = x & MASK
-            val = slot_flat[ch_row * PROB_SCALE + cum]
-            fi = ch_row * support + val
-            fk = freq_flat[fi]
-            stk = start_flat[fi]
+            cum = x & jnp.uint32(MASK)
+            p = dec_packed[ch_row * PROB_SCALE + cum.astype(jnp.int32)]
+            fk = (p & jnp.uint32(MASK)) + jnp.uint32(1)
+            stk = (p >> PRECISION) & jnp.uint32(MASK)
+            val = p >> 24
             x = fk * (x >> PRECISION) + cum - stk
-            # up to two byte refills (clamped reads past the end are
+            # at most one word refill (clamped reads past the end are
             # gated by `need`, so exhausted streams never consume garbage)
             take = jnp.take_along_axis(
-                buf_i32, jnp.minimum(pos, cap - 1)[:, None],
+                buf_u32, jnp.minimum(pos, cap - 1)[:, None],
                 axis=1)[:, 0]
-            need = x < STATE_MIN
-            x = jnp.where(need, (x << 8) | take, x)
+            need = x < jnp.uint32(STATE_MIN)
+            x = jnp.where(need, (x << 16) | take, x)
             pos = pos + need.astype(jnp.int32)
-            take = jnp.take_along_axis(
-                buf_i32, jnp.minimum(pos, cap - 1)[:, None],
-                axis=1)[:, 0]
-            need = x < STATE_MIN
-            x = jnp.where(need, (x << 8) | take, x)
-            pos = pos + need.astype(jnp.int32)
-            return (x, pos), val
+            return (x, pos), val.astype(jnp.int32)
 
         (_, _), vals = jax.lax.scan(step, (x0, pos0), channel_map)
         return vals  # (T, S)

@@ -56,6 +56,16 @@ def get_codec(config) -> Optional[Codec]:
         return config
     codec_id = config["id"]
     if codec_id not in _REGISTRY:
+        # built-in codecs register on import; pull them in lazily so a
+        # fresh reader can open e.g. a 'cae_tpu' store without having
+        # imported the writing module first
+        lazy = {"cae": "cae_codec", "cae_bn": "cae_codec",
+                "cae_tpu": "turbo_codec",
+                "jpeg": "image_codecs", "jpeg2k": "image_codecs"}
+        if codec_id in lazy:
+            import importlib
+            importlib.import_module(f".{lazy[codec_id]}", __package__)
+    if codec_id not in _REGISTRY:
         raise KeyError(f"Codec {codec_id!r} is not registered")
     return _REGISTRY[codec_id].from_config(config)
 

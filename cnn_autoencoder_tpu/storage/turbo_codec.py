@@ -8,10 +8,10 @@ north-star's "entropy bottleneck fused into the forward pass".
 
 Bitstream (per chunk, self-framed):
   '>QQ' true (h, w) pixels
-  u8    version (1)
+  u8    version (2)
   u16   num_streams S
-  u32[S] per-stream byte lengths
-  concatenated per-stream rANS-24/8 payloads
+  u32[S] per-stream byte lengths (always even: 16-bit words)
+  concatenated per-stream rANS-32/16 payloads (little-endian u16 words)
 
 Not bitstream-compatible with the reference 'cae' codec (that one remains
 the compatibility path); escapes or capacity overflows fall back to the
@@ -32,7 +32,7 @@ from ..models.entropy import medians_fn
 from .cae_codec import CAECodecCore, _ceil_to
 from .codecs import Codec, ndarray_copy, register_codec
 
-VERSION = 1
+VERSION = 2
 DEFAULT_STREAMS = 256
 
 
@@ -106,11 +106,11 @@ class CAETurboCore:
         ch_map = self._get_ch_map(lh, lw)
         t = self._steps(lh, lw)
 
-        capacity = max(64, t)  # ~8 bits/symbol/stream starting bucket
+        capacity = max(64, t)  # words (~16 bits/symbol starting bucket)
         for _ in range(4):
             bufs, lengths, esc = self._encode(tiles_u8, ch_map, capacity)
             esc = int(esc)
-            lengths_np = np.asarray(lengths)
+            lengths_np = np.asarray(lengths)  # in 16-bit words
             if esc == 0 and lengths_np.max() <= capacity:
                 bufs_np = np.asarray(bufs)
                 return self._frame(bufs_np, lengths_np, true_hw)
@@ -125,12 +125,14 @@ class CAETurboCore:
     def _frame(self, bufs_np, lengths_np, true_hw) -> List[bytes]:
         out = []
         s = self.num_streams
+        words_le = np.ascontiguousarray(bufs_np).astype("<u2")
+        byte_lengths = lengths_np.astype(np.int64) * 2
         for i, (th, tw) in enumerate(true_hw):
             parts = [struct.pack(">QQ", th, tw),
                      struct.pack(">BH", VERSION, s),
-                     lengths_np[i].astype(">u4").tobytes()]
+                     byte_lengths[i].astype(">u4").tobytes()]
             for j in range(s):
-                parts.append(bufs_np[i, j, :lengths_np[i, j]].tobytes())
+                parts.append(words_le[i, j, :lengths_np[i, j]].tobytes())
             out.append(b"".join(parts))
         return out
 
@@ -147,23 +149,29 @@ class CAETurboCore:
         t = self._steps(lh, lw)
 
         batch = len(bufs)
-        lengths = np.zeros((batch, s), np.int64)
+        lengths = np.zeros((batch, s), np.int64)  # in 16-bit words
         payloads = []
         for i, raw in enumerate(bufs):
             raw = bytes(raw)
             ln = np.frombuffer(raw[19:19 + 4 * s], ">u4").astype(np.int64)
-            lengths[i] = ln
+            lengths[i] = ln // 2
             payloads.append(raw[19 + 4 * s:])
 
         cap = max(64, int(lengths.max()))
-        dev_bufs = np.zeros((batch, s, cap), np.uint8)
-        # vectorized scatter: byte k of the concatenated payload belongs to
+        dev_bufs = np.zeros((batch, s, cap), np.uint16)
+        # vectorized scatter: word k of the concatenated payload belongs to
         # stream searchsorted(offsets, k) at column k - offset[stream]
         col_grid = np.arange(cap)
         for i in range(batch):
-            flat = np.frombuffer(payloads[i], np.uint8)
+            payload = payloads[i]
+            need = int(lengths[i].sum())
+            if len(payload) < 2 * need or len(payload) % 2:
+                raise ValueError(
+                    f"corrupt cae_tpu frame: payload holds "
+                    f"{len(payload)} bytes, header declares {2 * need}")
+            flat = np.frombuffer(payload, "<u2")
             mask = col_grid[None, :] < lengths[i][:, None]      # (S, cap)
-            dev_bufs[i][mask] = flat[:int(lengths[i].sum())]
+            dev_bufs[i][mask] = flat[:need]
 
         rec = np.asarray(self._decode(jnp.asarray(dev_bufs),
                                       self._get_ch_map(lh, lw), t, lh, lw))

@@ -96,14 +96,14 @@ def test_compression_ratio():
                   10).astype(np.int32)
     sym_flat = sym.reshape(2, -1)
 
-    s = 16  # few streams: flush overhead (3 B/stream) stays small
+    s = 16  # few streams: flush overhead (4 B/stream) stays small
     ch_map = jnp.asarray(stream_channel_map(c, (h, w), s))
     packed = pack_streams(jnp.asarray(sym_flat), s)
     cap = packed.shape[1] * 2 + 8
     bufs, lengths, esc = encode_device(packed, ch_map, tables, cap)
     assert int(esc) == 0
 
-    total_bytes = int(jnp.sum(lengths))
+    total_bytes = int(jnp.sum(lengths)) * 2  # lengths are 16-bit words
     bits_per_sym = total_bytes * 8 / sym_flat.size
     # rounded N(0,1.5) entropy ~2.6 bits; 12-bit tables + stream overheads
     assert bits_per_sym < 3.0, bits_per_sym
@@ -140,3 +140,40 @@ def test_jit_static_shapes(fitted_params):
         out = decode_device(bufs, ch_map, tables, packed.shape[1])
         np.testing.assert_array_equal(
             np.asarray(unpack_streams(out, sym.shape[1])), sym)
+
+
+def test_single_symbol_channel_full_mass():
+    """A deterministic channel (freq = 4096 = full mass on one value) must
+    round-trip: the emit threshold freq<<20 would overflow int32/uint32, so
+    the coder compares via (state >> EMIT_SHIFT) >= freq instead."""
+    from cnn_autoencoder_tpu.coding.device_rans import (PROB_SCALE,
+                                                        DeviceTables)
+    c = 4
+    support = 3
+    freq = np.tile(np.array([[1, 4094, 1]], np.int32), (c, 1))
+    start = np.tile(np.array([[0, 1, 4095]], np.int32), (c, 1))
+    slot = np.tile(np.repeat(np.arange(3), [1, 4094, 1])[None],
+                   (c, 1)).astype(np.int32)
+    # channel 0: ALL mass on value 1 (pad rows keep freq >= 1, never used
+    # because slot[0] only ever points at value 1)
+    freq[0] = np.array([1, PROB_SCALE, 1])
+    start[0] = np.array([0, 0, 4096])
+    slot[0] = np.ones(PROB_SCALE, np.int32)
+    tables = DeviceTables(freq=jnp.asarray(freq), start=jnp.asarray(start),
+                          slot=jnp.asarray(slot),
+                          offset=jnp.asarray(np.zeros(c, np.int32)),
+                          support=support)
+
+    h, w, s = 4, 4, 8
+    rng = np.random.RandomState(0)
+    sym = rng.randint(0, 3, (2, c, h, w)).astype(np.int32)
+    sym[:, 0] = 1  # deterministic channel always emits its single value
+    sym_flat = sym.reshape(2, -1)
+    ch_map = jnp.asarray(stream_channel_map(c, (h, w), s))
+    packed = pack_streams(jnp.asarray(sym_flat), s)
+    cap = packed.shape[1] * 2 + 8
+    bufs, lengths, esc = encode_device(packed, ch_map, tables, cap)
+    assert int(esc) == 0
+    out = unpack_streams(decode_device(bufs, ch_map, tables,
+                                       packed.shape[1]), sym_flat.shape[1])
+    np.testing.assert_array_equal(np.asarray(out), sym_flat)
