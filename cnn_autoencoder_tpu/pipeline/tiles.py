@@ -317,19 +317,23 @@ def decompress_cae_array(src: zarrlib.Array,
     pool.shutdown()
 
     pending = []
+    mp_batch = batch * p * p / 1e6
 
     def flush_one():
         idxs, rec_dev, hw = pending.pop(0)
-        rec_np = np.asarray(rec_dev)[:len(idxs)]
+        with GLOBAL_TIMER.stage("decompress/d2h_pixels", mp_batch):
+            rec_np = np.asarray(rec_dev)[:len(idxs)]
         if offset:
             rec_np = rec_np[:, offset:-offset, offset:-offset]
-        for ij, rec in zip(idxs, rec_np):
-            sl, valid = src.chunk_slices(ij)
-            out[sl] = rec[:valid[0], :valid[1], :valid[2]]
+        with GLOBAL_TIMER.stage("decompress/stitch", mp_batch):
+            for ij, rec in zip(idxs, rec_np):
+                sl, valid = src.chunk_slices(ij)
+                out[sl] = rec[:valid[0], :valid[1], :valid[2]]
 
     def rans_decode_group(i):
         bufs = [b for b in raw[i:i + batch] if b is not None]
-        sym, true_hw = core.entropy_decode(bufs)
+        with GLOBAL_TIMER.stage("decompress/rans", mp_batch):
+            sym, true_hw = core.entropy_decode(bufs)
         if sym.shape[0] < batch:
             pad = np.repeat(sym[-1:], batch - sym.shape[0], axis=0)
             sym = np.concatenate([sym, pad], axis=0)
@@ -344,7 +348,8 @@ def decompress_cae_array(src: zarrlib.Array,
         if k + 1 < len(starts):
             futures[starts[k + 1]] = rans_pool.submit(rans_decode_group,
                                                       starts[k + 1])
-        rec = core.decode_tiles_device(sym)
+        with GLOBAL_TIMER.stage("decompress/h2d+dispatch", mp_batch):
+            rec = core.decode_tiles_device(sym)
         pending.append((grid[i:i + batch], rec, true_hw))
         if len(pending) >= 2:
             flush_one()
