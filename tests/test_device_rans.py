@@ -177,3 +177,52 @@ def test_single_symbol_channel_full_mass():
     out = unpack_streams(decode_device(bufs, ch_map, tables,
                                        packed.shape[1]), sym_flat.shape[1])
     np.testing.assert_array_equal(np.asarray(out), sym_flat)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fuzz_random_tables_roundtrip(seed):
+    """Random per-channel pmfs (mixed support sizes incl. tiny and 255-wide,
+    heavy skew) round-trip exactly through the device coder."""
+    from cnn_autoencoder_tpu.coding.cdf import pmf_to_quantized_cdf
+    from cnn_autoencoder_tpu.coding.device_rans import (PROB_SCALE,
+                                                        DeviceTables)
+    rng = np.random.RandomState(seed)
+    c = 6
+    supports = [1, 2, 255, int(rng.randint(3, 64)),
+                int(rng.randint(3, 64)), int(rng.randint(64, 200))]
+    max_len = max(supports)
+    freq = np.ones((c, max_len), np.int32)
+    start = np.zeros((c, max_len), np.int32)
+    slot = np.zeros((c, PROB_SCALE), np.int32)
+    for ch, n in enumerate(supports):
+        pmf = rng.dirichlet(np.full(n, 0.2)) if n > 1 else np.ones(1)
+        cdf = pmf_to_quantized_cdf(pmf.astype(np.float64), 12)
+        f = np.diff(cdf)
+        freq[ch, :n] = f
+        start[ch, :n] = cdf[:-1]
+        slot[ch] = np.repeat(np.arange(n), f)
+    tables = DeviceTables(freq=jnp.asarray(freq), start=jnp.asarray(start),
+                          slot=jnp.asarray(slot),
+                          offset=jnp.asarray(rng.randint(-50, 50, c)
+                                             .astype(np.int32)),
+                          support=max_len)
+
+    h, w, s = 8, 8, 16
+    off = np.asarray(tables.offset)
+    sym = np.zeros((2, c, h, w), np.int32)
+    for ch, n in enumerate(supports):
+        # skewed draws across the full support, boundaries included
+        vals = rng.randint(0, n, (2, h, w))
+        vals.flat[0] = 0
+        vals.flat[-1] = n - 1
+        sym[:, ch] = vals + off[ch]
+    sym_flat = sym.reshape(2, -1)
+    ch_map = jnp.asarray(stream_channel_map(c, (h, w), s))
+    packed = pack_streams(jnp.asarray(sym_flat), s)
+    cap = packed.shape[1] * 2 + 8
+    bufs, lengths, esc = encode_device(packed, ch_map, tables, cap)
+    assert int(esc) == 0
+    assert int(jnp.max(lengths)) <= cap
+    out = unpack_streams(decode_device(bufs, ch_map, tables,
+                                       packed.shape[1]), sym_flat.shape[1])
+    np.testing.assert_array_equal(np.asarray(out), sym_flat)
