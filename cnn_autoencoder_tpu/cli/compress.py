@@ -61,7 +61,10 @@ def compress_image(codec, checkpoint, input_filename, output_filename,
     elif "CAE" in codec:
         if core is None:
             from ..models.factory import autoencoder_from_state_dict
-            core = CAECodecCore(autoencoder_from_state_dict(checkpoint))
+            from ..parallel.mesh import serving_mesh
+            core = CAECodecCore(
+                autoencoder_from_state_dict(checkpoint),
+                mesh=serving_mesh())
         if save_as_bottleneck:
             compress_pixels_to_bottleneck(
                 core, src, output_filename, data_group=data_group,
@@ -128,7 +131,9 @@ def compress(args):
         core = CAETurboCore(autoencoder_from_state_dict(args.checkpoint))
     elif "CAE" in args.codec and args.checkpoint:
         from ..models.factory import autoencoder_from_state_dict
-        core = CAECodecCore(autoencoder_from_state_dict(args.checkpoint))
+        from ..parallel.mesh import serving_mesh
+        core = CAECodecCore(autoencoder_from_state_dict(
+            args.checkpoint), mesh=serving_mesh())
 
     for in_fn, out_fn in zip(input_fn_list, output_fn_list):
         compress_image(codec=args.codec, checkpoint=args.checkpoint,

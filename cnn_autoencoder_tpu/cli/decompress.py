@@ -51,10 +51,17 @@ def decompress_image(input_filename, output_filename,
         # latent ('cae_bn'-stored) input -> decoder
         if core is None:
             from ..models.factory import autoencoder_from_state_dict
-            core = CAECodecCore(autoencoder_from_state_dict(checkpoint))
+            from ..parallel.mesh import serving_mesh
+            core = CAECodecCore(
+                autoencoder_from_state_dict(checkpoint),
+                mesh=serving_mesh())
         halo = 2 if add_offset else 0  # latent-space halo for stitching
+        # image outputs: stage the pixel store next to the target, not AT
+        # the target (a zarr dir at 'x.png' would block the image write)
+        store_path = output_filename if "zarr" in destination_format \
+            else output_filename + ".tmp.zarr"
         out_arr = decompress_latents_to_pixels(
-            core, z_arr, output_filename, component=comp_pyr + "/0",
+            core, z_arr, store_path, component=comp_pyr + "/0",
             compressor=compressor, halo=halo,
             rec_level=reconstruction_level, progress_bar=progress_bar)
         rec = None
@@ -62,7 +69,18 @@ def decompress_image(input_filename, output_filename,
         # self-decoding input: the codec in the metadata does the work
         comp_id = (z_arr._meta.get("compressor") or {}).get("id")
         if comp_id == "cae":
-            rec = decompress_cae_array(z_arr)
+            # shard the decode batches over all devices when available; the
+            # shallow copy keeps the store's cached codec single-device for
+            # per-chunk (batch-1) ABI reads
+            import copy
+
+            from ..parallel.mesh import serving_mesh
+            mesh_core = None
+            mesh = serving_mesh()
+            if mesh is not None:
+                mesh_core = copy.copy(z_arr.compressor.core)
+                mesh_core.mesh = mesh
+            rec = decompress_cae_array(z_arr, core=mesh_core)
         elif comp_id == "cae_tpu":
             from ..pipeline.tiles import decompress_cae_turbo_array
             rec = decompress_cae_turbo_array(z_arr)
@@ -84,8 +102,10 @@ def decompress_image(input_filename, output_filename,
         copy_sidecar_metadata(fn, output_filename)
     else:
         if rec is None:
-            rec = zarrlib.open(output_filename,
-                               mode="r")[comp_pyr + "/0"][...]
+            import shutil
+            tmp = output_filename + ".tmp.zarr"
+            rec = zarrlib.open(tmp, mode="r")[comp_pyr + "/0"][...]
+            shutil.rmtree(tmp, ignore_errors=True)
         base = output_filename.split(destination_format)[0]
         array_to_image(rec, base + destination_format)
 
@@ -141,7 +161,9 @@ def decompress(args):
     core = None
     if args.checkpoint:
         from ..models.factory import autoencoder_from_state_dict
-        core = CAECodecCore(autoencoder_from_state_dict(args.checkpoint))
+        from ..parallel.mesh import serving_mesh
+        core = CAECodecCore(autoencoder_from_state_dict(
+            args.checkpoint), mesh=serving_mesh())
 
     for in_fn, out_fn in zip(input_fn_list, output_fn_list):
         logger.info("Decompressing %s into %s" % (in_fn, out_fn))

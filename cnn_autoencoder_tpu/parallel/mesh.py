@@ -36,6 +36,18 @@ def batch_spec(ndim: int) -> P:
     return P(*(("data",) + (None,) * (ndim - 1)))
 
 
+def serving_mesh() -> Optional[Mesh]:
+    """Data-only mesh over all visible devices for SPMD serving, or None
+    on a single device.  Disable with CAE_TPU_SERVE_MESH=0."""
+    import os
+    if os.environ.get("CAE_TPU_SERVE_MESH", "1") == "0":
+        return None
+    n = len(jax.devices())
+    if n <= 1:
+        return None
+    return create_mesh(data=n, model=1)
+
+
 def infer_param_spec(path, leaf, model_size: int) -> P:
     """Sharding rule for one parameter.
 

@@ -37,13 +37,19 @@ from ..storage.codecs import Blosc, Zlib, get_codec
 LOGGER = logging.getLogger(__name__)
 
 
-def default_batch_tiles(patch_size: int) -> int:
+def default_batch_tiles(patch_size: int, core=None) -> int:
     """Pick a batch so one device batch is ~32 MB of uint8 pixels.
 
     Batches balance two costs: per-round-trip latency (wants bigger) and
     pipeline overlap between device compute and host coding (wants at least
-    two batches in flight)."""
-    return max(1, min(64, (1 << 25) // max(1, patch_size * patch_size * 3)))
+    two batches in flight).  When ``core`` serves over a mesh, the batch is
+    rounded up to a multiple of the data-axis size so tiles shard evenly."""
+    b = max(1, min(64, (1 << 25) // max(1, patch_size * patch_size * 3)))
+    mesh = getattr(core, "mesh", None)
+    if mesh is not None:
+        nd = mesh.shape.get("data", 1)
+        b = -(-b // nd) * nd
+    return b
 
 
 def normalize_to_yxc(z, data_axes: str = "TCZYX", roi=None):
@@ -95,7 +101,7 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
     (reference src/utils/args/_dataargs.py:135-143)."""
     h, w, c = src.shape
     p = min(patch_size, max(h, w))
-    batch = batch_tiles or default_batch_tiles(p)
+    batch = batch_tiles or default_batch_tiles(p, core)
     hal = offset
     pe = p + 2 * hal  # encoded tile side
 
@@ -163,7 +169,7 @@ def compress_pixels_to_bottleneck(core: CAECodecCore, src: np.ndarray,
     """
     h, w, c = src.shape
     p = min(patch_size, max(h, w))
-    batch = batch_tiles or default_batch_tiles(p)
+    batch = batch_tiles or default_batch_tiles(p, core)
     level = core.level
     lp_h, lp_w = core.latent_hw(p, p)
     cbn = core.channels_bn
@@ -177,6 +183,10 @@ def compress_pixels_to_bottleneck(core: CAECodecCore, src: np.ndarray,
     arr = root.create_dataset(
         data_group or "0/0", shape=(lh, lw, cbn), chunks=(lp_h, lp_w, cbn),
         dtype=np.float32, compressor=codec, overwrite=True)
+    # true pixel size: the latent rounds h, w up to multiples of 2^level;
+    # the decode side crops back using this (the reference never recorded
+    # it and returned padded reconstructions)
+    arr.attrs["true_pixel_shape"] = [int(h), int(w)]
 
     grid = _tile_grid(h, w, p)
 
@@ -200,8 +210,8 @@ def compress_pixels_to_bottleneck(core: CAECodecCore, src: np.ndarray,
         tiles = list(pool.map(read_tile, group))
         while len(tiles) < batch:
             tiles.append(tiles[-1])
-        y = core._latent(jnp.asarray(np.stack(tiles)).astype(jnp.float32)
-                         / 255.0)
+        # latent_fn normalizes u8 -> [0,1] itself; do NOT pre-divide
+        y = core._latent(core._shard_batch(jnp.asarray(np.stack(tiles))))
         pending.append((group, y))
         if len(pending) >= 2:
             flush_one()
@@ -232,8 +242,14 @@ def decompress_latents_to_pixels(core: CAECodecCore, src: zarrlib.Array,
     level = core.level
     scale = 2 ** (level if rec_level in (-1, level) else rec_level)
     h, w = lh * scale, lw * scale
+    true_hw = (src.attrs or {}).get("true_pixel_shape")
+    if true_hw:
+        h = min(h, -(-int(true_hw[0]) // 2 ** level) * scale)
+        w = min(w, -(-int(true_hw[1]) // 2 ** level) * scale)
+        if rec_level in (-1, level):
+            h, w = min(h, int(true_hw[0])), min(w, int(true_hw[1]))
     p_h, p_w = lp_h * scale, lp_w * scale
-    batch = batch_tiles or default_batch_tiles(max(p_h, p_w))
+    batch = batch_tiles or default_batch_tiles(max(p_h, p_w), core)
 
     root = zarrlib.Group.create(out_path)
     out = root.create_dataset(component, shape=(h, w, 3),
@@ -308,7 +324,7 @@ def decompress_cae_array(src: zarrlib.Array,
     p = src.chunks[0]
     comp_cfg = src._meta.get("compressor") or {}
     offset = int(comp_cfg.get("offset", 0) or 0)
-    batch = batch_tiles or default_batch_tiles(p)
+    batch = batch_tiles or default_batch_tiles(p, core)
     out = np.zeros(src.shape, np.uint8)
 
     grid = list(src.chunk_ids())
@@ -393,7 +409,7 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
     assert isinstance(core, CAETurboCore)
     h, w, c = src.shape
     p = min(patch_size, max(h, w))
-    batch = batch_tiles or default_batch_tiles(p)
+    batch = batch_tiles or default_batch_tiles(p, core)
 
     root = zarrlib.Group.create(out_path)
     arr = root.create_dataset(
@@ -443,7 +459,7 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
         core = src.compressor.core
     h, w, c = src.shape
     p = src.chunks[0]
-    batch = batch_tiles or default_batch_tiles(p)
+    batch = batch_tiles or default_batch_tiles(p, core)
     out = np.zeros(src.shape, np.uint8)
 
     grid = list(src.chunk_ids())

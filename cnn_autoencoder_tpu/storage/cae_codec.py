@@ -37,10 +37,18 @@ def _ceil_to(v: int, m: int) -> int:
 
 
 class CAECodecCore:
-    """Shared machinery: jitted encode/decode programs + baked CDF tables."""
+    """Shared machinery: jitted encode/decode programs + baked CDF tables.
 
-    def __init__(self, model):
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis — tile
+    batches are sharded over it so serving scales across chips (the
+    reference's nn.DataParallel has no serving equivalent; here the same
+    jitted programs run SPMD, XLA inserts the collectives). Batch sizes
+    must be divisible by the data-axis size.
+    """
+
+    def __init__(self, model, mesh=None):
         self.model = model
+        self.mesh = mesh
         self.level = model.compression_level
         self.channels_bn = model.channels_bn
         fe_params = model.variables["fact_ent"]["params"]
@@ -89,6 +97,14 @@ class CAECodecCore:
         self._decode_y = jax.jit(decode_y_fn, static_argnums=(1,))
         self._latent = jax.jit(latent_fn)
 
+    def _shard_batch(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Place a (B, ...) array sharded over the mesh's data axis."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = PartitionSpec("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
     # -- geometry ---------------------------------------------------------
 
     def padded_hw(self, h: int, w: int) -> Tuple[int, int]:
@@ -116,7 +132,7 @@ class CAECodecCore:
             tiles_u8 = jnp.pad(tiles_u8,
                                ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
                                mode="reflect")
-        return self._encode(tiles_u8)
+        return self._encode(self._shard_batch(tiles_u8))
 
     @staticmethod
     def fetch_symbols(sym_dev) -> np.ndarray:
@@ -164,7 +180,7 @@ class CAECodecCore:
                 sym = sym.astype(np.int8)
             elif sym.dtype not in (np.int8, np.int16):
                 sym = sym.astype(np.int16)
-        return self._decode(jnp.asarray(sym))
+        return self._decode(self._shard_batch(jnp.asarray(sym)))
 
     def decode_latents_device(self, y: np.ndarray, rec_level: int = -1
                               ) -> jnp.ndarray:
@@ -175,7 +191,8 @@ class CAECodecCore:
         (reference _dataargs.py:343-353)."""
         rec_idx = 0 if rec_level in (-1, self.level) \
             else self.level - rec_level
-        return self._decode_y(jnp.asarray(y, jnp.float32), rec_idx)
+        return self._decode_y(self._shard_batch(jnp.asarray(y, jnp.float32)),
+                              rec_idx)
 
     def encode_tiles(self, tiles_u8, true_hw=None) -> List[bytes]:
         tiles_u8 = jnp.asarray(tiles_u8)

@@ -135,8 +135,8 @@ def test_pipeline_bottleneck_roundtrip(small_model, core, tmp_path):
     assert rec.dtype == np.uint8
 
     # cae_bn codec is self-describing: fresh open decodes latents exactly
-    y_direct = np.asarray(core._latent(
-        jnp.asarray(img[None], jnp.float32) / 255.0))[0]
+    # (latent_fn takes raw u8 and normalizes internally)
+    y_direct = np.asarray(core._latent(jnp.asarray(img[None])))[0]
     med = core.medians
     y_q_expected = np.round(y_direct - med) + med
     got = arr2[...]

@@ -109,3 +109,42 @@ def test_graft_entry_single_chip_lowering():
     fn, args = mod.entry()
     lowered = jax.jit(fn).lower(*args)
     assert lowered is not None
+
+
+def test_sharded_serving_matches_single_device():
+    """CAECodecCore with a data-axis mesh produces IDENTICAL bitstreams and
+    reconstructions to the single-device core (SPMD serving)."""
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.models.entropy import aux_loss_fn
+    from cnn_autoencoder_tpu.parallel.mesh import create_mesh
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+    model = build_model(jax.random.PRNGKey(0), input_size=(32, 32),
+                        channels_org=3, channels_net=8, channels_bn=16,
+                        compression_level=2, K=4, r=3, act_layer_type="GDN")
+    p = model.variables["fact_ent"]["params"]
+    g = jax.jit(jax.grad(lambda q, pp: aux_loss_fn({**pp, "quantiles": q},
+                                                   4)))
+    q = p["quantiles"]
+    for _ in range(200):
+        q = q - 0.1 * g(q, p)
+    model.variables["fact_ent"]["params"] = {**p, "quantiles": q}
+
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = (np.sin(yy / 5.0) + np.cos(xx / 7.0)) * 50 + 128
+    tiles = np.clip(base[None, :, :, None] + rng.randn(8, 32, 32, 3) * 10,
+                    0, 255).astype(np.uint8)
+
+    core1 = CAECodecCore(model)
+    mesh = create_mesh(data=8, model=1)
+    core8 = CAECodecCore(model, mesh=mesh)
+
+    bufs1 = core1.encode_tiles(jnp.asarray(tiles))
+    bufs8 = core8.encode_tiles(jnp.asarray(tiles))
+    assert [bytes(a) for a in bufs1] == [bytes(b) for b in bufs8]
+
+    rec1 = core1.decode_tiles(bufs1)
+    rec8 = core8.decode_tiles(bufs8)
+    np.testing.assert_array_equal(rec1, rec8)
