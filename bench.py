@@ -126,6 +126,7 @@ def main():
                                                           trace)
         best_mps = 0.0
         bpp = None
+        best_stages = {}
         bench_t0 = time.perf_counter()
         for r in range(REPEATS):
             if r > 0 and time.perf_counter() - bench_t0 > BUDGET_S:
@@ -145,6 +146,9 @@ def main():
             assert rec.shape == img.shape
             bpp = arr.nbytes_stored * 8 / (IMAGE_H * IMAGE_W)
             mps = mp / (t2 - t0)
+            if mps > best_mps:
+                best_stages = {k: round(v, 3)
+                               for k, v in GLOBAL_TIMER.totals().items()}
             best_mps = max(best_mps, mps)
             print(f"# run {r}: compress {mp / (t1 - t0):.1f} MP/s, "
                   f"decompress {mp / (t2 - t1):.1f} MP/s, "
@@ -165,6 +169,10 @@ def main():
                 "turbo": TURBO,
                 "fused": FUSED,
                 "device": str(jax.devices()[0]),
+                # per-stage seconds of the best run: separates device/host
+                # compute from link-transfer time (d2h/h2d stages are
+                # tunnel-bound in remote-TPU environments)
+                "stages_s": best_stages,
             },
         }
         print(json.dumps(result))

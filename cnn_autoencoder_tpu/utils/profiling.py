@@ -53,6 +53,7 @@ class StageTimer:
         return " | ".join(parts)
 
     def totals(self) -> Dict[str, float]:
+        """{stage: seconds} snapshot (for embedding in bench output)."""
         with self._lock:
             return dict(self._total)
 
