@@ -185,7 +185,8 @@ def encode_device(symbols: jnp.ndarray, channel_map: jnp.ndarray,
 
         init = jnp.full((s,), STATE_MIN, jnp.uint32)
         x_final, (words, flags) = jax.lax.scan(
-            step, init, (f_b[::-1], st_b[::-1]))       # (T, S)
+            step, init, (f_b[::-1], st_b[::-1]),
+            unroll=8)                                   # (T, S)
 
         g = jnp.cumsum(flags.astype(jnp.int32), axis=0) - flags
         total = flags.sum(axis=0).astype(jnp.int32)    # (S,)
@@ -245,7 +246,8 @@ def decode_device(bufs: jnp.ndarray, channel_map: jnp.ndarray,
             pos = pos + need.astype(jnp.int32)
             return (x, pos), val.astype(jnp.int32)
 
-        (_, _), vals = jax.lax.scan(step, (x0, pos0), channel_map)
+        (_, _), vals = jax.lax.scan(step, (x0, pos0), channel_map,
+                                    unroll=8)
         return vals  # (T, S)
 
     vals = jax.vmap(decode_one_batch)(bufs)

@@ -33,7 +33,7 @@ from .cae_codec import CAECodecCore, _ceil_to
 from .codecs import Codec, ndarray_copy, register_codec
 
 VERSION = 2
-DEFAULT_STREAMS = 256
+DEFAULT_STREAMS = 1024
 
 
 class CAETurboCore:
@@ -77,16 +77,16 @@ class CAETurboCore:
     def _latent_hw(self, h, w):
         return self.base.latent_hw(h, w)
 
-    def _get_ch_map(self, lh, lw):
-        key = (lh, lw)
+    def _get_ch_map(self, lh, lw, num_streams=None):
+        key = (lh, lw, num_streams or self.num_streams)
         if key not in self._ch_maps:
             self._ch_maps[key] = jnp.asarray(stream_channel_map(
-                self.channels_bn, (lh, lw), self.num_streams))
+                self.channels_bn, (lh, lw), key[2]))
         return self._ch_maps[key]
 
-    def _steps(self, lh, lw):
+    def _steps(self, lh, lw, num_streams=None):
         n = self.channels_bn * lh * lw
-        return -(-n // self.num_streams)
+        return -(-n // (num_streams or self.num_streams))
 
     # -- encode -------------------------------------------------------------
 
@@ -146,7 +146,9 @@ class CAETurboCore:
             return self.base.decode_tiles(bufs)
         ph, pw = self.base.padded_hw(th, tw)
         lh, lw = self._latent_hw(ph, pw)
-        t = self._steps(lh, lw)
+        # honor the frame's stream count (stores may have been written
+        # with a different num_streams than this reader's default)
+        t = self._steps(lh, lw, s)
 
         batch = len(bufs)
         lengths = np.zeros((batch, s), np.int64)  # in 16-bit words
@@ -174,7 +176,8 @@ class CAETurboCore:
             dev_bufs[i][mask] = flat[:need]
 
         rec = np.asarray(self._decode(jnp.asarray(dev_bufs),
-                                      self._get_ch_map(lh, lw), t, lh, lw))
+                                      self._get_ch_map(lh, lw, s), t, lh,
+                                      lw))
         return rec[:, :th, :tw, :]
 
 

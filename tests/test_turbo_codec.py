@@ -102,3 +102,21 @@ def test_escape_falls_back_to_host_format(model):
     bufs = turbo.encode_tiles(img[None])
     rec = turbo.decode_tiles(bufs)
     assert rec.shape == (1, 32, 32, 3)
+
+
+def test_mixed_stream_count_store_decodes(model):
+    """Frames written with one num_streams decode through a core configured
+    with another (the frame header's S wins)."""
+    import numpy as np
+
+    from cnn_autoencoder_tpu.storage.turbo_codec import CAETurboCore
+
+    rng = np.random.RandomState(3)
+    tiles = np.clip(rng.rand(2, 32, 32, 3) * 255, 0, 255).astype(np.uint8)
+    writer = CAETurboCore(model, num_streams=64)
+    reader = CAETurboCore(model, num_streams=1024)
+
+    bufs = writer.encode_tiles(tiles)
+    rec_w = writer.decode_tiles(bufs)
+    rec_r = reader.decode_tiles(bufs)
+    np.testing.assert_array_equal(rec_w, rec_r)
