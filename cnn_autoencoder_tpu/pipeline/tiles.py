@@ -440,7 +440,9 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
         tiles = list(pool.map(read_tile, group))
         while len(tiles) < batch:
             tiles.append(tiles[-1])
-        bufs = core.encode_tiles(np.stack(tiles))
+        with GLOBAL_TIMER.stage("compress/turbo_encode",
+                                len(group) * p * p / 1e6):
+            bufs = core.encode_tiles(np.stack(tiles))
         inflight.append(flusher.submit(flush_one, group, bufs))
         while len(inflight) > 2:
             inflight.pop(0).result()
@@ -472,7 +474,9 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
         group = grid[i:i + batch]
         bufs = [b for b in raw[i:i + batch] if b is not None]
         i += batch
-        rec = core.decode_tiles(bufs)
+        with GLOBAL_TIMER.stage("decompress/turbo_decode",
+                                len(group) * p * p / 1e6):
+            rec = core.decode_tiles(bufs)
         for ij, r in zip(group, rec):
             sl, valid = src.chunk_slices(ij)
             out[sl] = r[:valid[0], :valid[1], :valid[2]]
