@@ -51,7 +51,9 @@ class DeviceTables(NamedTuple):
     start: jnp.ndarray     # (C, L) int32
     slot: jnp.ndarray      # (C, 4096) int32: cum -> symbol value
     offset: jnp.ndarray    # (C,) int32
-    support: int           # L
+    length: jnp.ndarray    # (C,) int32: true per-channel pmf length (rows
+    #                        beyond it are freq=1 padding, never valid)
+    support: int           # L = max(length)
 
 
 def bake_device_tables(params, filters: Sequence[int],
@@ -113,7 +115,9 @@ def bake_device_tables(params, filters: Sequence[int],
 
     return DeviceTables(freq=jnp.asarray(freq), start=jnp.asarray(start),
                         slot=jnp.asarray(slot),
-                        offset=jnp.asarray(offset), support=max_length)
+                        offset=jnp.asarray(offset),
+                        length=jnp.asarray(pmf_length.astype(np.int32)),
+                        support=max_length)
 
 
 def stream_channel_map(num_channels: int, latent_hw: Tuple[int, int],
@@ -165,8 +169,11 @@ def encode_device(symbols: jnp.ndarray, channel_map: jnp.ndarray,
     enc_packed = ((tables.start.astype(jnp.uint32) << PRECISION)
                   | (tables.freq - 1).astype(jnp.uint32)).reshape(-1)
 
+    # escape check against each channel's OWN pmf length: rows past it are
+    # freq=1 padding, and a symbol landing there would encode "validly" but
+    # desync the decoder (it reads the pad row's cum as symbol 0)
     v = symbols - tables.offset[channel_map][None]     # (B, T, S)
-    esc = jnp.sum((v < 0) | (v >= support))
+    esc = jnp.sum((v < 0) | (v >= tables.length[channel_map][None]))
     v = jnp.clip(v, 0, support - 1)
 
     p = enc_packed[channel_map * support + v]          # (B, T, S) uint32

@@ -347,26 +347,34 @@ def decompress_cae_array(src: zarrlib.Array,
                 out[sl] = rec[:valid[0], :valid[1], :valid[2]]
 
     def rans_decode_group(i):
+        # keep buffer/id alignment: decode only present chunks and carry
+        # their ids; missing chunks keep the fill value in `out`
+        ids = [g for g, b in zip(grid[i:i + batch], raw[i:i + batch])
+               if b is not None]
         bufs = [b for b in raw[i:i + batch] if b is not None]
+        if not bufs:
+            return None, None, ids
         with GLOBAL_TIMER.stage("decompress/rans", mp_batch):
             sym, true_hw = core.entropy_decode(bufs)
         if sym.shape[0] < batch:
             pad = np.repeat(sym[-1:], batch - sym.shape[0], axis=0)
             sym = np.concatenate([sym, pad], axis=0)
-        return sym, true_hw
+        return sym, true_hw, ids
 
     # overlap: host rANS for batch i+1 runs while the device decodes batch i
     rans_pool = ThreadPoolExecutor(max_workers=1)
     starts = list(range(0, len(grid), batch))
     futures = {starts[0]: rans_pool.submit(rans_decode_group, starts[0])}
     for k, i in enumerate(starts):
-        sym, true_hw = futures.pop(i).result()
+        sym, true_hw, ids = futures.pop(i).result()
         if k + 1 < len(starts):
             futures[starts[k + 1]] = rans_pool.submit(rans_decode_group,
                                                       starts[k + 1])
+        if sym is None:
+            continue
         with GLOBAL_TIMER.stage("decompress/h2d+dispatch", mp_batch):
             rec = core.decode_tiles_device(sym)
-        pending.append((grid[i:i + batch], rec, true_hw))
+        pending.append((ids, rec, true_hw))
         if len(pending) >= 2:
             flush_one()
     while pending:
@@ -471,13 +479,18 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
 
     i = 0
     while i < len(grid):
-        group = grid[i:i + batch]
+        # keep buffer/id alignment: decode only present chunks against
+        # their own ids; missing chunks keep the fill value in `out`
+        ids = [g for g, b in zip(grid[i:i + batch], raw[i:i + batch])
+               if b is not None]
         bufs = [b for b in raw[i:i + batch] if b is not None]
         i += batch
+        if not bufs:
+            continue
         with GLOBAL_TIMER.stage("decompress/turbo_decode",
-                                len(group) * p * p / 1e6):
+                                len(ids) * p * p / 1e6):
             rec = core.decode_tiles(bufs)
-        for ij, r in zip(group, rec):
+        for ij, r in zip(ids, rec):
             sl, valid = src.chunk_slices(ij)
             out[sl] = r[:valid[0], :valid[1], :valid[2]]
     return out
@@ -509,9 +522,9 @@ def _fused_encode_program(core_id, grid_h, grid_w, p, chunk):
             tiles = jnp.concatenate(
                 [tiles, jnp.repeat(tiles[-1:], pad, axis=0)], axis=0)
         groups = tiles.reshape(-1, chunk, p, p, 3)
-        sym8, over, sym16 = _jax.lax.map(core._encode, groups)
+        sym8, over, sym_wide = _jax.lax.map(core._encode, groups)
         return (sym8.reshape(-1, *sym8.shape[2:])[:n], jnp.sum(over),
-                sym16.reshape(-1, *sym16.shape[2:])[:n])
+                sym_wide.reshape(-1, *sym_wide.shape[2:])[:n])
 
     return _jax.jit(run)
 

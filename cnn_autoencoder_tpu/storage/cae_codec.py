@@ -67,10 +67,12 @@ class CAECodecCore:
             y = modules["encoder"].apply(variables["encoder"], x)
             # symbols ship int8 (quarters the device->host transfer — the
             # tunnel link is the pipeline bottleneck; trained latents sit
-            # well inside +-127) with an int16 copy fetched only on the
-            # rare overflow (fetch_symbols decides from the device count).
-            sym = jnp.clip(jnp.round(y - med), -32768, 32767)
-            sym = jnp.transpose(sym.astype(jnp.int16), (0, 3, 1, 2))
+            # well inside +-127) with a full-width int32 copy fetched only
+            # on the rare overflow (fetch_symbols decides from the device
+            # count).  No clipping: the reference coder handles arbitrary
+            # int32 symbols exactly, so must we.
+            sym = jnp.transpose(jnp.round(y - med).astype(jnp.int32),
+                                (0, 3, 1, 2))
             overflow = jnp.sum((sym > 127) | (sym < -128)).astype(jnp.int32)
             return sym.astype(jnp.int8), overflow, sym
 
@@ -136,16 +138,16 @@ class CAECodecCore:
 
     @staticmethod
     def fetch_symbols(sym_dev) -> np.ndarray:
-        """Device->host symbol copy: int8 fast path, int16 on overflow.
+        """Device->host symbol copy: int8 fast path, int32 on overflow.
 
         One device_get round trip fetches the int8 view and the overflow
-        count together; the int16 copy moves only if any symbol fell
-        outside int8 range (effectively never for trained models)."""
-        sym8, overflow, sym16 = sym_dev
+        count together; the full-width int32 copy moves only if any symbol
+        fell outside int8 range (effectively never for trained models)."""
+        sym8, overflow, sym_wide = sym_dev
         sym8_np, n_over = jax.device_get((sym8, overflow))
         if int(n_over) == 0:
             return sym8_np
-        return np.asarray(sym16)
+        return np.asarray(sym_wide)
 
     def entropy_encode(self, sym_np: np.ndarray, true_hw) -> List[bytes]:
         """Host step: channel-major symbols -> framed bitstreams."""
@@ -171,15 +173,16 @@ class CAECodecCore:
         return sym.reshape(len(bufs), self.channels_bn, lh, lw), true_hw
 
     def decode_tiles_device(self, sym: np.ndarray) -> jnp.ndarray:
-        # upload int8 when the decoded symbols allow it (they almost always
-        # do), int16 otherwise; the decode program retraces once per dtype
+        # upload the narrowest lossless dtype (int8 almost always; int16,
+        # else int32); the decode program retraces once per dtype
         if not isinstance(sym, jnp.ndarray):
             sym = np.asarray(sym)
-            if sym.dtype != np.int8 and \
-                    -128 <= sym.min() and sym.max() <= 127:
-                sym = sym.astype(np.int8)
-            elif sym.dtype not in (np.int8, np.int16):
-                sym = sym.astype(np.int16)
+            if sym.dtype != np.int8:
+                lo, hi = sym.min(), sym.max()
+                if -128 <= lo and hi <= 127:
+                    sym = sym.astype(np.int8)
+                elif sym.dtype != np.int16 and -32768 <= lo and hi <= 32767:
+                    sym = sym.astype(np.int16)
         return self._decode(self._shard_batch(jnp.asarray(sym)))
 
     def decode_latents_device(self, y: np.ndarray, rec_level: int = -1

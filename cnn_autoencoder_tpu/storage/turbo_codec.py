@@ -7,15 +7,19 @@ bytes (+ per-stream lengths) cross the host<->device link — the BASELINE
 north-star's "entropy bottleneck fused into the forward pass".
 
 Bitstream (per chunk, self-framed):
-  '>QQ' true (h, w) pixels
-  u8    version (2)
+  '>QQ' true (h, w) pixels, with bit 63 of h SET (the turbo marker — a
+        host 'cae' frame's h is a real image height, always < 2^63, so the
+        two formats are unambiguous at any chunk)
+  u8    version (3)
   u16   num_streams S
   u32[S] per-stream byte lengths (always even: 16-bit words)
   concatenated per-stream rANS-32/16 payloads (little-endian u16 words)
 
 Not bitstream-compatible with the reference 'cae' codec (that one remains
 the compatibility path); escapes or capacity overflows fall back to the
-reference-compatible host coder automatically.
+reference-compatible host coder automatically, PER ENCODE BATCH — a store
+may therefore mix turbo and host frames, and ``decode_tiles`` detects the
+format of every buffer independently.
 """
 
 import struct
@@ -32,8 +36,14 @@ from ..models.entropy import medians_fn
 from .cae_codec import CAECodecCore, _ceil_to
 from .codecs import Codec, ndarray_copy, register_codec
 
-VERSION = 2
+VERSION = 3
 DEFAULT_STREAMS = 1024
+TURBO_FLAG = 1 << 63   # set on the big-endian h field of turbo frames
+
+
+def is_turbo_frame(raw: bytes) -> bool:
+    """True iff this chunk buffer is a turbo frame (vs host 'cae' format)."""
+    return len(raw) >= 16 and (raw[0] & 0x80) != 0
 
 
 class CAETurboCore:
@@ -128,7 +138,7 @@ class CAETurboCore:
         words_le = np.ascontiguousarray(bufs_np).astype("<u2")
         byte_lengths = lengths_np.astype(np.int64) * 2
         for i, (th, tw) in enumerate(true_hw):
-            parts = [struct.pack(">QQ", th, tw),
+            parts = [struct.pack(">QQ", th | TURBO_FLAG, tw),
                      struct.pack(">BH", VERSION, s),
                      byte_lengths[i].astype(">u4").tobytes()]
             for j in range(s):
@@ -138,23 +148,61 @@ class CAETurboCore:
 
     # -- decode -------------------------------------------------------------
 
-    def decode_tiles(self, bufs: List[bytes]) -> np.ndarray:
-        th, tw = struct.unpack(">QQ", bytes(bufs[0][:16]))
-        version, s = struct.unpack(">BH", bytes(bufs[0][16:19]))
-        if version != VERSION:
-            # not a turbo frame: defer to the compatibility core
-            return self.base.decode_tiles(bufs)
+    def decode_tiles(self, bufs: List[bytes]):
+        """Decode a batch of chunk buffers, each independently turbo- or
+        host-format (encode falls back to the host coder per batch, and
+        reader batches need not align with writer batches).
+
+        Returns a stacked (B, h, w, 3) array when all tiles share a shape,
+        else a list of per-tile arrays.
+        """
+        n = len(bufs)
+        if n == 0:
+            return np.zeros((0, 0, 0, 3), np.uint8)
+        recs: List[Optional[np.ndarray]] = [None] * n
+        host_groups = {}   # (th, tw) -> [index]
+        turbo_groups = {}  # (s, th, tw) -> [(index, raw)]
+        for i, raw in enumerate(bufs):
+            raw = bytes(raw)
+            if not is_turbo_frame(raw):
+                th, tw = struct.unpack(">QQ", raw[:16])
+                host_groups.setdefault((th, tw), []).append(i)
+                continue
+            h_field, tw = struct.unpack(">QQ", raw[:16])
+            th = h_field & ~TURBO_FLAG
+            version, s = struct.unpack(">BH", raw[16:19])
+            if version != VERSION:
+                raise ValueError(
+                    f"cae_tpu frame version {version} unsupported "
+                    f"(expected {VERSION})")
+            turbo_groups.setdefault((s, th, tw), []).append((i, raw))
+
+        for (th, tw), idxs in host_groups.items():
+            rec = self.base.decode_tiles([bytes(bufs[i]) for i in idxs])
+            for i, r in zip(idxs, rec):
+                recs[i] = r
+        for (s, th, tw), group in turbo_groups.items():
+            rec = self._decode_turbo_group([raw for _, raw in group],
+                                           s, th, tw)
+            for (i, _), r in zip(group, rec):
+                recs[i] = r
+
+        if all(r.shape == recs[0].shape for r in recs):
+            return np.stack(recs)
+        return recs
+
+    def _decode_turbo_group(self, raws: List[bytes], s: int, th: int,
+                            tw: int) -> np.ndarray:
         ph, pw = self.base.padded_hw(th, tw)
         lh, lw = self._latent_hw(ph, pw)
         # honor the frame's stream count (stores may have been written
         # with a different num_streams than this reader's default)
         t = self._steps(lh, lw, s)
 
-        batch = len(bufs)
+        batch = len(raws)
         lengths = np.zeros((batch, s), np.int64)  # in 16-bit words
         payloads = []
-        for i, raw in enumerate(bufs):
-            raw = bytes(raw)
+        for i, raw in enumerate(raws):
             ln = np.frombuffer(raw[19:19 + 4 * s], ">u4").astype(np.int64)
             lengths[i] = ln // 2
             payloads.append(raw[19 + 4 * s:])

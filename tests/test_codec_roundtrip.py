@@ -144,19 +144,76 @@ def test_pipeline_bottleneck_roundtrip(small_model, core, tmp_path):
 
 
 def test_fetch_symbols_int8_fast_path_and_overflow_fallback():
-    """fetch_symbols returns the int8 view when all symbols fit, the int16
-    copy when any symbol overflows int8 (exact either way)."""
+    """fetch_symbols returns the int8 view when all symbols fit, the
+    full-width int32 copy when any symbol overflows int8 (exact either
+    way — including values beyond int16, which the reference coder also
+    handles without clipping)."""
     from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
 
-    small = np.array([[-128, 0], [127, 5]], np.int16)
+    small = np.array([[-128, 0], [127, 5]], np.int32)
     dev = (jnp.asarray(small.astype(np.int8)), jnp.int32(0),
            jnp.asarray(small))
     out = CAECodecCore.fetch_symbols(dev)
     assert out.dtype == np.int8
-    np.testing.assert_array_equal(out.astype(np.int16), small)
+    np.testing.assert_array_equal(out.astype(np.int32), small)
 
-    big = np.array([[300, 0], [-129, 5]], np.int16)
+    big = np.array([[300, 0], [-40_000, 5]], np.int32)  # beyond int16 too
     dev = (jnp.asarray(big.astype(np.int8)), jnp.int32(2), jnp.asarray(big))
     out = CAECodecCore.fetch_symbols(dev)
-    assert out.dtype == np.int16
+    assert out.dtype == np.int32
     np.testing.assert_array_equal(out, big)
+
+
+def test_decode_device_upload_dtype_lossless():
+    """decode_tiles_device narrows the upload dtype only when lossless:
+    int32 symbols beyond int16 must NOT be wrapped."""
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+    sym = np.zeros((1, 2, 3, 3), np.int32)
+    sym[0, 0, 0, 0] = 40_000  # outside int16
+
+    class _Probe:
+        def __call__(self, x):
+            return x
+    probe = CAECodecCore.__new__(CAECodecCore)
+    probe.mesh = None
+    probe._decode = lambda s: s
+    up = np.asarray(probe.decode_tiles_device(sym))
+    assert up.dtype == np.int32
+    np.testing.assert_array_equal(up, sym)
+
+    sym16 = sym.copy()
+    sym16[0, 0, 0, 0] = 30_000
+    up = np.asarray(probe.decode_tiles_device(sym16))
+    assert up.dtype == np.int16
+    sym8 = np.clip(sym, -5, 5)
+    up = np.asarray(probe.decode_tiles_device(sym8))
+    assert up.dtype == np.int8
+
+
+def test_decompress_missing_chunk_alignment(small_model, core, tmp_path):
+    """Deleting a chunk from the store must leave ONLY that tile at the
+    fill value — subsequent tiles must not shift position."""
+    img = _image(96, 64, seed=7)
+    chk = dict(small_model.config)
+    chk.update(small_model.variables)
+    chk_path = str(tmp_path / "model.msgpack")
+    save_checkpoint(chk_path, chk)
+
+    out = str(tmp_path / "holes.zarr")
+    compress_pixels_to_cae(core, img, out, data_group="0/0",
+                           patch_size=32, checkpoint_id=chk_path)
+    arr = zarrlib.open(out, mode="r")["0/0"]
+    full = decompress_cae_array(arr, core=core, batch_tiles=4)
+
+    # delete the second chunk (row 0, col 1)
+    import os
+    chunk_file = os.path.join(out, "0", "0", "0.1.0")
+    assert os.path.exists(chunk_file)
+    os.remove(chunk_file)
+
+    arr2 = zarrlib.open(out, mode="r")["0/0"]
+    holey = decompress_cae_array(arr2, core=core, batch_tiles=4)
+    np.testing.assert_array_equal(holey[:, :32], full[:, :32])
+    np.testing.assert_array_equal(holey[32:], full[32:])
+    assert (holey[:32, 32:] == 0).all()

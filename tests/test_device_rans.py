@@ -83,6 +83,7 @@ def _gaussian_tables(c=8, sigma=1.5, support=21):
     offset = np.full((c,), -(support // 2), np.int32)
     return DeviceTables(freq=jnp.asarray(freq), start=jnp.asarray(start),
                         slot=jnp.asarray(slot), offset=jnp.asarray(offset),
+                        length=jnp.full((c,), support, jnp.int32),
                         support=support)
 
 
@@ -125,6 +126,59 @@ def test_escape_detection(fitted_params):
     assert int(esc) == 1
 
 
+def test_escape_between_channel_and_global_support():
+    """A symbol past its OWN channel's pmf length but inside the global max
+    support must count as an escape: it would otherwise encode through a
+    freq=1 pad row and silently desync the decoder."""
+    from cnn_autoencoder_tpu.coding.cdf import pmf_to_quantized_cdf
+    from cnn_autoencoder_tpu.coding.device_rans import (PROB_SCALE,
+                                                        DeviceTables)
+    rng = np.random.RandomState(7)
+    c = 3
+    supports = [4, 32, 12]
+    max_len = max(supports)
+    freq = np.ones((c, max_len), np.int32)
+    start = np.zeros((c, max_len), np.int32)
+    slot = np.zeros((c, PROB_SCALE), np.int32)
+    for ch, n in enumerate(supports):
+        pmf = rng.dirichlet(np.full(n, 0.5))
+        cdf = pmf_to_quantized_cdf(pmf.astype(np.float64), 12)
+        f = np.diff(cdf)
+        freq[ch, :n] = f
+        start[ch, :n] = cdf[:-1]
+        slot[ch] = np.repeat(np.arange(n), f)
+    tables = DeviceTables(freq=jnp.asarray(freq), start=jnp.asarray(start),
+                          slot=jnp.asarray(slot),
+                          offset=jnp.zeros(c, jnp.int32),
+                          length=jnp.asarray(np.array(supports, np.int32)),
+                          support=max_len)
+
+    h, w, s = 4, 4, 8
+    sym = np.zeros((1, c, h, w), np.int32)
+    for ch, n in enumerate(supports):
+        sym[:, ch] = rng.randint(0, n, (1, h, w))
+    # channel 0 symbol in [4, 32): inside global support, outside its own
+    sym[0, 0, 1, 1] = 9
+    sym[0, 2, 2, 2] = 20  # same for channel 2: in [12, 32)
+    ch_map = jnp.asarray(stream_channel_map(c, (h, w), s))
+    packed = pack_streams(jnp.asarray(sym.reshape(1, -1)), s)
+    _, _, esc = encode_device(packed, ch_map, tables,
+                              packed.shape[1] * 2 + 8)
+    assert int(esc) == 2
+
+    # with the offenders removed, the same tables round-trip exactly
+    sym[0, 0, 1, 1] = 3
+    sym[0, 2, 2, 2] = 11
+    packed = pack_streams(jnp.asarray(sym.reshape(1, -1)), s)
+    cap = packed.shape[1] * 2 + 8
+    bufs, lengths, esc = encode_device(packed, ch_map, tables, cap)
+    assert int(esc) == 0
+    out = unpack_streams(decode_device(bufs, ch_map, tables,
+                                       packed.shape[1]), sym.reshape(1, -1)
+                         .shape[1])
+    np.testing.assert_array_equal(np.asarray(out), sym.reshape(1, -1))
+
+
 def test_jit_static_shapes(fitted_params):
     """encode/decode compile once per (shape, capacity)."""
     tables = bake_device_tables(fitted_params, (3, 3, 3, 3))
@@ -162,6 +216,7 @@ def test_single_symbol_channel_full_mass():
     tables = DeviceTables(freq=jnp.asarray(freq), start=jnp.asarray(start),
                           slot=jnp.asarray(slot),
                           offset=jnp.asarray(np.zeros(c, np.int32)),
+                          length=jnp.full((c,), support, jnp.int32),
                           support=support)
 
     h, w, s = 4, 4, 8
@@ -205,6 +260,7 @@ def test_fuzz_random_tables_roundtrip(seed):
                           slot=jnp.asarray(slot),
                           offset=jnp.asarray(rng.randint(-50, 50, c)
                                              .astype(np.int32)),
+                          length=jnp.asarray(np.array(supports, np.int32)),
                           support=max_len)
 
     h, w, s = 8, 8, 16

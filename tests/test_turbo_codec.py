@@ -63,8 +63,11 @@ def test_turbo_batch_and_true_size(model):
     imgs = np.stack([_image(48, 40, seed=i) for i in range(3)])
     bufs = turbo.encode_tiles(imgs)
     assert len(bufs) == 3
+    from cnn_autoencoder_tpu.storage.turbo_codec import (TURBO_FLAG,
+                                                         is_turbo_frame)
+    assert is_turbo_frame(bufs[0])
     th, tw = struct.unpack(">QQ", bufs[0][:16])
-    assert (th, tw) == (48, 40)
+    assert (th & ~TURBO_FLAG, tw) == (48, 40)
     rec = turbo.decode_tiles(bufs)
     assert rec.shape == (3, 48, 40, 3)
 
@@ -102,6 +105,44 @@ def test_escape_falls_back_to_host_format(model):
     bufs = turbo.encode_tiles(img[None])
     rec = turbo.decode_tiles(bufs)
     assert rec.shape == (1, 32, 32, 3)
+
+
+def test_mixed_format_batch_decodes(model):
+    """A single decode batch mixing turbo frames and host-fallback frames
+    (encode falls back per batch; reader batches need not align) must
+    decode every chunk in its own format, in order."""
+    turbo = CAETurboCore(model, num_streams=32)
+    host = turbo.base
+    imgs = np.stack([_image(32, 32, seed=i) for i in range(4)])
+
+    t_bufs = turbo.encode_tiles(imgs[:2])
+    h_bufs = host.encode_tiles(imgs[2:])  # same frames a fallback writes
+    from cnn_autoencoder_tpu.storage.turbo_codec import is_turbo_frame
+    assert all(is_turbo_frame(b) for b in t_bufs)
+    assert not any(is_turbo_frame(b) for b in h_bufs)
+
+    mixed = [t_bufs[0], h_bufs[0], t_bufs[1], h_bufs[1]]
+    rec = turbo.decode_tiles(mixed)
+    expect = np.concatenate([turbo.decode_tiles(t_bufs),
+                             host.decode_tiles(h_bufs)])
+    np.testing.assert_array_equal(rec[0], expect[0])
+    np.testing.assert_array_equal(rec[2], expect[1])
+    np.testing.assert_array_equal(rec[1], expect[2])
+    np.testing.assert_array_equal(rec[3], expect[3])
+
+
+def test_mixed_geometry_batch_decodes(model):
+    """Buffers with different true sizes in one decode call each come back
+    at their own size (list result)."""
+    turbo = CAETurboCore(model, num_streams=32)
+    a = _image(32, 32, seed=0)
+    b = _image(20, 28, seed=1)
+    bufs = turbo.encode_tiles(a[None]) + turbo.encode_tiles(b[None])
+    rec = turbo.decode_tiles(bufs)
+    assert isinstance(rec, list)
+    assert rec[0].shape == (32, 32, 3) and rec[1].shape == (20, 28, 3)
+    np.testing.assert_array_equal(rec[0], turbo.decode_tiles(bufs[:1])[0])
+    np.testing.assert_array_equal(rec[1], turbo.decode_tiles(bufs[1:])[0])
 
 
 def test_mixed_stream_count_store_decodes(model):
