@@ -13,108 +13,179 @@ Modes: cai2cae | cae2cai | cae2cae | last2best | torch2jax
 
 import argparse
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-cae_replace_keys = [
-    ("quantiles", "", 0),
-    ("_offset", "", 0),
-    ("_quantized_cdf", "", 0),
-    ("_cdf_length", "", 0),
-    ("target", "", 0),
-    ("likelihood_lower_bound.bound", "", 0),
-    ("_matrices.", "_matrix%i", 1),
-    ("_biases.", "_bias%i", 1),
-    ("_factors.", "_factor%i", 1),
-    (".weight", "%i.model.%i.weight", 2),
-    (".bias", "%i.model.%i.bias", 2),
-    (".gamma", "%i.model.%i.gamma", 2),
-    (".beta", "%i.model.%i.beta", 2),
-]
+# Checkpoint-format compatibility constants -----------------------------------
+#
+# Entropy-bottleneck keys that carry the same name in both families (matched
+# as substrings, mirroring the reference's rename tables).
+_PASSTHROUGH = (
+    "quantiles",
+    "_offset",
+    "_quantized_cdf",
+    "_cdf_length",
+    "target",
+    "likelihood_lower_bound.bound",
+)
 
-cai_replace_keys = [
-    ("quantiles", "", 0),
-    ("target", "", 0),
-    ("_offset", "", 0),
-    ("_quantized_cdf", "", 0),
-    ("_cdf_length", "", 0),
-    ("likelihood_lower_bound.bound", "", 0),
-    ("_matrix", "", 0),
-    ("_bias", "", 0),
-    ("_factor", "", 0),
-    (".weight", "%i.weight", 1),
-    (".bias", "%i.bias", 1),
-    (".gamma", "%i.gamma", 1),
-    (".beta", "%i.beta", 1),
-]
+# compressai stores the factorized-prior parameters as indexed lists
+# ("_matrices.3"); the CAE family flattens them ("_matrix3").
+_PARAM_LISTS = (
+    ("_matrices.", "_matrix"),
+    ("_biases.", "_bias"),
+    ("_factors.", "_factor"),
+)
 
-cae_replace_module = [
+# (module name, tag identifying its keys in the source, prefix in the output)
+_CAI_TO_CAE_MODULES = (
     ("encoder", "g_a.", "analysis_track."),
     ("decoder", "g_s.", "synthesis_track."),
     ("fact_entropy", "entropy_bottleneck.", ""),
-]
-
-cai_replace_module = [
+)
+_CAE_TO_CAI_MODULES = (
     ("encoder", "analysis_track.", "g_a."),
     ("decoder", "synthesis_track.", "g_s."),
     ("fact_entropy", "fact_ent", "entropy_bottleneck."),
-]
+)
+
+# "3.weight": compressai nn.Sequential position + field
+_SEQ_KEY = re.compile(r"^(\d+)\.(weight|bias|gamma|beta)$")
+# "1.model.0.weight": CAE (unit, op-within-unit) + field
+_UNIT_KEY = re.compile(r"^(\d+)\.model\.(\d+)\.(weight|bias|gamma|beta)$")
 
 
-def ext_idx_cae(k, k_s, n_idx):
-    idx, rem = k.split(k_s)
-    if len(idx) == 0:
-        idx, rem = rem, ""
-    idx = int(idx)
-    if n_idx > 1:
-        # compressai sequential index -> (unit, op-within-unit)
-        idx = (idx // 2, idx % 2)
-    return idx, rem
+def _rename_cai_to_cae(key):
+    """Module-stripped compressai key -> CAE-style key, or None to drop.
+
+    compressai lays convolutions flat in one nn.Sequential; the CAE groups
+    them two ops per "unit" (down/up conv + activation), so sequential
+    position p becomes unit p//2, op p%2.
+    """
+    if any(name in key for name in _PASSTHROUGH):
+        return key
+    for list_prefix, flat_prefix in _PARAM_LISTS:
+        if list_prefix in key:
+            _, _, index = key.partition(list_prefix)
+            return "%s%d" % (flat_prefix, int(index))
+    m = _SEQ_KEY.match(key)
+    if m:
+        pos, field = int(m.group(1)), m.group(2)
+        return "%d.model.%d.%s" % (pos // 2, pos % 2, field)
+    return None
 
 
-def ext_idx_cai(k, k_s, n_idx):
-    parts = k.split(".model.")
-    k1 = int(parts[0].split(".")[-1])
-    k2 = int(parts[1].split(".")[0])
-    rem = parts[1].split(k_s)[1]
-    return k1 * 2 + k2, rem
+def _rename_cae_to_cai(key):
+    """Module-stripped CAE key -> compressai-style key, or None if unknown.
+
+    The flat ``_matrixN``/``_biasN``/``_factorN`` names are already what
+    compressai's load_state_dict accepts (it re-lists them itself), so they
+    pass through unchanged.
+    """
+    if any(name in key for name in _PASSTHROUGH):
+        return key
+    if any(key.startswith(flat) or flat in key
+           for _, flat in _PARAM_LISTS):
+        return key
+    m = _UNIT_KEY.match(key)
+    if m:
+        unit, op, field = int(m.group(1)), int(m.group(2)), m.group(3)
+        return "%d.%s" % (unit * 2 + op, field)
+    return None
 
 
 def transfer_weights(chk_src, cai2cae=True):
     """Key-map a flat torch state dict between the two families
-    (reference transfer_weights.py:72-120)."""
-    chk = {}
-    if cai2cae:
-        replace_module, replace_keys, ext_idx = (cae_replace_module,
-                                                 cae_replace_keys,
-                                                 ext_idx_cae)
-    else:
-        replace_module, replace_keys, ext_idx = (cai_replace_module,
-                                                 cai_replace_keys,
-                                                 ext_idx_cai)
+    (behavior of reference transfer_weights.py:72-120).
 
-    for m_name, m_src, m_dst in replace_module:
-        chk[m_name] = {}
-        chk_new = {k.split(m_src)[1]: w for k, w in chk_src.items()
-                   if m_src in k}
-        for k in list(chk_new.keys()):
-            new_key = None
-            for k_s, k_d, n_idx in replace_keys:
-                if k_s in k:
-                    if n_idx == 0:
-                        new_key = m_dst + k
-                    else:
-                        idx, rem = ext_idx(k, k_s, n_idx)
-                        new_key = m_dst + k_d % idx + rem
-                    trans_w = chk_new.pop(k)
-                    break
+    Returns {"encoder": {...}, "decoder": {...}, "fact_entropy": {...}}.
+    Keys the target family has no use for are dropped in the cai->cae
+    direction (buffers are re-derived on load) and kept verbatim, without
+    the module prefix, in the cae->cai direction.
+    """
+    if cai2cae:
+        modules, rename = _CAI_TO_CAE_MODULES, _rename_cai_to_cae
+    else:
+        modules, rename = _CAE_TO_CAI_MODULES, _rename_cae_to_cai
+
+    out = {}
+    for module, src_tag, dst_prefix in modules:
+        group = {}
+        for full_key, weight in chk_src.items():
+            if src_tag not in full_key:
+                continue
+            key = full_key.split(src_tag, 1)[1]
+            new_key = rename(key)
             if new_key is not None:
-                chk_new[new_key] = trans_w
-            elif cai2cae:
-                chk_new.pop(k)
-        chk[m_name].update(chk_new)
-    return chk
+                group[dst_prefix + new_key] = weight
+            elif not cai2cae:
+                group[key] = weight
+        out[module] = group
+    return out
+
+
+# Per-mode checkpoint surgery --------------------------------------------------
+
+
+def _mode_torch2jax(args):
+    from cnn_autoencoder_tpu.training.checkpoint import save_checkpoint
+    from cnn_autoencoder_tpu.utils.torch_import import load_torch_checkpoint
+
+    state = load_torch_checkpoint(args.source)
+    save_checkpoint(args.output, state)
+    print("Converted %s -> %s (native msgpack)" % (args.source, args.output))
+
+
+def _mode_cai2cae(chk_src, chk_dst):
+    """Graft a compressai model's weights into a CAE training checkpoint."""
+    grafted = transfer_weights(chk_src, cai2cae=True)
+    chk_dst["encoder"] = grafted["encoder"]
+    chk_dst["decoder"] = grafted["decoder"]
+    chk_dst["fact_ent"] = grafted["fact_entropy"]
+    return chk_dst
+
+
+def _mode_cae2cai(chk_src, chk_dst):
+    """Flatten a CAE checkpoint's modules into one compressai state dict."""
+    del chk_dst
+    flat = dict(chk_src["decoder"])
+    flat.update(chk_src["encoder"])
+    flat.update(("fact_ent." + key, weight)
+                for key, weight in chk_src["fact_ent"].items())
+    grafted = transfer_weights(flat, cai2cae=False)
+    merged = {}
+    for module in ("fact_entropy", "encoder", "decoder"):
+        merged.update(grafted[module])
+    return merged
+
+
+def _mode_cae2cae(chk_src, chk_dst):
+    """Refresh a checkpoint's stored args from another checkpoint."""
+    chk_dst.pop("args")
+    chk_dst.update(chk_src["args"])
+    return chk_dst
+
+
+_MODEL_MODULES = ("encoder", "decoder", "fact_ent", "seg_model",
+                  "class_model")
+
+
+def _mode_last2best(chk_src, chk_dst):
+    """Carry training bookkeeping from 'last' into 'best', keeping the
+    best checkpoint's model weights."""
+    chk_dst.update((key, value) for key, value in chk_src.items()
+                   if key not in _MODEL_MODULES)
+    return chk_dst
+
+
+_TORCH_MODES = {
+    "cai2cae": _mode_cai2cae,
+    "cae2cai": _mode_cae2cai,
+    "cae2cae": _mode_cae2cae,
+    "last2best": _mode_last2best,
+}
 
 
 def main():
@@ -125,52 +196,20 @@ def main():
     parser.add_argument("-s", "--source", help="Source checkpoint")
     parser.add_argument("-o", "--output", help="Output model filename")
     parser.add_argument("-m", "--mode", dest="transfer_mode", type=str,
-                        choices=["cae2cai", "cai2cae", "cae2cae",
-                                 "last2best", "torch2jax"])
+                        choices=sorted(_TORCH_MODES) + ["torch2jax"])
     args = parser.parse_args()
+
+    if args.transfer_mode == "torch2jax":
+        _mode_torch2jax(args)
+        return
 
     import torch
 
-    if args.transfer_mode == "torch2jax":
-        from cnn_autoencoder_tpu.training.checkpoint import save_checkpoint
-        from cnn_autoencoder_tpu.utils.torch_import import \
-            load_torch_checkpoint
-        state = load_torch_checkpoint(args.source)
-        save_checkpoint(args.output, state)
-        print("Converted %s -> %s (native msgpack)" % (args.source,
-                                                       args.output))
-        return
-
+    chk_src = torch.load(args.source, map_location="cpu", weights_only=False)
     chk_dst = torch.load(args.destination, map_location="cpu",
                          weights_only=False) if args.destination else {}
-    chk_src = torch.load(args.source, map_location="cpu", weights_only=False)
-
-    if args.transfer_mode == "cai2cae":
-        chk_transfer = transfer_weights(chk_src, cai2cae=True)
-        chk_dst["fact_ent"] = chk_transfer["fact_entropy"]
-        chk_dst["encoder"] = chk_transfer["encoder"]
-        chk_dst["decoder"] = chk_transfer["decoder"]
-    elif args.transfer_mode == "cae2cai":
-        chk_src_model = {}
-        chk_src_model.update(chk_src["decoder"])
-        chk_src_model.update(chk_src["encoder"])
-        for k in chk_src["fact_ent"].keys():
-            chk_src_model["fact_ent." + k] = chk_src["fact_ent"][k]
-        chk_transfer = transfer_weights(chk_src_model, cai2cae=False)
-        chk_dst = {}
-        chk_dst.update(chk_transfer["fact_entropy"])
-        chk_dst.update(chk_transfer["encoder"])
-        chk_dst.update(chk_transfer["decoder"])
-    elif args.transfer_mode == "cae2cae":
-        del chk_dst["args"]
-        chk_dst.update(chk_src["args"])
-    elif args.transfer_mode == "last2best":
-        for k, v in chk_src.items():
-            if k not in ("encoder", "decoder", "fact_ent", "seg_model",
-                         "class_model"):
-                chk_dst[k] = v
-
-    torch.save(chk_dst, args.output)
+    chk_out = _TORCH_MODES[args.transfer_mode](chk_src, chk_dst)
+    torch.save(chk_out, args.output)
 
 
 if __name__ == "__main__":
