@@ -2,11 +2,13 @@
 
 Covers the reference's two ImageNet paths (reference src/utils/datasets/
 _datautils.py:186-257 and _imagenet.py): a local image folder (class
-subdirectories or flat), and URL/S3 manifests.  S3 streaming requires boto3,
-which is unavailable in this environment — the manifest loader handles local
-paths and raises a clear error for s3:// URLs.
+subdirectories or flat), and URL/S3 manifests.  Remote entries —
+``http(s)://`` and anonymous ``s3://`` — stream through urllib
+(data/remote.py); both the manifest file and its image entries may be
+remote (reference _imagenet.py:53-86).
 """
 
+import io
 import json
 import os
 from typing import List, Optional, Tuple
@@ -15,6 +17,7 @@ import numpy as np
 
 from .augs import get_imagenet_transform
 from .loader import DataLoader, Subset, random_split
+from .remote import fetch_remote, is_remote
 
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
@@ -56,25 +59,35 @@ class ImageFolder:
 class ImageManifest:
     """Dataset from a .txt manifest of image paths/URLs.
 
-    Local paths load via PIL; ``s3://``/``http(s)://`` entries require
-    network access and raise in this offline environment.  Labels resolve
-    through an ``imagenet_classes.json`` (wnid -> index) next to the manifest
-    when present (reference _imagenet.py:53-86).
+    Local paths load via PIL; ``s3://``/``http(s)://`` entries stream via
+    urllib (anonymous S3 is plain HTTPS GET — no boto3 needed).  The
+    manifest file itself may also be remote.  Labels resolve through an
+    ``imagenet_classes.json`` (wnid -> index) next to the manifest when
+    present (reference _imagenet.py:53-86).
     """
 
     def __init__(self, manifest: str, transform=None,
-                 dataset_size: Optional[int] = None):
+                 dataset_size: Optional[int] = None,
+                 s3_endpoint: Optional[str] = None):
         self.transform = transform
-        with open(manifest) as f:
-            self.entries = [ln.strip() for ln in f if ln.strip()]
+        self.s3_endpoint = s3_endpoint or os.environ.get("CAE_S3_ENDPOINT")
+        if is_remote(manifest):
+            text = fetch_remote(manifest,
+                                s3_endpoint=self.s3_endpoint).decode()
+            self.entries = [ln.strip() for ln in text.splitlines()
+                            if ln.strip()]
+        else:
+            with open(manifest) as f:
+                self.entries = [ln.strip() for ln in f if ln.strip()]
         if dataset_size is not None and dataset_size > 0:
             self.entries = self.entries[:dataset_size]
         self._wnid_map = None
-        class_map = os.path.join(os.path.dirname(manifest),
-                                 "imagenet_classes.json")
-        if os.path.exists(class_map):
-            with open(class_map) as f:
-                self._wnid_map = json.load(f)
+        if not is_remote(manifest):
+            class_map = os.path.join(os.path.dirname(manifest),
+                                     "imagenet_classes.json")
+            if os.path.exists(class_map):
+                with open(class_map) as f:
+                    self._wnid_map = json.load(f)
 
     def __len__(self):
         return len(self.entries)
@@ -88,12 +101,13 @@ class ImageManifest:
     def __getitem__(self, i):
         from PIL import Image
         path = self.entries[i]
-        if path.startswith(("s3://", "http://", "https://")):
-            raise RuntimeError(
-                "Remote image sources need network access, which is "
-                "unavailable in this environment: %s" % path)
-        with Image.open(path) as im:
-            x = np.asarray(im.convert("RGB"))
+        if is_remote(path):
+            data = fetch_remote(path, s3_endpoint=self.s3_endpoint)
+            with Image.open(io.BytesIO(data)) as im:
+                x = np.asarray(im.convert("RGB"))
+        else:
+            with Image.open(path) as im:
+                x = np.asarray(im.convert("RGB"))
         if self.transform is not None:
             x = self.transform(x)
         return x, np.int64(self._label(path))

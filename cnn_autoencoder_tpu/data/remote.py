@@ -1,0 +1,46 @@
+"""Minimal remote-object streaming: http(s):// and anonymous s3:// URLs.
+
+The reference streams S3 objects through boto3/s3fs (reference
+src/utils/datasets/_imagenet.py:53-58, src/compress.py:78-90); boto3 is not
+available here, but anonymous S3 access is plain HTTPS GET against the
+bucket's virtual-hosted endpoint, so urllib covers both schemes without any
+extra dependency.
+"""
+
+import time
+import urllib.request
+
+REMOTE_SCHEMES = ("s3://", "http://", "https://")
+
+
+def is_remote(path: str) -> bool:
+    return isinstance(path, str) and path.startswith(REMOTE_SCHEMES)
+
+
+def s3_to_https(url: str, endpoint: str = None) -> str:
+    """s3://bucket/key -> the bucket's anonymous HTTPS endpoint.
+
+    ``endpoint`` overrides the host (e.g. a non-AWS S3-compatible service
+    or a test fixture): the object is fetched as {endpoint}/{bucket}/{key}.
+    """
+    bucket, _, key = url[len("s3://"):].partition("/")
+    if endpoint:
+        return "%s/%s/%s" % (endpoint.rstrip("/"), bucket, key)
+    return "https://%s.s3.amazonaws.com/%s" % (bucket, key)
+
+
+def fetch_remote(path: str, timeout: float = 30.0, retries: int = 3,
+                 s3_endpoint: str = None) -> bytes:
+    """GET a remote object with small exponential backoff."""
+    url = s3_to_https(path, s3_endpoint) if path.startswith("s3://") else path
+    last_error = None
+    for attempt in range(retries):
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as response:
+                return response.read()
+        except Exception as error:  # urllib raises several unrelated types
+            last_error = error
+            if attempt + 1 < retries:
+                time.sleep(min(2 ** attempt, 5.0))
+    raise RuntimeError("failed to fetch %s after %d attempts: %s"
+                       % (path, retries, last_error)) from last_error

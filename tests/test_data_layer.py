@@ -259,3 +259,59 @@ def test_emnist_loader_from_gz_idx(tmp_path):
     xb, tb = next(iter(test))
     assert xb.shape == (8, 32, 32, 1)
     np.testing.assert_array_equal(tb, labels[:8].astype(np.int64))
+
+
+def test_remote_manifest_streaming(tmp_path):
+    """Manifest + images served over HTTP stream through ImageManifest;
+    s3:// entries resolve through the endpoint override (anonymous S3 is
+    plain HTTPS GET against the bucket endpoint)."""
+    import threading
+    from functools import partial
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    from PIL import Image
+
+    from cnn_autoencoder_tpu.data.imagenet import ImageManifest
+    from cnn_autoencoder_tpu.data.remote import s3_to_https
+
+    # bucket layout on disk: <root>/bucket/img_*.png
+    bucket = tmp_path / "bucket"
+    bucket.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        arr = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(str(bucket / ("img_%d.png" % i)))
+
+    handler = partial(SimpleHTTPRequestHandler, directory=str(tmp_path))
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    endpoint = "http://127.0.0.1:%d" % server.server_address[1]
+    try:
+        # http:// entries in a remote manifest
+        manifest_lines = ["%s/bucket/img_%d.png" % (endpoint, i)
+                          for i in range(2)]
+        # plus an s3:// entry resolved via the endpoint override
+        manifest_lines.append("s3://bucket/img_2.png")
+        (bucket / "manifest.txt").write_text("\n".join(manifest_lines))
+
+        ds = ImageManifest(endpoint + "/bucket/manifest.txt",
+                           s3_endpoint=endpoint)
+        assert len(ds) == 3
+        for i in range(3):
+            x, label = ds[i]
+            assert x.shape == (16, 16, 3)
+            assert label == 0
+
+        assert s3_to_https("s3://b/k/x.png") == \
+            "https://b.s3.amazonaws.com/k/x.png"
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_remote_fetch_retries_then_fails():
+    from cnn_autoencoder_tpu.data.remote import fetch_remote
+
+    with pytest.raises(RuntimeError, match="after 2 attempts"):
+        fetch_remote("http://127.0.0.1:9/nothing", timeout=0.5, retries=2)
