@@ -30,7 +30,8 @@ class MLPBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         d = x.shape[-1]
         x = nn.Dense(self.mlp_dim, name="fc1")(x)
-        x = nn.gelu(x)
+        # exact (erf) GELU: torch nn.GELU default, unlike flax's tanh approx
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(d, name="fc2")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -213,8 +214,10 @@ class BasicConv2d(nn.Module):
 
 
 def _avg_pool_3(x):
+    # torchvision pools with F.avg_pool2d(..., padding=1) whose default
+    # count_include_pad=True divides by 9 even at borders
     return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
-                       count_include_pad=False)
+                       count_include_pad=True)
 
 
 class InceptionA(nn.Module):

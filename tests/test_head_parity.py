@@ -1,0 +1,111 @@
+"""Numeric oracles for the classifier-head importers.
+
+tests/torch_ref_heads.py rebuilds the reference's cut torchvision
+architectures in torch (exact forward math + exact state-dict keys); here
+each head gets randomized torch weights, the state dict goes through
+utils/torch_import.import_class_model, and the Flax head must reproduce the
+torch logits (and aux logits) — the same oracle pattern
+tests/test_torch_import.py applies to the CAE itself.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from cnn_autoencoder_tpu.models.classifiers import (InceptionV3ClassifierHead,
+                                                    ResNetClassifierHead,
+                                                    ViTClassifierHead)
+from cnn_autoencoder_tpu.models.factory import _merge_variables
+from cnn_autoencoder_tpu.utils.torch_import import import_class_model
+
+from torch_ref_heads import (TorchInceptionHead, TorchResNetHead,
+                             TorchViTHead)
+
+
+def _randomize(model, seed, scale=0.05):
+    """Random but well-conditioned weights for every param/buffer."""
+    rng = np.random.RandomState(seed)
+    sd = model.state_dict()
+    new = {}
+    for k, v in sd.items():
+        shape = tuple(v.shape)
+        if k.endswith("num_batches_tracked"):
+            new[k] = v
+        elif k.endswith("running_var"):
+            new[k] = torch.tensor(rng.rand(*shape).astype(np.float32) * 0.5
+                                  + 0.5)
+        elif k.endswith("running_mean"):
+            new[k] = torch.tensor(rng.randn(*shape).astype(np.float32) * 0.1)
+        else:
+            new[k] = torch.tensor(rng.randn(*shape).astype(np.float32)
+                                  * scale)
+    model.load_state_dict(new)
+    return model
+
+
+def _run_both(torch_model, flax_module, x_nchw, model_type, cut):
+    torch_model.eval()
+    with torch.no_grad():
+        t_pred, t_aux = torch_model(torch.tensor(x_nchw))
+
+    sd = {k: v for k, v in torch_model.state_dict().items()}
+    imported = import_class_model(sd, model_type, cut_position=cut)
+    x_nhwc = jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+    template = flax_module.init(jax.random.PRNGKey(0), x_nhwc)
+    variables = _merge_variables(template, imported)
+    f_pred, f_aux = flax_module.apply(variables, x_nhwc, train=False)
+    return (np.asarray(t_pred), None if t_aux is None else np.asarray(t_aux),
+            np.asarray(f_pred), None if f_aux is None else np.asarray(f_aux))
+
+
+@pytest.mark.parametrize("cut", [6, 0])
+def test_vit_logits_parity(cut):
+    cbn, ncls = 24, 11
+    kwargs = dict(channels_org=3, channels_bn=cbn, cut_position=cut,
+                  patch_size=32 if cut == 0 else 128,
+                  compression_level=4, num_classes=ncls)
+    tm = _randomize(TorchViTHead(**kwargs), seed=cut)
+    fm = ViTClassifierHead(**kwargs)
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 3 if cut == 0 else cbn,
+                  32 if cut == 0 else 8,
+                  32 if cut == 0 else 8).astype(np.float32)
+    t_pred, _, f_pred, _ = _run_both(tm, fm, x, "ViT", cut)
+    np.testing.assert_allclose(f_pred, t_pred, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("cut", [3, 0])
+def test_resnet_logits_parity(cut):
+    cbn, ncls = 32, 9
+    kwargs = dict(channels_org=3, channels_bn=cbn, cut_position=cut,
+                  patch_size=64, compression_level=4, num_classes=ncls)
+    tm = _randomize(TorchResNetHead(**kwargs), seed=10 + cut)
+    fm = ResNetClassifierHead(**kwargs)
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 3 if cut == 0 else cbn,
+                  32 if cut == 0 else 4,
+                  32 if cut == 0 else 4).astype(np.float32)
+    t_pred, _, f_pred, _ = _run_both(tm, fm, x, "ResNet", cut)
+    np.testing.assert_allclose(f_pred, t_pred, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("cut,spatial,chans", [
+    (4, 15, 20),   # replication pre-pad 15->17, InceptionC/D/E + normal aux
+    (5, 8, 16),    # aux conv0 skipped + 1x1 conv1 override, InceptionE only
+    (0, 299, 3),   # the full torchvision stack, every block type
+])
+def test_inception_logits_parity(cut, spatial, chans):
+    ncls = 7
+    kwargs = dict(channels_org=3, channels_bn=chans, cut_position=cut,
+                  patch_size=128, compression_level=4, num_classes=ncls)
+    tm = _randomize(TorchInceptionHead(**kwargs), seed=20 + cut)
+    fm = InceptionV3ClassifierHead(**kwargs)
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, chans, spatial, spatial).astype(np.float32)
+    t_pred, t_aux, f_pred, f_aux = _run_both(tm, fm, x, "InceptionV3", cut)
+    np.testing.assert_allclose(f_pred, t_pred, rtol=5e-4, atol=5e-5)
+    assert t_aux is not None and f_aux is not None
+    np.testing.assert_allclose(f_aux, t_aux, rtol=5e-4, atol=5e-5)

@@ -1,0 +1,461 @@
+"""Hand-built torch oracles for the reference's cut classifier heads.
+
+torchvision is not installed in this environment, but the reference's heads
+(reference src/models/tasks/_classifiers.py:12-204) are torchvision networks
+with a documented cut/re-head recipe, and torchvision's architectures are
+fully specified.  These modules reproduce the exact forward math AND the
+exact state-dict key names of the torchvision versions the reference cuts
+(VisionTransformer, ResNet-152 with GroupNorm, Inception3), so they serve as
+numeric oracles for utils/torch_import.py's head importers: init randomly,
+export ``state_dict()``, import into the Flax heads, and compare logits.
+
+Differences from the reference on purpose:
+* aux logits are computed in eval mode too (torchvision returns None when
+  not training; parity needs the value);
+* the Inception pre-pad is computed from the actual input spatial size, not
+  ``patch_size // 2**compression_level`` (matching our Flax head's fix of
+  the reference's cut==0 padding quirk).
+"""
+
+from collections import OrderedDict
+from functools import partial
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+# --- ViT-B/16 (torchvision.models.vision_transformer) -------------------------
+
+
+class _TVMLPBlock(nn.Sequential):
+    def __init__(self, hidden_dim, mlp_dim, dropout):
+        super().__init__(
+            nn.Linear(hidden_dim, mlp_dim),
+            nn.GELU(),
+            nn.Dropout(dropout),
+            nn.Linear(mlp_dim, hidden_dim),
+            nn.Dropout(dropout),
+        )
+
+
+class _TVEncoderBlock(nn.Module):
+    def __init__(self, num_heads, hidden_dim, mlp_dim, dropout):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(hidden_dim, eps=1e-6)
+        self.self_attention = nn.MultiheadAttention(
+            hidden_dim, num_heads, dropout=dropout, batch_first=True)
+        self.dropout = nn.Dropout(dropout)
+        self.ln_2 = nn.LayerNorm(hidden_dim, eps=1e-6)
+        self.mlp = _TVMLPBlock(hidden_dim, mlp_dim, dropout)
+
+    def forward(self, input):
+        x = self.ln_1(input)
+        x, _ = self.self_attention(x, x, x, need_weights=False)
+        x = self.dropout(x)
+        x = x + input
+        y = self.ln_2(x)
+        y = self.mlp(y)
+        return x + y
+
+
+class _TVEncoder(nn.Module):
+    def __init__(self, seq_length, num_layers, num_heads, hidden_dim,
+                 mlp_dim, dropout):
+        super().__init__()
+        self.pos_embedding = nn.Parameter(
+            torch.empty(1, seq_length, hidden_dim).normal_(std=0.02))
+        self.dropout = nn.Dropout(dropout)
+        layers = OrderedDict()
+        for i in range(num_layers):
+            layers[f"encoder_layer_{i}"] = _TVEncoderBlock(
+                num_heads, hidden_dim, mlp_dim, dropout)
+        self.layers = nn.Sequential(layers)
+        self.ln = nn.LayerNorm(hidden_dim, eps=1e-6)
+
+    def forward(self, input):
+        input = input + self.pos_embedding
+        return self.ln(self.layers(self.dropout(input)))
+
+
+class TorchViTHead(nn.Module):
+    """Reference ViTClassifierHead (reference _classifiers.py:12-61)."""
+
+    def __init__(self, channels_org=3, channels_bn=768, cut_position=6,
+                 patch_size=128, compression_level=4, num_classes=1000,
+                 dropout=0.0, hidden_dim=768, num_heads=12, mlp_dim=3072):
+        super().__init__()
+        cut = 6 if cut_position is None else cut_position
+        if cut > 0:
+            image_size, vit_patch = patch_size // 2 ** compression_level, 1
+        else:
+            image_size, vit_patch = patch_size, 16
+        self.patch_size_tokens = vit_patch
+        self.hidden_dim = hidden_dim
+        seq_length = (image_size // vit_patch) ** 2 + 1
+
+        if cut > 0:
+            self.conv_proj = nn.Conv2d(channels_bn, hidden_dim,
+                                       kernel_size=1, stride=1, padding=0,
+                                       bias=False)
+        else:
+            self.conv_proj = nn.Conv2d(channels_org, hidden_dim,
+                                       kernel_size=16, stride=16)
+        self.class_token = nn.Parameter(torch.zeros(1, 1, hidden_dim))
+        self.encoder = _TVEncoder(seq_length, 12 - cut, num_heads,
+                                  hidden_dim, mlp_dim, dropout)
+        heads = OrderedDict()
+        heads["head"] = nn.Linear(hidden_dim, num_classes)
+        self.heads = nn.Sequential(heads)
+
+    def forward(self, x):
+        n = x.shape[0]
+        x = self.conv_proj(x)
+        x = x.reshape(n, self.hidden_dim, -1).permute(0, 2, 1)
+        cls = self.class_token.expand(n, -1, -1)
+        x = torch.cat([cls, x], dim=1)
+        x = self.encoder(x)
+        return self.heads(x[:, 0]), None
+
+
+# --- ResNet-152 / GroupNorm (torchvision.models.resnet) -----------------------
+
+
+def _gn(channels):
+    return nn.GroupNorm(num_groups=channels, num_channels=channels)
+
+
+class _TVBottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = _gn(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn2 = _gn(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = _gn(planes * 4)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class TorchResNetHead(nn.Module):
+    """Reference ResNetClassifierHead (reference _classifiers.py:64-117)."""
+
+    def __init__(self, channels_org=3, channels_bn=768, cut_position=3,
+                 patch_size=128, compression_level=4, num_classes=1000,
+                 layers=(3, 8, 36, 3)):
+        super().__init__()
+        cut = compression_level if cut_position is None else cut_position
+        out_channels = [64, 64 * 4, 128 * 4, 256 * 4, 512 * 4]
+
+        if cut > 0:
+            self.conv1 = nn.Conv2d(channels_bn, out_channels[cut - 1], 1,
+                                   bias=False)
+            self.bn1 = _gn(out_channels[cut - 1])
+            self.maxpool = nn.Identity()
+        else:
+            self.conv1 = nn.Conv2d(channels_org, 64, 7, stride=2, padding=3,
+                                   bias=False)
+            self.bn1 = _gn(64)
+            self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.relu = nn.ReLU(inplace=True)
+
+        planes = (64, 128, 256, 512)
+        inplanes = 64
+        for stage in range(4):
+            if cut > stage + 1:
+                setattr(self, f"layer{stage + 1}", nn.Identity())
+                inplanes = planes[stage] * 4
+                continue
+            stride = 1 if stage == 0 else 2
+            inplanes = max(inplanes, out_channels[stage])
+            downsample = nn.Sequential(
+                nn.Conv2d(inplanes, planes[stage] * 4, 1, stride=stride,
+                          bias=False),
+                _gn(planes[stage] * 4))
+            blocks = [_TVBottleneck(inplanes, planes[stage], stride,
+                                    downsample)]
+            inplanes = planes[stage] * 4
+            for _ in range(1, layers[stage]):
+                blocks.append(_TVBottleneck(inplanes, planes[stage]))
+            setattr(self, f"layer{stage + 1}", nn.Sequential(*blocks))
+
+        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = nn.Linear(512 * 4, num_classes)
+
+    def forward(self, x):
+        x = self.relu(self.bn1(self.conv1(x)))
+        x = self.maxpool(x)
+        for stage in range(4):
+            x = getattr(self, f"layer{stage + 1}")(x)
+        x = torch.flatten(self.avgpool(x), 1)
+        return self.fc(x), None
+
+
+# --- Inception V3 (torchvision.models.inception) ------------------------------
+
+
+class _TVBasicConv2d(nn.Module):
+    def __init__(self, in_channels, out_channels, **kwargs):
+        super().__init__()
+        self.conv = nn.Conv2d(in_channels, out_channels, bias=False,
+                              **kwargs)
+        self.bn = nn.BatchNorm2d(out_channels, eps=0.001)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)), inplace=True)
+
+
+class _TVInceptionA(nn.Module):
+    def __init__(self, in_channels, pool_features):
+        super().__init__()
+        self.branch1x1 = _TVBasicConv2d(in_channels, 64, kernel_size=1)
+        self.branch5x5_1 = _TVBasicConv2d(in_channels, 48, kernel_size=1)
+        self.branch5x5_2 = _TVBasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = _TVBasicConv2d(in_channels, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _TVBasicConv2d(64, 96, kernel_size=3,
+                                             padding=1)
+        self.branch3x3dbl_3 = _TVBasicConv2d(96, 96, kernel_size=3,
+                                             padding=1)
+        self.branch_pool = _TVBasicConv2d(in_channels, pool_features,
+                                          kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1,
+                                           padding=1))
+        return torch.cat([b1, b5, bd, bp], 1)
+
+
+class _TVInceptionB(nn.Module):
+    def __init__(self, in_channels):
+        super().__init__()
+        self.branch3x3 = _TVBasicConv2d(in_channels, 384, kernel_size=3,
+                                        stride=2)
+        self.branch3x3dbl_1 = _TVBasicConv2d(in_channels, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _TVBasicConv2d(64, 96, kernel_size=3,
+                                             padding=1)
+        self.branch3x3dbl_3 = _TVBasicConv2d(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3(x)
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = F.max_pool2d(x, kernel_size=3, stride=2)
+        return torch.cat([b3, bd, bp], 1)
+
+
+class _TVInceptionC(nn.Module):
+    def __init__(self, in_channels, channels_7x7):
+        super().__init__()
+        c7 = channels_7x7
+        self.branch1x1 = _TVBasicConv2d(in_channels, 192, kernel_size=1)
+        self.branch7x7_1 = _TVBasicConv2d(in_channels, c7, kernel_size=1)
+        self.branch7x7_2 = _TVBasicConv2d(c7, c7, kernel_size=(1, 7),
+                                          padding=(0, 3))
+        self.branch7x7_3 = _TVBasicConv2d(c7, 192, kernel_size=(7, 1),
+                                          padding=(3, 0))
+        self.branch7x7dbl_1 = _TVBasicConv2d(in_channels, c7, kernel_size=1)
+        self.branch7x7dbl_2 = _TVBasicConv2d(c7, c7, kernel_size=(7, 1),
+                                             padding=(3, 0))
+        self.branch7x7dbl_3 = _TVBasicConv2d(c7, c7, kernel_size=(1, 7),
+                                             padding=(0, 3))
+        self.branch7x7dbl_4 = _TVBasicConv2d(c7, c7, kernel_size=(7, 1),
+                                             padding=(3, 0))
+        self.branch7x7dbl_5 = _TVBasicConv2d(c7, 192, kernel_size=(1, 7),
+                                             padding=(0, 3))
+        self.branch_pool = _TVBasicConv2d(in_channels, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1,
+                                           padding=1))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
+class _TVInceptionD(nn.Module):
+    def __init__(self, in_channels):
+        super().__init__()
+        self.branch3x3_1 = _TVBasicConv2d(in_channels, 192, kernel_size=1)
+        self.branch3x3_2 = _TVBasicConv2d(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = _TVBasicConv2d(in_channels, 192, kernel_size=1)
+        self.branch7x7x3_2 = _TVBasicConv2d(192, 192, kernel_size=(1, 7),
+                                            padding=(0, 3))
+        self.branch7x7x3_3 = _TVBasicConv2d(192, 192, kernel_size=(7, 1),
+                                            padding=(3, 0))
+        self.branch7x7x3_4 = _TVBasicConv2d(192, 192, kernel_size=3,
+                                            stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+            self.branch7x7x3_1(x))))
+        bp = F.max_pool2d(x, kernel_size=3, stride=2)
+        return torch.cat([b3, b7, bp], 1)
+
+
+class _TVInceptionE(nn.Module):
+    def __init__(self, in_channels):
+        super().__init__()
+        self.branch1x1 = _TVBasicConv2d(in_channels, 320, kernel_size=1)
+        self.branch3x3_1 = _TVBasicConv2d(in_channels, 384, kernel_size=1)
+        self.branch3x3_2a = _TVBasicConv2d(384, 384, kernel_size=(1, 3),
+                                           padding=(0, 1))
+        self.branch3x3_2b = _TVBasicConv2d(384, 384, kernel_size=(3, 1),
+                                           padding=(1, 0))
+        self.branch3x3dbl_1 = _TVBasicConv2d(in_channels, 448, kernel_size=1)
+        self.branch3x3dbl_2 = _TVBasicConv2d(448, 384, kernel_size=3,
+                                             padding=1)
+        self.branch3x3dbl_3a = _TVBasicConv2d(384, 384, kernel_size=(1, 3),
+                                              padding=(0, 1))
+        self.branch3x3dbl_3b = _TVBasicConv2d(384, 384, kernel_size=(3, 1),
+                                              padding=(1, 0))
+        self.branch_pool = _TVBasicConv2d(in_channels, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)],
+                       1)
+        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1,
+                                           padding=1))
+        return torch.cat([b1, b3, bd, bp], 1)
+
+
+class _TVInceptionAux(nn.Module):
+    def __init__(self, in_channels, num_classes):
+        super().__init__()
+        self.conv0 = _TVBasicConv2d(in_channels, 128, kernel_size=1)
+        self.conv1 = _TVBasicConv2d(128, 768, kernel_size=5)
+        self.fc = nn.Linear(768, num_classes)
+
+    def forward(self, x):
+        x = F.avg_pool2d(x, kernel_size=5, stride=3)
+        x = self.conv0(x)
+        x = self.conv1(x)
+        x = F.adaptive_avg_pool2d(x, (1, 1))
+        return self.fc(torch.flatten(x, 1))
+
+
+class TorchInceptionHead(nn.Module):
+    """Reference InceptionV3ClassifierHead (reference
+    _classifiers.py:120-204), with the pre-pad computed from the actual
+    input size (see module docstring)."""
+
+    def __init__(self, channels_org=3, channels_bn=768, cut_position=6,
+                 patch_size=128, compression_level=4, num_classes=1000,
+                 dropout=0.0):
+        super().__init__()
+        out_channels = [32, 64, 192, 768, 1280, 2048]
+        self.in_shapes = [299, 149, 73, 35, 17, 8, 1]
+        if cut_position is None:
+            bn_shape = patch_size // 2 ** compression_level
+            cut_position = min((abs(s - bn_shape), i)
+                               for i, s in enumerate(self.in_shapes))[1]
+        cut = self.cut = cut_position
+
+        if cut > 0:
+            self.Conv2d_1a_3x3 = nn.Conv2d(channels_bn,
+                                           out_channels[cut - 1],
+                                           kernel_size=1, bias=False)
+        else:
+            self.Conv2d_1a_3x3 = _TVBasicConv2d(channels_org, 32,
+                                                kernel_size=3, stride=2)
+        if cut > 1:
+            self.Conv2d_2a_3x3 = nn.Identity()
+            self.Conv2d_2b_3x3 = nn.Identity()
+            self.maxpool1 = nn.Identity()
+        else:
+            self.Conv2d_2a_3x3 = _TVBasicConv2d(32, 32, kernel_size=3)
+            self.Conv2d_2b_3x3 = _TVBasicConv2d(32, 64, kernel_size=3,
+                                                padding=1)
+            self.maxpool1 = nn.MaxPool2d(3, stride=2)
+        if cut > 2:
+            self.Conv2d_3b_1x1 = nn.Identity()
+            self.Conv2d_4a_3x3 = nn.Identity()
+            self.maxpool2 = nn.Identity()
+        else:
+            self.Conv2d_3b_1x1 = _TVBasicConv2d(64, 80, kernel_size=1)
+            self.Conv2d_4a_3x3 = _TVBasicConv2d(80, 192, kernel_size=3)
+            self.maxpool2 = nn.MaxPool2d(3, stride=2)
+        if cut > 3:
+            self.Mixed_5b = nn.Identity()
+            self.Mixed_5c = nn.Identity()
+            self.Mixed_5d = nn.Identity()
+            self.Mixed_6a = nn.Identity()
+        else:
+            self.Mixed_5b = _TVInceptionA(192, pool_features=32)
+            self.Mixed_5c = _TVInceptionA(256, pool_features=64)
+            self.Mixed_5d = _TVInceptionA(288, pool_features=64)
+            self.Mixed_6a = _TVInceptionB(288)
+        self.AuxLogits = _TVInceptionAux(768, num_classes)
+        if cut > 4:
+            self.AuxLogits.conv0 = nn.Identity()
+            self.AuxLogits.conv1 = nn.Conv2d(out_channels[cut - 1], 768,
+                                             kernel_size=1, stride=1)
+            self.Mixed_6b = nn.Identity()
+            self.Mixed_6c = nn.Identity()
+            self.Mixed_6d = nn.Identity()
+            self.Mixed_6e = nn.Identity()
+            self.Mixed_7a = nn.Identity()
+        else:
+            self.Mixed_6b = _TVInceptionC(768, channels_7x7=128)
+            self.Mixed_6c = _TVInceptionC(768, channels_7x7=160)
+            self.Mixed_6d = _TVInceptionC(768, channels_7x7=160)
+            self.Mixed_6e = _TVInceptionC(768, channels_7x7=192)
+            self.Mixed_7a = _TVInceptionD(768)
+        if cut > 5:
+            self.Mixed_7b = nn.Identity()
+            self.Mixed_7c = nn.Identity()
+        else:
+            self.Mixed_7b = _TVInceptionE(1280)
+            self.Mixed_7c = _TVInceptionE(2048)
+        self.dropout = nn.Dropout(p=dropout)
+        self.fc = nn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        native = self.in_shapes[self.cut]
+        pad_lt = max(0, (native - x.shape[-1]) // 2)
+        pad_rb = max(0, native - x.shape[-1] - pad_lt)
+        if pad_lt or pad_rb:
+            x = F.pad(x, (pad_lt, pad_rb, pad_lt, pad_rb), mode="replicate")
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = self.maxpool1(x)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = self.maxpool2(x)
+        x = self.Mixed_5b(x)
+        x = self.Mixed_5c(x)
+        x = self.Mixed_5d(x)
+        x = self.Mixed_6a(x)
+        x = self.Mixed_6b(x)
+        x = self.Mixed_6c(x)
+        x = self.Mixed_6d(x)
+        x = self.Mixed_6e(x)
+        aux = self.AuxLogits(x)  # eval-mode too (parity oracle)
+        x = self.Mixed_7a(x)
+        x = self.Mixed_7b(x)
+        x = self.Mixed_7c(x)
+        x = F.adaptive_avg_pool2d(x, (1, 1))
+        x = self.dropout(torch.flatten(x, 1))
+        return self.fc(x), aux
