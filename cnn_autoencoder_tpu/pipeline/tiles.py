@@ -37,19 +37,34 @@ from ..storage.codecs import Blosc, Zlib, get_codec
 LOGGER = logging.getLogger(__name__)
 
 
-def default_batch_tiles(patch_size: int, core=None) -> int:
+def default_batch_tiles(patch_size: int, core=None,
+                        n_tiles: Optional[int] = None) -> int:
     """Pick a batch so one device batch is ~32 MB of uint8 pixels.
 
     Batches balance two costs: per-round-trip latency (wants bigger) and
-    pipeline overlap between device compute and host coding (wants at least
-    two batches in flight).  When ``core`` serves over a mesh, the batch is
-    rounded up to a multiple of the data-axis size so tiles shard evenly."""
+    pipeline depth (wants many batches in flight: on tunneled TPUs the
+    device<->host link is the bottleneck and fetches overlap across
+    batches, so given ``n_tiles`` the batch shrinks until the image splits
+    into at least ~6 batches).  When ``core`` serves over a mesh, the batch
+    is rounded up to a multiple of the data-axis size so tiles shard
+    evenly."""
     b = max(1, min(64, (1 << 25) // max(1, patch_size * patch_size * 3)))
+    if n_tiles:
+        b = max(1, min(b, -(-n_tiles // 6)))
     mesh = getattr(core, "mesh", None)
     if mesh is not None:
         nd = mesh.shape.get("data", 1)
         b = -(-b // nd) * nd
     return b
+
+
+# Concurrency knobs for the pipelined paths.  The remote-TPU tunnel has high
+# per-request latency and bimodal bandwidth; several concurrent device_get
+# streams measurably beat one (≈1.5x when bandwidth-bound, ~Nx when
+# latency-bound), so fetch/flush work runs on small thread pools and many
+# device batches stay in flight.
+FETCH_WORKERS = int(os.environ.get("CAE_TPU_FETCH_WORKERS", 4))
+MAX_INFLIGHT = int(os.environ.get("CAE_TPU_MAX_INFLIGHT", 8))
 
 
 def normalize_to_yxc(z, data_axes: str = "TCZYX", roi=None):
@@ -101,7 +116,8 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
     (reference src/utils/args/_dataargs.py:135-143)."""
     h, w, c = src.shape
     p = min(patch_size, max(h, w))
-    batch = batch_tiles or default_batch_tiles(p, core)
+    n_tiles = (-(-h // p)) * (-(-w // p))
+    batch = batch_tiles or default_batch_tiles(p, core, n_tiles)
     hal = offset
     pe = p + 2 * hal  # encoded tile side
 
@@ -125,7 +141,10 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
         return tile
 
     pool = ThreadPoolExecutor(max_workers=4)
-    flusher = ThreadPoolExecutor(max_workers=1)
+    # several flushers: each batch's symbol fetch is latency/bandwidth-bound
+    # on the tunnel, and concurrent device_get streams overlap; chunk writes
+    # go to distinct files so flushers never contend
+    flusher = ThreadPoolExecutor(max_workers=FETCH_WORKERS)
     inflight: List = []
 
     def flush_one(idxs, sym_dev):
@@ -149,7 +168,7 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
         with GLOBAL_TIMER.stage("compress/h2d+dispatch", mp):
             sym = core.encode_tiles_device(jnp.asarray(np.stack(tiles)))
         inflight.append(flusher.submit(flush_one, group, sym))
-        while len(inflight) > 2:
+        while len(inflight) > MAX_INFLIGHT:
             inflight.pop(0).result()
     for f in inflight:
         f.result()
@@ -169,7 +188,8 @@ def compress_pixels_to_bottleneck(core: CAECodecCore, src: np.ndarray,
     """
     h, w, c = src.shape
     p = min(patch_size, max(h, w))
-    batch = batch_tiles or default_batch_tiles(p, core)
+    n_tiles = (-(-h // p)) * (-(-w // p))
+    batch = batch_tiles or default_batch_tiles(p, core, n_tiles)
     level = core.level
     lp_h, lp_w = core.latent_hw(p, p)
     cbn = core.channels_bn
@@ -324,19 +344,19 @@ def decompress_cae_array(src: zarrlib.Array,
     p = src.chunks[0]
     comp_cfg = src._meta.get("compressor") or {}
     offset = int(comp_cfg.get("offset", 0) or 0)
-    batch = batch_tiles or default_batch_tiles(p, core)
+    grid = list(src.chunk_ids())
+    batch = batch_tiles or default_batch_tiles(p, core, len(grid))
     out = np.zeros(src.shape, np.uint8)
 
-    grid = list(src.chunk_ids())
     pool = ThreadPoolExecutor(max_workers=8)
     raw = list(pool.map(src.read_chunk_raw, grid))
     pool.shutdown()
 
-    pending = []
     mp_batch = batch * p * p / 1e6
 
-    def flush_one():
-        idxs, rec_dev, hw = pending.pop(0)
+    def fetch_and_stitch(idxs, rec_dev):
+        # every job writes a disjoint region of `out`, so fetch+stitch jobs
+        # run concurrently on the fetch pool — overlapping tunnel streams
         with GLOBAL_TIMER.stage("decompress/d2h_pixels", mp_batch):
             rec_np = np.asarray(rec_dev)[:len(idxs)]
         if offset:
@@ -361,25 +381,30 @@ def decompress_cae_array(src: zarrlib.Array,
             sym = np.concatenate([sym, pad], axis=0)
         return sym, true_hw, ids
 
-    # overlap: host rANS for batch i+1 runs while the device decodes batch i
+    # three-deep overlap: host rANS decodes ahead on its own worker, the
+    # device runs the decode programs back to back, and several pixel
+    # fetches stream concurrently over the link
     rans_pool = ThreadPoolExecutor(max_workers=1)
+    fetchers = ThreadPoolExecutor(max_workers=FETCH_WORKERS)
     starts = list(range(0, len(grid), batch))
-    futures = {starts[0]: rans_pool.submit(rans_decode_group, starts[0])}
+    futures = {}
+    jobs: List = []
     for k, i in enumerate(starts):
+        for j in starts[k:k + 4]:
+            if j not in futures:
+                futures[j] = rans_pool.submit(rans_decode_group, j)
         sym, true_hw, ids = futures.pop(i).result()
-        if k + 1 < len(starts):
-            futures[starts[k + 1]] = rans_pool.submit(rans_decode_group,
-                                                      starts[k + 1])
         if sym is None:
             continue
         with GLOBAL_TIMER.stage("decompress/h2d+dispatch", mp_batch):
             rec = core.decode_tiles_device(sym)
-        pending.append((ids, rec, true_hw))
-        if len(pending) >= 2:
-            flush_one()
-    while pending:
-        flush_one()
+        jobs.append(fetchers.submit(fetch_and_stitch, ids, rec))
+        while len(jobs) > MAX_INFLIGHT:
+            jobs.pop(0).result()
+    for f in jobs:
+        f.result()
     rans_pool.shutdown()
+    fetchers.shutdown()
     return out
 
 
@@ -417,7 +442,8 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
     assert isinstance(core, CAETurboCore)
     h, w, c = src.shape
     p = min(patch_size, max(h, w))
-    batch = batch_tiles or default_batch_tiles(p, core)
+    n_tiles = (-(-h // p)) * (-(-w // p))
+    batch = batch_tiles or default_batch_tiles(p, core, n_tiles)
 
     root = zarrlib.Group.create(out_path)
     arr = root.create_dataset(
@@ -437,10 +463,16 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
         return tile
 
     pool = ThreadPoolExecutor(max_workers=4)
-    flusher = ThreadPoolExecutor(max_workers=1)
+    # encode_tiles is dispatch+fetch+frame in one call; running several
+    # batches on workers overlaps their (link-bound) byte fetches while the
+    # device serializes the actual encode programs back to back
+    workers = ThreadPoolExecutor(max_workers=max(2, FETCH_WORKERS // 2))
     inflight = []
 
-    def flush_one(idxs, bufs):
+    def encode_and_write(idxs, tiles):
+        with GLOBAL_TIMER.stage("compress/turbo_encode",
+                                len(idxs) * p * p / 1e6):
+            bufs = core.encode_tiles(np.stack(tiles))
         for (i, j), buf in zip(idxs, bufs[:len(idxs)]):
             arr.write_chunk_raw((i, j, 0), buf)
 
@@ -448,16 +480,13 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
         tiles = list(pool.map(read_tile, group))
         while len(tiles) < batch:
             tiles.append(tiles[-1])
-        with GLOBAL_TIMER.stage("compress/turbo_encode",
-                                len(group) * p * p / 1e6):
-            bufs = core.encode_tiles(np.stack(tiles))
-        inflight.append(flusher.submit(flush_one, group, bufs))
-        while len(inflight) > 2:
+        inflight.append(workers.submit(encode_and_write, group, tiles))
+        while len(inflight) > MAX_INFLIGHT:
             inflight.pop(0).result()
     for f in inflight:
         f.result()
     pool.shutdown()
-    flusher.shutdown()
+    workers.shutdown()
     return arr
 
 
@@ -469,14 +498,27 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
         core = src.compressor.core
     h, w, c = src.shape
     p = src.chunks[0]
-    batch = batch_tiles or default_batch_tiles(p, core)
+    grid = list(src.chunk_ids())
+    batch = batch_tiles or default_batch_tiles(p, core, len(grid))
     out = np.zeros(src.shape, np.uint8)
 
-    grid = list(src.chunk_ids())
     pool = ThreadPoolExecutor(max_workers=8)
     raw = list(pool.map(src.read_chunk_raw, grid))
     pool.shutdown()
 
+    # decode_tiles is upload+dispatch+fetch in one call; concurrent worker
+    # jobs overlap the link transfers while the device serializes decodes.
+    # Each job stitches a disjoint region of `out`.
+    def decode_and_stitch(ids, bufs):
+        with GLOBAL_TIMER.stage("decompress/turbo_decode",
+                                len(ids) * p * p / 1e6):
+            rec = core.decode_tiles(bufs)
+        for ij, r in zip(ids, rec):
+            sl, valid = src.chunk_slices(ij)
+            out[sl] = r[:valid[0], :valid[1], :valid[2]]
+
+    workers = ThreadPoolExecutor(max_workers=max(2, FETCH_WORKERS // 2))
+    jobs = []
     i = 0
     while i < len(grid):
         # keep buffer/id alignment: decode only present chunks against
@@ -487,12 +529,12 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
         i += batch
         if not bufs:
             continue
-        with GLOBAL_TIMER.stage("decompress/turbo_decode",
-                                len(ids) * p * p / 1e6):
-            rec = core.decode_tiles(bufs)
-        for ij, r in zip(ids, rec):
-            sl, valid = src.chunk_slices(ij)
-            out[sl] = r[:valid[0], :valid[1], :valid[2]]
+        jobs.append(workers.submit(decode_and_stitch, ids, bufs))
+        while len(jobs) > MAX_INFLIGHT:
+            jobs.pop(0).result()
+    for f in jobs:
+        f.result()
+    workers.shutdown()
     return out
 
 
