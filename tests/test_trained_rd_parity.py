@@ -1,0 +1,142 @@
+"""Trained-checkpoint RD parity, end to end through the harness protocol.
+
+The executable form of BASELINE.md's "<=0.05 dB PSNR at equal bpp vs
+reference checkpoints": a reference-style torch CAE is TRAINED in-env
+(tests/torch_ref_cae.py, RateMSE + aux quantile fitting), saved as a
+reference-layout .pth, imported, and both pipelines run the reference's
+test_cae measurement protocol (reference src/test_cae.py:167-234: compress,
+account bpp from stored bytes, decompress, PSNR against the source).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from torch_ref_cae import (reference_checkpoint_dict, synth_tiles,
+                           train_reference_cae)
+
+LEVEL, NET, BN = 2, 8, 8
+
+
+@pytest.fixture(scope="module")
+def trained_reference(tmp_path_factory):
+    enc, dec, fe = train_reference_cae(level=LEVEL, net=NET, bn_ch=BN,
+                                       steps=300, seed=0)
+    chk = reference_checkpoint_dict(enc, dec, fe, LEVEL, NET, BN, "GDN")
+    path = str(tmp_path_factory.mktemp("ref") / "trained.pth")
+    torch.save(chk, path)
+    return enc, dec, fe, path
+
+
+def _test_image(size=96, seed=42):
+    """Held-out histology-like image, divisible by 2**level so both
+    pipelines see identical geometry (the reference codec requires it)."""
+    x = synth_tiles(1, size, seed=seed).numpy()[0]          # (3, H, W) in 0..1
+    return np.round(x * 255.0).astype(np.uint8).transpose(1, 2, 0)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+def test_trained_rd_parity_full_harness(trained_reference, tmp_path):
+    enc, dec, fe, chk_path = trained_reference
+    img = _test_image()
+    h, w, _ = img.shape
+
+    # --- native side: the real serving pipeline, bpp from stored bytes ----
+    from cnn_autoencoder_tpu.models.factory import autoencoder_from_state_dict
+    from cnn_autoencoder_tpu.pipeline.tiles import (compress_pixels_to_cae,
+                                                    decompress_cae_array)
+    from cnn_autoencoder_tpu.storage import zarr as zarrlib
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+    model = autoencoder_from_state_dict(chk_path)
+    core = CAECodecCore(model)
+    out = str(tmp_path / "out.zarr")
+    arr = compress_pixels_to_cae(core, img, out, data_group="0/0",
+                                 patch_size=32, checkpoint_id=chk_path)
+    bpp_j = arr.nbytes_stored * 8.0 / (h * w)
+    payload_j = sum(len(arr.read_chunk_raw(ij)) for ij in arr.chunk_ids())
+    meta_bytes = arr.nbytes_stored - payload_j  # .zarray/.zgroup JSON
+    rec_j = decompress_cae_array(zarrlib.open(out, mode="r")["0/0"],
+                                 core=core)
+    psnr_j = _psnr(img, rec_j)
+
+    # --- torch side: the reference protocol by hand on the SAME weights ---
+    # tile -> encode -> round(y - medians) -> entropy-code -> decode
+    med = fe.medians().numpy()
+    from cnn_autoencoder_tpu.coding import rans
+    from cnn_autoencoder_tpu.models.entropy import update_cdf_tables
+    tables = update_cdf_tables(model.variables["fact_ent"]["params"],
+                               model.filters)
+    idx_shape = None
+    p = 32
+    total_bytes = 0
+    rec_t = np.zeros_like(img)
+    with torch.no_grad():
+        for i in range(0, h, p):
+            for j in range(0, w, p):
+                tile = img[i:i + p, j:j + p]
+                xt = torch.from_numpy(
+                    tile.transpose(2, 0, 1)[None]).float() / 255.0
+                y = enc(xt).numpy()[0]                       # (C, lh, lw)
+                sym = np.round(y - med[:, None, None]).astype(np.int32)
+                lh, lw = sym.shape[1:]
+                indexes = np.broadcast_to(
+                    np.arange(BN, dtype=np.int32)[:, None, None],
+                    (BN, lh, lw))
+                stream = rans.encode_with_indexes(
+                    sym, indexes, tables["quantized_cdf"],
+                    tables["cdf_length"], tables["offset"])
+                total_bytes += len(stream) + 16          # '>QQ' frame header
+                y_q = torch.from_numpy(
+                    (sym + med[:, None, None]).astype(np.float32)[None])
+                rec = dec(y_q)[0].numpy()[0]
+                rec_t[i:i + p, j:j + p] = np.clip(
+                    rec * 255.0, 0, 255).astype(np.uint8).transpose(1, 2, 0)
+    # chunk payloads byte-identical -> identical stored size; bpp uses the
+    # stored-bytes protocol with the same store metadata overhead the
+    # reference's zarr writer would add
+    assert total_bytes == payload_j, (total_bytes, payload_j)
+    bpp_t = (total_bytes + meta_bytes) * 8.0 / (h * w)
+    psnr_t = _psnr(img, rec_t)
+
+    # equal bpp (identical symbols through identical tables)
+    assert abs(bpp_t - bpp_j) < 1e-6, (bpp_t, bpp_j)
+    # trained-quality parity: the BASELINE.md target with margin to spare
+    assert abs(psnr_t - psnr_j) <= 0.05, (psnr_t, psnr_j)
+    # sanity: training actually produced a usable codec on held-out data
+    assert psnr_j > 20.0, psnr_j
+    assert bpp_j < 8.0, bpp_j
+    print(f"trained RD parity: torch {psnr_t:.3f} dB @ {bpp_t:.4f} bpp | "
+          f"jax {psnr_j:.3f} dB @ {bpp_j:.4f} bpp")
+
+
+def test_trained_checkpoint_symbols_identical(trained_reference):
+    """Trained weights: quantized symbols from both pipelines bit-match on
+    held-out tiles (the stronger form of equal-bpp)."""
+    enc, dec, fe, chk_path = trained_reference
+    from cnn_autoencoder_tpu.models.factory import autoencoder_from_state_dict
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+    model = autoencoder_from_state_dict(chk_path)
+    core = CAECodecCore(model)
+    med = fe.medians().numpy()
+
+    tiles = synth_tiles(4, 32, seed=77)
+    with torch.no_grad():
+        y_t = enc(tiles).numpy()
+    sym_t = np.round(y_t - med[None, :, None, None]).astype(np.int32)
+
+    u8 = np.round(tiles.numpy() * 255.0).astype(np.uint8)
+    sym_j = core.fetch_symbols(core.encode_tiles_device(
+        jnp.asarray(u8.transpose(0, 2, 3, 1))))
+    flips = np.mean(sym_j.astype(np.int32) != sym_t)
+    assert flips == 0.0, f"{flips:.2e} of symbols flipped"

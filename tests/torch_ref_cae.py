@@ -1,0 +1,159 @@
+"""Trainable torch reference CAE: oracle for trained-checkpoint RD parity.
+
+Combines the torch analyzer/synthesizer oracles (tests/test_torch_import.py)
+with a torch factorized entropy bottleneck in the reference's exact
+parameterization (per-channel ``_matrix{i}``/``_bias{i}``/``_factor{i}`` +
+``quantiles[C,1,3]``; reference src/models/tasks/_autoencoders.py:476-502),
+and trains the whole thing with the reference's RateMSE objective — so a
+genuinely TRAINED reference-style ``.pth`` checkpoint can be produced
+in-environment and imported for end-to-end rate-distortion comparison.
+"""
+
+import math
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class TorchFactorizedEntropy(nn.Module):
+    """Reference fact_ent: univariate density per channel (Ballé 2018)."""
+
+    def __init__(self, channels, K=4, r=3, init_scale=10.0, tail_mass=1e-9):
+        super().__init__()
+        self.channels = channels
+        self.K = K
+        filters = (1,) + (r,) * K + (1,)
+        scale = init_scale ** (1.0 / (K + 1))
+        for i in range(K + 1):
+            init = math.log(math.expm1(1.0 / scale / filters[i + 1]))
+            self.register_parameter(f"_matrix{i}", nn.Parameter(
+                torch.full((channels, filters[i + 1], filters[i]), init)))
+            self.register_parameter(f"_bias{i}", nn.Parameter(
+                torch.rand(channels, filters[i + 1], 1) - 0.5))
+            if i < K:
+                self.register_parameter(f"_factor{i}", nn.Parameter(
+                    torch.zeros(channels, filters[i + 1], 1)))
+        self.quantiles = nn.Parameter(
+            torch.tensor([[-init_scale, 0.0, init_scale]])
+            .repeat(channels, 1).reshape(channels, 1, 3))
+        self.tail_mass = tail_mass
+
+    def _logits_cumulative(self, v, stop_gradient=False):
+        """v: (C, 1, N) -> (C, 1, N)."""
+        logits = v
+        for i in range(self.K + 1):
+            m = F.softplus(getattr(self, f"_matrix{i}"))
+            b = getattr(self, f"_bias{i}")
+            if stop_gradient:
+                m, b = m.detach(), b.detach()
+            logits = torch.matmul(m, logits) + b
+            if i < self.K:
+                f = torch.tanh(getattr(self, f"_factor{i}"))
+                if stop_gradient:
+                    f = f.detach()
+                logits = logits + f * torch.tanh(logits)
+        return logits
+
+    def likelihood(self, y):
+        """y: (N, C, H, W) -> per-element likelihood, same shape."""
+        n, c, h, w = y.shape
+        v = y.permute(1, 0, 2, 3).reshape(c, 1, -1)
+        lower = self._logits_cumulative(v - 0.5)
+        upper = self._logits_cumulative(v + 0.5)
+        sign = -torch.sign(lower + upper).detach()
+        p = torch.abs(torch.sigmoid(sign * upper)
+                      - torch.sigmoid(sign * lower))
+        p = torch.clamp(p, min=1e-9)
+        return p.reshape(c, n, h, w).permute(1, 0, 2, 3)
+
+    def aux_loss(self):
+        target = math.log(2.0 / self.tail_mass - 1.0)
+        targets = torch.tensor([-target, 0.0, target])
+        q = self.quantiles.permute(1, 2, 0).reshape(1, 3, -1)  # match (C,1,3)
+        q = self.quantiles.reshape(self.channels, 1, 3)
+        logits = self._logits_cumulative(q, stop_gradient=True)
+        return torch.abs(logits - targets.reshape(1, 1, 3)).sum()
+
+    def medians(self):
+        return self.quantiles[:, 0, 1].detach()
+
+
+def synth_tiles(n, size, seed=0):
+    """Histology-like training tiles, NCHW float in [0, 1]."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:size, 0:size]
+    tiles = []
+    for i in range(n):
+        fy, fx = rng.uniform(5, 14), rng.uniform(5, 14)
+        img = (np.sin(yy / fy + rng.rand() * 6)
+               + np.cos(xx / fx + rng.rand() * 6))[:, :, None]
+        img = img * rng.uniform(30, 70) + 120 + rng.randn(size, size, 3) * 5
+        tiles.append(np.clip(img, 0, 255).astype(np.float32) / 255.0)
+    arr = np.stack(tiles).transpose(0, 3, 1, 2)
+    return torch.from_numpy(np.ascontiguousarray(arr))
+
+
+def train_reference_cae(level=2, net=8, bn_ch=8, act="GDN", steps=300,
+                        batch=8, patch=32, distortion_lambda=0.1, seed=0):
+    """Train the torch reference model with RateMSE; returns (enc, dec, fe).
+
+    Mirrors the reference training recipe: main Adam on encoder/decoder/
+    density params, a second Adam fitting the quantiles via the aux loss,
+    additive-uniform-noise quantization for the rate term
+    (reference src/train_cae.py + _lossutils.py).
+    """
+    from test_torch_import import _t_analyzer, _t_synthesizer
+
+    torch.manual_seed(seed)
+    enc = _t_analyzer(level, net, bn_ch, act, False, act != "GDN", False)
+    dec = _t_synthesizer(level, net, bn_ch, act, False, act != "GDN", False,
+                         False)
+    fe = TorchFactorizedEntropy(bn_ch)
+
+    main_params = (list(enc.parameters()) + list(dec.parameters())
+                   + [p for k, p in fe.named_parameters()
+                      if k != "quantiles"])
+    opt = torch.optim.Adam(main_params, lr=1e-3)
+    aux_opt = torch.optim.Adam([fe.quantiles], lr=1e-2)
+
+    data = synth_tiles(batch * 8, patch, seed=seed + 1)
+    for step in range(steps):
+        idx = torch.randint(0, data.shape[0], (batch,),
+                            generator=torch.Generator().manual_seed(step))
+        x = data[idx]
+        y = enc(x)
+        y_noisy = y + (torch.rand_like(y) - 0.5)
+        p_y = fe.likelihood(y_noisy)
+        rate = (-torch.log2(p_y)).sum() / (batch * patch * patch)
+        x_r = dec(y_noisy)[0]
+        dist = F.mse_loss(x_r * 255.0, x * 255.0)
+        loss = distortion_lambda * dist + rate
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+        aux = fe.aux_loss()
+        aux_opt.zero_grad()
+        aux.backward()
+        aux_opt.step()
+    enc.eval()
+    dec.eval()
+    return enc, dec, fe
+
+
+def reference_checkpoint_dict(enc, dec, fe, level, net, bn_ch, act,
+                              patch=32):
+    """The reference's training-checkpoint layout (config + state dicts)."""
+    return dict(
+        channels_org=3, channels_net=net, channels_bn=bn_ch,
+        compression_level=level, K=4, r=3, act_layer_type=act,
+        batch_norm=False, use_residual=False, multiscale_analysis=False,
+        patch_size=patch,
+        encoder={k: v.detach().clone() for k, v in
+                 enc.state_dict().items()},
+        decoder={k: v.detach().clone() for k, v in
+                 dec.state_dict().items()},
+        fact_ent={k: v.detach().clone() for k, v in fe.state_dict().items()},
+    )
