@@ -120,6 +120,22 @@ def bake_device_tables(params, filters: Sequence[int],
                         support=max_length)
 
 
+def expected_bits_per_symbol(tables: DeviceTables) -> float:
+    """Mean source entropy (bits/symbol) under the baked tables.
+
+    Used to pick the initial per-stream buffer capacity: the old default
+    (one word per symbol) over-allocated ~4x, inflating both the device
+    scatter and the bytes fetched over the link."""
+    freq = np.asarray(tables.freq).astype(np.float64)
+    length = np.asarray(tables.length)
+    bits = []
+    for c in range(freq.shape[0]):
+        p = freq[c, :length[c]] / PROB_SCALE
+        p = p[p > 0]
+        bits.append(float(-(p * np.log2(p)).sum()))
+    return float(np.mean(bits))
+
+
 def stream_channel_map(num_channels: int, latent_hw: Tuple[int, int],
                        num_streams: int) -> np.ndarray:
     """(T, S) channel index per (step, stream) for a channel-major latent.

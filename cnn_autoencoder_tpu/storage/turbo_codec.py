@@ -29,8 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..coding.device_rans import (bake_device_tables, decode_device,
-                                  encode_device, pack_streams,
+from ..coding.device_rans import (FLUSH_WORDS, bake_device_tables,
+                                  decode_device, encode_device,
+                                  expected_bits_per_symbol, pack_streams,
                                   stream_channel_map, unpack_streams)
 from ..models.entropy import medians_fn
 from .cae_codec import CAECodecCore, _ceil_to
@@ -57,6 +58,7 @@ class CAETurboCore:
         self.num_streams = num_streams
         self.tables = bake_device_tables(
             model.variables["fact_ent"]["params"], model.filters)
+        self.expected_bits = expected_bits_per_symbol(self.tables)
         self._ch_maps = {}
         med = jnp.asarray(self.base.medians)
         modules, variables = model.modules, model.variables
@@ -116,15 +118,21 @@ class CAETurboCore:
         ch_map = self._get_ch_map(lh, lw)
         t = self._steps(lh, lw)
 
-        capacity = max(64, t)  # words (~16 bits/symbol starting bucket)
-        for _ in range(4):
+        # initial capacity from the tables' entropy (+35% per-stream tail
+        # headroom); doubling on overflow keeps a small set of compiled
+        # capacities.  Smaller capacity = smaller device scatter AND fewer
+        # bytes fetched over the link.
+        capacity = max(64, int(t * self.expected_bits / 16.0 * 1.35)
+                       + FLUSH_WORDS + 8)
+        for _ in range(6):
             bufs, lengths, esc = self._encode(tiles_u8, ch_map, capacity)
-            esc = int(esc)
-            lengths_np = np.asarray(lengths)  # in 16-bit words
-            if esc == 0 and lengths_np.max() <= capacity:
-                bufs_np = np.asarray(bufs)
+            # ONE device_get for everything: the tunnel's per-round-trip
+            # latency dwarfs the (rare) waste of fetching buffers that a
+            # capacity retry throws away
+            bufs_np, lengths_np, esc = jax.device_get((bufs, lengths, esc))
+            if int(esc) == 0 and lengths_np.max() <= capacity:
                 return self._frame(bufs_np, lengths_np, true_hw)
-            if esc > 0:
+            if int(esc) > 0:
                 break
             capacity *= 2
 
@@ -135,15 +143,20 @@ class CAETurboCore:
     def _frame(self, bufs_np, lengths_np, true_hw) -> List[bytes]:
         out = []
         s = self.num_streams
+        cap = bufs_np.shape[-1]
         words_le = np.ascontiguousarray(bufs_np).astype("<u2")
         byte_lengths = lengths_np.astype(np.int64) * 2
+        # vectorized payload extraction: boolean-mask out each tile's used
+        # words in stream order (a single C-level gather per tile, not a
+        # Python loop over every stream)
+        col = np.arange(cap)
+        used = col[None, None, :] < lengths_np[:, :, None]   # (B, S, cap)
         for i, (th, tw) in enumerate(true_hw):
-            parts = [struct.pack(">QQ", th | TURBO_FLAG, tw),
-                     struct.pack(">BH", VERSION, s),
-                     byte_lengths[i].astype(">u4").tobytes()]
-            for j in range(s):
-                parts.append(words_le[i, j, :lengths_np[i, j]].tobytes())
-            out.append(b"".join(parts))
+            out.append(b"".join([
+                struct.pack(">QQ", th | TURBO_FLAG, tw),
+                struct.pack(">BH", VERSION, s),
+                byte_lengths[i].astype(">u4").tobytes(),
+                words_le[i][used[i]].tobytes()]))
         return out
 
     # -- decode -------------------------------------------------------------
