@@ -29,6 +29,11 @@ import time
 
 import numpy as np
 
+# serving precision: bf16 conv path by default (measured RD impact within
+# the <=0.05 dB budget — tests/test_bf16_rd.py); override with
+# CAE_TPU_PRECISION=highest for the exact-parity mode
+os.environ.setdefault("CAE_TPU_PRECISION", "bf16")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_GPU_MPS_ESTIMATE = 25.0

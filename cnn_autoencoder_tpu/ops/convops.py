@@ -48,26 +48,41 @@ DEFAULT_GAIN = math.sqrt(2.0 / 1.01)
 
 # Global matmul/conv precision for the conv stack.  HIGHEST (f32 on MXU)
 # preserves reference RD parity; DEFAULT (bf16 multiplies) trades ~1e-3
-# relative error for several-fold MXU throughput.  Override per-process via
-# CAE_TPU_PRECISION=default|high|highest or set_default_precision().
+# relative error for several-fold MXU throughput; "bf16" additionally casts
+# activations and kernels to bfloat16 before the conv (f32 accumulation via
+# preferred_element_type), halving HBM traffic on top of the fast MXU path —
+# the TensorCore-equivalent serving mode.  RD impact is measured by
+# tests/test_bf16_rd.py (symbol-flip rate + PSNR delta on a trained model).
+# Override per-process via CAE_TPU_PRECISION=default|high|highest|bf16 or
+# set_default_precision().
 import os as _os
 
 _PRECISION_MAP = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
+    "bf16": jax.lax.Precision.DEFAULT,
 }
 _DEFAULT_PRECISION = _PRECISION_MAP[
     _os.environ.get("CAE_TPU_PRECISION", "highest").lower()]
+_DEFAULT_COMPUTE_DTYPE = (
+    jnp.bfloat16
+    if _os.environ.get("CAE_TPU_PRECISION", "").lower() == "bf16" else None)
 
 
 def set_default_precision(name: str) -> None:
-    global _DEFAULT_PRECISION
+    global _DEFAULT_PRECISION, _DEFAULT_COMPUTE_DTYPE
     _DEFAULT_PRECISION = _PRECISION_MAP[name.lower()]
+    _DEFAULT_COMPUTE_DTYPE = (jnp.bfloat16 if name.lower() == "bf16"
+                              else None)
 
 
 def get_default_precision():
     return _DEFAULT_PRECISION
+
+
+def get_default_compute_dtype():
+    return _DEFAULT_COMPUTE_DTYPE
 
 
 def bias_init_const(value: float = 0.01) -> Callable:
@@ -102,7 +117,7 @@ class Conv2dReflect(nn.Module):
         if pad > 0:
             x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
                         mode="reflect")
-        dtype = self.dtype or x.dtype
+        dtype = self.dtype or _DEFAULT_COMPUTE_DTYPE or x.dtype
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), kernel.astype(dtype),
             window_strides=(self.stride, self.stride),
@@ -152,7 +167,7 @@ class ConvTranspose2dTorch(nn.Module):
             (k, k, cin // self.feature_group_count, self.features))
         lo = k - 1 - self.padding
         hi = k - 1 - self.padding + self.output_padding
-        dtype = self.dtype or x.dtype
+        dtype = self.dtype or _DEFAULT_COMPUTE_DTYPE or x.dtype
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), kernel.astype(dtype),
             window_strides=(1, 1),

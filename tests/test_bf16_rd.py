@@ -1,0 +1,98 @@
+"""bf16 serving-precision path: measured RD impact on a TRAINED model.
+
+CAE_TPU_PRECISION=bf16 casts conv activations/kernels to bfloat16 (f32
+accumulation) — the high-throughput MXU path.  These tests quantify what
+that costs in rate-distortion terms on a trained checkpoint: quantized
+symbol flips (rate impact) and PSNR delta (distortion impact) against the
+f32-HIGHEST reference path.  BASELINE.md target: <=0.05 dB.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from torch_ref_cae import (reference_checkpoint_dict, synth_tiles,
+                           train_reference_cae)
+
+LEVEL, NET, BN = 2, 8, 8
+
+
+@pytest.fixture(scope="module")
+def trained_model(tmp_path_factory):
+    enc, dec, fe = train_reference_cae(level=LEVEL, net=NET, bn_ch=BN,
+                                       steps=300, seed=3)
+    chk = reference_checkpoint_dict(enc, dec, fe, LEVEL, NET, BN, "GDN")
+    path = str(tmp_path_factory.mktemp("bf16") / "trained.pth")
+    torch.save(chk, path)
+    from cnn_autoencoder_tpu.models.factory import autoencoder_from_state_dict
+    return autoencoder_from_state_dict(path)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+def test_bf16_rd_delta(trained_model):
+    from cnn_autoencoder_tpu.ops.convops import (get_default_precision,
+                                                 set_default_precision)
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+    img = np.round(synth_tiles(1, 96, seed=9).numpy()[0] * 255.0) \
+        .astype(np.uint8).transpose(1, 2, 0)
+
+    try:
+        set_default_precision("highest")
+        core_hi = CAECodecCore(trained_model)
+        bufs_hi = core_hi.encode_tiles(img[None])
+        sym_hi, _ = core_hi.entropy_decode(bufs_hi)
+        rec_hi = core_hi.decode_tiles(bufs_hi)[0]
+
+        set_default_precision("bf16")
+        core_bf = CAECodecCore(trained_model)
+        bufs_bf = core_bf.encode_tiles(img[None])
+        sym_bf, _ = core_bf.entropy_decode(bufs_bf)
+        rec_bf = core_bf.decode_tiles(bufs_bf)[0]
+    finally:
+        set_default_precision("highest")
+
+    flip_rate = float(np.mean(sym_hi != sym_bf))
+    psnr_hi = _psnr(img, rec_hi)
+    psnr_bf = _psnr(img, rec_bf)
+    bpp_hi = sum(map(len, bufs_hi)) * 8 / img[..., 0].size
+    bpp_bf = sum(map(len, bufs_bf)) * 8 / img[..., 0].size
+    print(f"bf16 RD: flips {flip_rate:.2e} | "
+          f"PSNR f32 {psnr_hi:.3f} vs bf16 {psnr_bf:.3f} dB "
+          f"(delta {psnr_bf - psnr_hi:+.4f}) | "
+          f"bpp {bpp_hi:.4f} -> {bpp_bf:.4f}")
+
+    # symbols land on the same integers except at rare rounding boundaries
+    assert flip_rate < 5e-3, flip_rate
+    # the BASELINE.md fidelity budget, applied to the precision mode itself
+    assert abs(psnr_bf - psnr_hi) <= 0.05, (psnr_hi, psnr_bf)
+    assert abs(bpp_bf - bpp_hi) / bpp_hi < 0.01, (bpp_hi, bpp_bf)
+
+
+def test_bf16_stream_decodes_on_f32_path(trained_model):
+    """A store written in bf16 mode decodes on a HIGHEST-precision reader
+    (the bitstream is symbols+tables, independent of conv precision)."""
+    from cnn_autoencoder_tpu.ops.convops import set_default_precision
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+    img = np.round(synth_tiles(1, 64, seed=11).numpy()[0] * 255.0) \
+        .astype(np.uint8).transpose(1, 2, 0)
+    try:
+        set_default_precision("bf16")
+        writer = CAECodecCore(trained_model)
+        bufs = writer.encode_tiles(img[None])
+        sym_w, _ = writer.entropy_decode(bufs)
+    finally:
+        set_default_precision("highest")
+    reader = CAECodecCore(trained_model)
+    sym_r, _ = reader.entropy_decode(bufs)
+    np.testing.assert_array_equal(sym_w, sym_r)
+    rec = reader.decode_tiles(bufs)
+    assert rec.shape == (1, 64, 64, 3)
