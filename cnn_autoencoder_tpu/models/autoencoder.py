@@ -63,15 +63,35 @@ class DownsamplingUnit(nn.Module):
                                  epsilon=1e-5, name="norm_pre")(x)
             x = _act_fn(self.act_layer_type, x)
 
-        x = Conv2dReflect(self.channels_out, self.kernel_size, 2,
-                          self.use_bias, g_in, name="conv_down")(x)
-        if self.batch_norm:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name="norm_down")(x)
-        if self.act_layer_type == "GDN":
-            x = GDN(self.channels_out, inverse=False, name="gdn_down")(x)
+        # Pallas fused conv+GDN stage: the conv output never round-trips
+        # through HBM before normalization.  The param holders declare the
+        # exact conv_down/gdn_down tree, so checkpoints are interchangeable
+        # with the unfused graph.
+        from ..ops.pallas.conv_gdn_kernel import (ConvDownParams, GDNParams,
+                                                  fused_conv_gdn,
+                                                  fused_conv_gdn_enabled)
+        if (self.act_layer_type == "GDN" and not self.batch_norm
+                and not self.use_bias and self.kernel_size == 3
+                and g_in == 1 and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0
+                and fused_conv_gdn_enabled(x.shape[-1])):
+            kernel = ConvDownParams(x.shape[-1], self.channels_out,
+                                    self.kernel_size, name="conv_down")()
+            beta, gamma = GDNParams(self.channels_out, name="gdn_down")()
+            x = fused_conv_gdn(x.astype(jnp.float32), kernel, gamma,
+                               beta).astype(x.dtype)
         else:
-            x = _act_fn(self.act_layer_type, x)
+            x = Conv2dReflect(self.channels_out, self.kernel_size, 2,
+                              self.use_bias, g_in, name="conv_down")(x)
+            if self.batch_norm:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 name="norm_down")(x)
+            if self.act_layer_type == "GDN":
+                x = GDN(self.channels_out, inverse=False,
+                        name="gdn_down")(x)
+            else:
+                x = _act_fn(self.act_layer_type, x)
         if self.dropout > 0.0:
             x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
                            deterministic=not train)(x)

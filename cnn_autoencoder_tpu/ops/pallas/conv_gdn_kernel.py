@@ -1,0 +1,261 @@
+"""Fused stride-2 conv + GDN Pallas kernel (the encoder's hot stage pair).
+
+Every encoder stage of the CAE is ``reflect-pad -> 3x3 stride-2 conv ->
+GDN`` (reference _autoencoders.py:55-75 + the GDN option at :29-30).  XLA
+runs that as a conv kernel, an HBM round trip of the activations, and a
+separate matmul+elementwise chain for GDN; this kernel computes a block of
+conv outputs on the MXU and applies the GDN normalization while the block
+is still in VMEM, writing the activations to HBM exactly once.
+
+Layout trick: a stride-2 3x3 conv is nine ALIGNED taps of the four input
+polyphase planes — tap (dy, dx) of output (r, c) reads ``x[2r+dy, 2c+dx]``,
+an unstrided slice of phase ``(dy%2, dx%2)``.  The wrapper materializes the
+nine tap views in XLA (cheap strided slices), so the kernel is nine clean
+``(rows*W/2, Cin) @ (Cin, Cout)`` MXU contractions plus the GDN epilogue —
+no halo exchange, no strided VMEM access.
+
+SPMD: partitioned along the batch axis via custom_partitioning (weights
+replicated), like the standalone GDN kernel.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
+
+from .gdn_kernel import _interpret_mode, pallas_enabled
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except ImportError:  # pragma: no cover
+    _PALLAS_OK = False
+
+_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def fused_conv_gdn_enabled(channels_in: int) -> bool:
+    """The fusion pays off when the contraction is MXU-sized; tiny input
+    channel counts (the pixel stage) keep the XLA conv."""
+    if os.environ.get("CAE_TPU_FUSED_CONV", "1") == "0":
+        return False
+    return pallas_enabled() and channels_in >= 64
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+def _kernel(t_ref, w_ref, g_ref, b_ref, o_ref, *, rows, w2, cin, cout,
+            compute_dtype):
+    # f32 inputs go through the MXU at HIGHEST (matching the XLA conv's
+    # precision); bf16 compute uses the fast single-pass path
+    mxu_precision = (jax.lax.Precision.DEFAULT
+                     if compute_dtype == jnp.bfloat16
+                     else jax.lax.Precision.HIGHEST)
+    acc = jnp.zeros((rows * w2, cout), jnp.float32)
+    for t in range(9):
+        xt = t_ref[0, t].reshape(rows * w2, cin)
+        acc = acc + jnp.dot(xt.astype(compute_dtype),
+                            w_ref[t].astype(compute_dtype),
+                            precision=mxu_precision,
+                            preferred_element_type=jnp.float32)
+    # GDN epilogue while the block is in VMEM; HIGHEST: the pool feeds rsqrt
+    norm = jnp.dot(acc * acc, g_ref[:],
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32) + b_ref[:]
+    o_ref[0] = (acc * jax.lax.rsqrt(norm)).reshape(rows, w2, cout)
+
+
+def _fused_conv_gdn_pallas(x, kernel, gamma, beta, interpret=False):
+    from ..convops import get_default_compute_dtype
+
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    h2, w2 = h // 2, w // 2
+    cip = _round_up(cin, 128)
+    cop = _round_up(cout, 128)
+
+    xp = jnp.pad(x.astype(jnp.float32),
+                 ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    if cip != cin:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, cip - cin)))
+    # nine aligned taps, stacked: taps[:, 3*dy+dx, r, c] = xp[2r+dy, 2c+dx]
+    taps = jnp.stack([
+        xp[:, dy:dy + 2 * h2:2, dx:dx + 2 * w2:2, :]
+        for dy in range(3) for dx in range(3)], axis=1)
+
+    # all padding derives from inputs (no closure constants — required by
+    # custom_partitioning); padded channels get beta=1, gamma/weights 0
+    w_taps = jnp.pad(kernel.astype(jnp.float32).reshape(9, cin, cout),
+                     ((0, 0), (0, cip - cin), (0, cop - cout)))
+    gamma_t = jnp.pad(gamma.T.astype(jnp.float32),
+                      ((0, cop - cout), (0, cop - cout)))
+    beta_p = jnp.pad(beta.astype(jnp.float32), (0, cop - cout),
+                     constant_values=1.0)[None, :]
+
+    # block rows so taps + output fit the VMEM budget
+    rows = 8
+    while rows > 1 and 9 * rows * w2 * cip * 4 > _VMEM_BUDGET:
+        rows //= 2
+    h2p = _round_up(h2, rows)
+    if h2p != h2:
+        taps = jnp.pad(taps, ((0, 0), (0, 0), (0, h2p - h2), (0, 0), (0, 0)))
+
+    compute_dtype = get_default_compute_dtype() or jnp.float32
+    out = pl.pallas_call(
+        functools.partial(_kernel, rows=rows, w2=w2, cin=cip, cout=cop,
+                          compute_dtype=compute_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h2p, w2, cop), jnp.float32),
+        grid=(b, h2p // rows),
+        in_specs=[
+            pl.BlockSpec((1, 9, rows, w2, cip), lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cip, cop), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cop, cop), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cop), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, w2, cop),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(taps, w_taps, gamma_t, beta_p)
+    return out[:, :h2, :, :cout]
+
+
+def _conv_gdn_xla(x, kernel, gamma, beta):
+    """Reference XLA math: reflect-pad stride-2 conv then GDN."""
+    from ..convops import get_default_compute_dtype, get_default_precision
+    dtype = get_default_compute_dtype() or x.dtype
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    y = jax.lax.conv_general_dilated(
+        xp.astype(dtype), kernel.astype(dtype), window_strides=(2, 2),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=get_default_precision(),
+        preferred_element_type=jnp.float32)
+    norm = jnp.einsum("...i,oi->...o", y * y, gamma,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32) + beta
+    return y * jax.lax.rsqrt(norm)
+
+
+def _batch_only(mesh, sharding):
+    spec = getattr(sharding, "spec", None) or PartitionSpec()
+    batch = spec[0] if len(spec) > 0 else None
+    return NamedSharding(mesh, PartitionSpec(batch, None, None, None))
+
+
+@functools.partial(custom_partitioning, static_argnums=(4,))
+def _fused_conv_gdn_spmd(x, kernel, gamma, beta, interpret):
+    return _fused_conv_gdn_pallas(x, kernel, gamma, beta, interpret)
+
+
+def _cg_infer_sharding(interpret, mesh, arg_infos, result_infos):
+    del interpret, result_infos
+    return _batch_only(mesh, arg_infos[0].sharding)
+
+
+def _cg_partition(interpret, mesh, arg_infos, result_infos):
+    del result_infos
+    x_sharding = _batch_only(mesh, arg_infos[0].sharding)
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    def lower(x, kernel, gamma, beta):
+        return _fused_conv_gdn_pallas(x, kernel, gamma, beta, interpret)
+
+    return (mesh, lower, x_sharding,
+            (x_sharding, replicated, replicated, replicated))
+
+
+_fused_conv_gdn_spmd.def_partition(
+    partition=_cg_partition,
+    infer_sharding_from_operands=_cg_infer_sharding,
+    # batch shards through; spatial/channel factors are private to each
+    # operand so their shardings never propagate into the kernel
+    sharding_rule="b h w c, i j k l, f g, e -> b p q r")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_conv_gdn(x, kernel, gamma, beta):
+    """reflect-pad -> 3x3/s2 conv -> GDN, fused in VMEM.
+
+    ``gamma``/``beta`` are the ALREADY-REPARAMETERIZED (non-negative) GDN
+    parameters.  Requires even H, W; kernel (3, 3, Cin, Cout).
+    """
+    if pallas_enabled():
+        return _fused_conv_gdn_spmd(x, kernel, gamma, beta,
+                                    _interpret_mode())
+    return _conv_gdn_xla(x, kernel, gamma, beta)
+
+
+def _fused_fwd(x, kernel, gamma, beta):
+    return fused_conv_gdn(x, kernel, gamma, beta), (x, kernel, gamma, beta)
+
+
+def _fused_bwd(res, g):
+    x, kernel, gamma, beta = res
+    _, vjp = jax.vjp(lambda *a: _conv_gdn_xla(*a), x, kernel, gamma, beta)
+    return vjp(g)
+
+
+fused_conv_gdn.defvjp(_fused_fwd, _fused_bwd)
+
+
+# --- flax param holders -------------------------------------------------
+#
+# The fused path replaces a Conv2dReflect("conv_down") + GDN("gdn_down")
+# module pair; these holders declare EXACTLY the same parameters under the
+# same scope names (and flax derives init RNG from the scope path), so
+# checkpoints are interchangeable between fused and unfused graphs.
+
+import flax.linen as nn  # noqa: E402  (after jax/pallas setup)
+
+from ...ops.bounds import nonneg_init, nonneg_param  # noqa: E402
+from ..convops import DEFAULT_GAIN, xavier_uniform_torchlike  # noqa: E402
+
+
+class ConvDownParams(nn.Module):
+    """Parameter twin of Conv2dReflect(features, k, stride=2, bias=False)."""
+
+    channels_in: int
+    channels_out: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        return self.param("kernel", xavier_uniform_torchlike(DEFAULT_GAIN),
+                          (k, k, self.channels_in, self.channels_out))
+
+
+class GDNParams(nn.Module):
+    """Parameter twin of ops.gdn.GDN — returns reparameterized values."""
+
+    channels: int
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+
+    @nn.compact
+    def __call__(self):
+        c = self.channels
+
+        def beta_initializer(key):
+            del key
+            return nonneg_init(jnp.ones((c,), jnp.float32))
+
+        def gamma_initializer(key):
+            del key
+            return nonneg_init(self.gamma_init
+                               * jnp.eye(c, dtype=jnp.float32))
+
+        beta_stored = self.param("beta", beta_initializer)
+        gamma_stored = self.param("gamma", gamma_initializer)
+        return (nonneg_param(beta_stored, self.beta_min),
+                nonneg_param(gamma_stored, 0.0))

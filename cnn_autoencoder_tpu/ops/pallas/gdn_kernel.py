@@ -17,6 +17,8 @@ import os
 
 import jax
 import jax.numpy as jnp
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 
 try:
     from jax.experimental import pallas as pl
@@ -28,14 +30,25 @@ except ImportError:  # pragma: no cover
 _ROW_TILE = 512
 
 
+def _interpret_mode() -> bool:
+    """CAE_TPU_PALLAS_INTERPRET=1 runs the kernels through the Pallas
+    interpreter (any backend) — used to exercise the exact kernel code
+    path, including its SPMD partitioning, on the CPU test mesh."""
+    return os.environ.get("CAE_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
 def pallas_enabled() -> bool:
-    if os.environ.get("CAE_TPU_PALLAS", "1") == "0":
+    """Opt-in: measured on v5e (2026-08-16, 16x512^2 tiles through the
+    flagship encoder), XLA's own fusion of the GDN chain into the jitted
+    program is faster than dispatching these kernels (6.3ms vs 7.4ms
+    standalone-GDN / 9.0ms fused-conv, all bit-equal), so the XLA path is
+    the default and CAE_TPU_PALLAS=1 selects the kernels."""
+    if os.environ.get("CAE_TPU_PALLAS", "") == "0":
         return False
-    if not (_PALLAS_OK and jax.default_backend() == "tpu"):
-        return False
-    # multi-chip meshes: automatic SPMD partitioning of the kernel is not
-    # validated; let XLA handle GDN there
-    return len(jax.devices()) == 1
+    if _interpret_mode():
+        return _PALLAS_OK
+    return (_PALLAS_OK and jax.default_backend() == "tpu"
+            and os.environ.get("CAE_TPU_PALLAS") == "1")
 
 
 def _gdn_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, inverse: bool):
@@ -59,10 +72,15 @@ def _gdn_pallas(x2d, gamma, beta, inverse: bool, interpret: bool = False):
     cp = _round_up(c, 128)
     npad = _round_up(max(n, 8), _ROW_TILE)
 
-    x_p = jnp.zeros((npad, cp), jnp.float32).at[:n, :c].set(x2d)
+    # padding derives from the inputs (jnp.pad, not zeros().at[].set) so the
+    # trace has no closure constants — custom_partitioning requires that
+    x_p = jnp.pad(x2d.astype(jnp.float32), ((0, npad - n), (0, cp - c)))
     # gamma stored transposed for the dot: norm = x2 @ gamma_t + beta
-    gamma_t = jnp.zeros((cp, cp), jnp.float32).at[:c, :c].set(gamma.T)
-    beta_p = jnp.ones((1, cp), jnp.float32).at[0, :c].set(beta)
+    gamma_t = jnp.pad(gamma.T.astype(jnp.float32),
+                      ((0, cp - c), (0, cp - c)))
+    # padded channels get beta=1 so their rsqrt stays finite
+    beta_p = jnp.pad(beta.astype(jnp.float32), (0, cp - c),
+                     constant_values=1.0)[None, :]
 
     grid = (npad // _ROW_TILE,)
     out = pl.pallas_call(
@@ -91,12 +109,61 @@ def _gdn_xla(x2d, gamma, beta, inverse: bool):
     return x2d * (jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm))
 
 
+# --- SPMD partitioning ---------------------------------------------------
+#
+# The kernel is rowwise (each (N, C) row normalizes independently; gamma and
+# beta are shared), so under pjit/GSPMD it partitions along rows with the
+# parameters replicated.  custom_partitioning registers exactly that rule:
+# every shard runs the same pallas_call on its rows (the wrapper re-pads per
+# shard), no collectives needed.  Without this, GSPMD would treat the custom
+# call as unpartitionable and gather the whole batch onto every device —
+# which is why the kernel used to be gated to single-device processes.
+
+
+def _row_only(mesh, sharding):
+    spec = getattr(sharding, "spec", None) or PartitionSpec()
+    row = spec[0] if len(spec) > 0 else None
+    return NamedSharding(mesh, PartitionSpec(row, None))
+
+
+@functools.partial(custom_partitioning, static_argnums=(3, 4))
+def _gdn_pallas_spmd(x2d, gamma, beta, inverse, interpret):
+    return _gdn_pallas(x2d, gamma, beta, inverse, interpret)
+
+
+def _gdn_infer_sharding(inverse, interpret, mesh, arg_infos, result_infos):
+    del inverse, interpret, result_infos
+    return _row_only(mesh, arg_infos[0].sharding)
+
+
+def _gdn_partition(inverse, interpret, mesh, arg_infos, result_infos):
+    del result_infos
+    x_sharding = _row_only(mesh, arg_infos[0].sharding)
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    def lower(x, gamma, beta):
+        return _gdn_pallas(x, gamma, beta, inverse, interpret)
+
+    return (mesh, lower, x_sharding,
+            (x_sharding, replicated, replicated))
+
+
+_gdn_pallas_spmd.def_partition(
+    partition=_gdn_partition,
+    infer_sharding_from_operands=_gdn_infer_sharding,
+    # Shardy propagation rule: rows (m) shard through; channel dims are
+    # private factors so channel sharding never propagates into the kernel
+    # (the partition callback additionally forces params replicated)
+    sharding_rule="m j, i k, l -> m j")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_gdn(x2d, gamma, beta, inverse: bool = False,
               use_pallas: bool = True):
     """y = x * (beta + x^2 gamma^T)^(+-1/2) over (N, C) activations."""
     if use_pallas and pallas_enabled():
-        return _gdn_pallas(x2d, gamma, beta, inverse)
+        return _gdn_pallas_spmd(x2d, gamma, beta, inverse,
+                                _interpret_mode())
     return _gdn_xla(x2d, gamma, beta, inverse)
 
 

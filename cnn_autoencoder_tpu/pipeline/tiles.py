@@ -466,7 +466,7 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
     # encode_tiles is dispatch+fetch+frame in one call; running several
     # batches on workers overlaps their (link-bound) byte fetches while the
     # device serializes the actual encode programs back to back
-    workers = ThreadPoolExecutor(max_workers=max(2, FETCH_WORKERS // 2))
+    workers = ThreadPoolExecutor(max_workers=FETCH_WORKERS)
     inflight = []
 
     def encode_and_write(idxs, tiles):
@@ -517,7 +517,7 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
             sl, valid = src.chunk_slices(ij)
             out[sl] = r[:valid[0], :valid[1], :valid[2]]
 
-    workers = ThreadPoolExecutor(max_workers=max(2, FETCH_WORKERS // 2))
+    workers = ThreadPoolExecutor(max_workers=FETCH_WORKERS)
     jobs = []
     i = 0
     while i < len(grid):

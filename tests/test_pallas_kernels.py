@@ -56,3 +56,153 @@ def test_gdn_module_unchanged_off_tpu():
     xn = np.asarray(x)
     expected = xn / np.sqrt(1.0 + 0.1 * xn ** 2)
     np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=1e-5)
+
+
+def test_gdn_kernel_spmd_partitioned(monkeypatch):
+    """The partitioned kernel runs per-shard on a multi-device mesh (rows
+    sharded, params replicated) and matches the XLA math exactly — the
+    gating that used to disable Pallas GDN in SPMD serving is gone."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from cnn_autoencoder_tpu.ops.pallas import gdn_kernel
+
+    monkeypatch.setenv("CAE_TPU_PALLAS_INTERPRET", "1")
+    assert gdn_kernel.pallas_enabled()
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs), ("data",))
+    rng = np.random.RandomState(2)
+    n, c = 16 * len(devs), 48
+    x = jnp.asarray(rng.randn(n, c), jnp.float32)
+    gamma = jnp.asarray(rng.rand(c, c) * 0.1, jnp.float32)
+    beta = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+
+    x_sh = jax.device_put(x, NamedSharding(mesh, PartitionSpec("data",
+                                                               None)))
+    fn = jax.jit(lambda a, g, b: gdn_kernel.fused_gdn(a, g, b, False))
+    with mesh:
+        out = fn(x_sh, gamma, beta)
+    ref = gdn_kernel._gdn_xla(x, gamma, beta, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # result keeps the row sharding (no gather onto one device)
+    assert out.sharding.spec == PartitionSpec("data", None) or \
+        out.sharding.is_equivalent_to(x_sh.sharding, out.ndim)
+
+
+def test_gdn_module_uses_kernel_in_spmd(monkeypatch):
+    """GDN module end-to-end on the 8-device mesh with the kernel enabled
+    equals its own XLA-path output."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from cnn_autoencoder_tpu.ops.gdn import GDN
+
+    c = 16
+    mod = GDN(channels=c)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(8, 6, 6, c), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(params, x)  # CPU default: XLA path
+
+    monkeypatch.setenv("CAE_TPU_PALLAS_INTERPRET", "1")
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs), ("data",))
+    x_sh = jax.device_put(
+        x, NamedSharding(mesh, PartitionSpec("data", None, None, None)))
+    with mesh:
+        out = jax.jit(mod.apply)(params, x_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+# --- fused conv+GDN epilogue -------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 16, 128, 128),
+                                   (1, 12, 20, 64, 48),
+                                   (2, 8, 8, 96, 130)])
+def test_fused_conv_gdn_matches_xla(shape):
+    from cnn_autoencoder_tpu.ops.pallas.conv_gdn_kernel import (
+        _conv_gdn_xla, _fused_conv_gdn_pallas)
+
+    b, h, w, cin, cout = shape
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, h, w, cin) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.05, jnp.float32)
+    gamma = jnp.asarray(rng.rand(cout, cout) * 0.05, jnp.float32)
+    beta = jnp.asarray(rng.rand(cout) + 0.5, jnp.float32)
+    ref = _conv_gdn_xla(x, k, gamma, beta)
+    out = _fused_conv_gdn_pallas(x, k, gamma, beta, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_conv_gdn_spmd(monkeypatch):
+    """Batch-sharded over the 8-device mesh, weights replicated."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from cnn_autoencoder_tpu.ops.pallas import conv_gdn_kernel as cg
+
+    monkeypatch.setenv("CAE_TPU_PALLAS_INTERPRET", "1")
+    rng = np.random.RandomState(1)
+    b, h, w, cin, cout = 8, 8, 8, 64, 48
+    x = jnp.asarray(rng.randn(b, h, w, cin) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.05, jnp.float32)
+    gamma = jnp.asarray(rng.rand(cout, cout) * 0.05, jnp.float32)
+    beta = jnp.asarray(rng.rand(cout) + 0.5, jnp.float32)
+
+    ref = cg._conv_gdn_xla(x, k, gamma, beta)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    x_sh = jax.device_put(
+        x, NamedSharding(mesh, PartitionSpec("data", None, None, None)))
+    with mesh:
+        out = jax.jit(cg.fused_conv_gdn)(x_sh, k, gamma, beta)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_encoder_stage_checkpoint_compatible(monkeypatch):
+    """The fused DownsamplingUnit declares the exact conv_down/gdn_down
+    param tree and reproduces the unfused encoder bit-for-bit."""
+    from cnn_autoencoder_tpu.models.factory import build_model
+
+    m1 = build_model(jax.random.PRNGKey(0), input_size=(32, 32),
+                     channels_org=3, channels_net=128, channels_bn=16,
+                     compression_level=2, K=4, r=3, act_layer_type="GDN")
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3),
+                    jnp.float32)
+    y1 = m1.modules["encoder"].apply(m1.variables["encoder"], x)
+
+    monkeypatch.setenv("CAE_TPU_PALLAS_INTERPRET", "1")
+    m2 = build_model(jax.random.PRNGKey(0), input_size=(32, 32),
+                     channels_org=3, channels_net=128, channels_bn=16,
+                     compression_level=2, K=4, r=3, act_layer_type="GDN")
+    flat1 = jax.tree_util.tree_flatten_with_path(m1.variables["encoder"])[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(m2.variables["encoder"])[0]
+    assert [jax.tree_util.keystr(p) for p, _ in flat1] == \
+        [jax.tree_util.keystr(p) for p, _ in flat2]
+    for (_, va), (_, vb) in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    # fused forward with the UNFUSED model's params: same activations
+    y2 = m2.modules["encoder"].apply(m1.variables["encoder"], x)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_conv_gdn_gradient(monkeypatch):
+    from cnn_autoencoder_tpu.ops.pallas import conv_gdn_kernel as cg
+
+    monkeypatch.setenv("CAE_TPU_PALLAS_INTERPRET", "1")
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 8, 8, 64) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 64, 48) * 0.05, jnp.float32)
+    gamma = jnp.asarray(rng.rand(48, 48) * 0.05, jnp.float32)
+    beta = jnp.asarray(rng.rand(48) + 0.5, jnp.float32)
+
+    g1 = jax.grad(lambda *a: jnp.sum(cg.fused_conv_gdn(*a) ** 2),
+                  argnums=(0, 1, 2, 3))(x, k, gamma, beta)
+    g2 = jax.grad(lambda *a: jnp.sum(cg._conv_gdn_xla(*a) ** 2),
+                  argnums=(0, 1, 2, 3))(x, k, gamma, beta)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
