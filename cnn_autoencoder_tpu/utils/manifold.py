@@ -1,0 +1,117 @@
+"""Pure-numpy manifold embeddings: exact t-SNE and Isomap.
+
+sklearn is not available in this environment; the latent-visualization
+script (reference scripts/visualize_groups.py:68-69 uses sklearn TSNE and
+Isomap) needs only small point sets (a few thousand latent vectors), where
+the exact O(n^2) algorithms are perfectly adequate.
+"""
+
+from typing import Optional
+
+import numpy as np
+
+
+def _pairwise_sq_dists(x: np.ndarray) -> np.ndarray:
+    sq = np.sum(x * x, axis=1)
+    d = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+    np.maximum(d, 0.0, out=d)
+    np.fill_diagonal(d, 0.0)
+    return d
+
+
+def _perplexity_probabilities(dists: np.ndarray, perplexity: float,
+                              tol: float = 1e-5, max_iter: int = 50
+                              ) -> np.ndarray:
+    """Per-row conditional P with binary-searched bandwidths."""
+    n = dists.shape[0]
+    target = np.log(perplexity)
+    p = np.zeros((n, n))
+    for i in range(n):
+        di = np.delete(dists[i], i)
+        lo, hi = -np.inf, np.inf
+        beta = 1.0
+        for _ in range(max_iter):
+            expd = np.exp(-di * beta)
+            s = expd.sum()
+            if s <= 0:
+                h, pi = 0.0, np.zeros_like(di)
+            else:
+                pi = expd / s
+                h = beta * (di * pi).sum() + np.log(s)
+            diff = h - target
+            if abs(diff) < tol:
+                break
+            if diff > 0:
+                lo = beta
+                beta = beta * 2.0 if hi == np.inf else (beta + hi) / 2.0
+            else:
+                hi = beta
+                beta = beta / 2.0 if lo == -np.inf else (beta + lo) / 2.0
+        p[i, np.arange(n) != i] = pi
+    return p
+
+
+def tsne(x: np.ndarray, n_components: int = 2, perplexity: float = 30.0,
+         learning_rate: float = 200.0, n_iter: int = 500,
+         early_exaggeration: float = 12.0, seed: int = 0,
+         init: Optional[np.ndarray] = None) -> np.ndarray:
+    """Exact t-SNE (Kullback-Leibler gradient descent with momentum)."""
+    x = np.asarray(x, np.float64)
+    n = x.shape[0]
+    perplexity = min(perplexity, max(2.0, (n - 1) / 3.0))
+    p = _perplexity_probabilities(_pairwise_sq_dists(x), perplexity)
+    p = (p + p.T) / (2.0 * n)
+    np.maximum(p, 1e-12, out=p)
+
+    rng = np.random.RandomState(seed)
+    y = (np.asarray(init, np.float64) if init is not None
+         else rng.randn(n, n_components) * 1e-4)
+    update = np.zeros_like(y)
+    gains = np.ones_like(y)
+    exag_until = min(250, n_iter // 2)
+    p_run = p * early_exaggeration
+    for it in range(n_iter):
+        if it == exag_until:
+            p_run = p
+        num = 1.0 / (1.0 + _pairwise_sq_dists(y))
+        np.fill_diagonal(num, 0.0)
+        q = np.maximum(num / num.sum(), 1e-12)
+        pq = (p_run - q) * num
+        grad = 4.0 * ((np.diag(pq.sum(axis=1)) - pq) @ y)
+        momentum = 0.5 if it < exag_until else 0.8
+        sign_agree = np.sign(grad) == np.sign(update)
+        gains = np.where(sign_agree, gains * 0.8, gains + 0.2)
+        np.maximum(gains, 0.01, out=gains)
+        update = momentum * update - learning_rate * gains * grad
+        y = y + update
+        y = y - y.mean(axis=0, keepdims=True)
+    return y.astype(np.float32)
+
+
+def isomap(x: np.ndarray, n_components: int = 2, n_neighbors: int = 5
+           ) -> np.ndarray:
+    """Isomap: kNN graph -> geodesic distances -> classical MDS."""
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import connected_components, shortest_path
+
+    x = np.asarray(x, np.float64)
+    n = x.shape[0]
+    d = np.sqrt(_pairwise_sq_dists(x))
+    knn_idx = np.argsort(d, axis=1)[:, 1:n_neighbors + 1]
+    rows = np.repeat(np.arange(n), n_neighbors)
+    cols = knn_idx.ravel()
+    graph = csr_matrix((d[rows, cols], (rows, cols)), shape=(n, n))
+    geo = shortest_path(graph, method="D", directed=False)
+
+    # disconnected components: bridge with the max finite geodesic so MDS
+    # stays defined (sklearn errors here; a visualization should not)
+    finite_max = np.nanmax(np.where(np.isfinite(geo), geo, np.nan))
+    geo = np.where(np.isfinite(geo), geo, finite_max * 1.5)
+
+    g2 = geo ** 2
+    j = np.eye(n) - np.ones((n, n)) / n
+    b = -0.5 * j @ g2 @ j
+    w, v = np.linalg.eigh((b + b.T) / 2.0)
+    order = np.argsort(w)[::-1][:n_components]
+    lam = np.maximum(w[order], 0.0)
+    return (v[:, order] * np.sqrt(lam)[None, :]).astype(np.float32)

@@ -1,10 +1,13 @@
-"""Latent-space visualization: feature mosaics and 2-D embeddings.
+"""Latent-space visualization: feature mosaics, 2-D embeddings, selection.
 
 Equivalent of reference scripts/visualize_groups.py (a research notebook-as-
 script with hard-coded paths): loads latent arrays from zarr files, shows a
-per-channel feature mosaic, and projects latent vectors to 2-D with PCA
-(numpy; the reference used sklearn TSNE/Isomap).  Non-interactive by
-default: writes PNGs next to the input.
+per-channel feature mosaic, projects latent vectors to 2-D with PCA, t-SNE
+and Isomap (pure numpy/scipy — cnn_autoencoder_tpu.utils.manifold replaces
+sklearn.manifold, reference :68-69), and maps selected embedding points back
+to their spatial locations — either interactively (click-drag a rectangle,
+reference :108-141) or headlessly via ``--select x0 y0 x1 y1``.
+Non-interactive by default: writes PNGs next to the input.
 """
 
 import argparse
@@ -16,6 +19,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cnn_autoencoder_tpu.storage import zarr as zarrlib
+from cnn_autoencoder_tpu.utils.manifold import isomap, tsne
 
 
 def pca_2d(x: np.ndarray) -> np.ndarray:
@@ -39,7 +43,29 @@ def feature_mosaic(latent: np.ndarray, cols: int = 8) -> np.ndarray:
     return mosaic
 
 
-def main():
+def select_in_rect(emb: np.ndarray, rect) -> np.ndarray:
+    """Indices of embedding points inside (x0, y0, x1, y1)."""
+    x0, y0, x1, y1 = rect
+    (x0, x1), (y0, y1) = sorted((x0, x1)), sorted((y0, y1))
+    return np.where((emb[:, 0] >= x0) & (emb[:, 0] <= x1)
+                    & (emb[:, 1] >= y0) & (emb[:, 1] <= y1))[0]
+
+
+def compute_embeddings(vectors: np.ndarray, kinds, tsne_iters: int = 500):
+    """{kind: (n, 2) embedding}; t-SNE is PCA-initialized for stability."""
+    out = {}
+    pca = pca_2d(vectors)
+    if "pca" in kinds:
+        out["pca"] = pca
+    if "tsne" in kinds:
+        out["tsne"] = tsne(vectors, n_iter=tsne_iters,
+                           init=pca * 1e-4 / max(pca.std(), 1e-12))
+    if "isomap" in kinds:
+        out["isomap"] = isomap(vectors, n_neighbors=5)
+    return out
+
+
+def main(argv=None):
     parser = argparse.ArgumentParser("Visualize latent feature groups")
     parser.add_argument("-i", "--input", dest="inputs", type=str, nargs="+",
                         help="zarr files containing latent arrays")
@@ -47,16 +73,30 @@ def main():
                         default="0/0")
     parser.add_argument("-o", "--out-dir", dest="out_dir", type=str,
                         default=".")
-    args = parser.parse_args()
+    parser.add_argument("-e", "--embedding", dest="embedding", type=str,
+                        default="all", choices=["pca", "tsne", "isomap",
+                                                "all"])
+    parser.add_argument("--tsne-iters", type=int, default=500)
+    parser.add_argument("--max-points", type=int, default=2000)
+    parser.add_argument("--select", type=float, nargs=4, default=None,
+                        metavar=("X0", "Y0", "X1", "Y1"),
+                        help="embedding-space rectangle: map the selected "
+                             "points back to their spatial positions")
+    parser.add_argument("--interactive", action="store_true",
+                        help="click-drag selection in a GUI window")
+    args = parser.parse_args(argv)
 
     import matplotlib
-    matplotlib.use("Agg")
+    if not args.interactive:
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     os.makedirs(args.out_dir, exist_ok=True)
     all_vectors = []
     labels = []
-    for fn in args.inputs:
+    positions = []   # (file index, y, x) per sampled vector
+    shapes = []
+    for fi, fn in enumerate(args.inputs):
         node = zarrlib.open(fn, mode="r")
         latent = (node[args.data_group] if isinstance(node, zarrlib.Group)
                   else node)[...]
@@ -72,27 +112,88 @@ def main():
                     dpi=120, bbox_inches="tight")
         plt.close()
 
+        h, w, _ = latent.shape
         vecs = latent.reshape(-1, latent.shape[-1])
         sel = np.random.RandomState(0).choice(
-            len(vecs), size=min(2000, len(vecs)), replace=False)
+            len(vecs), size=min(args.max_points, len(vecs)), replace=False)
         all_vectors.append(vecs[sel])
         labels.extend([base] * len(sel))
+        positions.append(np.stack([np.full(len(sel), fi),
+                                   sel // w, sel % w], axis=1))
+        shapes.append((h, w))
         print("Wrote mosaic for", fn)
 
-    if all_vectors:
-        emb = pca_2d(np.concatenate(all_vectors))
+    if not all_vectors:
+        return
+
+    vectors = np.concatenate(all_vectors)
+    positions = np.concatenate(positions)
+    labels = np.asarray(labels)
+    kinds = (["pca", "tsne", "isomap"] if args.embedding == "all"
+             else [args.embedding])
+    embeddings = compute_embeddings(vectors, kinds, args.tsne_iters)
+
+    uniq = sorted(set(labels.tolist()))
+    for kind, emb in embeddings.items():
         plt.figure(figsize=(8, 8))
-        uniq = sorted(set(labels))
-        labels = np.asarray(labels)
         for u in uniq:
             pts = emb[labels == u]
             plt.scatter(pts[:, 0], pts[:, 1], s=2, alpha=0.4, label=u)
         plt.legend(markerscale=4)
-        plt.title("Latent PCA embedding")
-        plt.savefig(os.path.join(args.out_dir, "latent_embedding.png"),
-                    dpi=120, bbox_inches="tight")
+        plt.title(f"Embedded space ({kind.upper()})")
+        out_png = os.path.join(args.out_dir, f"latent_{kind}.png")
+        plt.savefig(out_png, dpi=120, bbox_inches="tight")
         plt.close()
-        print("Wrote latent_embedding.png")
+        print("Wrote", out_png)
+
+    sel_emb = embeddings.get("tsne", next(iter(embeddings.values())))
+
+    def write_selection(idx, tag="selected"):
+        """Selected embedding points -> spatial overlay per input file."""
+        for fi, fn in enumerate(args.inputs):
+            mine = idx[positions[idx, 0] == fi]
+            if not len(mine):
+                continue
+            base = os.path.basename(fn).split(".zarr")[0]
+            h, w = shapes[fi]
+            plt.figure(figsize=(8, 8))
+            plt.xlim(0, w)
+            plt.ylim(h, 0)
+            plt.scatter(positions[mine, 2], positions[mine, 1], s=2,
+                        c="black", marker="x")
+            plt.title(f"{base}: spatial positions of {len(mine)} "
+                      f"{tag} points")
+            out_png = os.path.join(args.out_dir,
+                                   f"{base}_{tag}_positions.png")
+            plt.savefig(out_png, dpi=120, bbox_inches="tight")
+            plt.close()
+            print("Wrote", out_png)
+
+    if args.select is not None:
+        write_selection(select_in_rect(sel_emb, args.select))
+
+    if args.interactive:
+        fig, ax = plt.subplots(figsize=(8, 8))
+        ax.scatter(sel_emb[:, 0], sel_emb[:, 1], s=2, c="tab:blue",
+                   alpha=0.4)
+        state = {"press": None}
+
+        def on_press(event):
+            state["press"] = (event.xdata, event.ydata)
+
+        def on_release(event):
+            if state["press"] is None or event.xdata is None:
+                return
+            x0, y0 = state["press"]
+            idx = select_in_rect(sel_emb, (x0, y0, event.xdata,
+                                           event.ydata))
+            if len(idx):
+                write_selection(idx, tag="clicked")
+            state["press"] = None
+
+        fig.canvas.mpl_connect("button_press_event", on_press)
+        fig.canvas.mpl_connect("button_release_event", on_release)
+        plt.show()
 
 
 if __name__ == "__main__":

@@ -189,3 +189,48 @@ def test_compare_compressors(tmp_path, capsys):
 
     stored, t = test_compressor(arr, "Zlib", 5, 32, tmp_dir=str(tmp_path))
     assert 0 < stored < data.nbytes
+
+
+def test_manifold_embeddings_separate_clusters():
+    """numpy t-SNE and Isomap (sklearn replacements) both separate two
+    well-separated gaussian clusters in the 2-D embedding."""
+    from cnn_autoencoder_tpu.utils.manifold import isomap, tsne
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(60, 10) * 0.3
+    b = rng.randn(60, 10) * 0.3 + 4.0
+    x = np.concatenate([a, b])
+
+    for emb in (tsne(x, n_iter=300, seed=1), isomap(x, n_neighbors=6)):
+        assert emb.shape == (120, 2)
+        ca, cb = emb[:60].mean(axis=0), emb[60:].mean(axis=0)
+        gap = np.linalg.norm(ca - cb)
+        spread = max(emb[:60].std(), emb[60:].std())
+        assert gap > 2.0 * spread, (gap, spread)
+
+
+def test_visualize_groups_embeddings_and_selection(tmp_path):
+    from visualize_groups import main as viz_main, select_in_rect
+
+    from cnn_autoencoder_tpu.storage import zarr as zarrlib
+    rng = np.random.RandomState(2)
+    lat = (rng.rand(12, 12, 8) * 4 - 2).astype(np.float32)
+    z_path = str(tmp_path / "lat.zarr")
+    arr = zarrlib.Array.create(z_path, shape=lat.shape, chunks=lat.shape,
+                               dtype=np.float32, compressor=None)
+    arr[...] = lat
+
+    out = str(tmp_path / "viz")
+    viz_main(["-i", z_path, "-o", out, "-e", "all", "--tsne-iters", "120",
+              "--max-points", "100", "--select", "-1e9", "-1e9", "1e9",
+              "1e9"])
+    files = sorted(os.listdir(out))
+    assert "lat_mosaic.png" in files
+    assert "latent_pca.png" in files
+    assert "latent_tsne.png" in files
+    assert "latent_isomap.png" in files
+    assert "lat_selected_positions.png" in files
+
+    emb = np.array([[0.0, 0.0], [1.0, 1.0], [5.0, 5.0]])
+    np.testing.assert_array_equal(select_in_rect(emb, (2, 2, -1, -1)),
+                                  [0, 1])
