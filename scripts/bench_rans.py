@@ -1,0 +1,101 @@
+"""Micro-benchmark for the native rANS coder (host side, single process).
+
+Measures encode/decode throughput in Msym/s on a realistic workload: the
+flagship model's latent geometry (channel-major symbols, per-channel CDFs
+with supports like a trained factorized prior).  Used to validate coder
+optimizations; the coder's bitstream is fixed by compatibility with the
+reference (reference src/models/tasks/_autoencoders.py:549-572), so all
+speedups must be implementation-only.
+
+Usage: python scripts/bench_rans.py [n_tiles] [lh] [lw] [channels]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from cnn_autoencoder_tpu.coding import rans  # noqa: E402
+from cnn_autoencoder_tpu.coding.cdf import pmf_to_quantized_cdf  # noqa: E402
+
+
+def make_tables(channels, rng, max_support=64):
+    supports = rng.randint(12, max_support, channels)
+    stride = supports.max() + 2 + 1
+    cdfs = np.zeros((channels, stride), np.uint32)
+    lengths = np.zeros(channels, np.int32)
+    offsets = np.zeros(channels, np.int32)
+    for c in range(channels):
+        s = supports[c]
+        x = np.arange(s) - s / 2.0
+        pmf = np.exp(-0.5 * (x / (s / 6.0)) ** 2)
+        pmf = pmf / pmf.sum() * (1 - 2e-3)
+        full = np.concatenate([pmf, [2e-3]])
+        cdf = pmf_to_quantized_cdf(full, 16)
+        cdfs[c, :len(cdf)] = cdf
+        lengths[c] = len(cdf)
+        offsets[c] = -(s // 2)
+    return cdfs, lengths, offsets
+
+
+def sample_symbols(n, idx, cdfs, lengths, offsets, rng):
+    """Draw each symbol from its channel's quantized model (realistic bpp)."""
+    sym = np.empty(n, np.int64)
+    u = rng.randint(0, 1 << 16, n).astype(np.uint32)
+    for c in np.unique(idx):
+        m = idx == c
+        cdf = cdfs[c, :lengths[c]]
+        v = np.searchsorted(cdf, u[m], side="right") - 1
+        sym[m] = v + offsets[c]
+    return sym.astype(np.int32)
+
+
+def main():
+    n_tiles = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    lh = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    lw = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    channels = int(sys.argv[4]) if len(sys.argv) > 4 else 48
+
+    rng = np.random.RandomState(0)
+    cdfs, lengths, offsets = make_tables(channels, rng)
+    n = channels * lh * lw
+    idx = np.broadcast_to(np.arange(channels, dtype=np.int32)[:, None, None],
+                          (channels, lh, lw)).ravel().copy()
+    sym = np.stack([sample_symbols(n, idx, cdfs, lengths, offsets, rng)
+                    for _ in range(n_tiles)])
+
+    assert rans.native_available(), "native coder not built"
+    total = n_tiles * n
+
+    # warmup + correctness
+    streams = rans.encode_batch(sym, idx, cdfs, lengths, offsets)
+    dec = rans.decode_batch(streams, idx, cdfs, lengths, offsets)
+    assert np.array_equal(dec, sym), "round-trip mismatch"
+    bpp_sym = sum(len(s) for s in streams) * 8 / total
+
+    reps = 3
+    t_enc = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        streams = rans.encode_batch(sym, idx, cdfs, lengths, offsets)
+        t_enc.append(time.perf_counter() - t0)
+    t_dec = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        dec = rans.decode_batch(streams, idx, cdfs, lengths, offsets)
+        t_dec.append(time.perf_counter() - t0)
+    assert np.array_equal(dec, sym)
+
+    print(f"tiles={n_tiles} syms/tile={n} total={total / 1e6:.1f}M "
+          f"bits/sym={bpp_sym:.2f}")
+    print(f"encode: {total / min(t_enc) / 1e6:.1f} Msym/s "
+          f"({min(t_enc) * 1e3:.0f} ms)")
+    print(f"decode: {total / min(t_dec) / 1e6:.1f} Msym/s "
+          f"({min(t_dec) * 1e3:.0f} ms)")
+
+
+if __name__ == "__main__":
+    main()

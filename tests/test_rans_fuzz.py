@@ -91,3 +91,27 @@ def test_batch_consistency_fuzz():
         assert streams[i] == single
     decoded = rans.decode_batch(streams, indexes, cdfs, lengths, offsets)
     np.testing.assert_array_equal(decoded, symbols)
+
+
+def test_interleaved_batch_extreme_bypass():
+    """The 4-way interleaved batch fast paths must stay bitstream-identical
+    to the scalar coder under heavy escape/bypass traffic (extreme symbols
+    force multi-chunk bypass coding inside the interleaved inner loops)."""
+    rng = np.random.RandomState(7)
+    cdfs, lengths, offsets = _random_tables(rng, 6)
+    n, b = 513, 11  # two interleaved groups of 4 + a remainder of 3
+    indexes = rng.randint(0, 6, n).astype(np.int32)
+    symbols = rng.randint(-25, 25, (b, n)).astype(np.int32)
+    # sprinkle extremes: int32 boundaries and far-out escapes in every tile
+    for i in range(b):
+        pos = rng.choice(n, 12, replace=False)
+        symbols[i, pos] = rng.choice(
+            [2 ** 30, -(2 ** 30), 2 ** 20, -(2 ** 20), 100000, -100000,
+             2 ** 31 - 1, -(2 ** 31)], 12)
+    streams = rans.encode_batch(symbols, indexes, cdfs, lengths, offsets)
+    for i in range(b):
+        single = rans.encode_with_indexes(symbols[i], indexes, cdfs,
+                                          lengths, offsets)
+        assert streams[i] == single, f"tile {i} bitstream diverged"
+    decoded = rans.decode_batch(streams, indexes, cdfs, lengths, offsets)
+    np.testing.assert_array_equal(decoded, symbols)
