@@ -123,6 +123,13 @@ def compress(args):
                                                "%s.zarr" % base))
     else:
         output_fn_list = output_dir
+        if len(output_fn_list) < len(input_fn_list):
+            # the reference silently dropped every input past the first
+            # (zip with a single .zarr output); make the mismatch loud
+            raise ValueError(
+                f"{len(input_fn_list)} inputs but only "
+                f"{len(output_fn_list)} explicit .zarr output path(s); "
+                "pass a directory as -o to derive one output per input")
 
     core = None
     if args.codec == "CAETPU" and args.checkpoint:

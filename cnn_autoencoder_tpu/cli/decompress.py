@@ -154,6 +154,13 @@ def decompress(args):
                 output_dir[0], "%s%s" % (base, args.destination_format)))
     else:
         output_fn_list = output_dir
+        if len(output_fn_list) < len(input_fn_list):
+            # mirror compress(): never silently drop inputs when explicit
+            # output paths don't cover them
+            raise ValueError(
+                f"{len(input_fn_list)} inputs but only "
+                f"{len(output_fn_list)} explicit output path(s); "
+                "pass a directory as -o to derive one output per input")
 
     if args.task_label_identifier is None:
         args.task_label_identifier = "decompressed"

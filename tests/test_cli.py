@@ -202,3 +202,24 @@ def test_compress_bottleneck_then_decode(tmp_path, trained_checkpoint):
     out = zarrlib.open(str(rec_dir / "x.zarr"), mode="r")
     rec = out["decompressed/0/0"][...]
     assert rec.shape == (64, 64, 3) and rec.dtype == np.uint8
+
+
+def test_single_zarr_output_with_multiple_inputs_errors(tmp_path):
+    """An explicit single .zarr output with several inputs must raise
+    instead of silently dropping inputs (the reference zip-dropped them)."""
+    from PIL import Image
+
+    from cnn_autoencoder_tpu.cli.compress import compress
+
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for name in ("a.png", "b.png"):
+        Image.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(
+            str(img_dir / name))
+    args = get_args("encoder", "inference", args_list=[
+        "-dd", str(img_dir), "-o", str(tmp_path / "only_one.zarr"),
+        "-if", "png", "-cod", "Blosc", "-ps", "8", "-da", "YXC",
+        "-ld", str(tmp_path)])
+    with pytest.raises(ValueError, match="inputs but only"):
+        compress(args)
