@@ -626,6 +626,115 @@ int32_t rans_pmf_to_quantized_cdf(const double *pmf, int64_t n,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Interleaved multi-stream rANS-32/16 at 12-bit precision — the host twin of
+// coding/device_rans.py's frame-v4 layout (bit-identical).  S streams advance
+// in lockstep over a step-major symbol layout (symbol i belongs to stream
+// i % S at step i / S); the 16-bit words sit in one shared queue in global
+// decode-consumption order: 2 flush words per stream (stream-major), then
+// each refill word in (step, stream) order.  Sequential host code consumes
+// streams in exactly that order, so encode is a single reverse pass and
+// decode a single forward pass.  No escape coding: encode REJECTS symbols
+// outside their channel's support (returns -1) and the caller falls back.
+
+constexpr uint32_t kIlvPrecision = 12;
+constexpr uint32_t kIlvProbScale = 1u << kIlvPrecision;
+constexpr uint32_t kIlvMask = kIlvProbScale - 1;
+constexpr uint32_t kIlvStateMin = 1u << 16;
+constexpr uint32_t kIlvEmitShift = 20;
+
+// Returns total words written (including 2*S flush words), or -1 on an
+// out-of-support symbol, or -2 on capacity overflow.
+int64_t ilv_encode(const int32_t *symbols, const int32_t *indexes, int64_t n,
+                   const int32_t *freqs, const int32_t *starts,
+                   int64_t table_stride, const int32_t *lengths,
+                   const int32_t *offsets, int64_t n_streams, uint16_t *out,
+                   int64_t capacity_words) {
+  std::vector<uint32_t> state(static_cast<size_t>(n_streams), kIlvStateMin);
+  std::vector<uint16_t> scratch(static_cast<size_t>(capacity_words));
+  uint16_t *end = scratch.data() + capacity_words;
+  uint16_t *ptr = end;
+
+  for (int64_t i = n - 1; i >= 0; --i) {
+    const int64_t s = i % n_streams;
+    const int32_t c = indexes[i];
+    const int64_t v = static_cast<int64_t>(symbols[i]) - offsets[c];
+    if (v < 0 || v >= lengths[c]) {
+      return -1;  // out of support: no escape coding in this format
+    }
+    const uint32_t f = static_cast<uint32_t>(freqs[c * table_stride + v]);
+    const uint32_t st = static_cast<uint32_t>(starts[c * table_stride + v]);
+    uint32_t x = state[s];
+    if ((x >> kIlvEmitShift) >= f) {
+      if (ptr == scratch.data()) {
+        return -2;
+      }
+      *--ptr = static_cast<uint16_t>(x & 0xFFFF);
+      x >>= 16;
+    }
+    x = ((x / f) << kIlvPrecision) + (x % f) + st;
+    state[s] = x;
+  }
+  for (int64_t s = n_streams - 1; s >= 0; --s) {
+    if (ptr - scratch.data() < 2) {
+      return -2;
+    }
+    *--ptr = static_cast<uint16_t>(state[s] >> 16);
+    *--ptr = static_cast<uint16_t>(state[s] & 0xFFFF);
+  }
+  const int64_t total = end - ptr;
+  std::memcpy(out, ptr, static_cast<size_t>(total) * 2);
+  return total;
+}
+
+void ilv_decode(const uint16_t *words, int64_t total_words,
+                const int32_t *indexes, int64_t n, const int32_t *freqs,
+                const int32_t *starts, int64_t table_stride,
+                const int32_t *lengths, const int32_t *offsets,
+                int64_t n_channels, int64_t n_streams, int32_t *out) {
+  // cum -> packed(val<<24 | start<<12 | freq-1) LUT, one slab per channel
+  std::vector<uint32_t> lut(
+      static_cast<size_t>(n_channels) * kIlvProbScale, 0);
+  for (int64_t c = 0; c < n_channels; ++c) {
+    uint32_t *row = lut.data() + c * kIlvProbScale;
+    for (int64_t v = 0; v < lengths[c]; ++v) {
+      const uint32_t f = static_cast<uint32_t>(freqs[c * table_stride + v]);
+      const uint32_t st = static_cast<uint32_t>(starts[c * table_stride + v]);
+      const uint32_t packed = (static_cast<uint32_t>(v) << 24)
+                              | (st << kIlvPrecision) | (f - 1);
+      for (uint32_t k = 0; k < f && st + k < kIlvProbScale; ++k) {
+        row[st + k] = packed;
+      }
+    }
+  }
+
+  std::vector<uint32_t> state(static_cast<size_t>(n_streams), 0);
+  int64_t pos = 0;
+  auto next_w = [&]() -> uint32_t {
+    return (pos < total_words) ? words[pos++] : 0u;
+  };
+  for (int64_t s = 0; s < n_streams; ++s) {
+    const uint32_t lo = next_w();
+    const uint32_t hi = next_w();
+    state[s] = lo | (hi << 16);
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t s = i % n_streams;
+    const int32_t c = indexes[i];
+    uint32_t x = state[s];
+    const uint32_t cum = x & kIlvMask;
+    const uint32_t p = lut[c * kIlvProbScale + cum];
+    const uint32_t f = (p & kIlvMask) + 1;
+    const uint32_t st = (p >> kIlvPrecision) & kIlvMask;
+    x = f * (x >> kIlvPrecision) + cum - st;
+    if (x < kIlvStateMin) {
+      x = (x << 16) | next_w();
+    }
+    state[s] = x;
+    out[i] = static_cast<int32_t>(p >> 24) + offsets[c];
+  }
+}
+
 int32_t rans_num_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();

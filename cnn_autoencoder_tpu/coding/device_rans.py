@@ -231,6 +231,132 @@ def encode_device(symbols: jnp.ndarray, channel_map: jnp.ndarray,
     return bufs, lengths, esc
 
 
+# --- interleaved layout (frame v4) ------------------------------------------
+#
+# Same rANS-32/16 math as above, but the 16-bit words are laid out in the
+# GLOBAL order the decoder consumes them: first the 2S flush words (stream-
+# major), then, for each step t ascending, the refill words of the streams
+# that renormalize at t, in stream order.  Properties:
+# * one contiguous payload per tile — no per-stream length table, smaller
+#   frames, one total length;
+# * the decoder's refill becomes "take the next k words off one shared
+#   queue" — rank-via-prefix-sum + a bounded window select.  That shape is
+#   exactly what the TPU can do fast (the Pallas kernel in
+#   ops/pallas/rans_kernel.py uses lane/sublane shuffles over a 1024-word
+#   window; XLA's gather handles the fallback below), whereas the v3
+#   per-stream buffers need a per-lane gather at arbitrary positions, which
+#   the VPU cannot do.
+# rANS duality used throughout: the word the encoder emits (renormalizing
+# BEFORE encoding symbol t of stream s, in its reverse pass) is the word
+# the decoder reads back (refilling AFTER decoding symbol t of stream s).
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def encode_device_interleaved(symbols: jnp.ndarray, channel_map: jnp.ndarray,
+                              tables: DeviceTables, capacity: int):
+    """Encode (B, T, S) int32 symbols -> ((B, capacity) u16 global-order
+    words, total words (B,), escape count).
+
+    ``capacity`` counts TOTAL words per tile (flush included).  Caller must
+    check ``escapes == 0`` and ``totals.max() <= capacity``.
+    """
+    b, t, s = symbols.shape
+    support = tables.support
+
+    enc_packed = ((tables.start.astype(jnp.uint32) << PRECISION)
+                  | (tables.freq - 1).astype(jnp.uint32)).reshape(-1)
+
+    v = symbols - tables.offset[channel_map][None]     # (B, T, S)
+    esc = jnp.sum((v < 0) | (v >= tables.length[channel_map][None]))
+    v = jnp.clip(v, 0, support - 1)
+
+    p = enc_packed[channel_map * support + v]          # (B, T, S) uint32
+    f = (p & jnp.uint32(MASK)) + jnp.uint32(1)
+    st = p >> PRECISION
+
+    def encode_one_batch(f_b, st_b):
+        def step(x, fs):
+            fk, stk = fs
+            e = (x >> EMIT_SHIFT) >= fk
+            w = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+            x = jnp.where(e, x >> 16, x)
+            x = ((x // fk) << PRECISION) + (x % fk) + stk
+            return x, (w, e)
+
+        init = jnp.full((s,), STATE_MIN, jnp.uint32)
+        x_final, (words_r, flags_r) = jax.lax.scan(
+            step, init, (f_b[::-1], st_b[::-1]), unroll=8)  # reversed (T, S)
+
+        words = words_r[::-1]                # original step order (T, S)
+        flags = flags_r[::-1]
+        # global decode-order position: 2S flush words, then row-major
+        # (t, s) exclusive prefix over the flags
+        flat = flags.reshape(-1).astype(jnp.int32)
+        g = jnp.cumsum(flat) - flat
+        total = 2 * s + flat.sum()
+        pos = jnp.where(flags.reshape(-1) > 0, 2 * s + g, capacity)
+
+        buf = jnp.zeros((capacity,), jnp.uint16)
+        buf = buf.at[pos].set(words.reshape(-1), mode="drop")
+        sidx = jnp.arange(s)
+        buf = buf.at[2 * sidx].set((x_final & jnp.uint32(0xFFFF))
+                                   .astype(jnp.uint16), mode="drop")
+        buf = buf.at[2 * sidx + 1].set((x_final >> 16).astype(jnp.uint16),
+                                       mode="drop")
+        return buf, total
+
+    bufs, totals = jax.vmap(encode_one_batch)(f, st)
+    return bufs, totals, esc
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def decode_device_interleaved(queues: jnp.ndarray, channel_map: jnp.ndarray,
+                              tables: DeviceTables, num_steps: int):
+    """Decode (B, Qcap) u16 global-order word queues -> (B, T, S) int32.
+
+    XLA fallback path (lax.scan + gather); the Pallas kernel is preferred
+    on TPU.  Reads past a (corrupt/truncated) queue's end are clamped to
+    the last word — garbage out, no OOB.
+    """
+    b, qcap = queues.shape
+    s = channel_map.shape[1]
+
+    st_at = jnp.take_along_axis(tables.start, tables.slot, axis=1)
+    fq_at = jnp.take_along_axis(tables.freq, tables.slot, axis=1)
+    dec_packed = ((tables.slot.astype(jnp.uint32) << 24)
+                  | (st_at.astype(jnp.uint32) << PRECISION)
+                  | (fq_at - 1).astype(jnp.uint32)).reshape(-1)
+
+    def decode_one(queue):
+        q32 = queue.astype(jnp.uint32)
+        sidx = jnp.arange(s)
+        x0 = q32[2 * sidx] | (q32[2 * sidx + 1] << 16)
+        base0 = jnp.int32(2 * s)
+
+        def step(carry, ch_row):
+            x, base = carry
+            cum = x & jnp.uint32(MASK)
+            p = dec_packed[ch_row * PROB_SCALE + cum.astype(jnp.int32)]
+            fk = (p & jnp.uint32(MASK)) + jnp.uint32(1)
+            stk = (p >> PRECISION) & jnp.uint32(MASK)
+            val = p >> 24
+            x = fk * (x >> PRECISION) + cum - stk
+            need = x < jnp.uint32(STATE_MIN)
+            ni = need.astype(jnp.int32)
+            rank = jnp.cumsum(ni) - ni
+            take = q32[jnp.minimum(base + rank, qcap - 1)]
+            x = jnp.where(need, (x << 16) | take, x)
+            base = base + ni.sum()
+            return (x, base), val.astype(jnp.int32)
+
+        (_, _), vals = jax.lax.scan(step, (x0, base0), channel_map,
+                                    unroll=4)
+        return vals  # (T, S)
+
+    vals = jax.vmap(decode_one)(queues)
+    return vals + tables.offset[channel_map][None]
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def decode_device(bufs: jnp.ndarray, channel_map: jnp.ndarray,
                   tables: DeviceTables, num_steps: int):

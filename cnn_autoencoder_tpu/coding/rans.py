@@ -81,6 +81,15 @@ def _load_library():
             p_i32]
         lib.rans_pmf_to_quantized_cdf.restype = i32
         lib.rans_pmf_to_quantized_cdf.argtypes = [p_f64, i64, i32, p_i32]
+        p_u16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+        lib.ilv_encode.restype = i64
+        lib.ilv_encode.argtypes = [
+            p_i32, p_i32, i64, p_i32, p_i32, i64, p_i32, p_i32, i64, p_u16,
+            i64]
+        lib.ilv_decode.restype = None
+        lib.ilv_decode.argtypes = [
+            p_u16, i64, p_i32, i64, p_i32, p_i32, i64, p_i32, p_i32, i64,
+            i64, p_i32]
         lib.rans_num_threads.restype = i32
         lib.rans_num_threads.argtypes = []
         _LIB = lib
@@ -194,6 +203,58 @@ def decode_batch(streams, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
     lib.rans_decode_batch(np.ascontiguousarray(data), data_offsets, sizes,
                           indexes, batch, n, cdfs, cdfs.shape[1], cdf_lengths,
                           offsets, out)
+    return out
+
+
+def encode_interleaved(symbols, indexes, freqs, starts, lengths, offsets,
+                       num_streams: int) -> np.ndarray:
+    """Interleaved multi-stream rANS-32/16 encode (frame-v4 twin of
+    coding/device_rans.py).  ``symbols`` are step-major (symbol i -> stream
+    i % num_streams); tables are 12-bit (freq, start) rows per channel.
+
+    Returns the uint16 word array (flush + payload).  Raises ValueError on
+    out-of-support symbols (this format has no escape coding — callers fall
+    back to the reference-compatible coder).
+    """
+    symbols = np.ascontiguousarray(symbols, np.int32).ravel()
+    indexes = np.ascontiguousarray(indexes, np.int32).ravel()
+    freqs = np.ascontiguousarray(freqs, np.int32)
+    starts = np.ascontiguousarray(starts, np.int32)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    lib = _load_library()
+    if lib is None:
+        raise RuntimeError("interleaved rANS needs the native library")
+    n = symbols.shape[0]
+    capacity = 2 * num_streams + n + 16  # <=1 word/symbol by construction
+    out = np.empty(capacity, np.uint16)
+    total = lib.ilv_encode(symbols, indexes, n, freqs, starts,
+                           freqs.shape[1], lengths, offsets, num_streams,
+                           out, capacity)
+    if total == -1:
+        raise ValueError("symbol outside its channel support")
+    if total < 0:
+        raise RuntimeError("interleaved rANS capacity overflow")
+    return out[:total].copy()
+
+
+def decode_interleaved(words, indexes, freqs, starts, lengths, offsets,
+                       num_streams: int) -> np.ndarray:
+    """Decode an interleaved word queue back to int32 symbols."""
+    words = np.ascontiguousarray(words, np.uint16).ravel()
+    indexes = np.ascontiguousarray(indexes, np.int32).ravel()
+    freqs = np.ascontiguousarray(freqs, np.int32)
+    starts = np.ascontiguousarray(starts, np.int32)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    lib = _load_library()
+    if lib is None:
+        raise RuntimeError("interleaved rANS needs the native library")
+    n = indexes.shape[0]
+    out = np.empty(n, np.int32)
+    lib.ilv_decode(words, words.shape[0], indexes, n, freqs, starts,
+                   freqs.shape[1], lengths, offsets, freqs.shape[0],
+                   num_streams, out)
     return out
 
 

@@ -1,0 +1,150 @@
+"""Interleaved (frame-v4) multi-stream rANS: XLA <-> C++ bit-identity.
+
+The interleaved layout puts all 16-bit words in global decode-consumption
+order (2 flush words per stream, then refills in (step, stream) order), so
+one sequential host pass and the lockstep device scan consume the same
+queue.  These tests pin the format: the XLA encoder, the XLA decoder, and
+the native C++ coder must agree bit-for-bit on every stream.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.coding import rans
+from cnn_autoencoder_tpu.coding.cdf import pmf_to_quantized_cdf
+from cnn_autoencoder_tpu.coding.device_rans import (
+    DeviceTables, decode_device_interleaved, encode_device_interleaved,
+    pack_streams, stream_channel_map, unpack_streams)
+
+pytestmark = pytest.mark.skipif(not rans.native_available(),
+                                reason="native rANS library unavailable")
+
+
+def _random_tables(rng, channels, max_support=48):
+    supports = rng.randint(5, max_support, channels)
+    ml = int(supports.max())
+    freq = np.zeros((channels, ml), np.int32)
+    start = np.zeros((channels, ml), np.int32)
+    slot = np.zeros((channels, 4096), np.int32)
+    offset = rng.randint(-20, 20, channels).astype(np.int32)
+    for c in range(channels):
+        n = int(supports[c])
+        alpha = rng.choice([0.1, 1.0, 5.0])
+        pmf = rng.dirichlet(np.ones(n) * alpha)
+        cdf = pmf_to_quantized_cdf(pmf, 12)
+        f = np.diff(cdf)
+        freq[c, :n] = f
+        start[c, :n] = cdf[:-1]
+        freq[c, n:] = 1
+        slot[c] = np.repeat(np.arange(n), f)
+    return DeviceTables(freq=jnp.asarray(freq), start=jnp.asarray(start),
+                        slot=jnp.asarray(slot), offset=jnp.asarray(offset),
+                        length=jnp.asarray(supports.astype(np.int32)),
+                        support=ml)
+
+
+def _sample_symbols(rng, tables, n):
+    """Draw each symbol from its channel's own support (no escapes)."""
+    c = tables.freq.shape[0]
+    length = np.asarray(tables.length)
+    offset = np.asarray(tables.offset)
+    idx = np.minimum(np.arange(n) * c // n, c - 1).astype(np.int32)
+    sym = np.empty(n, np.int32)
+    for ch in range(c):
+        m = idx == ch
+        sym[m] = rng.randint(0, length[ch], m.sum()) + offset[ch]
+    return sym, idx
+
+
+@pytest.mark.parametrize("seed,s", [(0, 16), (1, 64), (2, 128)])
+def test_cpp_roundtrip(seed, s):
+    rng = np.random.RandomState(seed)
+    tables = _random_tables(rng, rng.randint(2, 12))
+    n = s * rng.randint(3, 40)
+    sym, idx = _sample_symbols(rng, tables, n)
+    words = rans.encode_interleaved(
+        sym, idx, np.asarray(tables.freq), np.asarray(tables.start),
+        np.asarray(tables.length), np.asarray(tables.offset), s)
+    out = rans.decode_interleaved(
+        words, idx, np.asarray(tables.freq), np.asarray(tables.start),
+        np.asarray(tables.length), np.asarray(tables.offset), s)
+    np.testing.assert_array_equal(out, sym)
+
+
+@pytest.mark.parametrize("seed,s", [(3, 32), (4, 128)])
+def test_xla_encode_matches_cpp_bitstream(seed, s):
+    rng = np.random.RandomState(seed)
+    c = rng.randint(2, 10)
+    tables = _random_tables(rng, c)
+    h = w = 16
+    t = -(-(c * h * w) // s)
+    ch_map_np = stream_channel_map(c, (h, w), s)
+    ch_map = jnp.asarray(ch_map_np)
+
+    # channel-major symbols for 2 tiles
+    length = np.asarray(tables.length)
+    offset = np.asarray(tables.offset)
+    sym = np.stack([
+        np.concatenate([rng.randint(0, length[ch], h * w) + offset[ch]
+                        for ch in range(c)]).astype(np.int32)
+        for _ in range(2)])
+
+    packed = pack_streams(jnp.asarray(sym), s)
+    cap = 2 * s + t * s + 16
+    bufs, totals, esc = encode_device_interleaved(packed, ch_map, tables,
+                                                  cap)
+    assert int(esc) == 0
+    bufs_np = np.asarray(bufs)
+    totals_np = np.asarray(totals)
+
+    # C++ twin: step-major symbol order (h*w=256 divides both stream
+    # counts, so pack_streams adds no padding here)
+    assert t * s == c * h * w
+    for b in range(2):
+        sm_sym = sym[b]
+        sm_idx = ch_map_np.reshape(-1)
+        words = rans.encode_interleaved(
+            sm_sym, sm_idx, np.asarray(tables.freq),
+            np.asarray(tables.start), length, offset, s)
+        assert totals_np[b] == words.shape[0]
+        np.testing.assert_array_equal(bufs_np[b, :totals_np[b]], words)
+
+        # cross decode: C++ decodes the XLA queue
+        out = rans.decode_interleaved(
+            bufs_np[b, :totals_np[b]], sm_idx, np.asarray(tables.freq),
+            np.asarray(tables.start), length, offset, s)
+        np.testing.assert_array_equal(out, sm_sym)
+
+    # XLA decode of the XLA queue
+    dec = decode_device_interleaved(bufs, ch_map, tables, t)
+    out = np.asarray(unpack_streams(dec, c * h * w))
+    np.testing.assert_array_equal(out, sym)
+
+
+def test_out_of_support_rejected():
+    rng = np.random.RandomState(9)
+    tables = _random_tables(rng, 3)
+    sym, idx = _sample_symbols(rng, tables, 64)
+    sym[10] = int(np.asarray(tables.offset)[idx[10]]) - 1
+    with pytest.raises(ValueError):
+        rans.encode_interleaved(
+            sym, idx, np.asarray(tables.freq), np.asarray(tables.start),
+            np.asarray(tables.length), np.asarray(tables.offset), 16)
+
+
+def test_truncated_queue_no_crash():
+    rng = np.random.RandomState(11)
+    tables = _random_tables(rng, 4)
+    s = 32
+    sym, idx = _sample_symbols(rng, tables, s * 20)
+    words = rans.encode_interleaved(
+        sym, idx, np.asarray(tables.freq), np.asarray(tables.start),
+        np.asarray(tables.length), np.asarray(tables.offset), s)
+    # chop the queue: decode must return garbage, not crash/overread
+    out = rans.decode_interleaved(
+        words[:max(1, len(words) // 3)], idx, np.asarray(tables.freq),
+        np.asarray(tables.start), np.asarray(tables.length),
+        np.asarray(tables.offset), s)
+    assert out.shape == sym.shape
