@@ -1,0 +1,196 @@
+"""Pallas TPU kernel: interleaved multi-stream rANS decode (frame v4).
+
+The XLA scan in coding/device_rans.py decodes ~3-4 Msym/s on a v5e because
+every step pays two XLA gathers (a (C,4096) LUT lookup and a refill) that
+lower to scalar loops.  This kernel keeps everything VPU-vectorized:
+
+* the S = 1024 streams live as an (8, 128) uint32 state register;
+* the per-channel cum->packed LUT slab (32 rows x 128 lanes per channel)
+  is looked up with 32 same-shape lane shuffles + selects (Mosaic lowers
+  ``jnp.take_along_axis(x, idx, axis=1)`` on same-shape operands to a
+  vector shuffle — the only dynamic-indexing primitive the VPU has);
+* the refill reads "the next k words" off the shared word queue: rank =
+  exclusive prefix sum of the refill flags, then a 9-row window select
+  (the window of 1024+127 words that can possibly be consumed this step).
+
+Bit-identical to ``decode_device_interleaved`` and the C++ ``ilv_decode``
+(tests/test_ilv_rans.py pins all three against each other).
+
+Requirements: num_streams == 1024, and the latent plane size (h*w) must be
+a multiple of the stream count so each scan step reads one channel
+(callers fall back to the XLA scan otherwise).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...coding.device_rans import MASK, PRECISION, PROB_SCALE, STATE_MIN
+
+STREAMS = 1024               # 8 sublanes x 128 lanes
+_SUB = 8
+_LANE = 128
+_LUT_ROWS = PROB_SCALE // _LANE   # 32 rows of 128 per channel
+_WIN_ROWS = (STREAMS + _LANE - 1) // _LANE + 1  # 9: offset + 1024 words
+
+
+def _prefix_sum(x):
+    """Inclusive prefix sum over the flattened (8, 128) array in row-major
+    order, via Hillis-Steele shift-adds (cumsum has no Mosaic lowering).
+    Returns (incl, total)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
+    # within-row inclusive scan over 128 lanes
+    d = 1
+    while d < _LANE:
+        shifted = pltpu.roll(x, d, 1)
+        x = x + jnp.where(lane >= d, shifted, 0)
+        d *= 2
+    row_tot = jnp.broadcast_to(x[:, _LANE - 1:_LANE], (_SUB, _LANE))
+    # exclusive scan of the row totals over 8 sublanes
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+    r = row_tot
+    d = 1
+    while d < _SUB:
+        shifted = pltpu.roll(r, d, 0)
+        r = r + jnp.where(sub >= d, shifted, 0)
+        d *= 2
+    total = r[_SUB - 1, _LANE - 1]
+    row_pre = jnp.where(sub >= 1, pltpu.roll(r, 1, 0), 0)
+    return x + row_pre, total
+
+
+def _select_gather(rows, row_idx, lane_idx, n_rows):
+    """out[r, l] = rows[row_idx[r, l], lane_idx[r, l]] via n_rows
+    lane-shuffles + selects.  ``rows``: (n_rows, 128) int32."""
+    out = jnp.zeros((_SUB, _LANE), jnp.int32)
+    for r in range(n_rows):
+        bc = jnp.broadcast_to(rows[r][None, :], (_SUB, _LANE))
+        cand = jnp.take_along_axis(bc, lane_idx, axis=1)
+        out = jnp.where(row_idx == r, cand, out)
+    return out
+
+
+def _decode_kernel(ch_ref, x0_ref, queue_ref, lut_ref, out_ref):
+    """One tile: T steps x (8,128) streams.
+
+    ch_ref: (T,) i32 scalar-prefetch — channel per step
+    x0_ref: (8, 128) i32 — initial states (from the 2S flush words)
+    queue_ref: (Qrows + 9, 128) i32 — zero-extended u16 words, padded
+    lut_ref: (C * 32, 128) i32 — packed val<<24 | start<<12 | (freq-1)
+    out_ref: (T, 8, 128) i32 — decoded value indices
+    """
+    t_steps = out_ref.shape[0]
+    q_rows = queue_ref.shape[0]
+    mask = jnp.int32(MASK)
+
+    def step(t, carry):
+        x, base = carry  # x: (8,128) int32 (bit pattern of u32 state)
+        ch = ch_ref[t]
+
+        # ---- LUT lookup: packed = lut[ch, cum] -------------------------
+        cum = x & mask
+        lrows = lut_ref[pl.ds(ch * _LUT_ROWS, _LUT_ROWS), :]
+        p = _select_gather(lrows, cum >> 7, cum & (_LANE - 1), _LUT_ROWS)
+
+        fk = (p & mask) + 1                       # freq, 1..4096
+        stk = (p >> PRECISION) & mask             # start
+        val = (p >> 24) & 0xFF                    # value index
+
+        # state update (mod 2^32; logical shift via uint32 view)
+        xu = pltpu.bitcast(x, jnp.uint32)
+        x = pltpu.bitcast(
+            pltpu.bitcast(fk, jnp.uint32) * (xu >> PRECISION), jnp.int32)
+        x = x + cum - stk
+
+        # ---- refill: next k words off the shared queue -----------------
+        xu = pltpu.bitcast(x, jnp.uint32)
+        need = xu < jnp.uint32(STATE_MIN)
+        ni = need.astype(jnp.int32)
+        incl, total = _prefix_sum(ni)
+        rank = incl - ni                               # (8,128) exclusive
+
+        r0 = jnp.minimum(base >> 7, q_rows - _WIN_ROWS)
+        off = base - (r0 << 7)
+        win = queue_ref[pl.ds(r0, _WIN_ROWS), :]
+        j = off + rank
+        w = _select_gather(win, j >> 7, j & (_LANE - 1), _WIN_ROWS)
+
+        x = jnp.where(need, (x << 16) | w, x)
+        out_ref[pl.ds(t, 1)] = val[None]
+        return x, base + total
+
+    x0 = x0_ref[:]
+    jax.lax.fori_loop(0, t_steps, step,
+                      (x0, jnp.int32(2 * STREAMS)))
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def decode_interleaved_pallas(queues: jnp.ndarray, channels: jnp.ndarray,
+                              lut: jnp.ndarray, num_steps: int,
+                              interpret: bool = False):
+    """Decode (B, Q) u16-in-i32 word queues -> (B, T, S) int32 value
+    indices (offsets NOT applied).
+
+    queues: (B, Q) int32, zero-extended 16-bit words, Q a multiple of 128
+    channels: (T,) int32 — the channel of every scan step
+    lut: (C, 4096) int32 packed entries (see device_rans dec_packed)
+    """
+    b, q = queues.shape
+    assert q % _LANE == 0
+    c = lut.shape[0]
+
+    # initial states from the 2S flush words (cheap XLA prologue)
+    sidx = jnp.arange(STREAMS)
+    lo = queues[:, 2 * sidx]
+    hi = queues[:, 2 * sidx + 1]
+    x0 = (lo | (hi << 16)).reshape(b, _SUB, _LANE)
+
+    queues_p = jnp.pad(queues, ((0, 0), (0, _WIN_ROWS * _LANE)))
+    q_rows = queues_p.shape[1] // _LANE
+    queues_p = queues_p.reshape(b, q_rows, _LANE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, _SUB, _LANE), lambda i, ch: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, q_rows, _LANE), lambda i, ch: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c * _LUT_ROWS, _LANE), lambda i, ch: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, num_steps, _SUB, _LANE),
+                               lambda i, ch: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    out = pl.pallas_call(
+        _decode_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, num_steps, _SUB, _LANE),
+                                       jnp.int32),
+        interpret=interpret,
+    )(channels, x0, queues_p, lut.reshape(c * _LUT_ROWS, _LANE))
+    return out.reshape(b, num_steps, STREAMS)
+
+
+def pack_dec_lut(tables) -> jnp.ndarray:
+    """(C, 4096) packed int32 decode LUT from DeviceTables."""
+    st_at = jnp.take_along_axis(tables.start, tables.slot, axis=1)
+    fq_at = jnp.take_along_axis(tables.freq, tables.slot, axis=1)
+    packed = ((tables.slot.astype(jnp.uint32) << 24)
+              | (st_at.astype(jnp.uint32) << PRECISION)
+              | (fq_at - 1).astype(jnp.uint32))
+    return jax.lax.bitcast_convert_type(packed, jnp.int32)
+
+
+def supported(num_streams: int, num_channels: int, plane: int) -> bool:
+    """Whether this kernel can decode the given geometry."""
+    return (num_streams == STREAMS and plane % num_streams == 0
+            and num_channels * PROB_SCALE // _LANE * _LANE
+            == num_channels * PROB_SCALE)

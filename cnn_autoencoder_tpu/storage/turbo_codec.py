@@ -10,10 +10,15 @@ Bitstream (per chunk, self-framed):
   '>QQ' true (h, w) pixels, with bit 63 of h SET (the turbo marker — a
         host 'cae' frame's h is a real image height, always < 2^63, so the
         two formats are unambiguous at any chunk)
-  u8    version (3)
+  u8    version (4: interleaved; 3: legacy per-stream, still decodable)
   u16   num_streams S
-  u32[S] per-stream byte lengths (always even: 16-bit words)
-  concatenated per-stream rANS-32/16 payloads (little-endian u16 words)
+  v4:   u32 total payload bytes, then ONE shared little-endian u16 word
+        queue in global decode-consumption order (2 flush words per stream,
+        stream-major, then refills in (step, stream) order) — decodable by
+        the Pallas kernel (ops/pallas/rans_kernel.py), the XLA scan, or the
+        sequential C++ twin, bit-identically
+  v3:   u32[S] per-stream byte lengths, then concatenated per-stream
+        rANS-32/16 payloads (little-endian u16 words)
 
 Not bitstream-compatible with the reference 'cae' codec (that one remains
 the compatibility path); escapes or capacity overflows fall back to the
@@ -22,6 +27,7 @@ may therefore mix turbo and host frames, and ``decode_tiles`` detects the
 format of every buffer independently.
 """
 
+import os
 import struct
 from typing import List, Optional, Tuple
 
@@ -30,14 +36,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..coding.device_rans import (FLUSH_WORDS, bake_device_tables,
-                                  decode_device, encode_device,
+                                  decode_device, decode_device_interleaved,
+                                  encode_device_interleaved,
                                   expected_bits_per_symbol, pack_streams,
                                   stream_channel_map, unpack_streams)
 from ..models.entropy import medians_fn
 from .cae_codec import CAECodecCore, _ceil_to
 from .codecs import Codec, ndarray_copy, register_codec
 
-VERSION = 3
+VERSION = 4
+LEGACY_VERSION = 3
 DEFAULT_STREAMS = 1024
 TURBO_FLAG = 1 << 63   # set on the big-endian h field of turbo frames
 
@@ -63,6 +71,13 @@ class CAETurboCore:
         med = jnp.asarray(self.base.medians)
         modules, variables = model.modules, model.variables
 
+        from ..ops.pallas import rans_kernel
+        self._dec_lut = rans_kernel.pack_dec_lut(self.tables)
+        # the Pallas decode kernel runs on real TPUs; the XLA scan is the
+        # portable fallback (CPU tests, spoofed meshes, odd geometries)
+        self._use_pallas = (jax.default_backend() == "tpu"
+                            and os.environ.get("CAE_TPU_PALLAS", "1") != "0")
+
         def encode_fused(x_u8, ch_map, capacity):
             x = x_u8.astype(jnp.float32) / 255.0
             y = modules["encoder"].apply(variables["encoder"], x)
@@ -70,19 +85,38 @@ class CAETurboCore:
             sym_cm = jnp.transpose(sym, (0, 3, 1, 2))     # (B, C, lh, lw)
             flat = sym_cm.reshape(sym_cm.shape[0], -1)
             packed = pack_streams(flat, ch_map.shape[1])
-            return encode_device(packed, ch_map, self.tables, capacity)
+            return encode_device_interleaved(packed, ch_map, self.tables,
+                                             capacity)
 
-        def decode_fused(bufs, ch_map, num_steps, lh, lw):
-            packed = decode_device(bufs, ch_map, self.tables, num_steps)
+        def _finish_decode(sym_ts, lh, lw):
             n = self.channels_bn * lh * lw
-            flat = unpack_streams(packed, n)
+            flat = unpack_streams(sym_ts, n)
             sym_cm = flat.reshape(-1, self.channels_bn, lh, lw)
             y = jnp.transpose(sym_cm, (0, 2, 3, 1)).astype(jnp.float32) + med
             x_r, _ = modules["decoder"].apply(variables["decoder"], y)
             return jnp.clip(x_r[0] * 255.0, 0, 255).astype(jnp.uint8)
 
+        def decode_fused_scan(queues, ch_map, num_steps, lh, lw):
+            sym = decode_device_interleaved(queues, ch_map, self.tables,
+                                            num_steps)
+            return _finish_decode(sym, lh, lw)
+
+        def decode_fused_pallas(queues, ch_map, num_steps, lh, lw):
+            vals = rans_kernel.decode_interleaved_pallas(
+                queues, ch_map[:, 0], self._dec_lut, num_steps)
+            sym = vals + self.tables.offset[ch_map][None]
+            return _finish_decode(sym, lh, lw)
+
+        def decode_fused_v3(bufs, ch_map, num_steps, lh, lw):
+            sym = decode_device(bufs, ch_map, self.tables, num_steps)
+            return _finish_decode(sym, lh, lw)
+
         self._encode = jax.jit(encode_fused, static_argnums=(2,))
-        self._decode = jax.jit(decode_fused, static_argnums=(2, 3, 4))
+        self._decode_scan = jax.jit(decode_fused_scan,
+                                    static_argnums=(2, 3, 4))
+        self._decode_pallas = jax.jit(decode_fused_pallas,
+                                      static_argnums=(2, 3, 4))
+        self._decode_v3 = jax.jit(decode_fused_v3, static_argnums=(2, 3, 4))
 
     # -- geometry -----------------------------------------------------------
 
@@ -118,20 +152,22 @@ class CAETurboCore:
         ch_map = self._get_ch_map(lh, lw)
         t = self._steps(lh, lw)
 
-        # initial capacity from the tables' entropy (+35% per-stream tail
-        # headroom); doubling on overflow keeps a small set of compiled
-        # capacities.  Smaller capacity = smaller device scatter AND fewer
-        # bytes fetched over the link.
-        capacity = max(64, int(t * self.expected_bits / 16.0 * 1.35)
-                       + FLUSH_WORDS + 8)
+        # initial capacity from the tables' entropy (+12% tail headroom over
+        # the whole tile — the interleaved queue pools all streams, so the
+        # law of large numbers makes per-tile totals tight); doubling on
+        # overflow keeps a small set of compiled capacities.  Smaller
+        # capacity = smaller device scatter AND fewer bytes fetched.
+        s = self.num_streams
+        capacity = 2 * s + 64 + int(
+            t * s * self.expected_bits / 16.0 * 1.12)
         for _ in range(6):
-            bufs, lengths, esc = self._encode(tiles_u8, ch_map, capacity)
+            bufs, totals, esc = self._encode(tiles_u8, ch_map, capacity)
             # ONE device_get for everything: the tunnel's per-round-trip
             # latency dwarfs the (rare) waste of fetching buffers that a
             # capacity retry throws away
-            bufs_np, lengths_np, esc = jax.device_get((bufs, lengths, esc))
-            if int(esc) == 0 and lengths_np.max() <= capacity:
-                return self._frame(bufs_np, lengths_np, true_hw)
+            bufs_np, totals_np, esc = jax.device_get((bufs, totals, esc))
+            if int(esc) == 0 and totals_np.max() <= capacity:
+                return self._frame(bufs_np, totals_np, true_hw)
             if int(esc) > 0:
                 break
             capacity *= 2
@@ -140,23 +176,17 @@ class CAETurboCore:
         sym = self.base.fetch_symbols(self.base.encode_tiles_device(tiles_u8))
         return self.base.entropy_encode(sym, true_hw)
 
-    def _frame(self, bufs_np, lengths_np, true_hw) -> List[bytes]:
+    def _frame(self, bufs_np, totals_np, true_hw) -> List[bytes]:
         out = []
         s = self.num_streams
-        cap = bufs_np.shape[-1]
         words_le = np.ascontiguousarray(bufs_np).astype("<u2")
-        byte_lengths = lengths_np.astype(np.int64) * 2
-        # vectorized payload extraction: boolean-mask out each tile's used
-        # words in stream order (a single C-level gather per tile, not a
-        # Python loop over every stream)
-        col = np.arange(cap)
-        used = col[None, None, :] < lengths_np[:, :, None]   # (B, S, cap)
         for i, (th, tw) in enumerate(true_hw):
+            total = int(totals_np[i])
             out.append(b"".join([
                 struct.pack(">QQ", th | TURBO_FLAG, tw),
                 struct.pack(">BH", VERSION, s),
-                byte_lengths[i].astype(">u4").tobytes(),
-                words_le[i][used[i]].tobytes()]))
+                struct.pack(">I", total * 2),
+                words_le[i, :total].tobytes()]))
         return out
 
     # -- decode -------------------------------------------------------------
@@ -184,19 +214,20 @@ class CAETurboCore:
             h_field, tw = struct.unpack(">QQ", raw[:16])
             th = h_field & ~TURBO_FLAG
             version, s = struct.unpack(">BH", raw[16:19])
-            if version != VERSION:
+            if version not in (VERSION, LEGACY_VERSION):
                 raise ValueError(
                     f"cae_tpu frame version {version} unsupported "
-                    f"(expected {VERSION})")
-            turbo_groups.setdefault((s, th, tw), []).append((i, raw))
+                    f"(expected {LEGACY_VERSION} or {VERSION})")
+            turbo_groups.setdefault((version, s, th, tw), []).append((i, raw))
 
         for (th, tw), idxs in host_groups.items():
             rec = self.base.decode_tiles([bytes(bufs[i]) for i in idxs])
             for i, r in zip(idxs, rec):
                 recs[i] = r
-        for (s, th, tw), group in turbo_groups.items():
-            rec = self._decode_turbo_group([raw for _, raw in group],
-                                           s, th, tw)
+        for (version, s, th, tw), group in turbo_groups.items():
+            decode_group = (self._decode_turbo_group if version == VERSION
+                            else self._decode_turbo_group_v3)
+            rec = decode_group([raw for _, raw in group], s, th, tw)
             for (i, _), r in zip(group, rec):
                 recs[i] = r
 
@@ -206,10 +237,46 @@ class CAETurboCore:
 
     def _decode_turbo_group(self, raws: List[bytes], s: int, th: int,
                             tw: int) -> np.ndarray:
+        """Frame v4: one shared word queue per tile."""
+        from ..ops.pallas import rans_kernel
+
         ph, pw = self.base.padded_hw(th, tw)
         lh, lw = self._latent_hw(ph, pw)
         # honor the frame's stream count (stores may have been written
         # with a different num_streams than this reader's default)
+        t = self._steps(lh, lw, s)
+        batch = len(raws)
+
+        totals = np.zeros(batch, np.int64)  # in 16-bit words
+        payloads = []
+        for i, raw in enumerate(raws):
+            (nbytes,) = struct.unpack(">I", raw[19:23])
+            payload = raw[23:]
+            if len(payload) < nbytes or nbytes % 2:
+                raise ValueError(
+                    f"corrupt cae_tpu frame: payload holds "
+                    f"{len(payload)} bytes, header declares {nbytes}")
+            totals[i] = nbytes // 2
+            payloads.append(payload[:nbytes])
+
+        qcap = -(-int(totals.max()) // 128) * 128
+        queues = np.zeros((batch, qcap), np.int32)
+        for i, payload in enumerate(payloads):
+            queues[i, :totals[i]] = np.frombuffer(payload, "<u2")
+
+        ch_map = self._get_ch_map(lh, lw, s)
+        use_pallas = (self._use_pallas
+                      and rans_kernel.supported(s, self.channels_bn,
+                                                lh * lw))
+        decode = self._decode_pallas if use_pallas else self._decode_scan
+        rec = np.asarray(decode(jnp.asarray(queues), ch_map, t, lh, lw))
+        return rec[:, :th, :tw, :]
+
+    def _decode_turbo_group_v3(self, raws: List[bytes], s: int, th: int,
+                               tw: int) -> np.ndarray:
+        """Legacy frame v3: per-stream buffers + length table."""
+        ph, pw = self.base.padded_hw(th, tw)
+        lh, lw = self._latent_hw(ph, pw)
         t = self._steps(lh, lw, s)
 
         batch = len(raws)
@@ -236,9 +303,9 @@ class CAETurboCore:
             mask = col_grid[None, :] < lengths[i][:, None]      # (S, cap)
             dev_bufs[i][mask] = flat[:need]
 
-        rec = np.asarray(self._decode(jnp.asarray(dev_bufs),
-                                      self._get_ch_map(lh, lw, s), t, lh,
-                                      lw))
+        rec = np.asarray(self._decode_v3(jnp.asarray(dev_bufs),
+                                         self._get_ch_map(lh, lw, s), t, lh,
+                                         lw))
         return rec[:, :th, :tw, :]
 
 

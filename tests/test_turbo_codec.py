@@ -161,3 +161,78 @@ def test_mixed_stream_count_store_decodes(model):
     rec_w = writer.decode_tiles(bufs)
     rec_r = reader.decode_tiles(bufs)
     np.testing.assert_array_equal(rec_w, rec_r)
+
+
+def test_legacy_v3_frame_decodes(model):
+    """Stores written with the round-1 per-stream layout (frame v3) must
+    keep decoding through the new version-dispatching reader."""
+    from cnn_autoencoder_tpu.coding.device_rans import (encode_device,
+                                                        pack_streams)
+    from cnn_autoencoder_tpu.storage.turbo_codec import (LEGACY_VERSION,
+                                                         TURBO_FLAG)
+
+    core = CAETurboCore(model, num_streams=64)
+    img = _image(32, 32, seed=3)[None]
+
+    # reference reconstruction via the current (v4) round trip
+    v4 = core.encode_tiles(img)
+    rec_v4 = core.decode_tiles(v4)
+
+    # hand-build a v3 frame: encoder conv -> symbols -> per-stream buffers
+    sym = core.base.fetch_symbols(core.base.encode_tiles_device(
+        jnp.asarray(img)))
+    flat = sym.reshape(1, -1)
+    packed = pack_streams(jnp.asarray(flat), 64)
+    t = packed.shape[1]
+    cap = t * 2 + 8
+    bufs, lengths, esc = encode_device(packed, core._get_ch_map(8, 8, 64),
+                                       core.tables, cap)
+    assert int(esc) == 0
+    bufs_np = np.asarray(bufs).astype("<u2")
+    lengths_np = np.asarray(lengths)
+    used = np.arange(cap)[None, :] < lengths_np[0][:, None]
+    frame = b"".join([
+        struct.pack(">QQ", 32 | TURBO_FLAG, 32),
+        struct.pack(">BH", LEGACY_VERSION, 64),
+        (lengths_np[0] * 2).astype(">u4").tobytes(),
+        bufs_np[0][used].tobytes()])
+
+    rec_v3 = core.decode_tiles([frame])
+    np.testing.assert_array_equal(np.asarray(rec_v3), np.asarray(rec_v4))
+
+
+def test_pallas_decode_interpret_matches_scan(model):
+    """The Pallas interleaved-decode kernel (interpret mode on CPU) must be
+    bit-identical to the XLA scan decoder on flagship-like geometry."""
+    from cnn_autoencoder_tpu.coding.device_rans import (
+        decode_device_interleaved, encode_device_interleaved, pack_streams,
+        stream_channel_map)
+    from cnn_autoencoder_tpu.ops.pallas.rans_kernel import (
+        STREAMS, decode_interleaved_pallas, pack_dec_lut, supported)
+
+    core = CAETurboCore(model)
+    c = core.channels_bn
+    lh = lw = 32  # plane 1024 == STREAMS -> one channel per step
+    assert supported(STREAMS, c, lh * lw)
+    rng = np.random.RandomState(0)
+    med = core.base.medians
+    y = rng.randn(2, c, lh, lw).astype(np.float32) * 1.5
+    sym = np.round(y).astype(np.int32)
+
+    ch_map = jnp.asarray(stream_channel_map(c, (lh, lw), STREAMS))
+    packed = pack_streams(jnp.asarray(sym.reshape(2, -1)), STREAMS)
+    t = packed.shape[1]
+    cap = 2 * STREAMS + t * STREAMS + 16
+    bufs, totals, esc = encode_device_interleaved(packed, ch_map,
+                                                  core.tables, cap)
+    assert int(esc) == 0
+
+    ref = np.asarray(decode_device_interleaved(bufs, ch_map, core.tables,
+                                               t))
+    q = np.asarray(bufs).astype(np.int32)
+    qcap = -(-q.shape[1] // 128) * 128
+    q = np.pad(q, ((0, 0), (0, qcap - q.shape[1])))
+    vals = decode_interleaved_pallas(jnp.asarray(q), ch_map[:, 0],
+                                     pack_dec_lut(core.tables), t, True)
+    offs = np.asarray(core.tables.offset)[np.asarray(ch_map)][None]
+    np.testing.assert_array_equal(np.asarray(vals) + offs, ref)
