@@ -735,6 +735,86 @@ void ilv_decode(const uint16_t *words, int64_t total_words,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Packed pixel transport: host-side inverse of coding/pixel_pack.py's
+// device bit-plane packer.  Blocks of 128 zigzag residuals, each stored as
+// `width` bit-planes of 4 uint32 words; after unpacking, un-zigzag and the
+// left/up prefix reconstruct the uint8 pixels exactly (all mod-256).
+
+// Spread one byte's 8 bits into 8 bytes (bit i -> byte i, value 0/1).
+const uint64_t *bit_spread_lut() {
+  static uint64_t lut[256];
+  static bool init = false;
+  if (!init) {
+    for (uint32_t v = 0; v < 256; ++v) {
+      uint64_t x = 0;
+      for (int i = 0; i < 8; ++i) {
+        x |= static_cast<uint64_t>((v >> i) & 1) << (8 * i);
+      }
+      lut[v] = x;
+    }
+    init = true;
+  }
+  return lut;
+}
+
+void pixel_unpack_blocks(const uint32_t *words, int64_t n_words,
+                         const uint8_t *widths, int64_t n_blocks,
+                         int64_t b, int64_t p, int64_t q, int64_t c,
+                         uint8_t *out) {
+  const uint64_t *lut = bit_spread_lut();
+  const int64_t n = n_blocks * 128;
+  std::vector<uint8_t> z(static_cast<size_t>(n), 0);
+
+  int64_t off = 0;
+  for (int64_t i = 0; i < n_blocks; ++i) {
+    uint64_t *dst = reinterpret_cast<uint64_t *>(z.data() + i * 128);
+    const int w = widths[i];
+    for (int k = 0; k < w; ++k) {
+      if (off + 4 > n_words) {
+        break;  // truncated buffer: remaining planes read as zero
+      }
+      for (int m = 0; m < 4; ++m) {
+        const uint32_t word = words[off + m];
+        // 32 bits -> 32 bytes, each shifted into bit position k
+        dst[m * 4 + 0] |= lut[word & 0xFF] << k;
+        dst[m * 4 + 1] |= lut[(word >> 8) & 0xFF] << k;
+        dst[m * 4 + 2] |= lut[(word >> 16) & 0xFF] << k;
+        dst[m * 4 + 3] |= lut[(word >> 24) & 0xFF] << k;
+      }
+      off += 4;
+    }
+  }
+
+  // un-zigzag + spatial prefix, per tile
+  const int64_t tile = p * q * c;
+  for (int64_t t = 0; t < b; ++t) {
+    const uint8_t *zt = z.data() + t * tile;
+    uint8_t *ot = out + t * tile;
+    for (int64_t y = 0; y < p; ++y) {
+      const uint8_t *zr = zt + y * q * c;
+      uint8_t *orow = ot + y * q * c;
+      const uint8_t *prev_col0 = (y > 0) ? ot + (y - 1) * q * c : nullptr;
+      for (int64_t ch = 0; ch < c; ++ch) {
+        const uint8_t zz = zr[ch];
+        const uint8_t s =
+            static_cast<uint8_t>((zz >> 1) ^ static_cast<uint8_t>(-(zz & 1)));
+        orow[ch] = static_cast<uint8_t>(
+            s + (prev_col0 != nullptr ? prev_col0[ch] : 0));
+      }
+      for (int64_t x = 1; x < q; ++x) {
+        for (int64_t ch = 0; ch < c; ++ch) {
+          const uint8_t zz = zr[x * c + ch];
+          const uint8_t s = static_cast<uint8_t>(
+              (zz >> 1) ^ static_cast<uint8_t>(-(zz & 1)));
+          orow[x * c + ch] =
+              static_cast<uint8_t>(s + orow[(x - 1) * c + ch]);
+        }
+      }
+    }
+  }
+}
+
 int32_t rans_num_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();

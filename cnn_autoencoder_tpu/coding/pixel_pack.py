@@ -1,0 +1,164 @@
+"""Packed pixel transport: device-side residual bit-plane packing.
+
+The decompress pipeline's dominant link cost is fetching raw uint8 pixels
+(24 bpp) from the device.  Reconstructed tiles are spatially smooth, so a
+left/up predictor leaves small residuals; this module packs their zigzag
+values into per-block bit-planes ON DEVICE (pure vector ops: shifts, small
+dot products, one scatter — XLA-friendly, no gathers), so only ~w bits per
+pixel cross the link (w = per-128-pixel-block max significant bits, usually
+3-6).  The host unpacks and reconstructs in native code
+(csrc/rans.cpp: pixel_unpack_blocks) at GB/s.
+
+Losslessness: residuals are mod-256 uint8 differences; the host prefix-sum
+inverts them exactly, so the fetched tiles are byte-identical to a raw
+fetch (tests/test_pixel_pack.py).
+
+Layout (per batch of B tiles of (P, P, C) uint8):
+* predictor: p[y, x] - p[y, x-1]; first column: p[y, 0] - p[y-1, 0];
+  p[0, 0] raw — all per channel;
+* zigzag: s -> (s << 1) ^ (s >> 7) as uint8 values;
+* blocks of 128 consecutive values (tile-major flattening; P*P*C must be a
+  multiple of 128); per block, width w = bits needed for the block max
+  (0..8) and w bit-planes of 4 uint32 words each;
+* one shared word buffer in block order: block b's planes at
+  4 * (exclusive cumsum of w)[b], plane-major (k, then word m).
+"""
+
+import os
+import time
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK = 128
+_POW2 = (1, 2, 4, 8, 16, 32, 64, 128)
+
+# CAE_TPU_PACKED_FETCH: 1 = always pack, 0 = raw fetches, auto (default) =
+# probe the device->host link and pack only when it is slow enough that
+# transfer bytes, not compute, bound the pipeline.
+_PROBE_TTL_S = 60.0
+_PROBE_MB = 4
+_PACKED_THRESHOLD_MBPS = float(
+    os.environ.get("CAE_TPU_PACKED_THRESHOLD_MBPS", 200.0))
+_probe_cache = {"t": 0.0, "mbps": float("inf")}
+
+
+def _probe_d2h_mbps() -> float:
+    now = time.monotonic()
+    if now - _probe_cache["t"] < _PROBE_TTL_S:
+        return _probe_cache["mbps"]
+    n = _PROBE_MB * 1024 * 1024 // 4
+    d = jax.jit(lambda s: jnp.arange(n, dtype=jnp.float32) + s)(
+        jnp.float32(now % 97.0))  # fresh value: defeat host-side caching
+    np.asarray(d[:8])
+    t0 = time.perf_counter()
+    np.asarray(d)
+    mbps = _PROBE_MB / max(1e-9, time.perf_counter() - t0)
+    _probe_cache.update(t=now, mbps=mbps)
+    return mbps
+
+
+def packed_fetch_enabled() -> bool:
+    """Whether decompress paths should use packed pixel transport."""
+    mode = os.environ.get("CAE_TPU_PACKED_FETCH", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    if jax.default_backend() == "cpu":
+        return False  # no link to save
+    return _probe_d2h_mbps() < _PACKED_THRESHOLD_MBPS
+
+
+def pack_pixels_device(tiles_u8: jnp.ndarray
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(B, P, P, C) uint8 -> (words u32 (cap,), widths u8 (NB,), total i32).
+
+    ``cap`` is the worst case (raw size + header): packing never loses.
+    Jit-compatible; runs inside the decompress program so only the packed
+    words leave the device.
+    """
+    b, p, q, c = tiles_u8.shape
+    n = b * p * q * c
+    assert (p * q * c) % BLOCK == 0, "tile size must be a multiple of 128"
+    nb = n // BLOCK
+
+    # residuals (mod-256 uint8): left predictor, up for column 0
+    left = tiles_u8[:, :, :-1, :]
+    up_col0 = jnp.concatenate(
+        [jnp.zeros((b, 1, 1, c), jnp.uint8), tiles_u8[:, :-1, :1, :]],
+        axis=1)
+    pred = jnp.concatenate([up_col0, left], axis=2)
+    r = (tiles_u8 - pred).astype(jnp.uint8)
+
+    # zigzag to unsigned magnitude-ordered values
+    s = r.astype(jnp.int8).astype(jnp.int32)
+    z = (((s << 1) ^ (s >> 7)) & 0xFF).astype(jnp.int32)
+
+    zb = z.reshape(nb, BLOCK)
+    mx = jnp.max(zb, axis=1)                                    # (NB,)
+    w = jnp.zeros((nb,), jnp.int32)
+    for t in _POW2:
+        w = w + (mx >= t)
+
+    # bit-planes: plane k of block b -> 4 uint32 words
+    bits = (zb[:, None, :] >> jnp.arange(8)[None, :, None]) & 1
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    words = jnp.sum(bits.reshape(nb, 8, 4, 32).astype(jnp.uint32)
+                    * weights[None, None, None, :], axis=-1)    # (NB, 8, 4)
+
+    # scatter planes k < w[b] at 4*excl_cumsum(w)[b] + 4k + m
+    off = 4 * (jnp.cumsum(w) - w)                               # (NB,)
+    kidx = jnp.arange(8)[None, :, None]
+    midx = jnp.arange(4)[None, None, :]
+    cap = nb * 4 * 8 + 8
+    pos = off[:, None, None] + 4 * kidx + midx
+    pos = jnp.where(kidx < w[:, None, None], pos, cap)          # drop
+    buf = jnp.zeros((cap,), jnp.uint32)
+    buf = buf.at[pos.reshape(-1)].set(words.reshape(-1), mode="drop")
+    total = 4 * jnp.sum(w)
+    return buf, w.astype(jnp.uint8), total.astype(jnp.int32)
+
+
+def unpack_pixels_host(words: np.ndarray, widths: np.ndarray,
+                       shape: Tuple[int, int, int, int]) -> np.ndarray:
+    """Inverse of pack_pixels_device on host; native C++ with a numpy
+    fallback.  ``words``: uint32 array holding at least the used prefix."""
+    from . import rans
+    b, p, q, c = shape
+    lib = rans._load_library()
+    out = np.empty((b, p, q, c), np.uint8)
+    widths = np.ascontiguousarray(widths, np.uint8)
+    words = np.ascontiguousarray(words, np.uint32)
+    if lib is not None:
+        lib.pixel_unpack_blocks(words, words.shape[0], widths,
+                                widths.shape[0], b, p, q, c,
+                                out.reshape(-1))
+        return out
+    return _unpack_numpy(words, widths, shape)
+
+
+def _unpack_numpy(words, widths, shape):
+    """Reference implementation (and fallback when g++ is unavailable)."""
+    b, p, q, c = shape
+    nb = widths.shape[0]
+    z = np.zeros((nb, BLOCK), np.uint8)
+    off = 0
+    w32 = np.arange(32)
+    for i in range(nb):
+        w = int(widths[i])
+        for k in range(w):
+            plane = words[off + 4 * k: off + 4 * k + 4]
+            bits = ((plane[:, None] >> w32[None, :]) & 1).astype(np.uint8)
+            z[i] |= (bits.reshape(-1) << k).astype(np.uint8)
+        off += 4 * w
+    zi = z.reshape(b, p, q, c).astype(np.int32)
+    s = ((zi >> 1) ^ -(zi & 1)).astype(np.uint8)   # un-zigzag, mod 256
+    out = np.zeros((b, p, q, c), np.uint8)
+    # invert the predictor: prefix along x, column 0 prefix along y
+    col0 = np.cumsum(s[:, :, 0, :].astype(np.int64), axis=1).astype(np.uint8)
+    out[:, :, 0, :] = col0
+    rest = np.cumsum(s[:, :, 1:, :].astype(np.int64), axis=2)
+    out[:, :, 1:, :] = (rest + col0[:, :, None, :].astype(np.int64)
+                        ).astype(np.uint8)
+    return out

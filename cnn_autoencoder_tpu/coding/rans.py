@@ -90,6 +90,9 @@ def _load_library():
         lib.ilv_decode.argtypes = [
             p_u16, i64, p_i32, i64, p_i32, p_i32, i64, p_i32, p_i32, i64,
             i64, p_i32]
+        lib.pixel_unpack_blocks.restype = None
+        lib.pixel_unpack_blocks.argtypes = [
+            p_u32, i64, p_u8, i64, i64, i64, i64, i64, p_u8]
         lib.rans_num_threads.restype = i32
         lib.rans_num_threads.argtypes = []
         _LIB = lib

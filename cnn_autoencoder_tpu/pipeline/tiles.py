@@ -353,12 +353,21 @@ def decompress_cae_array(src: zarrlib.Array,
     pool.shutdown()
 
     mp_batch = batch * p * p / 1e6
+    # packed transport: decode+bit-plane-pack fused on device, ~w bits/px
+    # cross the link instead of 24 (coding/pixel_pack.py); only worth it
+    # when the link, not compute, bounds the pipeline — probed adaptively
+    from ..coding.pixel_pack import packed_fetch_enabled
+    ph, pw = core.padded_hw(p + 2 * offset, p + 2 * offset)
+    use_packed = (core.mesh is None and packed_fetch_enabled()
+                  and ph * pw * 3 % 128 == 0)
 
     def fetch_and_stitch(idxs, rec_dev):
         # every job writes a disjoint region of `out`, so fetch+stitch jobs
         # run concurrently on the fetch pool — overlapping tunnel streams
         with GLOBAL_TIMER.stage("decompress/d2h_pixels", mp_batch):
-            rec_np = np.asarray(rec_dev)[:len(idxs)]
+            rec_np = core.fetch_pixels(
+                rec_dev, (batch, ph, pw, 3) if use_packed else None
+            )[:len(idxs)]
         if offset:
             rec_np = rec_np[:, offset:-offset, offset:-offset]
         with GLOBAL_TIMER.stage("decompress/stitch", mp_batch):
@@ -397,7 +406,7 @@ def decompress_cae_array(src: zarrlib.Array,
         if sym is None:
             continue
         with GLOBAL_TIMER.stage("decompress/h2d+dispatch", mp_batch):
-            rec = core.decode_tiles_device(sym)
+            rec = core.decode_tiles_device(sym, packed=use_packed)
         jobs.append(fetchers.submit(fetch_and_stitch, ids, rec))
         while len(jobs) > MAX_INFLIGHT:
             jobs.pop(0).result()

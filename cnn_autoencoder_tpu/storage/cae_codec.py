@@ -94,8 +94,15 @@ class CAECodecCore:
             x = x_u8.astype(jnp.float32) / 255.0
             return modules["encoder"].apply(variables["encoder"], x)
 
+        def decode_packed_fn(sym_cm):
+            # fused decode + residual bit-plane pack: only ~w bits/pixel
+            # cross the link instead of raw 24 bpp (coding/pixel_pack.py)
+            from ..coding.pixel_pack import pack_pixels_device
+            return pack_pixels_device(decode_fn(sym_cm))
+
         self._encode = jax.jit(encode_fn)
         self._decode = jax.jit(decode_fn)
+        self._decode_packed = jax.jit(decode_packed_fn)
         self._decode_y = jax.jit(decode_y_fn, static_argnums=(1,))
         self._latent = jax.jit(latent_fn)
 
@@ -172,7 +179,8 @@ class CAECodecCore:
                                 self.cdf_length, self.offset)
         return sym.reshape(len(bufs), self.channels_bn, lh, lw), true_hw
 
-    def decode_tiles_device(self, sym: np.ndarray) -> jnp.ndarray:
+    def decode_tiles_device(self, sym: np.ndarray,
+                            packed: bool = False) -> jnp.ndarray:
         # upload the narrowest lossless dtype (int8 almost always; int16,
         # else int32); the decode program retraces once per dtype
         if not isinstance(sym, jnp.ndarray):
@@ -183,7 +191,27 @@ class CAECodecCore:
                     sym = sym.astype(np.int8)
                 elif sym.dtype != np.int16 and -32768 <= lo and hi <= 32767:
                     sym = sym.astype(np.int16)
+        if packed and self.mesh is None:
+            return self._decode_packed(jnp.asarray(sym))
         return self._decode(self._shard_batch(jnp.asarray(sym)))
+
+    @staticmethod
+    def fetch_pixels(rec_dev, shape=None) -> np.ndarray:
+        """Device->host pixel copy for either transport.
+
+        ``rec_dev``: a pixel array (raw transport) or the
+        (words, widths, total) triple from the packed decode program, in
+        which case ``shape`` gives the tile geometry to reconstruct."""
+        if not isinstance(rec_dev, tuple):
+            return np.asarray(rec_dev)
+        from ..coding.pixel_pack import unpack_pixels_host
+        buf, widths, total = rec_dev
+        widths_np, total_np = jax.device_get((widths, total))
+        # bucket the slice length so the device slice program compiles a
+        # handful of times, not once per batch (<=256 KB over-fetch)
+        bucket = -(-max(4, int(total_np)) // (1 << 16)) * (1 << 16)
+        words = np.asarray(buf[:min(bucket, buf.shape[0])])
+        return unpack_pixels_host(words, widths_np, shape)
 
     def decode_latents_device(self, y: np.ndarray, rec_level: int = -1
                               ) -> jnp.ndarray:

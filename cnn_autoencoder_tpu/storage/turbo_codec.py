@@ -40,6 +40,7 @@ from ..coding.device_rans import (FLUSH_WORDS, bake_device_tables,
                                   encode_device_interleaved,
                                   expected_bits_per_symbol, pack_streams,
                                   stream_channel_map, unpack_streams)
+from ..coding.pixel_pack import packed_fetch_enabled
 from ..models.entropy import medians_fn
 from .cae_codec import CAECodecCore, _ceil_to
 from .codecs import Codec, ndarray_copy, register_codec
@@ -88,34 +89,40 @@ class CAETurboCore:
             return encode_device_interleaved(packed, ch_map, self.tables,
                                              capacity)
 
-        def _finish_decode(sym_ts, lh, lw):
+        def _finish_decode(sym_ts, lh, lw, packed):
             n = self.channels_bn * lh * lw
             flat = unpack_streams(sym_ts, n)
             sym_cm = flat.reshape(-1, self.channels_bn, lh, lw)
             y = jnp.transpose(sym_cm, (0, 2, 3, 1)).astype(jnp.float32) + med
             x_r, _ = modules["decoder"].apply(variables["decoder"], y)
-            return jnp.clip(x_r[0] * 255.0, 0, 255).astype(jnp.uint8)
+            rec = jnp.clip(x_r[0] * 255.0, 0, 255).astype(jnp.uint8)
+            if packed:
+                from ..coding.pixel_pack import pack_pixels_device
+                return pack_pixels_device(rec)
+            return rec
 
-        def decode_fused_scan(queues, ch_map, num_steps, lh, lw):
+        def decode_fused_scan(queues, ch_map, num_steps, lh, lw,
+                              packed=False):
             sym = decode_device_interleaved(queues, ch_map, self.tables,
                                             num_steps)
-            return _finish_decode(sym, lh, lw)
+            return _finish_decode(sym, lh, lw, packed)
 
-        def decode_fused_pallas(queues, ch_map, num_steps, lh, lw):
+        def decode_fused_pallas(queues, ch_map, num_steps, lh, lw,
+                                packed=False):
             vals = rans_kernel.decode_interleaved_pallas(
                 queues, ch_map[:, 0], self._dec_lut, num_steps)
             sym = vals + self.tables.offset[ch_map][None]
-            return _finish_decode(sym, lh, lw)
+            return _finish_decode(sym, lh, lw, packed)
 
         def decode_fused_v3(bufs, ch_map, num_steps, lh, lw):
             sym = decode_device(bufs, ch_map, self.tables, num_steps)
-            return _finish_decode(sym, lh, lw)
+            return _finish_decode(sym, lh, lw, False)
 
         self._encode = jax.jit(encode_fused, static_argnums=(2,))
         self._decode_scan = jax.jit(decode_fused_scan,
-                                    static_argnums=(2, 3, 4))
+                                    static_argnums=(2, 3, 4, 5))
         self._decode_pallas = jax.jit(decode_fused_pallas,
-                                      static_argnums=(2, 3, 4))
+                                      static_argnums=(2, 3, 4, 5))
         self._decode_v3 = jax.jit(decode_fused_v3, static_argnums=(2, 3, 4))
 
     # -- geometry -----------------------------------------------------------
@@ -269,7 +276,11 @@ class CAETurboCore:
                       and rans_kernel.supported(s, self.channels_bn,
                                                 lh * lw))
         decode = self._decode_pallas if use_pallas else self._decode_scan
-        rec = np.asarray(decode(jnp.asarray(queues), ch_map, t, lh, lw))
+        ph, pw = 2 ** self.level * lh, 2 ** self.level * lw
+        packed = packed_fetch_enabled() and ph * pw * 3 % 128 == 0
+        res = decode(jnp.asarray(queues), ch_map, t, lh, lw, packed)
+        rec = CAECodecCore.fetch_pixels(
+            res, (batch, ph, pw, 3) if packed else None)
         return rec[:, :th, :tw, :]
 
     def _decode_turbo_group_v3(self, raws: List[bytes], s: int, th: int,

@@ -1,0 +1,111 @@
+"""Packed pixel transport: device bit-plane pack <-> host unpack identity."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cnn_autoencoder_tpu.coding import rans
+from cnn_autoencoder_tpu.coding.pixel_pack import (_unpack_numpy,
+                                                   pack_pixels_device,
+                                                   unpack_pixels_host)
+
+
+def _smooth_tiles(b, p, c=3, seed=0, noise=3.0):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:p, 0:p]
+    base = (np.sin(yy / 17.0) * 60 + np.cos(xx / 23.0) * 50 + 128)
+    tiles = base[None, :, :, None] + rng.randn(b, p, p, c) * noise
+    return np.clip(tiles, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("noise,max_bpp", [(0.0, 3.2), (3.0, 6.5)])
+def test_roundtrip_and_ratio(noise, max_bpp):
+    tiles = _smooth_tiles(3, 64, noise=noise)
+    buf, widths, total = pack_pixels_device(jnp.asarray(tiles))
+    total = int(total)
+    words = np.asarray(buf)[:total]
+    bpp = (total * 4 + widths.shape[0]) * 8 / tiles.size
+    assert bpp < max_bpp, f"packed to {bpp:.2f} bits/value"
+
+    out = unpack_pixels_host(words, np.asarray(widths), tiles.shape)
+    np.testing.assert_array_equal(out, tiles)
+
+    # numpy reference agrees with the native unpacker
+    ref = _unpack_numpy(words, np.asarray(widths), tiles.shape)
+    np.testing.assert_array_equal(ref, tiles)
+
+
+def test_random_noise_never_expands_much():
+    """Worst case (uniform noise) stays within ~1% of raw size."""
+    rng = np.random.RandomState(7)
+    tiles = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    buf, widths, total = pack_pixels_device(jnp.asarray(tiles))
+    total = int(total)
+    assert total * 4 <= tiles.size * 1.01
+    out = unpack_pixels_host(np.asarray(buf)[:total], np.asarray(widths),
+                             tiles.shape)
+    np.testing.assert_array_equal(out, tiles)
+
+
+def test_truncated_words_no_crash():
+    tiles = _smooth_tiles(1, 64)
+    buf, widths, total = pack_pixels_device(jnp.asarray(tiles))
+    words = np.asarray(buf)[:max(1, int(total) // 4)]
+    out = unpack_pixels_host(words, np.asarray(widths), tiles.shape)
+    assert out.shape == tiles.shape  # garbage, but no crash/overread
+
+
+def test_extreme_values_exact():
+    """Saturated black/white checkerboards exercise mod-256 wraparound."""
+    p = 64
+    tiles = np.zeros((1, p, p, 3), np.uint8)
+    tiles[0, ::2, ::2] = 255
+    tiles[0, 1::2, 1::2] = 255
+    buf, widths, total = pack_pixels_device(jnp.asarray(tiles))
+    out = unpack_pixels_host(np.asarray(buf)[:int(total)],
+                             np.asarray(widths), tiles.shape)
+    np.testing.assert_array_equal(out, tiles)
+
+
+def test_packed_transport_through_pipeline(tmp_path, monkeypatch):
+    """CAE_TPU_PACKED_FETCH=1 must reproduce raw-transport reconstructions
+    byte-for-byte through both the host-path pipeline and the turbo codec."""
+    import jax
+
+    from cnn_autoencoder_tpu.models.entropy import aux_loss_fn
+    from cnn_autoencoder_tpu.models.factory import build_model
+    from cnn_autoencoder_tpu.pipeline.tiles import (compress_pixels_to_cae,
+                                                    decompress_cae_array)
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+    from cnn_autoencoder_tpu.storage.turbo_codec import CAETurboCore
+
+    model = build_model(jax.random.PRNGKey(0), input_size=(32, 32),
+                        channels_org=3, channels_net=8, channels_bn=16,
+                        compression_level=2, K=4, r=3, act_layer_type="GDN")
+    p = model.variables["fact_ent"]["params"]
+    g = jax.jit(jax.grad(lambda q, pp: aux_loss_fn({**pp, "quantiles": q},
+                                                   4)))
+    q = p["quantiles"]
+    for _ in range(150):
+        q = q - 0.1 * g(q, p)
+    model.variables["fact_ent"]["params"] = {**p, "quantiles": q}
+
+    core = CAECodecCore(model)
+    img = _smooth_tiles(1, 96)[0]
+    arr = compress_pixels_to_cae(core, img, str(tmp_path / "a.zarr"),
+                                 patch_size=32)
+
+    monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "0")
+    raw = decompress_cae_array(arr, core=core)
+    monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "1")
+    packed = decompress_cae_array(arr, core=core)
+    np.testing.assert_array_equal(packed, raw)
+
+    tcore = CAETurboCore(model, num_streams=64)
+    bufs = tcore.encode_tiles(img[None, :64, :64])
+    monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "0")
+    raw_t = np.asarray(tcore.decode_tiles(bufs))
+    monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "1")
+    packed_t = np.asarray(tcore.decode_tiles(bufs))
+    np.testing.assert_array_equal(packed_t, raw_t)
