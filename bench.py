@@ -106,18 +106,32 @@ def main():
                                                     decompress_cae_array)
     from cnn_autoencoder_tpu.storage import zarr as zarrlib
 
-    model = build_model(jax.random.PRNGKey(0), input_size=(PATCH, PATCH),
-                        channels_org=3, channels_net=128, channels_bn=48,
-                        compression_level=3, K=4, r=3, act_layer_type="GDN")
+    fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "bench_flagship.msgpack")
+    if os.path.exists(fixture):
+        # trained flagship fixture (scripts/make_bench_checkpoint.py) —
+        # the reference harness measures trained checkpoints, and trained
+        # reconstructions/bpp are what serving-path optimizations (packed
+        # pixel transport, turbo capacity) are shaped by
+        from cnn_autoencoder_tpu.models.factory import (
+            autoencoder_from_state_dict)
+        model = autoencoder_from_state_dict(fixture)
+        print(f"# model: trained fixture {fixture}", file=sys.stderr)
+    else:
+        model = build_model(jax.random.PRNGKey(0),
+                            input_size=(PATCH, PATCH), channels_org=3,
+                            channels_net=128, channels_bn=48,
+                            compression_level=3, K=4, r=3,
+                            act_layer_type="GDN")
 
-    # fit quantiles so the latent support (and thus rANS work) is realistic
-    p = model.variables["fact_ent"]["params"]
-    g = jax.jit(jax.grad(lambda q, pp: aux_loss_fn({**pp, "quantiles": q},
-                                                   4)))
-    q = p["quantiles"]
-    for _ in range(300):
-        q = q - 0.1 * g(q, p)
-    model.variables["fact_ent"]["params"] = {**p, "quantiles": q}
+        # fit quantiles so the latent support (and rANS work) is realistic
+        p = model.variables["fact_ent"]["params"]
+        g = jax.jit(jax.grad(lambda q, pp: aux_loss_fn(
+            {**pp, "quantiles": q}, 4)))
+        q = p["quantiles"]
+        for _ in range(300):
+            q = q - 0.1 * g(q, p)
+        model.variables["fact_ent"]["params"] = {**p, "quantiles": q}
 
     from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
     if TURBO:

@@ -141,14 +141,24 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
         return tile
 
     pool = ThreadPoolExecutor(max_workers=4)
-    # several flushers: each batch's symbol fetch is latency/bandwidth-bound
-    # on the tunnel, and concurrent device_get streams overlap; chunk writes
-    # go to distinct files so flushers never contend
-    flusher = ThreadPoolExecutor(max_workers=FETCH_WORKERS)
+    # whole-batch worker jobs: each runs read -> upload -> device encode ->
+    # symbol fetch -> host rANS -> write.  Several jobs in flight overlap
+    # their (latency/bandwidth-bound) h2d uploads AND d2h fetches on the
+    # tunnel while the device serializes the actual encode programs; chunk
+    # writes go to distinct files so workers never contend
+    workers = ThreadPoolExecutor(max_workers=FETCH_WORKERS)
     inflight: List = []
 
-    def flush_one(idxs, sym_dev):
+    def compress_one(idxs):
         mp = len(idxs) * p * p / 1e6
+        with GLOBAL_TIMER.stage("compress/read", mp):
+            tiles = list(pool.map(read_tile, idxs))
+            # fixed batch shape: pad the final group so the device program
+            # compiles exactly once
+            while len(tiles) < batch:
+                tiles.append(tiles[-1])
+        with GLOBAL_TIMER.stage("compress/h2d+dispatch", mp):
+            sym_dev = core.encode_tiles_device(jnp.asarray(np.stack(tiles)))
         with GLOBAL_TIMER.stage("compress/d2h_sym", mp):
             sym_np = core.fetch_symbols(sym_dev)[:len(idxs)]  # d2h int8
         with GLOBAL_TIMER.stage("compress/rans", mp):
@@ -158,22 +168,13 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
                 arr.write_chunk_raw((i, j, 0), buf)
 
     for group in _iter_batches(grid, batch):
-        mp = len(group) * p * p / 1e6
-        with GLOBAL_TIMER.stage("compress/read", mp):
-            tiles = list(pool.map(read_tile, group))
-            # fixed batch shape: pad the final group so the device program
-            # compiles exactly once
-            while len(tiles) < batch:
-                tiles.append(tiles[-1])
-        with GLOBAL_TIMER.stage("compress/h2d+dispatch", mp):
-            sym = core.encode_tiles_device(jnp.asarray(np.stack(tiles)))
-        inflight.append(flusher.submit(flush_one, group, sym))
+        inflight.append(workers.submit(compress_one, group))
         while len(inflight) > MAX_INFLIGHT:
             inflight.pop(0).result()
     for f in inflight:
         f.result()
     pool.shutdown()
-    flusher.shutdown()
+    workers.shutdown()
     return arr
 
 

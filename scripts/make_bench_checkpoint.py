@@ -1,0 +1,111 @@
+"""Train the flagship bench model briefly and save it as a bench fixture.
+
+The benchmark protocol mirrors the reference harness, which measures
+TRAINED checkpoints (reference src/test_cae.py:92-160).  An untrained
+model reconstructs high-frequency garbage, which (a) misrepresents the
+stored bpp and (b) defeats transport-level optimizations that exploit the
+smoothness of real reconstructions (coding/pixel_pack.py).  This script
+trains the flagship config (net128/bn48/cl3/GDN) for a few hundred RateMSE
+steps on synthetic histology patches — enough for smooth, content-like
+reconstructions — fits the entropy-model quantiles, and writes
+``benchmarks/bench_flagship.msgpack`` (loaded by bench.py when present).
+
+Deterministic: fixed seeds for weights and data.
+
+Usage: python scripts/make_bench_checkpoint.py [steps] [out_path]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def synth_patches(rng, batch, patch):
+    """Histology-like training patches (same generator family as bench.py).
+    """
+    h = w = patch
+    small = rng.rand(batch, h // 32 + 2, w // 32 + 2, 3)
+    idx = (np.arange(h) / 32.0)
+    i0 = idx.astype(np.int32)
+    f = (idx - i0)
+    a = small[:, i0][:, :, i0]
+    b = small[:, i0][:, :, i0 + 1]
+    c = small[:, i0 + 1][:, :, i0]
+    d = small[:, i0 + 1][:, :, i0 + 1]
+    fy = f[None, :, None, None]
+    fx = f[None, None, :, None]
+    img = (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+           + c * fy * (1 - fx) + d * fy * fx)
+    img = img * 120 + 110 + rng.randn(batch, h, w, 3) * 6
+    return np.clip(img, 0, 255).astype(np.float32) / 255.0
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(__file__), "..", "benchmarks",
+        "bench_flagship.msgpack")
+
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.criteria.loss import setup_loss
+    from cnn_autoencoder_tpu.models.entropy import aux_loss_fn
+    from cnn_autoencoder_tpu.models.factory import build_model
+    from cnn_autoencoder_tpu.training.checkpoint import save_checkpoint
+    from cnn_autoencoder_tpu.training.loop import make_train_step
+    from cnn_autoencoder_tpu.training.optim import setup_optimizers
+
+    patch, batch = 256, 8
+    model = build_model(jax.random.PRNGKey(0), input_size=(patch, patch),
+                        channels_org=3, channels_net=128, channels_bn=48,
+                        compression_level=3, K=4, r=3, act_layer_type="GDN")
+    criterion = setup_loss("RateMSE", distortion_lambda=0.01,
+                           patch_size=patch)
+    trainable = ["encoder", "decoder", "fact_ent"]
+    optimizers, opt_states, acc = setup_optimizers(model.variables,
+                                                   trainable)
+    train_step = make_train_step(model.modules, criterion, optimizers,
+                                 trainable_modules=trainable)
+    variables = model.variables
+    lrs = {k: jnp.float32(1e-4) for k in optimizers}
+
+    rng = np.random.RandomState(7)
+    key = jax.random.PRNGKey(7)
+    t0 = time.time()
+    for step in range(steps):
+        x = jnp.asarray(synth_patches(rng, batch, patch))
+        key, sub = jax.random.split(key)
+        variables, opt_states, acc, stats = train_step(
+            variables, opt_states, acc, lrs, x, None, sub,
+            jnp.int32(step + 1))
+        if step % 25 == 0 or step == steps - 1:
+            dist = float(np.mean(np.asarray(stats.get("dist", 0.0))))
+            rate = float(np.mean(np.asarray(stats.get("rate", 0.0))))
+            print(f"step {step}: loss={float(stats['loss']):.4f} "
+                  f"dist={dist:.5f} rate={rate:.3f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    # fit quantiles so the serving CDF tables match the trained prior
+    p = variables["fact_ent"]["params"]
+    g = jax.jit(jax.grad(lambda q, pp: aux_loss_fn({**pp, "quantiles": q},
+                                                   4)))
+    q = p["quantiles"]
+    for _ in range(500):
+        q = q - 0.05 * g(q, p)
+    variables = dict(variables)
+    variables["fact_ent"] = {"params": {**p, "quantiles": q}}
+
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+    chk = dict(model.config)
+    chk.update(variables)
+    save_checkpoint(out, chk)
+    print("saved", out, f"({os.path.getsize(out) / 1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()
