@@ -45,12 +45,14 @@ def default_batch_tiles(patch_size: int, core=None,
     pipeline depth (wants many batches in flight: on tunneled TPUs the
     device<->host link is the bottleneck and fetches overlap across
     batches, so given ``n_tiles`` the batch shrinks until the image splits
-    into at least ~6 batches).  When ``core`` serves over a mesh, the batch
-    is rounded up to a multiple of the data-axis size so tiles shard
-    evenly."""
-    b = max(1, min(64, (1 << 25) // max(1, patch_size * patch_size * 3)))
-    if n_tiles:
-        b = max(1, min(b, -(-n_tiles // 6)))
+    into at least ~4 batches).  ``CAE_TPU_BATCH_TILES`` overrides (0 =
+    auto).  When ``core`` serves over a mesh, the batch is rounded up to a
+    multiple of the data-axis size so tiles shard evenly."""
+    forced = int(os.environ.get("CAE_TPU_BATCH_TILES", 0))
+    b = forced if forced > 0 else max(
+        1, min(64, (1 << 25) // max(1, patch_size * patch_size * 3)))
+    if n_tiles and not forced:
+        b = max(1, min(b, -(-n_tiles // 4)))
     mesh = getattr(core, "mesh", None)
     if mesh is not None:
         nd = mesh.shape.get("data", 1)
