@@ -217,8 +217,9 @@ def main():
                 mode = "cae_tpu"
             elif "cae_tpu" in paths:
                 # congested tunnel -> turbo (fewest bytes on the wire);
-                # healthy -> host path (fastest end to end)
-                mode = "cae_tpu" if min(link) < HEALTHY_MBPS else "cae"
+                # healthy -> alternate host/turbo and let best-of-N decide
+                mode = "cae_tpu" if (min(link) < HEALTHY_MBPS or r % 2) \
+                    else "cae"
             else:
                 mode = "cae"
             core, compress_fn, decompress_fn = warm(mode)
