@@ -190,7 +190,7 @@ def pack_dec_lut(tables) -> jnp.ndarray:
 
 
 def supported(num_streams: int, num_channels: int, plane: int) -> bool:
-    """Whether this kernel can decode the given geometry."""
-    return (num_streams == STREAMS and plane % num_streams == 0
-            and num_channels * PROB_SCALE // _LANE * _LANE
-            == num_channels * PROB_SCALE)
+    """Whether this kernel can decode the given geometry: 1024 streams and
+    a stream-aligned latent plane (so every scan step reads one channel)."""
+    del num_channels  # the (C, 4096) LUT reshapes for any channel count
+    return num_streams == STREAMS and plane % num_streams == 0

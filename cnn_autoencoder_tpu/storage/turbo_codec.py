@@ -35,14 +35,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..coding.device_rans import (FLUSH_WORDS, bake_device_tables,
+from ..coding.device_rans import (bake_device_tables,
                                   decode_device, decode_device_interleaved,
                                   encode_device_interleaved,
                                   expected_bits_per_symbol, pack_streams,
                                   stream_channel_map, unpack_streams)
 from ..coding.pixel_pack import packed_fetch_enabled
-from ..models.entropy import medians_fn
-from .cae_codec import CAECodecCore, _ceil_to
+from .cae_codec import CAECodecCore
 from .codecs import Codec, ndarray_copy, register_codec
 
 VERSION = 4
