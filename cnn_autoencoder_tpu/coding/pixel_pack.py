@@ -120,6 +120,21 @@ def pack_pixels_device(tiles_u8: jnp.ndarray
     return buf, w.astype(jnp.uint8), total.astype(jnp.int32)
 
 
+def head_words(n_blocks: int) -> int:
+    """Static length of the optimistic buffer prefix fetched with the
+    decode outputs (6 bits/value): one link round trip in the common case;
+    batches packing worse than 6 bits/value fetch the tail separately."""
+    return min(n_blocks * 4 * 8 + 8,
+               -(-(n_blocks * 4 * 6 + 64) // (1 << 14)) * (1 << 14))
+
+
+def pack_pixels_device_with_head(tiles_u8: jnp.ndarray):
+    """pack_pixels_device + a statically-sized head slice of the words, so
+    the whole packed result ships in the decode program's own outputs."""
+    buf, widths, total = pack_pixels_device(tiles_u8)
+    return buf[:head_words(widths.shape[0])], buf, widths, total
+
+
 def unpack_pixels_host(words: np.ndarray, widths: np.ndarray,
                        shape: Tuple[int, int, int, int]) -> np.ndarray:
     """Inverse of pack_pixels_device on host; native C++ with a numpy

@@ -97,8 +97,8 @@ class CAECodecCore:
         def decode_packed_fn(sym_cm):
             # fused decode + residual bit-plane pack: only ~w bits/pixel
             # cross the link instead of raw 24 bpp (coding/pixel_pack.py)
-            from ..coding.pixel_pack import pack_pixels_device
-            return pack_pixels_device(decode_fn(sym_cm))
+            from ..coding.pixel_pack import pack_pixels_device_with_head
+            return pack_pixels_device_with_head(decode_fn(sym_cm))
 
         self._encode = jax.jit(encode_fn)
         self._decode = jax.jit(decode_fn)
@@ -195,42 +195,30 @@ class CAECodecCore:
             return self._decode_packed(jnp.asarray(sym))
         return self._decode(self._shard_batch(jnp.asarray(sym)))
 
-    # adaptive packed-fetch budget: batches of one image pack alike, so
-    # remember the last observed total per block count (process-global,
-    # races harmless — worst case one extra tail fetch)
-    _pack_budget: Dict[int, int] = {}
-
     @classmethod
     def fetch_pixels(cls, rec_dev, shape=None) -> np.ndarray:
         """Device->host pixel copy for either transport.
 
         ``rec_dev``: a pixel array (raw transport) or the
-        (words, widths, total) triple from the packed decode program, in
-        which case ``shape`` gives the tile geometry to reconstruct."""
+        (head, words, widths, total) tuple from a packed decode program
+        (pack_pixels_device_with_head), in which case ``shape`` gives the
+        tile geometry to reconstruct.  The statically-sized head ships
+        with the program outputs, so the common case costs ONE link round
+        trip; only a batch packing worse than the head budget fetches the
+        tail from the (device-resident) full buffer."""
         if not isinstance(rec_dev, tuple):
             return np.asarray(rec_dev)
         from ..coding.pixel_pack import unpack_pixels_host
-        buf, widths, total = rec_dev
-        # ONE round trip in the common case: fetch widths + total + an
-        # optimistic prefix of the word buffer together (the tunnel's
-        # per-fetch latency costs more than a modest over-fetch).  The
-        # prefix starts at 6 bits/value and then tracks the last batch's
-        # observed total (+12%, bucketed so slice programs are reused);
-        # only a worse-packing batch pays a second (tail) fetch.
-        nb = widths.shape[0]
-        guess = cls._pack_budget.get(nb, nb * 4 * 6 + 64)
-        bucket = 1 << 14
-        budget = min(buf.shape[0],
-                     -(-int(guess * 1.12) // bucket) * bucket)
-        widths_np, total_np, head = jax.device_get(
-            (widths, total, buf[:budget]))
+        head, buf, widths, total = rec_dev
+        widths_np, total_np, head_np = jax.device_get(
+            (widths, total, head))
         total_np = int(total_np)
-        cls._pack_budget[nb] = total_np
-        if total_np > budget:
+        if total_np > head_np.shape[0]:
+            bucket = 1 << 14
             hi = min(-(-total_np // bucket) * bucket, buf.shape[0])
-            tail = np.asarray(buf[budget:hi])
-            head = np.concatenate([head, tail])
-        return unpack_pixels_host(head, widths_np, shape)
+            tail = np.asarray(buf[head_np.shape[0]:hi])
+            head_np = np.concatenate([head_np, tail])
+        return unpack_pixels_host(head_np, widths_np, shape)
 
     def decode_latents_device(self, y: np.ndarray, rec_level: int = -1
                               ) -> jnp.ndarray:

@@ -96,8 +96,8 @@ class CAETurboCore:
             x_r, _ = modules["decoder"].apply(variables["decoder"], y)
             rec = jnp.clip(x_r[0] * 255.0, 0, 255).astype(jnp.uint8)
             if packed:
-                from ..coding.pixel_pack import pack_pixels_device
-                return pack_pixels_device(rec)
+                from ..coding.pixel_pack import pack_pixels_device_with_head
+                return pack_pixels_device_with_head(rec)
             return rec
 
         def decode_fused_scan(queues, ch_map, num_steps, lh, lw,
