@@ -188,7 +188,7 @@ def main():
             warmed.add(mode)
             return core, cfn, dfn
 
-        if TURBO:
+        if TURBO and "cae_tpu" in paths:
             warm("cae_tpu")
         else:
             warm(next(iter(paths)))

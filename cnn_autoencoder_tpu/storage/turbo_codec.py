@@ -265,6 +265,9 @@ class CAETurboCore:
             totals[i] = nbytes // 2
             payloads.append(payload[:nbytes])
 
+        from ..utils.profiling import GLOBAL_TIMER
+        mp = batch * th * tw / 1e6
+
         qcap = -(-int(totals.max()) // 128) * 128
         queues = np.zeros((batch, qcap), np.int32)
         for i, payload in enumerate(payloads):
@@ -277,9 +280,11 @@ class CAETurboCore:
         decode = self._decode_pallas if use_pallas else self._decode_scan
         ph, pw = 2 ** self.level * lh, 2 ** self.level * lw
         packed = packed_fetch_enabled() and ph * pw * 3 % 128 == 0
-        res = decode(jnp.asarray(queues), ch_map, t, lh, lw, packed)
-        rec = CAECodecCore.fetch_pixels(
-            res, (batch, ph, pw, 3) if packed else None)
+        with GLOBAL_TIMER.stage("decompress/turbo_h2d+decode", mp):
+            res = decode(jnp.asarray(queues), ch_map, t, lh, lw, packed)
+        with GLOBAL_TIMER.stage("decompress/turbo_d2h_pixels", mp):
+            rec = CAECodecCore.fetch_pixels(
+                res, (batch, ph, pw, 3) if packed else None)
         return rec[:, :th, :tw, :]
 
     def _decode_turbo_group_v3(self, raws: List[bytes], s: int, th: int,
