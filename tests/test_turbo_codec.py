@@ -236,3 +236,37 @@ def test_pallas_decode_interpret_matches_scan(model):
                                      pack_dec_lut(core.tables), t, True)
     offs = np.asarray(core.tables.offset)[np.asarray(ch_map)][None]
     np.testing.assert_array_equal(np.asarray(vals) + offs, ref)
+
+
+def test_pallas_decode_interpret_multi_step_channel(model):
+    """Geometry where each channel spans several scan steps (plane 2048 =
+    2 steps/channel at 1024 streams) through the Pallas kernel."""
+    from cnn_autoencoder_tpu.coding.device_rans import (
+        decode_device_interleaved, encode_device_interleaved, pack_streams,
+        stream_channel_map)
+    from cnn_autoencoder_tpu.ops.pallas.rans_kernel import (
+        STREAMS, decode_interleaved_pallas, pack_dec_lut, supported)
+
+    core = CAETurboCore(model)
+    c = core.channels_bn
+    lh, lw = 32, 64  # plane 2048
+    assert supported(STREAMS, c, lh * lw)
+    rng = np.random.RandomState(1)
+    sym = np.round(rng.randn(1, c, lh, lw) * 1.5).astype(np.int32)
+
+    ch_map = jnp.asarray(stream_channel_map(c, (lh, lw), STREAMS))
+    packed = pack_streams(jnp.asarray(sym.reshape(1, -1)), STREAMS)
+    t = packed.shape[1]
+    cap = 2 * STREAMS + t * STREAMS + 16
+    bufs, totals, esc = encode_device_interleaved(packed, ch_map,
+                                                  core.tables, cap)
+    assert int(esc) == 0
+    ref = np.asarray(decode_device_interleaved(bufs, ch_map, core.tables,
+                                               t))
+    q = np.asarray(bufs).astype(np.int32)
+    qcap = -(-q.shape[1] // 128) * 128
+    q = np.pad(q, ((0, 0), (0, qcap - q.shape[1])))
+    vals = decode_interleaved_pallas(jnp.asarray(q), ch_map[:, 0],
+                                     pack_dec_lut(core.tables), t, True)
+    offs = np.asarray(core.tables.offset)[np.asarray(ch_map)][None]
+    np.testing.assert_array_equal(np.asarray(vals) + offs, ref)
