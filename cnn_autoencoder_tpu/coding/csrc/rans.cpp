@@ -25,12 +25,6 @@ constexpr uint32_t kBypassPrecision = 4;
 constexpr uint32_t kMaxBypassVal = (1u << kBypassPrecision) - 1;
 constexpr uint64_t kRans64L = 1ull << 31;
 
-struct RansSymbol {
-  uint16_t start;
-  uint16_t range;  // 0 marks a bypass (raw bits) symbol
-  bool bypass;
-};
-
 // Precomputed per-(channel, value) encoder entry: division-free rANS state
 // update via the round-up reciprocal (Alverson; the rans64 formulation).
 // For freq >= 2:  rcp = ceil(2^(shift+63) / freq) fits 64 bits because

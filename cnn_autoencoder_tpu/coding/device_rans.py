@@ -16,7 +16,12 @@ Design (rANS-32/16, uint32 state — TPU has no 64-bit integer lanes):
   word refill — versus five in a naive freq/start/slot/2-refill layout;
 * encode scans symbols in reverse, emitting (word, flag) pairs; word
   positions come from an exclusive cumsum and one scatter builds the final
-  per-stream buffers back-to-front, so the decoder reads strictly forward;
+  buffers so the decoder reads strictly forward.  Two layouts exist:
+  the current INTERLEAVED layout (frame v4, ``*_interleaved`` functions:
+  one shared queue per tile in global decode-consumption order — the
+  format the Pallas kernel in ops/pallas/rans_kernel.py decodes at
+  hundreds of Msym/s) and the legacy per-stream layout (frame v3,
+  ``encode_device``/``decode_device``, kept so old stores decode);
 * out-of-support values are NOT escape-coded on device: the encoder returns
   an escape count and the caller falls back to the host (reference-
   compatible) coder for that batch — with trained quantiles this is rare;
