@@ -75,6 +75,9 @@ def synth_histology(h, w, seed=0):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+_PROBE_FN = None
+
+
 def probe_link(jax, jnp, np, mb=24):
     """Measure the device<->host link right now (MB/s each way).
 
@@ -82,9 +85,11 @@ def probe_link(jax, jnp, np, mb=24):
     ~20 MB/s congested); reporting the measured bandwidth alongside the
     throughput makes link-bound results interpretable: when the d2h pixel
     stage runs at probe bandwidth, the pipeline is saturating the link."""
+    global _PROBE_FN
     n = mb * 1024 * 1024 // 4
-    fresh = jax.jit(lambda s: jnp.arange(n, dtype=jnp.float32) + s)
-    d = fresh(jnp.float32(1.0))
+    if _PROBE_FN is None:
+        _PROBE_FN = jax.jit(lambda s: jnp.arange(n, dtype=jnp.float32) + s)
+    d = _PROBE_FN(jnp.float32(time.time() % 97.0))
     np.asarray(d[:1])  # ensure computed
     t0 = time.perf_counter()
     h = np.asarray(d)

@@ -45,13 +45,17 @@ _PACKED_THRESHOLD_MBPS = float(
 _probe_cache = {"t": 0.0, "mbps": float("inf")}
 
 
+@jax.jit
+def _probe_payload(s):
+    # fresh values each call: defeats host-side array caching
+    return jnp.arange(_PROBE_MB * 1024 * 1024 // 4, dtype=jnp.float32) + s
+
+
 def _probe_d2h_mbps() -> float:
     now = time.monotonic()
     if now - _probe_cache["t"] < _PROBE_TTL_S:
         return _probe_cache["mbps"]
-    n = _PROBE_MB * 1024 * 1024 // 4
-    d = jax.jit(lambda s: jnp.arange(n, dtype=jnp.float32) + s)(
-        jnp.float32(now % 97.0))  # fresh value: defeat host-side caching
+    d = _probe_payload(jnp.float32(now % 97.0))
     np.asarray(d[:8])
     t0 = time.perf_counter()
     np.asarray(d)
