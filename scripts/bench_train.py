@@ -1,0 +1,101 @@
+"""Training-step throughput on one TPU chip (flagship config).
+
+Measures the jitted RateMSE train step (encoder + entropy model + decoder,
+per-module optimizers — the same step the training CLI runs, reference
+src/train_cae_ms.py:189-262) in steps/s and training megapixels/s.
+
+The batch bank is preloaded on device and cycled, so the number measures
+the TRAINING STEP, not this environment's tunneled host->device link (a
+production input pipeline double-buffers uploads behind compute; on
+local-PCIe hardware the upload is ~milliseconds per batch).  Timing fetches
+one scalar per chunk of steps — under the axon tunnel, ``block_until_ready``
+is a no-op, so a tiny fetch is the only real synchronization.
+
+Usage: python scripts/bench_train.py [steps] [batch] [patch]
+Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    patch = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+
+    import jax
+    import jax.numpy as jnp
+
+    # "bf16" is the SERVING cast mode (its f32-accumulating casts break the
+    # conv VJP under jax.grad); the training-supported fast mode is
+    # "default" (bf16 MXU multiplies, no dtype casts).
+    if os.environ.get("CAE_TPU_PRECISION", "").lower() == "bf16":
+        from cnn_autoencoder_tpu.ops import convops
+        convops.set_default_precision("default")
+        os.environ["CAE_TPU_PRECISION"] = "default"
+
+    from cnn_autoencoder_tpu.criteria.loss import setup_loss
+    from cnn_autoencoder_tpu.models.factory import build_model
+    from cnn_autoencoder_tpu.training.loop import make_train_step
+    from cnn_autoencoder_tpu.training.optim import setup_optimizers
+
+    model = build_model(jax.random.PRNGKey(0), input_size=(patch, patch),
+                        channels_org=3, channels_net=128, channels_bn=48,
+                        compression_level=3, K=4, r=3, act_layer_type="GDN")
+    criterion = setup_loss("RateMSE", distortion_lambda=0.01,
+                           patch_size=patch)
+    trainable = ["encoder", "decoder", "fact_ent"]
+    optimizers, opt_states, acc = setup_optimizers(model.variables,
+                                                   trainable)
+    train_step = make_train_step(model.modules, criterion, optimizers,
+                                 trainable_modules=trainable)
+    variables = model.variables
+    lrs = {k: jnp.float32(1e-4) for k in optimizers}
+
+    rng = np.random.RandomState(0)
+    bank = [jnp.asarray(np.clip(
+        rng.rand(batch, patch, patch, 3) * 160 + 60 + rng.randn(
+            batch, patch, patch, 3) * 6, 0, 255).astype(np.float32) / 255.0)
+        for _ in range(8)]
+    key = jax.random.PRNGKey(0)
+
+    def run(n, start):
+        nonlocal variables, opt_states, acc, key
+        for i in range(n):
+            key, sub = jax.random.split(key)
+            variables, opt_states, acc, stats = train_step(
+                variables, opt_states, acc, lrs, bank[i % len(bank)], None,
+                sub, jnp.int32(start + i + 1))
+        return float(stats["loss"])  # tiny fetch = the only real sync
+
+    run(3, 0)  # compile + settle
+    t0 = time.perf_counter()
+    loss = run(steps, 3)
+    dt = time.perf_counter() - t0
+
+    sps = steps / dt
+    result = {
+        "metric": "train step throughput (flagship, RateMSE)",
+        "value": round(sps * batch, 1),
+        "unit": "images/s",
+        "detail": {
+            "steps_per_s": round(sps, 2),
+            "train_MPps": round(sps * batch * patch * patch / 1e6, 1),
+            "batch": batch, "patch": patch, "steps": steps,
+            "precision": os.environ.get("CAE_TPU_PRECISION", "highest"),
+            "final_loss": round(loss, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
