@@ -29,7 +29,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...coding.device_rans import MASK, PRECISION, PROB_SCALE, STATE_MIN
+from ...coding.device_rans import (EMIT_SHIFT, MASK, PRECISION, PROB_SCALE,
+                                   STATE_MIN)
 
 STREAMS = 1024               # 8 sublanes x 128 lanes
 _SUB = 8
@@ -177,6 +178,303 @@ def decode_interleaved_pallas(queues: jnp.ndarray, channels: jnp.ndarray,
         interpret=interpret,
     )(channels, x0, queues_p, lut.reshape(c * _LUT_ROWS, _LANE))
     return out.reshape(b, num_steps, STREAMS)
+
+
+# --------------------------------------------------------------------------
+# Interleaved encode kernel: the dual of the decoder.  Walks steps in
+# reverse, emitting renormalization words BACK-ALIGNED into the tile's
+# word buffer (the encoder meets words in exactly reversed global decode
+# order, so back-alignment makes the final layout forward-readable after
+# one roll).  Per step the flagged lanes' words land at consecutive
+# positions via rank prefix sums + 9 one-hot-matmul row writes — the same
+# bounded-window trick as the decoder's refill, in reverse.
+#
+# The rANS state update needs an exact 32-bit division x // freq; the VPU
+# has no integer divide, so the wrapper precomputes per-symbol round-up
+# reciprocals (rcp = ceil(2^(31+shift)/freq), exact for all x < 2^32 —
+# the rans64 32-bit formulation) and the kernel computes the 32x32->hi32
+# product from 16-bit halves with explicit carries.
+
+
+def _mulhi32(x, r):
+    """Exact (x * r) >> 32 for uint32 lanes, via 16-bit partial products.
+
+    Carries are computed with the high-bit trick ((a>>1)+(b>>1)+(a&b&1))>>31
+    == [a+b >= 2^32] instead of unsigned compares (compare lowering on
+    unsigned lanes is a known-risky Mosaic corner)."""
+    m16 = jnp.uint32(0xFFFF)
+    one = jnp.uint32(1)
+    xh, xl = x >> 16, x & m16
+    rh, rl = r >> 16, r & m16
+    a = xh * rh
+    b1 = xh * rl
+    b2 = xl * rh
+    c = xl * rl
+    carry1 = ((b1 >> 1) + (b2 >> 1) + (b1 & b2 & one)) >> 31
+    s1 = b1 + b2
+    c16 = c >> 16
+    carry2 = ((s1 >> 1) + (c16 >> 1) + (s1 & c16 & one)) >> 31
+    s = s1 + c16
+    return a + (s >> 16) + ((carry1 + carry2) << 16)
+
+
+def _flat_roll_left(x, sh):
+    """Shift the row-major flattened (8, 128) array left by static ``sh``
+    (out[p] = in[p + sh]); wrapped-in tail values are garbage the caller
+    must mask."""
+    if sh % _LANE == 0:
+        return pltpu.roll(x, _SUB - sh // _LANE, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
+    lr = pltpu.roll(x, _LANE - sh, 1)
+    nr = pltpu.roll(lr, _SUB - 1, 0)
+    return jnp.where(lane < _LANE - sh, lr, nr)
+
+
+def _flat_roll_right_traced(x, off):
+    """Shift a (rows, 128) array right by a TRACED ``off`` in [0, 128)
+    over its row-major flattening: binary-decomposed static lane rolls +
+    one row carry.  Wrapped-in head values are garbage to be masked."""
+    for b in range(7):
+        sh = 1 << b
+        x = jnp.where((off >> b) & 1 > 0, pltpu.roll(x, sh, 1), x)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    pr = pltpu.roll(x, 1, 0)
+    return jnp.where(lane >= off, x, pr)
+
+
+_ENC_ROWS = 2      # table rows per channel: supports <= 256 values
+
+
+def _encode_kernel(ch_ref, voff_ref, sym_ref, tab_ref, rcp_ref, queue_ref,
+                   back_ref, xfin_ref):
+    """One tile: T steps x (8,128) streams, reversed.
+
+    ch_ref:  (T,) i32 scalar-prefetch — channel of every step
+    voff_ref: (T,) i32 scalar-prefetch — channel offset of every step
+    sym_ref: (T, 8, 128) i32 — raw symbols
+    tab_ref: (C*2, 128) i32 — per-value freq | start<<13 | shift<<25
+    rcp_ref: (C*2, 128) i32 — per-value round-up reciprocal of freq
+    queue_ref: (Qrows, 128) i32 out — BACK-aligned emitted words
+    back_ref: (1, 1) i32 out (SMEM) — number of emitted words
+    xfin_ref: (8, 128) i32 out — final states (flush words)
+
+    The per-symbol table lookup runs in-kernel (two-row lane shuffle per
+    field) — materializing gathered (B, T, S) field arrays in XLA costs
+    more than the whole rANS math.
+    """
+    t_steps = sym_ref.shape[0]
+    # the last WIN_ROWS rows are window-spill scratch, not payload
+    capw = (queue_ref.shape[0] - _WIN_ROWS) * _LANE
+    mask = jnp.int32(MASK)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
+    flat_pos = (jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+                * _LANE + lane)  # s index of each lane
+    n_vals = _ENC_ROWS * _LANE
+
+    def step(i, carry):
+        x, back = carry  # x: (8,128) uint32-as-int32
+        t = t_steps - 1 - i
+        ch = ch_ref[t]
+
+        # value index, clipped to the table range (escapes are counted by
+        # the XLA wrapper and the whole batch falls back to the host path)
+        v = jnp.clip(sym_ref[pl.ds(t, 1)][0] - voff_ref[t], 0, n_vals - 1)
+        vl = v & (_LANE - 1)
+        hi = v >> 7
+
+        trows = tab_ref[pl.ds(ch * _ENC_ROWS, _ENC_ROWS), :]
+        rrows = rcp_ref[pl.ds(ch * _ENC_ROWS, _ENC_ROWS), :]
+
+        def lut2(rows):
+            lo_v = jnp.take_along_axis(
+                jnp.broadcast_to(rows[0][None, :], (_SUB, _LANE)), vl,
+                axis=1)
+            hi_v = jnp.take_along_axis(
+                jnp.broadcast_to(rows[1][None, :], (_SUB, _LANE)), vl,
+                axis=1)
+            return jnp.where(hi == 0, lo_v, hi_v)
+
+        packed = lut2(trows)
+        rcp = pltpu.bitcast(lut2(rrows), jnp.uint32)
+        fk = packed & jnp.int32(0x1FFF)
+        stk = (packed >> 13) & mask
+        shift = (packed >> 25) & 0xF
+
+        xu = pltpu.bitcast(x, jnp.uint32)
+        # xu >> 20 < 2^12 and fk <= 2^12: compare is safe in int32
+        e = ((xu >> EMIT_SHIFT).astype(jnp.int32) >= fk)
+        w = x & jnp.int32(0xFFFF)
+        xu = jnp.where(e, xu >> 16, xu)
+
+        # q = xu // fk, exactly: mulhi(x, rcp) >> (shift - 1); fk == 1
+        # (shift == 0) means q = x.  Clamp the shift base so the variable
+        # shift amount stays in [0, 31] even where the where() discards it.
+        sh_eff = jnp.maximum(shift, 1).astype(jnp.uint32) - 1
+        q = _mulhi32(xu, rcp) >> sh_eff
+        q = jnp.where(shift == 0, xu, q)
+        rem = xu - q * pltpu.bitcast(fk, jnp.uint32)
+        xu = (q << PRECISION) + rem + pltpu.bitcast(stk, jnp.uint32)
+        x = pltpu.bitcast(xu, jnp.int32)
+
+        # back-aligned placement: flagged lanes (s ascending) fill
+        # [capw - back - k, capw - back)
+        ni = e.astype(jnp.int32)
+        incl, k = _prefix_sum(ni)
+        rank = incl - ni
+        base = capw - back - k
+        w0 = jnp.maximum(base >> 7, 0)
+
+        # compact flagged words to rank order with a butterfly shift
+        # network (pure integer VPU ops — exact, unlike MXU f32 one-hots):
+        # element s moves left by delta = s - rank(s), which is monotone
+        # non-decreasing in s, so stage-wise moves by each set bit of
+        # delta (LSB first) never collide.
+        v = w
+        d = flat_pos - rank
+        m = ni
+        for bb in range(10):
+            sh = 1 << bb
+            cv = _flat_roll_left(v, sh)
+            cd = _flat_roll_left(d, sh)
+            cm = jnp.where(flat_pos >= STREAMS - sh,
+                           0, _flat_roll_left(m, sh))
+            take = (cm > 0) & (((cd >> bb) & 1) > 0)
+            stay = (m > 0) & (((d >> bb) & 1) == 0)
+            v = jnp.where(take, cv, v)
+            d = jnp.where(take, cd & ~sh, d)
+            m = (take | stay).astype(jnp.int32)
+
+        # place the k compacted words at window offset off = base & 127:
+        # pad one spill row, shift right by off (traced), masked write
+        off = base - (w0 << 7)
+        v9 = jnp.concatenate([v, jnp.zeros((1, _LANE), jnp.int32)], axis=0)
+        m9 = jnp.concatenate([m, jnp.zeros((1, _LANE), jnp.int32)], axis=0)
+        vs = _flat_roll_right_traced(v9, off)
+        ms9 = _flat_roll_right_traced(m9, off)
+        row9 = jax.lax.broadcasted_iota(jnp.int32, (_WIN_ROWS, _LANE), 0)
+        pos9 = (row9 << 7) + jax.lax.broadcasted_iota(
+            jnp.int32, (_WIN_ROWS, _LANE), 1)
+        ms = jnp.where((pos9 >= off) & (pos9 < off + k), ms9, 0)
+
+        # single-row dynamic stores (a multi-row store at a traced offset
+        # lowers to a slow path; row-wise stores are what the decode
+        # kernel's output writes use and they pipeline well)
+        win_old = queue_ref[pl.ds(w0, _WIN_ROWS), :]
+        merged = jnp.where(ms > 0, vs, win_old)
+        for r in range(_WIN_ROWS):
+            queue_ref[pl.ds(w0 + r, 1), :] = merged[r][None]
+        return x, back + k
+
+    x0 = jnp.full((_SUB, _LANE), STATE_MIN, jnp.int32)
+    x, back = jax.lax.fori_loop(0, t_steps, step, (x0, jnp.int32(0)))
+    xfin_ref[:] = x
+    back_ref[0, 0] = back
+
+
+def pack_enc_tables(tables):
+    """Per-(channel, value) encode tables for the Pallas kernel, laid out
+    as 2 lane-rows of 128 values per channel (value v of channel c at row
+    c*2 + (v>>7), lane v&127):
+
+    * packed:  freq | start<<13 | shift<<25  (shift = ceil log2 freq)
+    * rcp:     round-up reciprocal ceil(2^(31+shift)/freq) — exact 32-bit
+      division for any state; freq==1 marked by shift 0, special-cased
+      in-kernel.  Pure numpy (uint64 host math)."""
+    freq = np.asarray(tables.freq).astype(np.uint64)      # (C, L)
+    c, length = freq.shape
+    n_vals = _ENC_ROWS * 128
+    assert length <= n_vals, "encode kernel supports <=256 values/channel"
+    fpad = np.ones((c, n_vals), np.uint64)
+    fpad[:, :length] = np.maximum(freq, 1)
+    spad = np.zeros((c, n_vals), np.uint32)
+    spad[:, :length] = np.asarray(tables.start).astype(np.uint32)
+    shift = np.ceil(np.log2(fpad.astype(np.float64))).astype(np.uint64)
+    rcp = ((np.uint64(1) << (31 + shift)) + fpad - 1) // fpad
+    packed = (fpad.astype(np.uint32) | (spad << 13)
+              | (shift.astype(np.uint32) << 25))
+    return (jnp.asarray(packed.view(np.int32).reshape(c * _ENC_ROWS, 128)),
+            jnp.asarray(rcp.astype(np.uint32).view(np.int32)
+                        .reshape(c * _ENC_ROWS, 128)))
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def encode_interleaved_pallas(symbols: jnp.ndarray, channel_map: jnp.ndarray,
+                              tables, enc_tables, capacity: int,
+                              interpret: bool = False):
+    """Pallas twin of ``encode_device_interleaved`` (bit-identical frames).
+
+    symbols: (B, T, S) int32; ``enc_tables`` from ``pack_enc_tables``.
+    Returns ((B, capacity) u16 words in global decode order, totals (B,),
+    escape count).  S must be 1024 (``supported``); callers fall back to
+    the XLA scan otherwise.
+    """
+    b, t, s = symbols.shape
+    assert s == STREAMS
+    tab, rcp = enc_tables
+    c = tab.shape[0] // _ENC_ROWS
+
+    esc_v = symbols - tables.offset[channel_map][None]
+    esc = jnp.sum((esc_v < 0)
+                  | (esc_v >= tables.length[channel_map][None]))
+
+    # per-step channel + channel offset (each step is single-channel)
+    ch_steps = channel_map[:, 0].astype(jnp.int32)
+    voff_steps = tables.offset[ch_steps].astype(jnp.int32)
+
+    capw = t * s                      # worst case: one word per symbol
+    # +WIN_ROWS spill rows: the 9-row write window may straddle the end of
+    # the logical buffer on early (back-aligned) steps; spill rows are
+    # never part of the payload and are sliced away below
+    q_rows = capw // _LANE + _WIN_ROWS
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, t, _SUB, _LANE),
+                         lambda i, ch, vo: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c * _ENC_ROWS, _LANE),
+                         lambda i, ch, vo: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c * _ENC_ROWS, _LANE),
+                         lambda i, ch, vo: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, q_rows, _LANE),
+                         lambda i, ch, vo: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, 1), lambda i, ch, vo: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, _SUB, _LANE), lambda i, ch, vo: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    queue_back, back, xfin = pl.pallas_call(
+        _encode_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, q_rows, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, _SUB, _LANE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ch_steps, voff_steps, symbols.reshape(b, t, _SUB, _LANE), tab, rcp)
+
+    back = back.reshape(b)
+    # epilogue: front-align the payload, prepend the 2S flush words
+    flat = queue_back.reshape(b, q_rows * _LANE)[:, :capw]
+    rolled = jax.vmap(lambda qq, bk: jnp.roll(qq, bk - capw))(flat, back)
+    xf = xfin.reshape(b, s)
+    flush = jnp.stack([xf & 0xFFFF, (xf >> 16) & 0xFFFF],
+                      axis=-1).reshape(b, 2 * s)
+    buf = jnp.concatenate([flush, rolled[:, :max(0, capacity - 2 * s)]],
+                          axis=1).astype(jnp.uint16)
+    if buf.shape[1] < capacity:
+        buf = jnp.pad(buf, ((0, 0), (0, capacity - buf.shape[1])))
+    totals = 2 * s + back
+    return buf, totals, esc
 
 
 def pack_dec_lut(tables) -> jnp.ndarray:

@@ -270,3 +270,34 @@ def test_pallas_decode_interpret_multi_step_channel(model):
                                      pack_dec_lut(core.tables), t, True)
     offs = np.asarray(core.tables.offset)[np.asarray(ch_map)][None]
     np.testing.assert_array_equal(np.asarray(vals) + offs, ref)
+
+
+def test_pallas_encode_interpret_matches_scan(model):
+    """The Pallas interleaved-encode kernel (interpret mode on CPU) must be
+    bitstream-identical to the XLA scan encoder."""
+    from cnn_autoencoder_tpu.coding.device_rans import (
+        encode_device_interleaved, pack_streams, stream_channel_map)
+    from cnn_autoencoder_tpu.ops.pallas.rans_kernel import (
+        STREAMS, encode_interleaved_pallas, pack_enc_tables)
+
+    core = CAETurboCore(model)
+    c = core.channels_bn
+    lh = lw = 32
+    rng = np.random.RandomState(2)
+    sym = np.round(rng.randn(2, c, lh, lw) * 1.5).astype(np.int32)
+
+    ch_map = jnp.asarray(stream_channel_map(c, (lh, lw), STREAMS))
+    packed = pack_streams(jnp.asarray(sym.reshape(2, -1)), STREAMS)
+    t = packed.shape[1]
+    cap = 2 * STREAMS + t * STREAMS + 16
+    ref_bufs, ref_tot, ref_esc = encode_device_interleaved(
+        packed, ch_map, core.tables, cap)
+    bufs, tot, esc = encode_interleaved_pallas(
+        packed, ch_map, core.tables, pack_enc_tables(core.tables), cap,
+        True)
+    assert int(esc) == int(ref_esc) == 0
+    np.testing.assert_array_equal(np.asarray(tot), np.asarray(ref_tot))
+    rb, b = np.asarray(ref_bufs), np.asarray(bufs)
+    for i in range(2):
+        nw = int(np.asarray(ref_tot)[i])
+        np.testing.assert_array_equal(b[i, :nw], rb[i, :nw])
