@@ -16,6 +16,14 @@ lower to scalar loops.  This kernel keeps everything VPU-vectorized:
 Bit-identical to ``decode_device_interleaved`` and the C++ ``ilv_decode``
 (tests/test_ilv_rans.py pins all three against each other).
 
+The ENCODE kernel is the decoder's dual: it walks steps in reverse,
+back-aligns emitted words, compacts each step's flagged words to rank
+order with a butterfly shift network (monotone move distances — stage-wise
+moves by each delta bit never collide), and lands them through a bounded
+write window.  Exact 32-bit division uses per-value round-up reciprocals
+with a carry-explicit 16x16 mulhi (the VPU has no integer divide, and MXU
+f32 one-hot matmuls round at bf16 precision — measured, not theoretical).
+
 Requirements: num_streams == 1024, and the latent plane size (h*w) must be
 a multiple of the stream count so each scan step reads one channel
 (callers fall back to the XLA scan otherwise).

@@ -73,18 +73,22 @@ class CAETurboCore:
 
         from ..ops.pallas import rans_kernel
         self._dec_lut = rans_kernel.pack_dec_lut(self.tables)
-        # the Pallas decode kernel runs on real TPUs; the XLA scan is the
+        self._enc_tables = rans_kernel.pack_enc_tables(self.tables)
+        # the Pallas kernels run on real TPUs; the XLA scans are the
         # portable fallback (CPU tests, spoofed meshes, odd geometries)
         self._use_pallas = (jax.default_backend() == "tpu"
                             and os.environ.get("CAE_TPU_PALLAS", "1") != "0")
 
-        def encode_fused(x_u8, ch_map, capacity):
+        def encode_fused(x_u8, ch_map, capacity, use_pallas=False):
             x = x_u8.astype(jnp.float32) / 255.0
             y = modules["encoder"].apply(variables["encoder"], x)
             sym = jnp.round(y - med).astype(jnp.int32)
             sym_cm = jnp.transpose(sym, (0, 3, 1, 2))     # (B, C, lh, lw)
             flat = sym_cm.reshape(sym_cm.shape[0], -1)
             packed = pack_streams(flat, ch_map.shape[1])
+            if use_pallas:
+                return rans_kernel.encode_interleaved_pallas(
+                    packed, ch_map, self.tables, self._enc_tables, capacity)
             return encode_device_interleaved(packed, ch_map, self.tables,
                                              capacity)
 
@@ -117,7 +121,7 @@ class CAETurboCore:
             sym = decode_device(bufs, ch_map, self.tables, num_steps)
             return _finish_decode(sym, lh, lw, False)
 
-        self._encode = jax.jit(encode_fused, static_argnums=(2,))
+        self._encode = jax.jit(encode_fused, static_argnums=(2, 3))
         self._decode_scan = jax.jit(decode_fused_scan,
                                     static_argnums=(2, 3, 4, 5))
         self._decode_pallas = jax.jit(decode_fused_pallas,
@@ -166,8 +170,13 @@ class CAETurboCore:
         s = self.num_streams
         capacity = 2 * s + 64 + int(
             t * s * self.expected_bits / 16.0 * 1.12)
+        from ..ops.pallas import rans_kernel
+        enc_pallas = (self._use_pallas
+                      and rans_kernel.supported(s, self.channels_bn,
+                                                lh * lw))
         for _ in range(6):
-            bufs, totals, esc = self._encode(tiles_u8, ch_map, capacity)
+            bufs, totals, esc = self._encode(tiles_u8, ch_map, capacity,
+                                             enc_pallas)
             # ONE device_get for everything: the tunnel's per-round-trip
             # latency dwarfs the (rare) waste of fetching buffers that a
             # capacity retry throws away
