@@ -1,5 +1,11 @@
 """Packed pixel transport: device-side residual bit-plane packing.
 
+No reference counterpart: the reference moves every decompressed tile as
+raw numpy bytes between its dask workers and the GPU (reference
+src/decompress.py:24-37); this module exists because on TPU serving the
+host<->device link is the measured bottleneck and reconstructed tiles
+compress ~2-4x with a one-pass predictor.
+
 The decompress pipeline's dominant link cost is fetching raw uint8 pixels
 (24 bpp) from the device.  Reconstructed tiles are spatially smooth, so a
 left/up predictor leaves small residuals; this module packs their zigzag

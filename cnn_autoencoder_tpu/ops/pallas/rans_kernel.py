@@ -1,4 +1,11 @@
-"""Pallas TPU kernel: interleaved multi-stream rANS decode (frame v4).
+"""Pallas TPU kernels: interleaved multi-stream rANS decode + encode.
+
+TPU-native replacement for the role compressai's C++ rANS coder plays in
+the reference (invoked via fact_ent.compress/decompress at reference
+src/models/tasks/_autoencoders.py:549-572): here entropy coding runs ON
+the accelerator inside the serving programs, so only compressed bytes
+cross the host link.  Frame v4 layout; see docs/KERNELS.md for design
+notes and measured numbers.
 
 The XLA scan in coding/device_rans.py decodes ~3-4 Msym/s on a v5e because
 every step pays two XLA gathers (a (C,4096) LUT lookup and a refill) that
