@@ -134,8 +134,10 @@ def compress(args):
     core = None
     if args.codec == "CAETPU" and args.checkpoint:
         from ..models.factory import autoencoder_from_state_dict
+        from ..parallel.mesh import serving_mesh
         from ..storage.turbo_codec import CAETurboCore
-        core = CAETurboCore(autoencoder_from_state_dict(args.checkpoint))
+        core = CAETurboCore(autoencoder_from_state_dict(args.checkpoint),
+                            mesh=serving_mesh())
     elif "CAE" in args.codec and args.checkpoint:
         from ..models.factory import autoencoder_from_state_dict
         from ..parallel.mesh import serving_mesh

@@ -56,14 +56,26 @@ def is_turbo_frame(raw: bytes) -> bool:
 
 
 class CAETurboCore:
-    """Device-coded encode/decode built on top of a CAECodecCore."""
+    """Device-coded encode/decode built on top of a CAECodecCore.
 
-    def __init__(self, model, num_streams: int = DEFAULT_STREAMS):
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis — tile
+    batches are padded to a multiple of the axis size and the fused
+    programs (including the Pallas rANS kernels) run under ``shard_map``,
+    one shard of tiles per chip.  Tiles are independent, so no
+    collectives are needed and output frames are byte-identical to
+    single-device serving.
+    """
+
+    def __init__(self, model, num_streams: int = DEFAULT_STREAMS,
+                 mesh=None):
         self.base = CAECodecCore(model)
         self.model = model
         self.level = self.base.level
         self.channels_bn = self.base.channels_bn
         self.num_streams = num_streams
+        self.mesh = mesh
+        self._nd = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        self._call_cache = {}
         self.tables = bake_device_tables(
             model.variables["fact_ent"]["params"], model.filters)
         self.expected_bits = expected_bits_per_symbol(self.tables)
@@ -87,10 +99,17 @@ class CAETurboCore:
             flat = sym_cm.reshape(sym_cm.shape[0], -1)
             packed = pack_streams(flat, ch_map.shape[1])
             if use_pallas:
-                return rans_kernel.encode_interleaved_pallas(
+                bufs, totals, _ = rans_kernel.encode_interleaved_pallas(
                     packed, ch_map, self.tables, self._enc_tables, capacity)
-            return encode_device_interleaved(packed, ch_map, self.tables,
-                                             capacity)
+            else:
+                bufs, totals, _ = encode_device_interleaved(
+                    packed, ch_map, self.tables, capacity)
+            # per-TILE escape counts (batch-mapped, so the whole function
+            # shards cleanly over the data axis)
+            v = packed - self.tables.offset[ch_map][None]
+            esc = jnp.sum((v < 0) | (v >= self.tables.length[ch_map][None]),
+                          axis=(1, 2))
+            return bufs, totals, esc
 
         def _finish_decode(sym_ts, lh, lw, packed):
             n = self.channels_bn * lh * lw
@@ -121,12 +140,48 @@ class CAETurboCore:
             sym = decode_device(bufs, ch_map, self.tables, num_steps)
             return _finish_decode(sym, lh, lw, False)
 
-        self._encode = jax.jit(encode_fused, static_argnums=(2, 3))
-        self._decode_scan = jax.jit(decode_fused_scan,
-                                    static_argnums=(2, 3, 4, 5))
-        self._decode_pallas = jax.jit(decode_fused_pallas,
-                                      static_argnums=(2, 3, 4, 5))
-        self._decode_v3 = jax.jit(decode_fused_v3, static_argnums=(2, 3, 4))
+        self._raw_fns = {"enc": encode_fused, "scan": decode_fused_scan,
+                         "pallas": decode_fused_pallas,
+                         "v3": decode_fused_v3}
+
+    def _get_fn(self, kind: str, **statics):
+        """Jitted (and, with a mesh, shard_mapped over the data axis)
+        callable of signature (batch_array, ch_map) for the given raw
+        function and static arguments.  Cached per (kind, statics)."""
+        key = (kind, tuple(sorted(statics.items())))
+        fn = self._call_cache.get(key)
+        if fn is not None:
+            return fn
+        import functools
+
+        raw = functools.partial(self._raw_fns[kind], **statics)
+        if self.mesh is None:
+            fn = jax.jit(raw)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            n_out = 3 if kind == "enc" else 1
+            out_specs = tuple([P("data")] * n_out) if n_out > 1 \
+                else P("data")
+            # check_vma off: the rANS scan carries start as replicated
+            # constants and become device-varying through the sharded
+            # batch, which the varying-axis checker rejects
+            fn = jax.jit(shard_map(
+                raw, mesh=self.mesh, in_specs=(P("data"), P()),
+                out_specs=out_specs, check_vma=False))
+        self._call_cache[key] = fn
+        return fn
+
+    def _pad_batch(self, arr):
+        """Pad the leading (batch) dim to a multiple of the data-axis
+        size; returns (padded, true_batch)."""
+        b = arr.shape[0]
+        pad = (-b) % self._nd
+        if pad:
+            arr = jnp.concatenate(
+                [arr, jnp.repeat(arr[-1:], pad, axis=0)], axis=0)
+        return arr, b
 
     # -- geometry -----------------------------------------------------------
 
@@ -174,16 +229,19 @@ class CAETurboCore:
         enc_pallas = (self._use_pallas
                       and rans_kernel.supported(s, self.channels_bn,
                                                 lh * lw))
+        tiles_u8, _ = self._pad_batch(tiles_u8)
         for _ in range(6):
-            bufs, totals, esc = self._encode(tiles_u8, ch_map, capacity,
-                                             enc_pallas)
+            encode = self._get_fn("enc", capacity=capacity,
+                                  use_pallas=enc_pallas)
+            bufs, totals, esc = encode(tiles_u8, ch_map)
             # ONE device_get for everything: the tunnel's per-round-trip
             # latency dwarfs the (rare) waste of fetching buffers that a
             # capacity retry throws away
-            bufs_np, totals_np, esc = jax.device_get((bufs, totals, esc))
-            if int(esc) == 0 and totals_np.max() <= capacity:
+            bufs_np, totals_np, esc_np = jax.device_get(
+                (bufs, totals, esc))
+            if int(esc_np.sum()) == 0 and totals_np.max() <= capacity:
                 return self._frame(bufs_np, totals_np, true_hw)
-            if int(esc) > 0:
+            if int(esc_np.sum()) > 0:
                 break
             capacity *= 2
 
@@ -286,15 +344,20 @@ class CAETurboCore:
         use_pallas = (self._use_pallas
                       and rans_kernel.supported(s, self.channels_bn,
                                                 lh * lw))
-        decode = self._decode_pallas if use_pallas else self._decode_scan
         ph, pw = 2 ** self.level * lh, 2 ** self.level * lw
-        packed = packed_fetch_enabled() and ph * pw * 3 % 128 == 0
+        # packed transport stays single-device: its compacted buffer is a
+        # global layout that per-shard packing would not reproduce
+        packed = (self.mesh is None and packed_fetch_enabled()
+                  and ph * pw * 3 % 128 == 0)
+        decode = self._get_fn("pallas" if use_pallas else "scan",
+                              num_steps=t, lh=lh, lw=lw, packed=packed)
+        qdev, _ = self._pad_batch(jnp.asarray(queues))
         with GLOBAL_TIMER.stage("decompress/turbo_h2d+decode", mp):
-            res = decode(jnp.asarray(queues), ch_map, t, lh, lw, packed)
+            res = decode(qdev, ch_map)
         with GLOBAL_TIMER.stage("decompress/turbo_d2h_pixels", mp):
             rec = CAECodecCore.fetch_pixels(
-                res, (batch, ph, pw, 3) if packed else None)
-        return rec[:, :th, :tw, :]
+                res, (qdev.shape[0], ph, pw, 3) if packed else None)
+        return rec[:batch, :th, :tw, :]
 
     def _decode_turbo_group_v3(self, raws: List[bytes], s: int, th: int,
                                tw: int) -> np.ndarray:
@@ -327,10 +390,10 @@ class CAETurboCore:
             mask = col_grid[None, :] < lengths[i][:, None]      # (S, cap)
             dev_bufs[i][mask] = flat[:need]
 
-        rec = np.asarray(self._decode_v3(jnp.asarray(dev_bufs),
-                                         self._get_ch_map(lh, lw, s), t, lh,
-                                         lw))
-        return rec[:, :th, :tw, :]
+        decode = self._get_fn("v3", num_steps=t, lh=lh, lw=lw)
+        padded, _ = self._pad_batch(jnp.asarray(dev_bufs))
+        rec = np.asarray(decode(padded, self._get_ch_map(lh, lw, s)))
+        return rec[:batch, :th, :tw, :]
 
 
 class ConvolutionalAutoencoderTurbo(Codec):
@@ -342,10 +405,12 @@ class ConvolutionalAutoencoderTurbo(Codec):
                  gpu: bool = False):
         from ..models.factory import autoencoder_from_state_dict
         del gpu
+        from ..parallel.mesh import serving_mesh
         self.checkpoint = checkpoint if isinstance(checkpoint, str) else None
         self.num_streams = num_streams
         self.core = CAETurboCore(autoencoder_from_state_dict(checkpoint),
-                                 num_streams=num_streams)
+                                 num_streams=num_streams,
+                                 mesh=serving_mesh())
 
     def encode(self, buf) -> bytes:
         buf = np.asarray(buf)

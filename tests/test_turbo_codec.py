@@ -301,3 +301,25 @@ def test_pallas_encode_interpret_matches_scan(model):
     for i in range(2):
         nw = int(np.asarray(ref_tot)[i])
         np.testing.assert_array_equal(b[i, :nw], rb[i, :nw])
+
+
+def test_turbo_sharded_serving_byte_identical(model):
+    """Turbo serving over an 8-device data mesh must produce byte-identical
+    frames and reconstructions vs single-device, including ragged batches
+    that need padding to the axis size."""
+    from cnn_autoencoder_tpu.parallel.mesh import create_mesh
+
+    single = CAETurboCore(model, num_streams=64)
+    mesh = create_mesh(data=8, model=1)
+    sharded = CAETurboCore(model, num_streams=64, mesh=mesh)
+
+    imgs = np.stack([_image(64, 64, seed=i) for i in range(5)])  # 5 % 8 != 0
+    ref_frames = single.encode_tiles(imgs)
+    got_frames = sharded.encode_tiles(imgs)
+    assert len(got_frames) == len(ref_frames) == 5
+    for a, b in zip(got_frames, ref_frames):
+        assert a == b, "sharded frame diverged"
+
+    rec_ref = np.asarray(single.decode_tiles(ref_frames))
+    rec_got = np.asarray(sharded.decode_tiles(ref_frames))
+    np.testing.assert_array_equal(rec_got, rec_ref)
