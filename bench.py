@@ -193,10 +193,18 @@ def main():
             warmed.add(mode)
             return core, cfn, dfn
 
-        if TURBO and "cae_tpu" in paths:
-            warm("cae_tpu")
-        else:
-            warm(next(iter(paths)))
+        first_mode = "cae_tpu" if (TURBO and "cae_tpu" in paths) \
+            else next(iter(paths))
+        for attempt in range(3):
+            try:
+                warm(first_mode)
+                break
+            except Exception as e:  # transient tunnel/backend failure
+                if attempt == 2:
+                    raise
+                print(f"# warmup failed ({type(e).__name__}); retrying",
+                      file=sys.stderr)
+                time.sleep(20)
 
         from cnn_autoencoder_tpu.utils.profiling import (GLOBAL_TIMER,
                                                           trace)
@@ -208,12 +216,20 @@ def main():
         best_image = (IMAGE_H, IMAGE_W)
         best_mode = None
         bench_t0 = time.perf_counter()
+        last_error = None
         for r in range(REPEATS):
             if r > 0 and time.perf_counter() - bench_t0 > BUDGET_S:
                 print(f"# budget reached after {r} runs", file=sys.stderr)
                 break
             out = os.path.join(tmp, f"bench_{r}.zarr")
-            link = probe_link(jax, jnp, np)
+            try:
+                link = probe_link(jax, jnp, np)
+            except Exception as e:  # transient tunnel/backend failure
+                last_error = e
+                print(f"# run {r}: probe failed ({type(e).__name__}); "
+                      "retrying next repeat", file=sys.stderr)
+                time.sleep(5)
+                continue
             print(f"# link probe: d2h {link[0]} MB/s, h2d {link[1]} MB/s",
                   file=sys.stderr)
             if FUSED:
@@ -227,7 +243,14 @@ def main():
                     else "cae"
             else:
                 mode = "cae"
-            core, compress_fn, decompress_fn = warm(mode)
+            try:
+                core, compress_fn, decompress_fn = warm(mode)
+            except Exception as e:
+                last_error = e
+                print(f"# run {r}: warm({mode}) failed "
+                      f"({type(e).__name__}); continuing", file=sys.stderr)
+                time.sleep(5)
+                continue
             print(f"# path: {mode}", file=sys.stderr)
             # healthy tunnel -> larger image (same jitted programs: the
             # tile/batch shapes are unchanged, only the grid grows)
@@ -242,10 +265,19 @@ def main():
             mp = h * w / 1e6
             GLOBAL_TIMER.reset()
             t0 = time.perf_counter()
-            with trace():
-                arr = compress_fn(core, run_img, out, patch_size=PATCH)
-                t1 = time.perf_counter()
-                rec = decompress_fn(arr, core=core)
+            try:
+                with trace():
+                    arr = compress_fn(core, run_img, out, patch_size=PATCH)
+                    t1 = time.perf_counter()
+                    rec = decompress_fn(arr, core=core)
+            except Exception as e:  # transient tunnel/backend failure:
+                # keep already-measured results instead of dying
+                last_error = e
+                print(f"# run {r} FAILED ({type(e).__name__}: "
+                      f"{str(e)[:120]}); continuing", file=sys.stderr)
+                shutil.rmtree(out, ignore_errors=True)
+                time.sleep(5)
+                continue
             t2 = time.perf_counter()
             stage_report = GLOBAL_TIMER.report()
             if stage_report:
@@ -278,6 +310,9 @@ def main():
                   f"combined {mps:.1f} MP/s, {run_bpp:.3f} bpp",
                   file=sys.stderr)
             shutil.rmtree(out, ignore_errors=True)
+
+        if best_mps == 0.0 and last_error is not None:
+            raise last_error  # nothing measured: surface the real failure
 
         result = {
             "metric": "WSI compress+decompress megapixels/sec/chip",
