@@ -148,3 +148,38 @@ def test_truncated_queue_no_crash():
         np.asarray(tables.start), np.asarray(tables.length),
         np.asarray(tables.offset), s)
     assert out.shape == sym.shape
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_pallas_encode_fuzz_interpret(seed):
+    """Randomized tables/geometries through the Pallas encode kernel
+    (interpret mode) — bitstream-identical to the XLA scan encoder."""
+    from cnn_autoencoder_tpu.ops.pallas.rans_kernel import (
+        STREAMS, encode_interleaved_pallas, pack_enc_tables, supported)
+
+    rng = np.random.RandomState(100 + seed)
+    c = int(rng.randint(2, 9))
+    tables = _random_tables(rng, c)
+    lh, lw = [(32, 32), (32, 64), (64, 32)][rng.randint(3)]
+    assert supported(STREAMS, c, int(lh) * int(lw))
+    length = np.asarray(tables.length)
+    offset = np.asarray(tables.offset)
+    b = int(rng.randint(1, 4))
+    sym = np.stack([
+        np.concatenate([rng.randint(0, length[ch], lh * lw) + offset[ch]
+                        for ch in range(c)]).astype(np.int32)
+        for _ in range(b)])
+    ch_map = jnp.asarray(stream_channel_map(c, (int(lh), int(lw)), STREAMS))
+    packed = pack_streams(jnp.asarray(sym), STREAMS)
+    t = packed.shape[1]
+    cap = 2 * STREAMS + t * STREAMS + 16
+    ref_bufs, ref_tot, ref_esc = encode_device_interleaved(
+        packed, ch_map, tables, cap)
+    bufs, tot, esc = encode_interleaved_pallas(
+        packed, ch_map, tables, pack_enc_tables(tables), cap, True)
+    assert int(esc) == int(ref_esc) == 0
+    np.testing.assert_array_equal(np.asarray(tot), np.asarray(ref_tot))
+    rb, bb = np.asarray(ref_bufs), np.asarray(bufs)
+    for i in range(b):
+        nw = int(np.asarray(ref_tot)[i])
+        np.testing.assert_array_equal(bb[i, :nw], rb[i, :nw])
