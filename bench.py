@@ -11,8 +11,12 @@ image, bpp accounted from stored bytes):
 * report megapixels/sec/chip over compress+decompress combined.
 
 Model: the flagship histology config (channels_net=128, channels_bn=48,
-compression_level=3, GDN), untrained weights + fitted quantiles — identical
-FLOPs/bytes to a trained model, so throughput is representative.
+compression_level=3, GDN), loaded from the TRAINED fixture
+benchmarks/bench_flagship.msgpack (scripts/make_bench_checkpoint.py) when
+present, so bpp and reconstruction smoothness — which shape the serving-path
+transport optimizations — are those of a real trained model.  Without the
+fixture it falls back to untrained weights + fitted quantiles (same
+FLOPs/bytes, representative throughput only).
 
 vs_baseline: ratio against an estimated reference throughput of 25 MP/s for
 the reference's serial per-tile GPU pipeline (torch per-chunk module calls +
@@ -75,7 +79,7 @@ def synth_histology(h, w, seed=0):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-_PROBE_FN = None
+_PROBE_FNS = {}  # payload MB -> jitted generator (cache keyed by size)
 
 
 def probe_link(jax, jnp, np, mb=24):
@@ -85,11 +89,12 @@ def probe_link(jax, jnp, np, mb=24):
     ~20 MB/s congested); reporting the measured bandwidth alongside the
     throughput makes link-bound results interpretable: when the d2h pixel
     stage runs at probe bandwidth, the pipeline is saturating the link."""
-    global _PROBE_FN
     n = mb * 1024 * 1024 // 4
-    if _PROBE_FN is None:
-        _PROBE_FN = jax.jit(lambda s: jnp.arange(n, dtype=jnp.float32) + s)
-    d = _PROBE_FN(jnp.float32(time.time() % 97.0))
+    fn = _PROBE_FNS.get(mb)
+    if fn is None:
+        fn = jax.jit(lambda s, n=n: jnp.arange(n, dtype=jnp.float32) + s)
+        _PROBE_FNS[mb] = fn
+    d = fn(jnp.float32(time.time() % 97.0))
     np.asarray(d[:1])  # ensure computed
     t0 = time.perf_counter()
     h = np.asarray(d)

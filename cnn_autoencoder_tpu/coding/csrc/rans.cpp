@@ -637,13 +637,27 @@ constexpr uint32_t kIlvMask = kIlvProbScale - 1;
 constexpr uint32_t kIlvStateMin = 1u << 16;
 constexpr uint32_t kIlvEmitShift = 20;
 
+// The interleaved format packs the decoded value index as `v << 24` in a
+// uint32 LUT entry, so alphabets are limited to 256 values per channel.
+// Guarded here defensively (not only on the Python side) so direct native
+// callers cannot produce silently corrupt streams.
+constexpr int32_t kIlvMaxValues = 256;
+
 // Returns total words written (including 2*S flush words), or -1 on an
-// out-of-support symbol, or -2 on capacity overflow.
+// out-of-support symbol, or -2 on capacity overflow, or -3 on a channel
+// alphabet larger than kIlvMaxValues.
 int64_t ilv_encode(const int32_t *symbols, const int32_t *indexes, int64_t n,
                    const int32_t *freqs, const int32_t *starts,
                    int64_t table_stride, const int32_t *lengths,
                    const int32_t *offsets, int64_t n_streams, uint16_t *out,
                    int64_t capacity_words) {
+  int32_t max_len = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    max_len = std::max(max_len, lengths[indexes[i]]);
+  }
+  if (max_len > kIlvMaxValues) {
+    return -3;
+  }
   std::vector<uint32_t> state(static_cast<size_t>(n_streams), kIlvStateMin);
   std::vector<uint16_t> scratch(static_cast<size_t>(capacity_words));
   uint16_t *end = scratch.data() + capacity_words;
@@ -681,11 +695,18 @@ int64_t ilv_encode(const int32_t *symbols, const int32_t *indexes, int64_t n,
   return total;
 }
 
-void ilv_decode(const uint16_t *words, int64_t total_words,
-                const int32_t *indexes, int64_t n, const int32_t *freqs,
-                const int32_t *starts, int64_t table_stride,
-                const int32_t *lengths, const int32_t *offsets,
-                int64_t n_channels, int64_t n_streams, int32_t *out) {
+// Returns 0 on success, -3 on a channel alphabet larger than kIlvMaxValues
+// (the packed LUT's value field is 8 bits).
+int32_t ilv_decode(const uint16_t *words, int64_t total_words,
+                   const int32_t *indexes, int64_t n, const int32_t *freqs,
+                   const int32_t *starts, int64_t table_stride,
+                   const int32_t *lengths, const int32_t *offsets,
+                   int64_t n_channels, int64_t n_streams, int32_t *out) {
+  for (int64_t c = 0; c < n_channels; ++c) {
+    if (lengths[c] > kIlvMaxValues) {
+      return -3;
+    }
+  }
   // cum -> packed(val<<24 | start<<12 | freq-1) LUT, one slab per channel
   std::vector<uint32_t> lut(
       static_cast<size_t>(n_channels) * kIlvProbScale, 0);
@@ -727,6 +748,7 @@ void ilv_decode(const uint16_t *words, int64_t total_words,
     state[s] = x;
     out[i] = static_cast<int32_t>(p >> 24) + offsets[c];
   }
+  return 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -752,38 +774,14 @@ const uint64_t *bit_spread_lut() {
   return lut;
 }
 
-void pixel_unpack_blocks(const uint32_t *words, int64_t n_words,
-                         const uint8_t *widths, int64_t n_blocks,
-                         int64_t b, int64_t p, int64_t q, int64_t c,
-                         uint8_t *out) {
-  const uint64_t *lut = bit_spread_lut();
-  const int64_t n = n_blocks * 128;
-  std::vector<uint8_t> z(static_cast<size_t>(n), 0);
-
-  int64_t off = 0;
-  for (int64_t i = 0; i < n_blocks; ++i) {
-    uint64_t *dst = reinterpret_cast<uint64_t *>(z.data() + i * 128);
-    const int w = widths[i];
-    for (int k = 0; k < w; ++k) {
-      if (off + 4 > n_words) {
-        break;  // truncated buffer: remaining planes read as zero
-      }
-      for (int m = 0; m < 4; ++m) {
-        const uint32_t word = words[off + m];
-        // 32 bits -> 32 bytes, each shifted into bit position k
-        dst[m * 4 + 0] |= lut[word & 0xFF] << k;
-        dst[m * 4 + 1] |= lut[(word >> 8) & 0xFF] << k;
-        dst[m * 4 + 2] |= lut[(word >> 16) & 0xFF] << k;
-        dst[m * 4 + 3] |= lut[(word >> 24) & 0xFF] << k;
-      }
-      off += 4;
-    }
-  }
-
-  // un-zigzag + spatial prefix, per tile
+// Shared inverse-transform tail: un-zigzag + spatial prefix, per tile.
+// All arithmetic is mod-256 (uint8 wraparound), the exact inverse of the
+// device packers' left/up predictor.
+static void unzigzag_unpredict_tiles(const uint8_t *z, int64_t b, int64_t p,
+                                     int64_t q, int64_t c, uint8_t *out) {
   const int64_t tile = p * q * c;
   for (int64_t t = 0; t < b; ++t) {
-    const uint8_t *zt = z.data() + t * tile;
+    const uint8_t *zt = z + t * tile;
     uint8_t *ot = out + t * tile;
     for (int64_t y = 0; y < p; ++y) {
       const uint8_t *zr = zt + y * q * c;
@@ -807,6 +805,203 @@ void pixel_unpack_blocks(const uint32_t *words, int64_t n_words,
       }
     }
   }
+}
+
+// Returns the number of bit-planes that fell past the end of `words`
+// (0 = complete buffer).  A truncated buffer still advances the running
+// offset by 4 words per declared plane, so every in-range block decodes
+// from its correct position; callers must treat a nonzero return as an
+// under-sized fetch (the affected planes read as zero).
+int64_t pixel_unpack_blocks(const uint32_t *words, int64_t n_words,
+                            const uint8_t *widths, int64_t n_blocks,
+                            int64_t b, int64_t p, int64_t q, int64_t c,
+                            uint8_t *out) {
+  const uint64_t *lut = bit_spread_lut();
+  const int64_t n = n_blocks * 128;
+  std::vector<uint8_t> z(static_cast<size_t>(n), 0);
+
+  int64_t off = 0;
+  int64_t truncated = 0;
+  for (int64_t i = 0; i < n_blocks; ++i) {
+    uint64_t *dst = reinterpret_cast<uint64_t *>(z.data() + i * 128);
+    const int w = widths[i];
+    for (int k = 0; k < w; ++k) {
+      if (off + 4 > n_words) {
+        ++truncated;  // plane past the buffer: reads as zero
+        off += 4;
+        continue;
+      }
+      for (int m = 0; m < 4; ++m) {
+        const uint32_t word = words[off + m];
+        // 32 bits -> 32 bytes, each shifted into bit position k
+        dst[m * 4 + 0] |= lut[word & 0xFF] << k;
+        dst[m * 4 + 1] |= lut[(word >> 8) & 0xFF] << k;
+        dst[m * 4 + 2] |= lut[(word >> 16) & 0xFF] << k;
+        dst[m * 4 + 3] |= lut[(word >> 24) & 0xFF] << k;
+      }
+      off += 4;
+    }
+  }
+
+  unzigzag_unpredict_tiles(z.data(), b, p, q, c, out);
+  return truncated;
+}
+
+// ---------------------------------------------------------------------------
+// rANS pixel transport: entropy-coded form of the same zigzag residuals.
+// The device side (coding/pixel_rans.py) computes the left/up-predictor
+// residuals, zigzags them and rANS-encodes them with the interleaved
+// multi-stream layout (frame-v4 word order, single shared 256-value table);
+// this host side decodes the word queue and reconstructs the exact uint8
+// pixels in one fused pass.  The mirror direction (compress uploads) runs
+// predict+zigzag+encode here and the Pallas decode kernel on device.
+
+// Decode an interleaved single-channel queue straight into pixels:
+// rANS decode (LUT in L1) -> un-zigzag -> spatial prefix.  Returns 0, or
+// -3 if length > kIlvMaxValues.
+int32_t pixel_rans_decode(const uint16_t *words, int64_t total_words,
+                          const int32_t *freqs, const int32_t *starts,
+                          int32_t length, int64_t n_streams,
+                          int64_t b, int64_t p, int64_t q, int64_t c,
+                          uint8_t *out) {
+  if (length > kIlvMaxValues) {
+    return -3;
+  }
+  std::vector<uint32_t> lut(kIlvProbScale, 0);
+  for (int32_t v = 0; v < length; ++v) {
+    const uint32_t f = static_cast<uint32_t>(freqs[v]);
+    const uint32_t st = static_cast<uint32_t>(starts[v]);
+    const uint32_t packed =
+        (static_cast<uint32_t>(v) << 24) | (st << kIlvPrecision) | (f - 1);
+    for (uint32_t k = 0; k < f && st + k < kIlvProbScale; ++k) {
+      lut[st + k] = packed;
+    }
+  }
+
+  const int64_t n = b * p * q * c;
+  std::vector<uint8_t> z(static_cast<size_t>(n));
+  std::vector<uint32_t> state(static_cast<size_t>(n_streams), 0);
+  int64_t pos = 0;
+  auto next_w = [&]() -> uint32_t {
+    return (pos < total_words) ? words[pos++] : 0u;
+  };
+  for (int64_t s = 0; s < n_streams; ++s) {
+    const uint32_t lo = next_w();
+    const uint32_t hi = next_w();
+    state[s] = lo | (hi << 16);
+  }
+  int64_t s = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t x = state[s];
+    const uint32_t cum = x & kIlvMask;
+    const uint32_t pk = lut[cum];
+    x = ((pk & kIlvMask) + 1) * (x >> kIlvPrecision) + cum
+        - ((pk >> kIlvPrecision) & kIlvMask);
+    if (x < kIlvStateMin) {
+      x = (x << 16) | next_w();
+    }
+    state[s] = x;
+    z[i] = static_cast<uint8_t>(pk >> 24);
+    if (++s == n_streams) s = 0;
+  }
+  unzigzag_unpredict_tiles(z.data(), b, p, q, c, out);
+  return 0;
+}
+
+// Forward predictor + zigzag (the host mirror of the device packer's
+// residual pass), for the upload direction.
+void pixel_predict_zigzag(const uint8_t *pixels, int64_t b, int64_t p,
+                          int64_t q, int64_t c, uint8_t *z) {
+  const int64_t tile = p * q * c;
+  for (int64_t t = 0; t < b; ++t) {
+    const uint8_t *pt = pixels + t * tile;
+    uint8_t *zt = z + t * tile;
+    for (int64_t y = 0; y < p; ++y) {
+      const uint8_t *prow = pt + y * q * c;
+      const uint8_t *prev_col0 = (y > 0) ? pt + (y - 1) * q * c : nullptr;
+      uint8_t *zrow = zt + y * q * c;
+      for (int64_t ch = 0; ch < c; ++ch) {
+        const uint8_t r = static_cast<uint8_t>(
+            prow[ch] - (prev_col0 != nullptr ? prev_col0[ch] : 0));
+        zrow[ch] = static_cast<uint8_t>(
+            (r << 1) ^ static_cast<uint8_t>(static_cast<int8_t>(r) >> 7));
+      }
+      for (int64_t x = 1; x < q; ++x) {
+        for (int64_t ch = 0; ch < c; ++ch) {
+          const uint8_t r =
+              static_cast<uint8_t>(prow[x * c + ch] - prow[(x - 1) * c + ch]);
+          zrow[x * c + ch] = static_cast<uint8_t>(
+              (r << 1) ^ static_cast<uint8_t>(static_cast<int8_t>(r) >> 7));
+        }
+      }
+    }
+  }
+}
+
+// Fused predict + zigzag + interleaved encode of ONE tile batch member
+// (single-channel 256-value table).  Returns total words (flush included),
+// -2 on overflow, -3 on a too-large alphabet.
+int64_t pixel_rans_encode(const uint8_t *pixels, int64_t b, int64_t p,
+                          int64_t q, int64_t c, const int32_t *freqs,
+                          const int32_t *starts, int32_t length,
+                          int64_t n_streams, uint16_t *out,
+                          int64_t capacity_words) {
+  if (length > kIlvMaxValues || length < 256) {
+    return -3;  // residual alphabet must cover all 256 zigzag values
+  }
+  const int64_t n = b * p * q * c;
+  std::vector<uint8_t> z(static_cast<size_t>(n));
+  pixel_predict_zigzag(pixels, b, p, q, c, z.data());
+
+  // division-free state update: per-value round-up reciprocals (exact for
+  // all 32-bit states — the same rans64-style formulation as the device
+  // encode kernel in ops/pallas/rans_kernel.py)
+  uint32_t rcp[256], sh[256], fr[256], st_tab[256];
+  for (int32_t v = 0; v < 256; ++v) {
+    const uint32_t f = static_cast<uint32_t>(freqs[v]);
+    fr[v] = f;
+    st_tab[v] = static_cast<uint32_t>(starts[v]);
+    uint32_t shift = 0;
+    while ((1u << shift) < f) ++shift;
+    sh[v] = shift;
+    rcp[v] = static_cast<uint32_t>(
+        ((static_cast<uint64_t>(1) << (31 + shift)) + f - 1) / f);
+  }
+
+  std::vector<uint32_t> state(static_cast<size_t>(n_streams), kIlvStateMin);
+  std::vector<uint16_t> scratch(static_cast<size_t>(capacity_words));
+  uint16_t *end = scratch.data() + capacity_words;
+  uint16_t *ptr = end;
+  int64_t s = static_cast<int64_t>((n - 1) % n_streams);
+  for (int64_t i = n - 1; i >= 0; --i) {
+    const uint8_t v = z[i];
+    const uint32_t f = fr[v];
+    uint32_t x = state[s];
+    if ((x >> kIlvEmitShift) >= f) {
+      if (ptr == scratch.data()) {
+        return -2;
+      }
+      *--ptr = static_cast<uint16_t>(x & 0xFFFF);
+      x >>= 16;
+    }
+    const uint32_t q32 =
+        (f == 1) ? x
+                 : static_cast<uint32_t>(
+                       (static_cast<uint64_t>(x) * rcp[v]) >> (32 + sh[v] - 1));
+    x = (q32 << kIlvPrecision) + (x - q32 * f) + st_tab[v];
+    state[s] = x;
+    if (--s < 0) s = n_streams - 1;
+  }
+  for (int64_t k = n_streams - 1; k >= 0; --k) {
+    if (ptr - scratch.data() < 2) {
+      return -2;
+    }
+    *--ptr = static_cast<uint16_t>(state[k] >> 16);
+    *--ptr = static_cast<uint16_t>(state[k] & 0xFFFF);
+  }
+  const int64_t total = end - ptr;
+  std::memcpy(out, ptr, static_cast<size_t>(total) * 2);
+  return total;
 }
 
 int32_t rans_num_threads() {

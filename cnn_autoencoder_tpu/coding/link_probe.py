@@ -1,0 +1,76 @@
+"""Cached host<->device link probes gating the coded pixel transports.
+
+Remote-TPU tunnels are bimodal (~1 GB/s healthy, ~25 MB/s congested).  The
+coded transports (coding/pixel_rans.py, coding/pixel_pack.py) trade host CPU
+and device vector work for wire bytes, so they only pay off when the link —
+not compute — bounds the pipeline.  These probes measure each direction with
+a small fresh payload, cache the result briefly, and the transport gates
+read them.
+
+Env overrides:
+* CAE_TPU_PACKED_FETCH = auto|0|1 — device->host (decompress fetch) coding
+* CAE_TPU_CODED_UPLOAD = auto|0|1 — host->device (compress upload) coding
+* CAE_TPU_PACKED_THRESHOLD_MBPS — "slow link" cutoff for both (default 200)
+"""
+
+import os
+import time
+
+import numpy as np
+
+_PROBE_TTL_S = 60.0
+_PROBE_MB = 4
+
+
+def _threshold() -> float:
+    return float(os.environ.get("CAE_TPU_PACKED_THRESHOLD_MBPS", 200.0))
+
+
+_cache = {"t": 0.0, "d2h": float("inf"), "h2d": float("inf")}
+_payload_fn = None
+
+
+def probe_link_mbps(force: bool = False):
+    """(d2h MB/s, h2d MB/s), cached for a minute."""
+    global _payload_fn
+    now = time.monotonic()
+    if not force and now - _cache["t"] < _PROBE_TTL_S:
+        return _cache["d2h"], _cache["h2d"]
+    import jax
+    import jax.numpy as jnp
+    if _payload_fn is None:
+        n = _PROBE_MB * 1024 * 1024 // 4
+        _payload_fn = jax.jit(
+            lambda s: jnp.arange(n, dtype=jnp.float32) + s)
+    d = _payload_fn(jnp.float32(now % 97.0))
+    np.asarray(d[:8])  # ensure computed before timing the fetch
+    t0 = time.perf_counter()
+    h = np.asarray(d)
+    d2h = _PROBE_MB / max(1e-9, time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    up = jnp.asarray(h + 1.0)
+    np.asarray(up[:1])
+    h2d = _PROBE_MB / max(1e-9, time.perf_counter() - t0)
+    _cache.update(t=now, d2h=d2h, h2d=h2d)
+    return d2h, h2d
+
+
+def _gated(env: str, direction: str) -> bool:
+    mode = os.environ.get(env, "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    import jax
+    if jax.default_backend() == "cpu":
+        return False  # no link to save
+    d2h, h2d = probe_link_mbps()
+    return (d2h if direction == "d2h" else h2d) < _threshold()
+
+
+def coded_fetch_enabled() -> bool:
+    """Whether decompress paths should entropy-code the pixel fetch."""
+    return _gated("CAE_TPU_PACKED_FETCH", "d2h")
+
+
+def coded_upload_enabled() -> bool:
+    """Whether compress paths should entropy-code the pixel upload."""
+    return _gated("CAE_TPU_CODED_UPLOAD", "h2d")

@@ -30,8 +30,6 @@ Layout (per batch of B tiles of (P, P, C) uint8):
   4 * (exclusive cumsum of w)[b], plane-major (k, then word m).
 """
 
-import os
-import time
 from typing import Tuple
 
 import jax
@@ -43,41 +41,8 @@ _POW2 = (1, 2, 4, 8, 16, 32, 64, 128)
 
 # CAE_TPU_PACKED_FETCH: 1 = always pack, 0 = raw fetches, auto (default) =
 # probe the device->host link and pack only when it is slow enough that
-# transfer bytes, not compute, bound the pipeline.
-_PROBE_TTL_S = 60.0
-_PROBE_MB = 4
-_PACKED_THRESHOLD_MBPS = float(
-    os.environ.get("CAE_TPU_PACKED_THRESHOLD_MBPS", 200.0))
-_probe_cache = {"t": 0.0, "mbps": float("inf")}
-
-
-@jax.jit
-def _probe_payload(s):
-    # fresh values each call: defeats host-side array caching
-    return jnp.arange(_PROBE_MB * 1024 * 1024 // 4, dtype=jnp.float32) + s
-
-
-def _probe_d2h_mbps() -> float:
-    now = time.monotonic()
-    if now - _probe_cache["t"] < _PROBE_TTL_S:
-        return _probe_cache["mbps"]
-    d = _probe_payload(jnp.float32(now % 97.0))
-    np.asarray(d[:8])
-    t0 = time.perf_counter()
-    np.asarray(d)
-    mbps = _PROBE_MB / max(1e-9, time.perf_counter() - t0)
-    _probe_cache.update(t=now, mbps=mbps)
-    return mbps
-
-
-def packed_fetch_enabled() -> bool:
-    """Whether decompress paths should use packed pixel transport."""
-    mode = os.environ.get("CAE_TPU_PACKED_FETCH", "auto")
-    if mode in ("0", "1"):
-        return mode == "1"
-    if jax.default_backend() == "cpu":
-        return False  # no link to save
-    return _probe_d2h_mbps() < _PACKED_THRESHOLD_MBPS
+# transfer bytes, not compute, bound the pipeline (coding/link_probe.py).
+from .link_probe import coded_fetch_enabled as packed_fetch_enabled  # noqa
 
 
 def pack_pixels_device(tiles_u8: jnp.ndarray
@@ -156,9 +121,13 @@ def unpack_pixels_host(words: np.ndarray, widths: np.ndarray,
     widths = np.ascontiguousarray(widths, np.uint8)
     words = np.ascontiguousarray(words, np.uint32)
     if lib is not None:
-        lib.pixel_unpack_blocks(words, words.shape[0], widths,
-                                widths.shape[0], b, p, q, c,
-                                out.reshape(-1))
+        truncated = lib.pixel_unpack_blocks(words, words.shape[0], widths,
+                                            widths.shape[0], b, p, q, c,
+                                            out.reshape(-1))
+        if truncated:
+            raise ValueError(
+                f"packed pixel buffer truncated: {truncated} bit-planes "
+                "past the end of the fetched words")
         return out
     return _unpack_numpy(words, widths, shape)
 

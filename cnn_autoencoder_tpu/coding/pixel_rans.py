@@ -1,0 +1,333 @@
+"""rANS-coded pixel transport: entropy-coded residual link transfers.
+
+No reference counterpart: the reference moves every tile as raw numpy bytes
+between its dask workers and the GPU (reference src/decompress.py:24-37,
+src/compress.py:50-62); on tunneled TPUs the host<->device link is the
+measured bottleneck, and raw uint8 pixels cost 24 bits/px each way.  The
+bit-plane packer (coding/pixel_pack.py) cut that to the residuals' max
+significant WIDTH per 128-block (~6-8 bits/px on noisy content); this module
+codes the residuals at their ENTROPY (~2-5 bits/px on trained
+reconstructions) with the interleaved multi-stream rANS machinery that
+already serves the latent codec:
+
+* fetch direction (decompress): the decode program computes left/up-predictor
+  zigzag residuals and rANS-encodes them ON DEVICE (Pallas kernel on TPU,
+  XLA scan elsewhere) with a content-calibrated 256-value table; the host
+  decodes + reconstructs pixels in one fused C++ pass
+  (csrc/rans.cpp: pixel_rans_decode);
+* upload direction (compress): the host predicts+zigzags+encodes in C++
+  (pixel_rans_encode, division-free reciprocal math) and the device decodes
+  with the Pallas/scan rANS decoder, inverting the predictor with two
+  mod-256 cumulative sums before the encoder conv.
+
+Calibration: the first batch ships raw; its residual histogram fits a
+single shared 12-bit table (pmf_to_quantized_cdf) covering all 256 zigzag
+values with freq >= 1, so NO escape is possible and any content stays
+decodable.  Capacity overflows (content far noisier than the calibration
+batch) are detected from the totals and that batch falls back to raw —
+byte-identical output either way.
+
+Per-tile frames stack along the batch axis, so the transport shards cleanly
+under a data mesh (unlike the bit-plane packer's globally-compacted buffer,
+which is why that one stayed single-device).
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .device_rans import (DeviceTables, PRECISION, PROB_SCALE,
+                          pack_streams)
+
+STREAMS = 1024          # matches the Pallas kernel geometry
+_CAP_BUCKET = 1 << 14   # capacity quantum (words): bounds recompiles
+
+
+# --------------------------------------------------------------------------
+# device-side transforms
+
+
+def residual_zigzag_device(tiles_u8: jnp.ndarray) -> jnp.ndarray:
+    """(B, P, Q, C) uint8 -> (B, P, Q, C) int32 zigzag residuals in [0, 256).
+
+    Left predictor; up for column 0; (0, 0) raw — per channel, mod 256
+    (the same transform as coding/pixel_pack.py's packer and the C++
+    pixel_predict_zigzag twin)."""
+    b, p, q, c = tiles_u8.shape
+    left = tiles_u8[:, :, :-1, :]
+    up_col0 = jnp.concatenate(
+        [jnp.zeros((b, 1, 1, c), jnp.uint8), tiles_u8[:, :-1, :1, :]],
+        axis=1)
+    pred = jnp.concatenate([up_col0, left], axis=2)
+    r = (tiles_u8 - pred).astype(jnp.uint8)
+    s = r.astype(jnp.int8).astype(jnp.int32)
+    return ((s << 1) ^ (s >> 7)) & 0xFF
+
+
+def unzigzag_unpredict_device(z: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of residual_zigzag_device: (B, P, Q, C) int32 zigzag values
+    -> (B, P, Q, C) uint8 pixels.  Two mod-256 cumulative sums (sums stay
+    < 2^31 for any realistic tile side, so int32 cumsum is exact mod 256).
+    """
+    s = ((z >> 1) ^ -(z & 1)) & 0xFF                     # residuals, 0..255
+    col0 = jnp.cumsum(s[:, :, :1, :], axis=1) & 0xFF     # down column 0
+    rest = jnp.cumsum(s[:, :, 1:, :], axis=2)            # across rows
+    out = jnp.concatenate([col0, (rest + col0) & 0xFF], axis=2)
+    return out.astype(jnp.uint8)
+
+
+def encode_residuals_device(tiles_u8: jnp.ndarray, tables: DeviceTables,
+                            enc_tables, capacity: int,
+                            use_pallas: bool) -> Tuple[jnp.ndarray,
+                                                       jnp.ndarray]:
+    """Fused residual+encode, for use INSIDE a jitted decode program.
+
+    Returns ((B, capacity) uint16 word queues, totals (B,) int32).  Values
+    cover the full 0..255 alphabet so escapes are impossible; ``totals`` >
+    capacity signals overflow (caller refetches raw)."""
+    b = tiles_u8.shape[0]
+    n = tiles_u8.shape[1] * tiles_u8.shape[2] * tiles_u8.shape[3]
+    z = residual_zigzag_device(tiles_u8)
+    packed = pack_streams(z.reshape(b, n), STREAMS)      # (B, T, S)
+    t = packed.shape[1]
+    ch_map = jnp.zeros((t, STREAMS), jnp.int32)
+    if use_pallas:
+        from ..ops.pallas import rans_kernel
+        bufs, totals, _ = rans_kernel.encode_interleaved_pallas(
+            packed, ch_map, tables, enc_tables, capacity)
+    else:
+        from .device_rans import encode_device_interleaved
+        bufs, totals, _ = encode_device_interleaved(
+            packed, ch_map, tables, capacity)
+    return bufs, totals
+
+
+def decode_residuals_device(queues: jnp.ndarray, tables: DeviceTables,
+                            dec_lut: jnp.ndarray, shape: Tuple[int, ...],
+                            use_pallas: bool) -> jnp.ndarray:
+    """Decode (B, Q) int32 word queues -> (B, P, Q, C) uint8 pixels, for
+    use INSIDE a jitted encode program (upload direction)."""
+    b, p, q, c = shape
+    n = p * q * c
+    t = -(-n // STREAMS)
+    if use_pallas:
+        from ..ops.pallas import rans_kernel
+        vals = rans_kernel.decode_interleaved_pallas(
+            queues, jnp.zeros((t,), jnp.int32), dec_lut, t)
+    else:
+        from .device_rans import decode_device_interleaved
+        vals = decode_device_interleaved(
+            queues, jnp.zeros((t, STREAMS), jnp.int32), tables, t)
+    z = vals.reshape(b, -1)[:, :n].reshape(b, p, q, c)
+    return unzigzag_unpredict_device(z)
+
+
+# --------------------------------------------------------------------------
+# host-side codec + calibration
+
+
+def residual_hist_host(tiles_u8: np.ndarray) -> np.ndarray:
+    """(B, P, Q, C) uint8 -> (256,) int64 zigzag-residual histogram."""
+    from . import rans
+    tiles_u8 = np.ascontiguousarray(tiles_u8, np.uint8)
+    b, p, q, c = tiles_u8.shape
+    lib = rans._load_library()
+    if lib is not None:
+        z = np.empty_like(tiles_u8).reshape(-1)
+        lib.pixel_predict_zigzag(tiles_u8.reshape(-1), b, p, q, c, z)
+    else:
+        z = _predict_zigzag_numpy(tiles_u8).reshape(-1)
+    return np.bincount(z, minlength=256)
+
+
+def _predict_zigzag_numpy(tiles_u8: np.ndarray) -> np.ndarray:
+    b, p, q, c = tiles_u8.shape
+    pred = np.empty_like(tiles_u8)
+    pred[:, :, 1:, :] = tiles_u8[:, :, :-1, :]
+    pred[:, 0, 0, :] = 0
+    pred[:, 1:, 0, :] = tiles_u8[:, :-1, 0, :]
+    r = (tiles_u8.astype(np.int16) - pred.astype(np.int16)).astype(np.uint8)
+    s = r.astype(np.int8).astype(np.int32)
+    return (((s << 1) ^ (s >> 7)) & 0xFF).astype(np.uint8)
+
+
+def _unpredict_numpy(z: np.ndarray) -> np.ndarray:
+    zi = z.astype(np.int32)
+    s = ((zi >> 1) ^ -(zi & 1)).astype(np.uint8)
+    out = np.zeros_like(s)
+    col0 = np.cumsum(s[:, :, 0, :].astype(np.int64), axis=1).astype(np.uint8)
+    out[:, :, 0, :] = col0
+    rest = np.cumsum(s[:, :, 1:, :].astype(np.int64), axis=2)
+    out[:, :, 1:, :] = (rest + col0[:, :, None, :].astype(np.int64)
+                        ).astype(np.uint8)
+    return out
+
+
+class PixelRansTransport:
+    """Calibrated single-table transport codec shared by a serving core.
+
+    One instance per direction (their residual statistics differ: uploads
+    see raw input noise, fetches see smooth reconstructions).  Thread-safe
+    for the serving pipelines' usage: calibrate() happens once before any
+    worker relies on calibrated(), and the numpy tables are immutable after.
+    """
+
+    def __init__(self):
+        self.freq: Optional[np.ndarray] = None      # (256,) int32
+        self.start: Optional[np.ndarray] = None     # (256,) int32
+        self.tables: Optional[DeviceTables] = None  # C=1 device tables
+        self.enc_tables = None                      # Pallas encode tables
+        self.dec_lut = None                         # Pallas decode LUT
+        self.bits_per_value: float = 8.0
+        self._overflows = 0
+
+    def calibrated(self) -> bool:
+        return self.freq is not None
+
+    def calibrate(self, hist: np.ndarray) -> None:
+        """Fit the shared 256-value table from a residual histogram."""
+        from .cdf import pmf_to_quantized_cdf
+        hist = np.asarray(hist, np.float64)
+        pmf = (hist + 1.0) / (hist.sum() + 256.0)   # +1: every value codable
+        cdf = np.asarray(pmf_to_quantized_cdf(pmf, PRECISION))
+        freq = np.diff(cdf).astype(np.int32)
+        start = cdf[:-1].astype(np.int32)
+        # cross-entropy of the observed pmf under the quantized table =
+        # the achieved bits/value (plus per-tile flush overhead)
+        p = hist / max(1.0, hist.sum())
+        f = freq.astype(np.float64) / PROB_SCALE
+        self.bits_per_value = float(np.sum(p * -np.log2(f)))
+        self.freq, self.start = freq, start
+        slot = np.repeat(np.arange(256, dtype=np.int32), freq)
+        self.tables = DeviceTables(
+            freq=jnp.asarray(freq[None]), start=jnp.asarray(start[None]),
+            slot=jnp.asarray(slot[None]),
+            offset=jnp.zeros((1,), jnp.int32),
+            length=jnp.full((1,), 256, jnp.int32), support=256)
+        from ..ops.pallas import rans_kernel
+        self.enc_tables = rans_kernel.pack_enc_tables(self.tables)
+        self.dec_lut = rans_kernel.pack_dec_lut(self.tables)
+
+    def capacity(self, n_values: int) -> int:
+        """Per-tile word capacity (bucketed to bound recompiles)."""
+        margin = 1.10 + 0.05 * min(4, self._overflows)
+        words = 2 * STREAMS + 64 + int(
+            n_values * self.bits_per_value / 16.0 * margin)
+        return -(-words // _CAP_BUCKET) * _CAP_BUCKET
+
+    def note_overflow(self):
+        self._overflows += 1
+
+    # -- host halves --------------------------------------------------------
+
+    def decode_host(self, words: np.ndarray, total: int,
+                    shape: Tuple[int, int, int, int]) -> np.ndarray:
+        """uint16 word queue -> (B, P, Q, C) uint8 pixels (fused C++)."""
+        from . import rans
+        b, p, q, c = shape
+        words = np.ascontiguousarray(words[:total], np.uint16)
+        out = np.empty(b * p * q * c, np.uint8)
+        lib = rans._load_library()
+        if lib is not None:
+            rc = lib.pixel_rans_decode(words, words.shape[0], self.freq,
+                                       self.start, 256, STREAMS,
+                                       b, p, q, c, out)
+            if rc != 0:
+                raise ValueError("pixel rANS table invalid")
+            return out.reshape(shape)
+        z = rans_decode_numpy(words, self.freq, self.start,
+                              b * p * q * c, STREAMS)
+        return _unpredict_numpy(z.reshape(shape).astype(np.uint8))
+
+    def encode_host(self, tiles_u8: np.ndarray,
+                    capacity: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(B, P, Q, C) uint8 -> ((B, capacity) uint16 queues, totals).
+
+        A tile that overflows ``capacity`` gets total == -1 (caller ships
+        that tile raw)."""
+        from . import rans
+        tiles_u8 = np.ascontiguousarray(tiles_u8, np.uint8)
+        b = tiles_u8.shape[0]
+        out = np.zeros((b, capacity), np.uint16)
+        totals = np.empty((b,), np.int64)
+        lib = rans._load_library()
+        for i in range(b):
+            if lib is not None:
+                t = lib.pixel_rans_encode(
+                    tiles_u8[i].reshape(-1), 1, tiles_u8.shape[1],
+                    tiles_u8.shape[2], tiles_u8.shape[3], self.freq,
+                    self.start, 256, STREAMS, out[i], capacity)
+                if t == -3:
+                    raise ValueError("pixel rANS table invalid")
+            else:
+                t = _encode_numpy_into(tiles_u8[i:i + 1], self.freq,
+                                       self.start, out[i])
+            totals[i] = t if t >= 0 else -1
+        return out, totals
+
+
+def rans_decode_numpy(words: np.ndarray, freq: np.ndarray,
+                      start: np.ndarray, n: int,
+                      n_streams: int) -> np.ndarray:
+    """Vectorized-across-streams numpy decoder (fallback/oracle)."""
+    words = np.asarray(words, np.uint32)
+    lut_val = np.repeat(np.arange(256, dtype=np.uint32), freq)
+    lut_f = freq.astype(np.uint32)[lut_val]
+    lut_st = start.astype(np.uint32)[lut_val]
+    t = -(-n // n_streams)
+    total = t * n_streams
+    vals = np.empty(total, np.uint8)
+    x = words[0:2 * n_streams:2] | (words[1:2 * n_streams:2] << np.uint32(16))
+    pos = 2 * n_streams
+    for step in range(t):
+        cum = x & np.uint32(PROB_SCALE - 1)
+        v = lut_val[cum]
+        x = lut_f[cum] * (x >> np.uint32(PRECISION)) + cum - lut_st[cum]
+        need = x < (1 << 16)
+        k = int(need.sum())
+        if k:
+            take = np.zeros(n_streams, np.uint32)
+            avail = words[pos:pos + k]
+            take[need] = avail if avail.shape[0] == k else np.pad(
+                avail, (0, k - avail.shape[0]))
+            x = np.where(need, (x << np.uint32(16)) | take, x)
+            pos += k
+        vals[step * n_streams:(step + 1) * n_streams] = v
+    return vals[:n].astype(np.int32)
+
+
+def _encode_numpy_into(tiles_u8, freq, start, out_row) -> int:
+    """Reverse-pass numpy encoder for one tile (fallback/oracle)."""
+    z = _predict_zigzag_numpy(tiles_u8).reshape(-1)
+    n = z.shape[0]
+    s_count = STREAMS
+    t = -(-n // s_count)
+    zp = np.zeros(t * s_count, np.uint8)
+    zp[:n] = z
+    zs = zp.reshape(t, s_count)
+    f = freq.astype(np.uint64)[zs]
+    st = start.astype(np.uint64)[zs]
+    x = np.full(s_count, 1 << 16, np.uint64)
+    words_rev = []
+    for step in range(t - 1, -1, -1):
+        e = (x >> np.uint64(20)) >= f[step]
+        if e.any():
+            # encoder meets streams in DESCENDING order within a step
+            w = (x[e] & np.uint64(0xFFFF)).astype(np.uint16)
+            words_rev.append(w[::-1])
+            x[e] >>= np.uint64(16)
+        x = ((x // f[step]) << np.uint64(PRECISION)) + (x % f[step]) \
+            + st[step]
+    flush = np.empty(2 * s_count, np.uint16)
+    flush[0::2] = (x & np.uint64(0xFFFF)).astype(np.uint16)
+    flush[1::2] = (x >> np.uint64(16)).astype(np.uint16)
+    payload = (np.concatenate(words_rev)[::-1] if words_rev
+               else np.zeros(0, np.uint16))
+    total = 2 * s_count + payload.shape[0]
+    if total > out_row.shape[0]:
+        return -2
+    out_row[:2 * s_count] = flush
+    out_row[2 * s_count:total] = payload
+    return total

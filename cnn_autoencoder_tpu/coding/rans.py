@@ -86,13 +86,21 @@ def _load_library():
         lib.ilv_encode.argtypes = [
             p_i32, p_i32, i64, p_i32, p_i32, i64, p_i32, p_i32, i64, p_u16,
             i64]
-        lib.ilv_decode.restype = None
+        lib.ilv_decode.restype = i32
         lib.ilv_decode.argtypes = [
             p_u16, i64, p_i32, i64, p_i32, p_i32, i64, p_i32, p_i32, i64,
             i64, p_i32]
-        lib.pixel_unpack_blocks.restype = None
+        lib.pixel_unpack_blocks.restype = i64
         lib.pixel_unpack_blocks.argtypes = [
             p_u32, i64, p_u8, i64, i64, i64, i64, i64, p_u8]
+        lib.pixel_rans_decode.restype = i32
+        lib.pixel_rans_decode.argtypes = [
+            p_u16, i64, p_i32, p_i32, i32, i64, i64, i64, i64, i64, p_u8]
+        lib.pixel_predict_zigzag.restype = None
+        lib.pixel_predict_zigzag.argtypes = [p_u8, i64, i64, i64, i64, p_u8]
+        lib.pixel_rans_encode.restype = i64
+        lib.pixel_rans_encode.argtypes = [
+            p_u8, i64, i64, i64, i64, p_i32, p_i32, i32, i64, p_u16, i64]
         lib.rans_num_threads.restype = i32
         lib.rans_num_threads.argtypes = []
         _LIB = lib
@@ -236,6 +244,8 @@ def encode_interleaved(symbols, indexes, freqs, starts, lengths, offsets,
                            out, capacity)
     if total == -1:
         raise ValueError("symbol outside its channel support")
+    if total == -3:
+        raise ValueError("interleaved rANS supports <=256 values/channel")
     if total < 0:
         raise RuntimeError("interleaved rANS capacity overflow")
     return out[:total].copy()
@@ -255,9 +265,11 @@ def decode_interleaved(words, indexes, freqs, starts, lengths, offsets,
         raise RuntimeError("interleaved rANS needs the native library")
     n = indexes.shape[0]
     out = np.empty(n, np.int32)
-    lib.ilv_decode(words, words.shape[0], indexes, n, freqs, starts,
-                   freqs.shape[1], lengths, offsets, freqs.shape[0],
-                   num_streams, out)
+    rc = lib.ilv_decode(words, words.shape[0], indexes, n, freqs, starts,
+                        freqs.shape[1], lengths, offsets, freqs.shape[0],
+                        num_streams, out)
+    if rc != 0:
+        raise ValueError("interleaved rANS supports <=256 values/channel")
     return out
 
 

@@ -25,6 +25,7 @@ class StageTimer:
         self._total: Dict[str, float] = {}
         self._count: Dict[str, int] = {}
         self._units: Dict[str, float] = {}
+        self._link_bytes: Dict[str, int] = {"d2h": 0, "h2d": 0}
 
     @contextlib.contextmanager
     def stage(self, name: str, units: float = 0.0):
@@ -57,11 +58,24 @@ class StageTimer:
         with self._lock:
             return dict(self._total)
 
+    def add_link_bytes(self, direction: str, nbytes: int):
+        """Account bytes actually shipped over the host<->device link
+        (``direction``: 'd2h' or 'h2d').  Lets benchmarks compute honest
+        link utilization and achieved transport bits/pixel."""
+        with self._lock:
+            self._link_bytes[direction] = (
+                self._link_bytes.get(direction, 0) + int(nbytes))
+
+    def link_bytes(self) -> Dict[str, int]:
+        with self._lock:
+            return dict(self._link_bytes)
+
     def reset(self):
         with self._lock:
             self._total.clear()
             self._count.clear()
             self._units.clear()
+            self._link_bytes = {"d2h": 0, "h2d": 0}
 
 
 # process-global timer used by pipeline/tiles.py when profiling is on

@@ -48,12 +48,13 @@ def test_random_noise_never_expands_much():
     np.testing.assert_array_equal(out, tiles)
 
 
-def test_truncated_words_no_crash():
+def test_truncated_words_detected():
+    """An under-sized fetch must be reported, not silently zero-filled."""
     tiles = _smooth_tiles(1, 64)
     buf, widths, total = pack_pixels_device(jnp.asarray(tiles))
     words = np.asarray(buf)[:max(1, int(total) // 4)]
-    out = unpack_pixels_host(words, np.asarray(widths), tiles.shape)
-    assert out.shape == tiles.shape  # garbage, but no crash/overread
+    with pytest.raises(ValueError, match="truncated"):
+        unpack_pixels_host(words, np.asarray(widths), tiles.shape)
 
 
 def test_extreme_values_exact():

@@ -1,0 +1,165 @@
+"""rANS pixel transport: device<->host roundtrips must be byte-identical.
+
+Covers both directions of coding/pixel_rans.py against the C++ halves in
+coding/csrc/rans.cpp (pixel_rans_decode / pixel_rans_encode) and the numpy
+oracles, on CPU via the XLA scan codecs (the Pallas kernels are exercised
+in interpret mode by tests/test_pallas_kernels.py and on hardware).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnn_autoencoder_tpu.coding import rans
+from cnn_autoencoder_tpu.coding.pixel_rans import (
+    PixelRansTransport, STREAMS, _encode_numpy_into, _predict_zigzag_numpy,
+    _unpredict_numpy, decode_residuals_device, encode_residuals_device,
+    rans_decode_numpy, residual_hist_host, residual_zigzag_device,
+    unzigzag_unpredict_device)
+
+
+def _tiles(shape, seed=0, smooth=False):
+    rng = np.random.RandomState(seed)
+    if not smooth:
+        return rng.randint(0, 256, size=shape, dtype=np.uint8)
+    base = rng.randint(0, 200, size=shape[:1] + (1, 1) + shape[3:])
+    ramp = np.arange(shape[1])[None, :, None, None] % 17
+    img = base + ramp + rng.randint(0, 3, size=shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _calibrated(tiles):
+    tr = PixelRansTransport()
+    tr.calibrate(residual_hist_host(tiles))
+    return tr
+
+
+def test_residual_transforms_roundtrip():
+    tiles = _tiles((2, 8, 16, 3), seed=1)
+    z = residual_zigzag_device(jnp.asarray(tiles))
+    back = unzigzag_unpredict_device(z)
+    np.testing.assert_array_equal(np.asarray(back), tiles)
+    # device and host transforms agree
+    z_host = _predict_zigzag_numpy(tiles)
+    np.testing.assert_array_equal(np.asarray(z).astype(np.uint8), z_host)
+    np.testing.assert_array_equal(_unpredict_numpy(z_host), tiles)
+
+
+@pytest.mark.parametrize("smooth", [False, True])
+def test_fetch_direction_device_encode_host_decode(smooth):
+    """Decompress transport: device scan encode -> C++ fused decode."""
+    shape = (3, 16, 64, 2)   # n = 2048 = 2 * STREAMS
+    tiles = _tiles(shape, seed=2, smooth=smooth)
+    tr = _calibrated(tiles)
+    n = shape[1] * shape[2] * shape[3]
+    cap = tr.capacity(n)
+    bufs, totals = encode_residuals_device(
+        jnp.asarray(tiles), tr.tables, tr.enc_tables, cap, use_pallas=False)
+    bufs, totals = np.asarray(bufs), np.asarray(totals)
+    assert totals.max() <= cap
+    for i in range(shape[0]):
+        rec = tr.decode_host(bufs[i], int(totals[i]), (1,) + shape[1:])
+        np.testing.assert_array_equal(rec[0], tiles[i])
+
+
+def test_fetch_direction_numpy_oracle():
+    shape = (2, 16, 64, 2)
+    tiles = _tiles(shape, seed=3)
+    tr = _calibrated(tiles)
+    n = shape[1] * shape[2] * shape[3]
+    cap = tr.capacity(n)
+    bufs, totals = encode_residuals_device(
+        jnp.asarray(tiles), tr.tables, tr.enc_tables, cap, use_pallas=False)
+    bufs, totals = np.asarray(bufs), np.asarray(totals)
+    z = rans_decode_numpy(bufs[0, :totals[0]], tr.freq, tr.start, n, STREAMS)
+    rec = _unpredict_numpy(z.reshape((1,) + shape[1:]).astype(np.uint8))
+    np.testing.assert_array_equal(rec[0], tiles[0])
+
+
+@pytest.mark.parametrize("smooth", [False, True])
+def test_upload_direction_host_encode_device_decode(smooth):
+    """Compress transport: C++ encode -> device scan decode."""
+    shape = (2, 16, 64, 2)
+    tiles = _tiles(shape, seed=4, smooth=smooth)
+    tr = _calibrated(tiles)
+    n = shape[1] * shape[2] * shape[3]
+    cap = tr.capacity(n)
+    queues, totals = tr.encode_host(tiles, cap)
+    assert (totals > 0).all()
+    qdev = jnp.asarray(queues.astype(np.int32))
+    rec = decode_residuals_device(qdev, tr.tables, tr.dec_lut,
+                                  (shape[0],) + shape[1:], use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(rec), tiles)
+
+
+def test_host_encode_matches_device_encode_bitstream():
+    """C++ encode and the device scan encode emit identical words."""
+    shape = (2, 16, 64, 2)
+    tiles = _tiles(shape, seed=5)
+    tr = _calibrated(tiles)
+    n = shape[1] * shape[2] * shape[3]
+    cap = tr.capacity(n)
+    bufs_dev, totals_dev = encode_residuals_device(
+        jnp.asarray(tiles), tr.tables, tr.enc_tables, cap, use_pallas=False)
+    bufs_dev, totals_dev = np.asarray(bufs_dev), np.asarray(totals_dev)
+    queues, totals = tr.encode_host(tiles, cap)
+    np.testing.assert_array_equal(totals, totals_dev)
+    for i in range(shape[0]):
+        np.testing.assert_array_equal(queues[i, :totals[i]],
+                                      bufs_dev[i, :totals_dev[i]])
+    # the numpy oracle encoder agrees too
+    out = np.zeros(cap, np.uint16)
+    t0 = _encode_numpy_into(tiles[:1], tr.freq, tr.start, out)
+    assert t0 == totals[0]
+    np.testing.assert_array_equal(out[:t0], queues[0, :t0])
+
+
+def test_unaligned_symbol_count():
+    """n not a multiple of STREAMS: device pads, host halves still agree."""
+    shape = (1, 8, 60, 3)   # n = 1440, not divisible by 1024
+    tiles = _tiles(shape, seed=6)
+    tr = _calibrated(tiles)
+    n = shape[1] * shape[2] * shape[3]
+    cap = tr.capacity(n) + 2048  # pads cost extra words
+    bufs, totals = encode_residuals_device(
+        jnp.asarray(tiles), tr.tables, tr.enc_tables, cap, use_pallas=False)
+    bufs, totals = np.asarray(bufs), np.asarray(totals)
+    rec = tr.decode_host(bufs[0], int(totals[0]), (1,) + shape[1:])
+    np.testing.assert_array_equal(rec[0], tiles[0])
+
+
+def test_capacity_overflow_reported():
+    tiles = _tiles((1, 16, 64, 2), seed=7)
+    tr = _calibrated(_tiles((1, 16, 64, 2), seed=8, smooth=True))
+    queues, totals = tr.encode_host(tiles, 2 * STREAMS + 64)
+    assert totals[0] == -1  # too small: flagged, not corrupted
+
+
+def test_bits_estimate_sane():
+    tiles = _tiles((2, 32, 64, 3), seed=9, smooth=True)
+    tr = _calibrated(tiles)
+    assert 0.5 < tr.bits_per_value < 6.0
+    noisy = _calibrated(_tiles((2, 32, 64, 3), seed=10))
+    assert noisy.bits_per_value > tr.bits_per_value
+
+
+def test_ilv_alphabet_guard():
+    """Native ilv_encode/ilv_decode reject >256-value alphabets."""
+    if not rans.native_available():
+        pytest.skip("native library unavailable")
+    n_vals = 300
+    freqs = np.full((1, n_vals), 4096 // 512, np.int32)
+    freqs[0, :n_vals - (4096 - freqs.sum())] += 0  # rough table is fine
+    starts = np.cumsum(freqs) - freqs
+    lengths = np.asarray([n_vals], np.int32)
+    offsets = np.zeros(1, np.int32)
+    sym = np.zeros(64, np.int32)
+    idx = np.zeros(64, np.int32)
+    with pytest.raises(ValueError, match="256"):
+        rans.encode_interleaved(sym, idx, freqs,
+                                starts.reshape(1, -1).astype(np.int32),
+                                lengths, offsets, 16)
+    with pytest.raises(ValueError, match="256"):
+        rans.decode_interleaved(np.zeros(64, np.uint16), idx, freqs,
+                                starts.reshape(1, -1).astype(np.int32),
+                                lengths, offsets, 16)
