@@ -220,6 +220,7 @@ def main():
         best_util = 0.0
         best_image = (IMAGE_H, IMAGE_W)
         best_mode = None
+        best_bits_px = (0.0, 0.0)
         bench_t0 = time.perf_counter()
         last_error = None
         for r in range(REPEATS):
@@ -290,17 +291,23 @@ def main():
             assert rec.shape == run_img.shape
             run_bpp = arr.nbytes_stored * 8 / (h * w)
             mps = mp / (t2 - t0)
-            # link-boundedness: bytes that MUST cross the tunnel (pixels
-            # both ways + int8 symbols both ways) at probe bandwidth vs
-            # actual wall time; utilization ~1 means the pipeline is
-            # saturating the link and MP/s is capped by the tunnel
-            pix_mb = h * w * 3 / 1e6
-            sym_mb = pix_mb * model.channels_bn / (3 * 4 ** 3)
-            min_wall = ((pix_mb + sym_mb) / link[0]
-                        + (pix_mb + sym_mb) / link[1])
+            # link-boundedness: bytes that ACTUALLY crossed the tunnel
+            # (accounted at every transfer site, including coded-transport
+            # savings) at probe bandwidth vs wall time; ~1 means the
+            # pipeline is saturating the link and MP/s is capped by it
+            wire = GLOBAL_TIMER.link_bytes()
+            d2h_mb, h2d_mb = wire["d2h"] / 1e6, wire["h2d"] / 1e6
+            min_wall = d2h_mb / link[0] + h2d_mb / link[1]
             link_util = min_wall / (t2 - t0)
+            # achieved transport bits per image pixel each way (raw pixels
+            # both ways would be 24; the rANS residual transport targets
+            # <=8 on trained reconstructions)
+            bits_px = (round(wire["d2h"] * 8 / (h * w), 2),
+                       round(wire["h2d"] * 8 / (h * w), 2))
             print(f"# link utilization: {link_util:.2f} "
-                  f"(min wall at probe bw {min_wall:.2f}s)", file=sys.stderr)
+                  f"(min wall at probe bw {min_wall:.2f}s; wire "
+                  f"d2h {d2h_mb:.0f} MB h2d {h2d_mb:.0f} MB = "
+                  f"{bits_px[0]}/{bits_px[1]} bits/px)", file=sys.stderr)
             if mps > best_mps:
                 best_stages = {k: round(v, 3)
                                for k, v in GLOBAL_TIMER.totals().items()}
@@ -308,6 +315,7 @@ def main():
                 best_util = link_util
                 best_image = (h, w)
                 best_mode = mode
+                best_bits_px = bits_px
                 bpp = run_bpp
             best_mps = max(best_mps, mps)
             print(f"# run {r} ({h}x{w}): compress {mp / (t1 - t0):.1f} MP/s, "
@@ -344,10 +352,13 @@ def main():
                 # link-saturated and MP/s is capped by the tunnel, not us
                 "link_d2h_MBps": best_link[0],
                 "link_h2d_MBps": best_link[1],
-                # fraction of the run's wall time that irreducible tunnel
-                # transfers (pixels+symbols both ways at probe bandwidth)
-                # would take alone; ~1.0 = link-saturated
+                # fraction of the run's wall time that the ACTUAL wire
+                # bytes (accounted at every transfer site) would take at
+                # probe bandwidth alone; ~1.0 = link-saturated
                 "link_utilization": round(best_util, 2),
+                # achieved transport bits per image pixel (d2h, h2d);
+                # raw-pixel transport would be 24 each way
+                "transport_bits_px": list(best_bits_px),
             },
         }
         print(json.dumps(result))

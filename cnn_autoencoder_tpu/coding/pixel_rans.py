@@ -42,7 +42,7 @@ from .device_rans import (DeviceTables, PRECISION, PROB_SCALE,
                           pack_streams)
 
 STREAMS = 1024          # matches the Pallas kernel geometry
-_CAP_BUCKET = 1 << 14   # capacity quantum (words): bounds recompiles
+_CAP_BUCKET = 1 << 11   # capacity quantum (words): bounds recompiles
 
 
 # --------------------------------------------------------------------------
@@ -199,7 +199,6 @@ class PixelRansTransport:
         p = hist / max(1.0, hist.sum())
         f = freq.astype(np.float64) / PROB_SCALE
         self.bits_per_value = float(np.sum(p * -np.log2(f)))
-        self.freq, self.start = freq, start
         slot = np.repeat(np.arange(256, dtype=np.int32), freq)
         self.tables = DeviceTables(
             freq=jnp.asarray(freq[None]), start=jnp.asarray(start[None]),
@@ -209,6 +208,11 @@ class PixelRansTransport:
         from ..ops.pallas import rans_kernel
         self.enc_tables = rans_kernel.pack_enc_tables(self.tables)
         self.dec_lut = rans_kernel.pack_dec_lut(self.tables)
+        # published LAST: calibrated() readers on other pipeline threads
+        # must never observe freq set while the device tables are still
+        # missing
+        self.start = start
+        self.freq = freq
 
     def capacity(self, n_values: int) -> int:
         """Per-tile word capacity (bucketed to bound recompiles)."""
@@ -219,6 +223,12 @@ class PixelRansTransport:
 
     def note_overflow(self):
         self._overflows += 1
+
+    def worthwhile(self, n_values: int) -> bool:
+        """Whether coding beats raw on the wire for this tile size (the
+        per-tile flush of 2*STREAMS words + capacity margin can exceed raw
+        bytes for tiny tiles or incompressible content)."""
+        return 2 * self.capacity(n_values) < n_values
 
     # -- host halves --------------------------------------------------------
 

@@ -151,7 +151,16 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
     workers = ThreadPoolExecutor(max_workers=FETCH_WORKERS)
     inflight: List = []
 
+    # coded upload: when the h2d link is the bottleneck, raw input tiles
+    # are rANS-coded on host (C++) and decoded inside the encode program,
+    # so ~entropy bits/px cross the link instead of 24 (pixel_rans.py).
+    # Calibrated from the first batch's residual histogram.
+    from ..coding.link_probe import coded_upload_enabled
+    from ..coding.pixel_rans import PixelRansTransport, residual_hist_host
+    up_transport = PixelRansTransport() if coded_upload_enabled() else None
+
     def compress_one(idxs):
+        nonlocal up_transport
         mp = len(idxs) * p * p / 1e6
         with GLOBAL_TIMER.stage("compress/read", mp):
             tiles = list(pool.map(read_tile, idxs))
@@ -159,8 +168,27 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
             # compiles exactly once
             while len(tiles) < batch:
                 tiles.append(tiles[-1])
+        tiles_np = np.stack(tiles)
+        tr = up_transport
+        coded = tr is not None and tr.calibrated()
+        if coded:
+            with GLOBAL_TIMER.stage("compress/host_rans_up", mp):
+                cap = tr.capacity(pe * pe * c)
+                queues, totals = tr.encode_host(tiles_np, cap)
+                coded = bool((totals >= 0).all())
+                if not coded:
+                    tr.note_overflow()
         with GLOBAL_TIMER.stage("compress/h2d+dispatch", mp):
-            sym_dev = core.encode_tiles_device(jnp.asarray(np.stack(tiles)))
+            if coded:
+                sym_dev = core.encode_tiles_device_coded(
+                    queues, tiles_np.shape, tr)
+            else:
+                GLOBAL_TIMER.add_link_bytes("h2d", tiles_np.nbytes)
+                sym_dev = core.encode_tiles_device(jnp.asarray(tiles_np))
+        if tr is not None and not tr.calibrated():
+            tr.calibrate(residual_hist_host(tiles_np))
+            if not tr.worthwhile(pe * pe * c):
+                up_transport = None
         with GLOBAL_TIMER.stage("compress/d2h_sym", mp):
             sym_np = core.fetch_symbols(sym_dev)[:len(idxs)]  # d2h int8
         with GLOBAL_TIMER.stage("compress/rans", mp):
@@ -171,6 +199,11 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
 
     for group in _iter_batches(grid, batch):
         inflight.append(workers.submit(compress_one, group))
+        if (up_transport is not None and not up_transport.calibrated()
+                and len(inflight) == 1 and len(grid) > batch):
+            # block on the calibration batch so every later upload is
+            # coded; a one-batch bubble, repaid in wire bytes
+            inflight.pop(0).result()
         while len(inflight) > MAX_INFLIGHT:
             inflight.pop(0).result()
     for f in inflight:
@@ -356,21 +389,36 @@ def decompress_cae_array(src: zarrlib.Array,
     pool.shutdown()
 
     mp_batch = batch * p * p / 1e6
-    # packed transport: decode+bit-plane-pack fused on device, ~w bits/px
-    # cross the link instead of 24 (coding/pixel_pack.py); only worth it
-    # when the link, not compute, bounds the pipeline — probed adaptively
+    # coded transport: the decode program entropy-codes its own output on
+    # device so far fewer bits than raw 24/px cross the link; only worth
+    # it when the link, not compute, bounds the pipeline — probed
+    # adaptively.  Codec choice (CAE_TPU_FETCH_CODEC): 'rans' (default)
+    # ships prediction residuals at their entropy via coding/pixel_rans.py
+    # and shards cleanly under a mesh; 'pack' keeps the round-2 bit-plane
+    # packer (single-device only).
     from ..coding.pixel_pack import packed_fetch_enabled
+    from ..coding.pixel_rans import PixelRansTransport, residual_hist_host
     ph, pw = core.padded_hw(p + 2 * offset, p + 2 * offset)
-    use_packed = (core.mesh is None and packed_fetch_enabled()
+    coded = packed_fetch_enabled()
+    fetch_codec = os.environ.get("CAE_TPU_FETCH_CODEC", "rans")
+    use_packed = (coded and fetch_codec == "pack" and core.mesh is None
                   and ph * pw * 3 % 128 == 0)
+    transport = (PixelRansTransport() if coded and fetch_codec == "rans"
+                 else None)
 
     def fetch_and_stitch(idxs, rec_dev):
+        nonlocal transport
         # every job writes a disjoint region of `out`, so fetch+stitch jobs
         # run concurrently on the fetch pool — overlapping tunnel streams
         with GLOBAL_TIMER.stage("decompress/d2h_pixels", mp_batch):
             rec_np = core.fetch_pixels(
-                rec_dev, (batch, ph, pw, 3) if use_packed else None
-            )[:len(idxs)]
+                rec_dev, (batch, ph, pw, 3), transport)[:len(idxs)]
+        if transport is not None and not transport.calibrated():
+            # first batch travels raw; its residual histogram fits the
+            # shared table every later batch is coded with
+            transport.calibrate(residual_hist_host(rec_np))
+            if not transport.worthwhile(ph * pw * 3):
+                transport = None  # coding would expand on the wire
         if offset:
             rec_np = rec_np[:, offset:-offset, offset:-offset]
         with GLOBAL_TIMER.stage("decompress/stitch", mp_batch):
@@ -409,8 +457,15 @@ def decompress_cae_array(src: zarrlib.Array,
         if sym is None:
             continue
         with GLOBAL_TIMER.stage("decompress/h2d+dispatch", mp_batch):
-            rec = core.decode_tiles_device(sym, packed=use_packed)
+            rec = core.decode_tiles_device(sym, packed=use_packed,
+                                           transport=transport)
         jobs.append(fetchers.submit(fetch_and_stitch, ids, rec))
+        if (transport is not None and not transport.calibrated()
+                and len(jobs) == 1 and len(starts) > 1):
+            # block on the calibration batch so every later one is coded;
+            # a one-batch pipeline bubble, repaid many times over in wire
+            # bytes on slow links
+            jobs.pop(0).result()
         while len(jobs) > MAX_INFLIGHT:
             jobs.pop(0).result()
     for f in jobs:
@@ -518,13 +573,27 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
     raw = list(pool.map(src.read_chunk_raw, grid))
     pool.shutdown()
 
+    # coded fetch: rANS residual transport, calibrated from the first
+    # batch's reconstructions (see decompress_cae_array)
+    from ..coding.pixel_pack import packed_fetch_enabled
+    from ..coding.pixel_rans import PixelRansTransport, residual_hist_host
+    transport = (PixelRansTransport()
+                 if packed_fetch_enabled()
+                 and os.environ.get("CAE_TPU_FETCH_CODEC", "rans") == "rans"
+                 else None)
+
     # decode_tiles is upload+dispatch+fetch in one call; concurrent worker
     # jobs overlap the link transfers while the device serializes decodes.
     # Each job stitches a disjoint region of `out`.
     def decode_and_stitch(ids, bufs):
         with GLOBAL_TIMER.stage("decompress/turbo_decode",
                                 len(ids) * p * p / 1e6):
-            rec = core.decode_tiles(bufs)
+            rec = core.decode_tiles(bufs, transport=transport)
+        if transport is not None and not transport.calibrated():
+            sample = rec if isinstance(rec, np.ndarray) else \
+                np.stack([r for r in rec if r.shape == rec[0].shape])
+            transport.calibrate(residual_hist_host(
+                np.ascontiguousarray(sample)))
         for ij, r in zip(ids, rec):
             sl, valid = src.chunk_slices(ij)
             out[sl] = r[:valid[0], :valid[1], :valid[2]]
@@ -542,6 +611,10 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
         if not bufs:
             continue
         jobs.append(workers.submit(decode_and_stitch, ids, bufs))
+        if (transport is not None and not transport.calibrated()
+                and len(jobs) == 1 and len(grid) > batch):
+            # block on the calibration batch so every later one is coded
+            jobs.pop(0).result()
         while len(jobs) > MAX_INFLIGHT:
             jobs.pop(0).result()
     for f in jobs:

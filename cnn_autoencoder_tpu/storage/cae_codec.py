@@ -100,9 +100,55 @@ class CAECodecCore:
             from ..coding.pixel_pack import pack_pixels_device_with_head
             return pack_pixels_device_with_head(decode_fn(sym_cm))
 
+        def decode_rans_fn(sym_cm, freq, start, slot, enc_tab, enc_rcp,
+                           capacity, use_pallas):
+            # fused decode + device rANS encode of prediction residuals:
+            # the transport ships tiles at their residual ENTROPY (~2-5
+            # bits/px on trained reconstructions) instead of raw 24
+            # (coding/pixel_rans.py); `rec` stays device-resident and is
+            # fetched only when a tile overflows its word budget.  Table
+            # arrays are traced args so recalibration never recompiles.
+            from ..coding.device_rans import DeviceTables
+            from ..coding.pixel_rans import encode_residuals_device
+            tables = DeviceTables(
+                freq=freq, start=start, slot=slot,
+                offset=jnp.zeros((1,), jnp.int32),
+                length=jnp.full((1,), 256, jnp.int32), support=256)
+            rec = decode_fn(sym_cm)
+            bufs, totals = encode_residuals_device(
+                rec, tables, (enc_tab, enc_rcp), capacity, use_pallas)
+            return bufs, totals, rec
+
+        def encode_from_rans_fn(queues, freq, start, slot, dec_lut, shape,
+                                use_pallas):
+            # upload direction: host C++ rANS-encodes raw input tiles
+            # (coding/pixel_rans.py encode_host), the encode program starts
+            # by decoding the word queues and inverting the predictor, so
+            # only the coded bytes cross the h2d link
+            from ..coding.device_rans import DeviceTables
+            from ..coding.pixel_rans import decode_residuals_device
+            tables = DeviceTables(
+                freq=freq, start=start, slot=slot,
+                offset=jnp.zeros((1,), jnp.int32),
+                length=jnp.full((1,), 256, jnp.int32), support=256)
+            tiles = decode_residuals_device(queues.astype(jnp.int32),
+                                            tables, dec_lut, shape,
+                                            use_pallas)
+            b, h, w, _ = shape
+            ph, pw = _ceil_to(h, 2 ** self.level), _ceil_to(w,
+                                                            2 ** self.level)
+            if (ph, pw) != (h, w):
+                tiles = jnp.pad(tiles,
+                                ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
+                                mode="reflect")
+            return encode_fn(tiles)
+
         self._encode = jax.jit(encode_fn)
         self._decode = jax.jit(decode_fn)
         self._decode_packed = jax.jit(decode_packed_fn)
+        self._decode_rans = jax.jit(decode_rans_fn, static_argnums=(6, 7))
+        self._encode_rans = jax.jit(encode_from_rans_fn,
+                                    static_argnums=(5, 6))
         self._decode_y = jax.jit(decode_y_fn, static_argnums=(1,))
         self._latent = jax.jit(latent_fn)
 
@@ -143,6 +189,22 @@ class CAECodecCore:
                                mode="reflect")
         return self._encode(self._shard_batch(tiles_u8))
 
+    def encode_tiles_device_coded(self, queues_u16: np.ndarray,
+                                  shape: Tuple[int, int, int, int],
+                                  transport):
+        """Coded-upload twin of ``encode_tiles_device``: ``queues_u16``
+        ((B, capacity) uint16 from transport.encode_host) crosses the h2d
+        link instead of raw pixels; the program decodes them back to the
+        (B, H, W, C) tiles of ``shape`` before encoding."""
+        from ..utils.profiling import GLOBAL_TIMER
+        GLOBAL_TIMER.add_link_bytes("h2d", queues_u16.nbytes)
+        use_pallas = (self.mesh is None
+                      and jax.default_backend() == "tpu")
+        t = transport.tables
+        return self._encode_rans(
+            self._shard_batch(jnp.asarray(queues_u16)), t.freq, t.start,
+            t.slot, transport.dec_lut, shape, use_pallas)
+
     @staticmethod
     def fetch_symbols(sym_dev) -> np.ndarray:
         """Device->host symbol copy: int8 fast path, int32 on overflow.
@@ -150,11 +212,15 @@ class CAECodecCore:
         One device_get round trip fetches the int8 view and the overflow
         count together; the full-width int32 copy moves only if any symbol
         fell outside int8 range (effectively never for trained models)."""
+        from ..utils.profiling import GLOBAL_TIMER
         sym8, overflow, sym_wide = sym_dev
         sym8_np, n_over = jax.device_get((sym8, overflow))
+        GLOBAL_TIMER.add_link_bytes("d2h", sym8_np.nbytes + 4)
         if int(n_over) == 0:
             return sym8_np
-        return np.asarray(sym_wide)
+        wide = np.asarray(sym_wide)
+        GLOBAL_TIMER.add_link_bytes("d2h", wide.nbytes)
+        return wide
 
     def entropy_encode(self, sym_np: np.ndarray, true_hw) -> List[bytes]:
         """Host step: channel-major symbols -> framed bitstreams."""
@@ -179,8 +245,13 @@ class CAECodecCore:
                                 self.cdf_length, self.offset)
         return sym.reshape(len(bufs), self.channels_bn, lh, lw), true_hw
 
-    def decode_tiles_device(self, sym: np.ndarray,
-                            packed: bool = False) -> jnp.ndarray:
+    def decode_tiles_device(self, sym: np.ndarray, packed: bool = False,
+                            transport=None) -> jnp.ndarray:
+        """``transport``: a calibrated coding.pixel_rans.PixelRansTransport
+        — the decode program then rANS-encodes the reconstruction residuals
+        on device and returns (word queues, totals, device pixels); pass the
+        result (and the transport) to ``fetch_pixels``.  Takes precedence
+        over ``packed`` (the bit-plane packer, single-device only)."""
         # upload the narrowest lossless dtype (int8 almost always; int16,
         # else int32); the decode program retraces once per dtype
         if not isinstance(sym, jnp.ndarray):
@@ -191,23 +262,59 @@ class CAECodecCore:
                     sym = sym.astype(np.int8)
                 elif sym.dtype != np.int16 and -32768 <= lo and hi <= 32767:
                     sym = sym.astype(np.int16)
+        from ..utils.profiling import GLOBAL_TIMER
+        GLOBAL_TIMER.add_link_bytes("h2d", sym.nbytes)
+        if transport is not None and transport.calibrated():
+            b, c, lh, lw = sym.shape
+            scale = 2 ** self.level
+            n = (lh * scale) * (lw * scale) * 3
+            use_pallas = (self.mesh is None
+                          and jax.default_backend() == "tpu")
+            t = transport.tables
+            return self._decode_rans(
+                self._shard_batch(jnp.asarray(sym)), t.freq, t.start,
+                t.slot, *transport.enc_tables, transport.capacity(n),
+                use_pallas)
         if packed and self.mesh is None:
             return self._decode_packed(jnp.asarray(sym))
         return self._decode(self._shard_batch(jnp.asarray(sym)))
 
     @classmethod
-    def fetch_pixels(cls, rec_dev, shape=None) -> np.ndarray:
-        """Device->host pixel copy for either transport.
+    def fetch_pixels(cls, rec_dev, shape=None, transport=None) -> np.ndarray:
+        """Device->host pixel copy for any transport.
 
-        ``rec_dev``: a pixel array (raw transport) or the
+        ``rec_dev``: a pixel array (raw transport); the
         (head, words, widths, total) tuple from a packed decode program
         (pack_pixels_device_with_head), in which case ``shape`` gives the
-        tile geometry to reconstruct.  The statically-sized head ships
-        with the program outputs, so the common case costs ONE link round
-        trip; only a batch packing worse than the head budget fetches the
-        tail from the (device-resident) full buffer."""
+        tile geometry to reconstruct; or the (queues, totals, rec) triple
+        from a rANS-transport decode program, in which case ``transport``
+        is the calibrated PixelRansTransport that framed it.  The
+        statically-sized outputs ship in one link round trip in the common
+        case; overflows fall back to the device-resident raw pixels."""
+        from ..utils.profiling import GLOBAL_TIMER
         if not isinstance(rec_dev, tuple):
-            return np.asarray(rec_dev)
+            out = np.asarray(rec_dev)
+            GLOBAL_TIMER.add_link_bytes("d2h", out.nbytes)
+            return out
+        if len(rec_dev) == 3:        # rANS residual transport
+            bufs, totals, rec = rec_dev
+            bufs_np, totals_np = jax.device_get((bufs, totals))
+            GLOBAL_TIMER.add_link_bytes("d2h", bufs_np.nbytes
+                                        + totals_np.nbytes)
+            capacity = bufs_np.shape[1]
+            if int(totals_np.max()) > capacity:
+                # content noisier than the calibration batch: refetch raw
+                transport.note_overflow()
+                out = np.asarray(rec)
+                GLOBAL_TIMER.add_link_bytes("d2h", out.nbytes)
+                return out
+            b = bufs_np.shape[0]
+            p, q, c = shape[1:]
+            out = np.empty((b, p, q, c), np.uint8)
+            for i in range(b):
+                out[i] = transport.decode_host(
+                    bufs_np[i], int(totals_np[i]), (1, p, q, c))[0]
+            return out
         from ..coding.pixel_pack import unpack_pixels_host
         head, buf, widths, total = rec_dev
         widths_np, total_np, head_np = jax.device_get(
@@ -218,6 +325,8 @@ class CAECodecCore:
             hi = min(-(-total_np // bucket) * bucket, buf.shape[0])
             tail = np.asarray(buf[head_np.shape[0]:hi])
             head_np = np.concatenate([head_np, tail])
+        GLOBAL_TIMER.add_link_bytes(
+            "d2h", head_np.nbytes + widths_np.nbytes + 4)
         return unpack_pixels_host(head_np, widths_np, shape)
 
     def decode_latents_device(self, y: np.ndarray, rec_level: int = -1

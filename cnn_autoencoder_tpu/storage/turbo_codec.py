@@ -109,7 +109,9 @@ class CAETurboCore:
             v = packed - self.tables.offset[ch_map][None]
             esc = jnp.sum((v < 0) | (v >= self.tables.length[ch_map][None]),
                           axis=(1, 2))
-            return bufs, totals, esc
+            # words are 16-bit values: ship them as uint16 (halves the d2h
+            # fetch; the frame writer re-reads them as '<u2' anyway)
+            return bufs.astype(jnp.uint16), totals, esc
 
         def _finish_decode(sym_ts, lh, lw, packed):
             n = self.channels_bn * lh * lw
@@ -125,14 +127,15 @@ class CAETurboCore:
 
         def decode_fused_scan(queues, ch_map, num_steps, lh, lw,
                               packed=False):
-            sym = decode_device_interleaved(queues, ch_map, self.tables,
-                                            num_steps)
+            sym = decode_device_interleaved(queues.astype(jnp.int32),
+                                            ch_map, self.tables, num_steps)
             return _finish_decode(sym, lh, lw, packed)
 
         def decode_fused_pallas(queues, ch_map, num_steps, lh, lw,
                                 packed=False):
             vals = rans_kernel.decode_interleaved_pallas(
-                queues, ch_map[:, 0], self._dec_lut, num_steps)
+                queues.astype(jnp.int32), ch_map[:, 0], self._dec_lut,
+                num_steps)
             sym = vals + self.tables.offset[ch_map][None]
             return _finish_decode(sym, lh, lw, packed)
 
@@ -140,9 +143,43 @@ class CAETurboCore:
             sym = decode_device(bufs, ch_map, self.tables, num_steps)
             return _finish_decode(sym, lh, lw, False)
 
+        def _pixel_tables(freq, start, slot):
+            from ..coding.device_rans import DeviceTables
+            return DeviceTables(
+                freq=freq, start=start, slot=slot,
+                offset=jnp.zeros((1,), jnp.int32),
+                length=jnp.full((1,), 256, jnp.int32), support=256)
+
+        def decode_fused_rans(queues, ch_map, freq, start, slot, enc_tab,
+                              enc_rcp, num_steps, lh, lw, capacity,
+                              use_pallas):
+            # latent decode -> pixels -> device rANS encode of prediction
+            # residuals (coding/pixel_rans.py): entropy bits, not raw 24/px,
+            # cross the link; per-tile frames shard cleanly over the mesh
+            from ..coding.pixel_rans import encode_residuals_device
+            if use_pallas:
+                vals = rans_kernel.decode_interleaved_pallas(
+                    queues.astype(jnp.int32), ch_map[:, 0], self._dec_lut,
+                    num_steps)
+                sym = vals + self.tables.offset[ch_map][None]
+            else:
+                sym = decode_device_interleaved(queues.astype(jnp.int32),
+                                                ch_map, self.tables,
+                                                num_steps)
+            rec = _finish_decode(sym, lh, lw, False)
+            bufs, totals = encode_residuals_device(
+                rec, _pixel_tables(freq, start, slot), (enc_tab, enc_rcp),
+                capacity, use_pallas)
+            return bufs, totals, rec
+
         self._raw_fns = {"enc": encode_fused, "scan": decode_fused_scan,
                          "pallas": decode_fused_pallas,
-                         "v3": decode_fused_v3}
+                         "v3": decode_fused_v3,
+                         "rans": decode_fused_rans}
+        # extra replicated (non-batch) array args beyond (batch, ch_map)
+        self._extra_args = {"rans": 5}
+        # number of outputs (for shard_map out_specs)
+        self._n_out = {"enc": 3, "rans": 3}
 
     def _get_fn(self, kind: str, **statics):
         """Jitted (and, with a mesh, shard_mapped over the data axis)
@@ -161,14 +198,16 @@ class CAETurboCore:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
-            n_out = 3 if kind == "enc" else 1
+            n_out = self._n_out.get(kind, 1)
             out_specs = tuple([P("data")] * n_out) if n_out > 1 \
                 else P("data")
+            in_specs = ((P("data"), P())
+                        + (P(),) * self._extra_args.get(kind, 0))
             # check_vma off: the rANS scan carries start as replicated
             # constants and become device-varying through the sharded
             # batch, which the varying-axis checker rejects
             fn = jax.jit(shard_map(
-                raw, mesh=self.mesh, in_specs=(P("data"), P()),
+                raw, mesh=self.mesh, in_specs=in_specs,
                 out_specs=out_specs, check_vma=False))
         self._call_cache[key] = fn
         return fn
@@ -229,7 +268,9 @@ class CAETurboCore:
         enc_pallas = (self._use_pallas
                       and rans_kernel.supported(s, self.channels_bn,
                                                 lh * lw))
+        from ..utils.profiling import GLOBAL_TIMER
         tiles_u8, _ = self._pad_batch(tiles_u8)
+        GLOBAL_TIMER.add_link_bytes("h2d", int(np.prod(tiles_u8.shape)))
         for _ in range(6):
             encode = self._get_fn("enc", capacity=capacity,
                                   use_pallas=enc_pallas)
@@ -239,6 +280,8 @@ class CAETurboCore:
             # capacity retry throws away
             bufs_np, totals_np, esc_np = jax.device_get(
                 (bufs, totals, esc))
+            GLOBAL_TIMER.add_link_bytes("d2h", bufs_np.nbytes
+                                        + totals_np.nbytes + 4)
             if int(esc_np.sum()) == 0 and totals_np.max() <= capacity:
                 return self._frame(bufs_np, totals_np, true_hw)
             if int(esc_np.sum()) > 0:
@@ -264,10 +307,14 @@ class CAETurboCore:
 
     # -- decode -------------------------------------------------------------
 
-    def decode_tiles(self, bufs: List[bytes]):
+    def decode_tiles(self, bufs: List[bytes], transport=None):
         """Decode a batch of chunk buffers, each independently turbo- or
         host-format (encode falls back to the host coder per batch, and
         reader batches need not align with writer batches).
+
+        ``transport``: a calibrated coding.pixel_rans.PixelRansTransport —
+        turbo-frame groups then ship their pixels as device-coded residual
+        frames instead of raw bytes (mesh-safe: per-tile frames).
 
         Returns a stacked (B, h, w, 3) array when all tiles share a shape,
         else a list of per-tile arrays.
@@ -298,9 +345,11 @@ class CAETurboCore:
             for i, r in zip(idxs, rec):
                 recs[i] = r
         for (version, s, th, tw), group in turbo_groups.items():
-            decode_group = (self._decode_turbo_group if version == VERSION
-                            else self._decode_turbo_group_v3)
-            rec = decode_group([raw for _, raw in group], s, th, tw)
+            raws = [raw for _, raw in group]
+            if version == VERSION:
+                rec = self._decode_turbo_group(raws, s, th, tw, transport)
+            else:
+                rec = self._decode_turbo_group_v3(raws, s, th, tw)
             for (i, _), r in zip(group, rec):
                 recs[i] = r
 
@@ -309,7 +358,7 @@ class CAETurboCore:
         return recs
 
     def _decode_turbo_group(self, raws: List[bytes], s: int, th: int,
-                            tw: int) -> np.ndarray:
+                            tw: int, transport=None) -> np.ndarray:
         """Frame v4: one shared word queue per tile."""
         from ..ops.pallas import rans_kernel
 
@@ -336,22 +385,38 @@ class CAETurboCore:
         mp = batch * th * tw / 1e6
 
         qcap = -(-int(totals.max()) // 128) * 128
-        queues = np.zeros((batch, qcap), np.int32)
+        queues = np.zeros((batch, qcap), np.uint16)
         for i, payload in enumerate(payloads):
             queues[i, :totals[i]] = np.frombuffer(payload, "<u2")
+        GLOBAL_TIMER.add_link_bytes("h2d", queues.nbytes)
 
         ch_map = self._get_ch_map(lh, lw, s)
         use_pallas = (self._use_pallas
                       and rans_kernel.supported(s, self.channels_bn,
                                                 lh * lw))
         ph, pw = 2 ** self.level * lh, 2 ** self.level * lw
+        use_rans = (transport is not None and transport.calibrated()
+                    and transport.worthwhile(ph * pw * 3))
         # packed transport stays single-device: its compacted buffer is a
-        # global layout that per-shard packing would not reproduce
-        packed = (self.mesh is None and packed_fetch_enabled()
-                  and ph * pw * 3 % 128 == 0)
+        # global layout that per-shard packing would not reproduce (the
+        # rANS transport's per-tile frames shard fine and take precedence)
+        packed = (not use_rans and self.mesh is None
+                  and packed_fetch_enabled() and ph * pw * 3 % 128 == 0)
+        qdev, _ = self._pad_batch(jnp.asarray(queues))
+        if use_rans:
+            tab = transport.tables
+            decode = self._get_fn("rans", num_steps=t, lh=lh, lw=lw,
+                                  capacity=transport.capacity(ph * pw * 3),
+                                  use_pallas=use_pallas)
+            with GLOBAL_TIMER.stage("decompress/turbo_h2d+decode", mp):
+                res = decode(qdev, ch_map, tab.freq, tab.start, tab.slot,
+                             *transport.enc_tables)
+            with GLOBAL_TIMER.stage("decompress/turbo_d2h_pixels", mp):
+                rec = CAECodecCore.fetch_pixels(
+                    res, (qdev.shape[0], ph, pw, 3), transport)
+            return rec[:batch, :th, :tw, :]
         decode = self._get_fn("pallas" if use_pallas else "scan",
                               num_steps=t, lh=lh, lw=lw, packed=packed)
-        qdev, _ = self._pad_batch(jnp.asarray(queues))
         with GLOBAL_TIMER.stage("decompress/turbo_h2d+decode", mp):
             res = decode(qdev, ch_map)
         with GLOBAL_TIMER.stage("decompress/turbo_d2h_pixels", mp):

@@ -100,8 +100,9 @@ def test_packed_transport_through_pipeline(tmp_path, monkeypatch):
     monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "0")
     raw = decompress_cae_array(arr, core=core)
     monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "1")
-    packed = decompress_cae_array(arr, core=core)
-    np.testing.assert_array_equal(packed, raw)
+    monkeypatch.setenv("CAE_TPU_FETCH_CODEC", "pack")  # pin the bit-plane
+    packed = decompress_cae_array(arr, core=core)      # packer (default is
+    np.testing.assert_array_equal(packed, raw)         # the rANS transport)
 
     tcore = CAETurboCore(model, num_streams=64)
     bufs = tcore.encode_tiles(img[None, :64, :64])

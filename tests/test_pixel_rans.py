@@ -143,6 +143,142 @@ def test_bits_estimate_sane():
     assert noisy.bits_per_value > tr.bits_per_value
 
 
+def _trained_toy_model():
+    import jax
+
+    from cnn_autoencoder_tpu.models.entropy import aux_loss_fn
+    from cnn_autoencoder_tpu.models.factory import build_model
+
+    model = build_model(jax.random.PRNGKey(0), input_size=(32, 32),
+                        channels_org=3, channels_net=8, channels_bn=16,
+                        compression_level=2, K=4, r=3, act_layer_type="GDN")
+    p = model.variables["fact_ent"]["params"]
+    g = jax.jit(jax.grad(lambda q, pp: aux_loss_fn({**pp, "quantiles": q},
+                                                   4)))
+    q = p["quantiles"]
+    for _ in range(150):
+        q = q - 0.1 * g(q, p)
+    model.variables["fact_ent"]["params"] = {**p, "quantiles": q}
+    return model
+
+
+def _smooth_image(h, w, seed=0):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (np.sin(yy / 19.0) * 60 + np.cos(xx / 29.0) * 50 + 128)
+    img = base[:, :, None] + rng.randn(h, w, 3) * 2.0
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_rans_transport_through_pipeline(tmp_path, monkeypatch):
+    """CAE_TPU_FETCH_CODEC=rans must reproduce raw-transport
+    reconstructions byte-for-byte (calibration batch + coded batches)."""
+    from cnn_autoencoder_tpu.pipeline.tiles import (compress_pixels_to_cae,
+                                                    decompress_cae_array)
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+    from cnn_autoencoder_tpu.utils.profiling import GLOBAL_TIMER
+
+    core = CAECodecCore(_trained_toy_model())
+    img = _smooth_image(160, 640)     # 4 tiles: 1 calibration + 3 coded
+    arr = compress_pixels_to_cae(core, img, str(tmp_path / "a.zarr"),
+                                 patch_size=160)
+
+    monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "0")
+    raw = decompress_cae_array(arr, core=core, batch_tiles=1)
+    monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "1")
+    monkeypatch.setenv("CAE_TPU_FETCH_CODEC", "rans")
+    GLOBAL_TIMER.reset()
+    coded = decompress_cae_array(arr, core=core, batch_tiles=1)
+    np.testing.assert_array_equal(coded, raw)
+    # the coded batches must actually have shipped fewer bytes than raw
+    d2h = GLOBAL_TIMER.link_bytes()["d2h"]
+    assert 0 < d2h < 4 * 160 * 160 * 3
+
+
+def test_rans_transport_overflow_falls_back(tmp_path, monkeypatch):
+    """Noise tiles after a smooth calibration batch overflow the word
+    budget; the fetch must fall back to raw pixels, byte-identically."""
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+    core = CAECodecCore(_trained_toy_model())
+    # calibrate on near-constant content => tiny bits/value budget
+    flat = np.full((1, 160, 160, 3), 7, np.uint8)
+    tr = _calibrated(flat)
+    assert tr.worthwhile(160 * 160 * 3)
+    sym = np.asarray(core.fetch_symbols(core.encode_tiles_device(
+        jnp.asarray(_tiles((1, 160, 160, 3), seed=11)))))
+    rec_raw = np.asarray(core.decode_tiles_device(sym))
+    res = core.decode_tiles_device(sym, transport=tr)
+    assert isinstance(res, tuple) and len(res) == 3
+    got = core.fetch_pixels(res, (1, 160, 160, 3), tr)
+    np.testing.assert_array_equal(got, rec_raw)
+    assert tr._overflows == 1
+
+
+def test_coded_upload_through_pipeline(tmp_path, monkeypatch):
+    """CAE_TPU_CODED_UPLOAD=1 must produce byte-identical compressed
+    chunks vs the raw-upload path (calibration batch + coded batches)."""
+    from cnn_autoencoder_tpu.pipeline.tiles import compress_pixels_to_cae
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+    from cnn_autoencoder_tpu.storage import zarr as zarrlib
+
+    core = CAECodecCore(_trained_toy_model())
+    img = _smooth_image(160, 640, seed=3)
+    monkeypatch.setenv("CAE_TPU_CODED_UPLOAD", "0")
+    a = compress_pixels_to_cae(core, img, str(tmp_path / "raw.zarr"),
+                               patch_size=160, batch_tiles=1)
+    monkeypatch.setenv("CAE_TPU_CODED_UPLOAD", "1")
+    b = compress_pixels_to_cae(core, img, str(tmp_path / "coded.zarr"),
+                               patch_size=160, batch_tiles=1)
+    for ij in a.chunk_ids():
+        np.testing.assert_array_equal(
+            np.frombuffer(a.read_chunk_raw(ij), np.uint8),
+            np.frombuffer(b.read_chunk_raw(ij), np.uint8))
+
+
+def test_rans_transport_through_turbo(monkeypatch):
+    """Turbo decode with a calibrated transport must equal raw decode."""
+    from cnn_autoencoder_tpu.storage.turbo_codec import CAETurboCore
+
+    core = CAETurboCore(_trained_toy_model(), num_streams=64)
+    img = _smooth_image(160, 160, seed=5)
+    bufs = core.encode_tiles(img[None])
+    monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "0")
+    raw = np.asarray(core.decode_tiles(bufs))
+    tr = _calibrated(raw)
+    assert tr.worthwhile(160 * 160 * 3)
+    monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "1")
+    monkeypatch.setenv("CAE_TPU_FETCH_CODEC", "rans")
+    coded = np.asarray(core.decode_tiles(bufs, transport=tr))
+    np.testing.assert_array_equal(coded, raw)
+
+
+def test_rans_transport_through_turbo_mesh(monkeypatch):
+    """The rANS transport shards: 8-device turbo decode byte-identity."""
+    import jax
+    from jax.sharding import Mesh
+
+    from cnn_autoencoder_tpu.storage.turbo_codec import CAETurboCore
+
+    model = _trained_toy_model()
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("data",))
+    core = CAETurboCore(model, num_streams=64)
+    mcore = CAETurboCore(model, num_streams=64, mesh=mesh)
+    img = _smooth_image(160, 160, seed=6)
+    tiles = np.stack([img] * 8)
+    bufs = core.encode_tiles(tiles)
+    monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "0")
+    raw = np.asarray(core.decode_tiles(bufs))
+    tr = _calibrated(raw)
+    monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "1")
+    monkeypatch.setenv("CAE_TPU_FETCH_CODEC", "rans")
+    coded = np.asarray(mcore.decode_tiles(bufs, transport=tr))
+    np.testing.assert_array_equal(coded, raw)
+
+
 def test_ilv_alphabet_guard():
     """Native ilv_encode/ilv_decode reject >256-value alphabets."""
     if not rans.native_available():
