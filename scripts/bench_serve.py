@@ -1,0 +1,178 @@
+"""Device-resident serving throughput on one TPU chip (flagship config).
+
+The end-to-end bench (bench.py) is tunnel-bound in this environment: raw or
+coded bytes crossing the remote link dominate wall time.  This script
+measures what the reference's protocol (reference src/test_cae.py:101-115)
+actually translates to on local-PCIe hardware: encode and decode throughput
+with tiles RESIDENT on device — no pixel bytes on the link inside the timed
+region (one tiny scalar fetch per chunk of steps syncs the async dispatch
+queue; under the axon tunnel ``block_until_ready`` is a no-op, so a fetch
+is the only real synchronization).
+
+Measured per direction, with MFU accounting:
+* ``model``   — the conv stack alone (encoder+quantize / decoder), the
+  device work of the host-rANS 'cae' path;
+* ``turbo``   — the fully fused codec (conv + interleaved rANS Pallas
+  kernels), the device work of the 'cae_tpu' path.
+
+Achieved FLOP/s comes from XLA's own cost model for the exact compiled
+program (``compiled.cost_analysis()['flops']``); peak from the device kind.
+
+Usage: python scripts/bench_serve.py [steps] [batch] [patch]
+Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("CAE_TPU_PRECISION", "bf16")
+
+# bf16 peak TFLOP/s by TPU generation (public spec sheets); f32 ~= /4.
+_PEAK_BF16_TFLOPS = {
+    "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
+    "v4": 275.0, "v6": 918.0, "v6e": 918.0,
+}
+
+
+def device_peak_tflops(dev) -> float:
+    kind = getattr(dev, "device_kind", "").lower()
+    for key, peak in _PEAK_BF16_TFLOPS.items():
+        if key in kind:
+            return peak
+    return 197.0  # default to v5e-class
+
+
+def program_flops(jitted, *args) -> float:
+    """FLOPs of the exact compiled program per XLA's cost model (0 when the
+    backend doesn't expose cost analysis)."""
+    try:
+        compiled = jitted.lower(*args).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    patch = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.models.factory import (
+        autoencoder_from_state_dict, build_model)
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+    from cnn_autoencoder_tpu.storage.turbo_codec import CAETurboCore
+
+    fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                           "benchmarks", "bench_flagship.msgpack")
+    if os.path.exists(fixture):
+        model = autoencoder_from_state_dict(fixture)
+    else:
+        model = build_model(jax.random.PRNGKey(0), input_size=(patch, patch),
+                            channels_org=3, channels_net=128, channels_bn=48,
+                            compression_level=3, K=4, r=3,
+                            act_layer_type="GDN")
+
+    core = CAECodecCore(model)
+    tcore = CAETurboCore(model)
+
+    rng = np.random.RandomState(0)
+    tiles = jnp.asarray(np.clip(
+        rng.rand(batch, patch, patch, 3) * 160 + 60
+        + rng.randn(batch, patch, patch, 3) * 6, 0, 255).astype(np.uint8))
+    mp_batch = batch * patch * patch / 1e6
+
+    # latent symbols for the decode directions (device-resident int8)
+    sym8, _, _ = core._encode(tiles)
+    sym8 = jax.block_until_ready(sym8)
+    lh, lw = core.latent_hw(patch, patch)
+
+    # turbo programs: same fused callables the serving pipeline uses
+    ch_map = tcore._get_ch_map(lh, lw)
+    t_steps = tcore._steps(lh, lw)
+    s = tcore.num_streams
+    capacity = 2 * s + 64 + int(t_steps * s * tcore.expected_bits / 16.0
+                                * 1.12)
+    capacity = -(-capacity // 128) * 128   # decode kernels want 128-lane
+
+    from cnn_autoencoder_tpu.ops.pallas import rans_kernel
+    use_pallas = (tcore._use_pallas
+                  and rans_kernel.supported(s, tcore.channels_bn, lh * lw))
+    enc_turbo = tcore._get_fn("enc", capacity=capacity,
+                              use_pallas=use_pallas)
+    dec_turbo = tcore._get_fn("pallas" if use_pallas else "scan",
+                              num_steps=t_steps, lh=lh, lw=lw, packed=False)
+    queues, _, _ = enc_turbo(tiles, ch_map)
+    queues = jax.block_until_ready(queues)
+
+    def bench(fn, args, sync_out):
+        """Time ``steps`` back-to-back dispatches; the dispatch queue is
+        ordered, so one tiny fetch of the LAST result syncs them all."""
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(sync_out(out))[0]
+                   .reshape(-1)[:1])                       # warm + settle
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(sync_out(out))[0]
+                   .reshape(-1)[:1])
+        return time.perf_counter() - t0
+
+    results = {}
+    flops = {}
+    runs = [
+        ("encode_model", core._encode, (tiles,), lambda o: o[0]),
+        ("decode_model", core._decode, (sym8,), lambda o: o),
+        ("encode_turbo", enc_turbo, (tiles, ch_map), lambda o: o[1]),
+        ("decode_turbo", dec_turbo, (queues, ch_map), lambda o: o),
+    ]
+    for name, fn, args, sync in runs:
+        dt = bench(fn, args, sync)
+        results[name] = steps * mp_batch / dt
+        flops[name] = program_flops(fn, *args)
+        print(f"# {name}: {results[name]:.1f} MP/s "
+              f"({flops[name] * steps / dt / 1e12:.2f} TFLOP/s)",
+              file=sys.stderr)
+
+    dev = jax.devices()[0]
+    peak = device_peak_tflops(dev)
+    serve_mps = 1.0 / (1.0 / results["encode_turbo"]
+                       + 1.0 / results["decode_turbo"])
+    enc_tflops = flops["encode_model"] * results["encode_model"] / mp_batch \
+        / 1e12
+    dec_tflops = flops["decode_model"] * results["decode_model"] / mp_batch \
+        / 1e12
+
+    result = {
+        "metric": "device-resident serving throughput (flagship)",
+        "value": round(serve_mps, 1),
+        "unit": "MP/s (encode+decode combined, turbo codec)",
+        "detail": {
+            "batch": batch, "patch": patch, "steps": steps,
+            "precision": os.environ.get("CAE_TPU_PRECISION"),
+            "device": str(dev), "peak_bf16_tflops": peak,
+            "mps": {k: round(v, 1) for k, v in results.items()},
+            "program_gflops_per_batch":
+                {k: round(v / 1e9, 2) for k, v in flops.items()},
+            "achieved_tflops": {"encode_model": round(enc_tflops, 2),
+                                "decode_model": round(dec_tflops, 2)},
+            "mfu": {"encode_model": round(enc_tflops / peak, 4),
+                    "decode_model": round(dec_tflops / peak, 4)},
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
