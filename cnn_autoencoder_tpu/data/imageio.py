@@ -61,8 +61,12 @@ def image2array(filename: str, source_format: str = ".zarr",
     zarr sources return the (lazy, chunk-backed) storage Array; PIL-readable
     files return an in-memory HWC uint8 numpy array.
     """
-    if ".zarr" in source_format or filename.endswith(".zarr") \
-            or os.path.isdir(filename):
+    from .remote import is_remote
+    remote = is_remote(filename)
+    if ".zarr" in source_format or filename.rstrip("/").endswith(".zarr") \
+            or (remote and ".zarr" in filename) or os.path.isdir(filename):
+        # remote s3://...zarr / https://...zarr stores stream read-only
+        # through data.remote (reference src/compress.py:78-90)
         from ..storage import zarr as zarrlib
         node = zarrlib.open(filename, mode="r")
         if isinstance(node, zarrlib.Group):
@@ -72,6 +76,12 @@ def image2array(filename: str, source_format: str = ".zarr",
         return node
 
     from PIL import Image
+    if remote:
+        import io
+
+        from .remote import fetch_remote
+        with Image.open(io.BytesIO(fetch_remote(filename))) as im:
+            return np.asarray(im.convert("RGB"))
     with Image.open(filename) as im:
         arr = np.asarray(im.convert("RGB"))
     return arr

@@ -31,13 +31,23 @@ def s3_to_https(url: str, endpoint: str = None) -> str:
 
 def fetch_remote(path: str, timeout: float = 30.0, retries: int = 3,
                  s3_endpoint: str = None) -> bytes:
-    """GET a remote object with small exponential backoff."""
+    """GET a remote object with small exponential backoff.
+
+    404/403 raise FileNotFoundError immediately (no retry): absent chunks
+    are a NORMAL zarr state (fill_value regions are simply not stored), so
+    they must fail fast, not burn the backoff budget."""
     url = s3_to_https(path, s3_endpoint) if path.startswith("s3://") else path
     last_error = None
     for attempt in range(retries):
         try:
             with urllib.request.urlopen(url, timeout=timeout) as response:
                 return response.read()
+        except urllib.error.HTTPError as error:
+            if error.code in (403, 404):  # S3 signals missing keys as 403
+                raise FileNotFoundError(path) from error
+            last_error = error
+            if attempt + 1 < retries:
+                time.sleep(min(2 ** attempt, 5.0))
         except Exception as error:  # urllib raises several unrelated types
             last_error = error
             if attempt + 1 < retries:

@@ -477,7 +477,22 @@ def decompress_cae_array(src: zarrlib.Array,
 
 def copy_sidecar_metadata(src_path: str, dst_path: str) -> None:
     """Copy labels/masks groups and OME metadata alongside the output
-    (reference src/compress.py:130-168)."""
+    (reference src/compress.py:130-168).
+
+    Remote sources fetch OME/METADATA.ome.xml over HTTP/anonymous-S3, like
+    the reference's download_metadata (reference src/compress.py:150-168)."""
+    from ..data.remote import fetch_remote, is_remote
+    if is_remote(src_path):
+        url = src_path.rstrip("/") + "/OME/METADATA.ome.xml"
+        try:
+            xml = fetch_remote(url)
+        except (FileNotFoundError, RuntimeError):
+            return  # source ships no OME sidecar
+        ome_dir = os.path.join(dst_path, "OME")
+        os.makedirs(ome_dir, exist_ok=True)
+        with open(os.path.join(ome_dir, "METADATA.ome.xml"), "wb") as f:
+            f.write(xml)
+        return
     if not os.path.isdir(src_path):
         return
     try:

@@ -24,6 +24,39 @@ import numpy as np
 
 from .codecs import Codec, get_codec
 
+# Read-only remote stores: s3:// and http(s):// paths route every read
+# through data.remote (anonymous-S3/HTTP GET — the reference compresses
+# S3-hosted slides via s3fs, reference src/compress.py:78-90).  Writes and
+# directory listing are local-only: HTTP cannot list, and the pipelines
+# only ever write local outputs.
+from ..data.remote import fetch_remote, is_remote
+
+
+def _join(base: str, *parts: str) -> str:
+    if is_remote(base):
+        return "/".join([base.rstrip("/")]
+                        + [str(p).strip("/") for p in parts])
+    return os.path.join(base, *parts)
+
+
+def _read_bytes(path: str) -> Optional[bytes]:
+    """File/object contents, or None when absent (local missing file or
+    remote 4xx/5xx after retries)."""
+    if is_remote(path):
+        try:
+            return fetch_remote(path)
+        except (FileNotFoundError, RuntimeError):
+            return None
+    if not os.path.exists(path):
+        return None
+    with builtins.open(path, "rb") as f:
+        return f.read()
+
+
+def _check_writable(path: str):
+    if is_remote(path):
+        raise OSError(f"remote zarr stores are read-only: {path}")
+
 
 def _dtype_to_str(dt: np.dtype) -> str:
     dt = np.dtype(dt)
@@ -40,11 +73,12 @@ class Attributes(dict):
     def __init__(self, path: str):
         super().__init__()
         self._path = path
-        if os.path.exists(path):
-            with builtins.open(path) as f:
-                self.update(json.load(f))
+        raw = _read_bytes(path)
+        if raw is not None:
+            dict.update(self, json.loads(raw))
 
     def _flush(self):
+        _check_writable(self._path)
         with builtins.open(self._path, "w") as f:
             json.dump(self, f)
 
@@ -75,7 +109,7 @@ class Array:
         self._sep = meta.get("dimension_separator", ".")
         self._compressor = None
         self._compressor_loaded = False
-        self.attrs = Attributes(os.path.join(path, ".zattrs"))
+        self.attrs = Attributes(_join(path, ".zattrs"))
 
     @property
     def compressor(self):
@@ -117,8 +151,10 @@ class Array:
 
     @classmethod
     def open(cls, path: str) -> "Array":
-        with builtins.open(os.path.join(path, ".zarray")) as f:
-            return cls(path, json.load(f))
+        raw = _read_bytes(_join(path, ".zarray"))
+        if raw is None:
+            raise FileNotFoundError(f"No zarr array at {path}")
+        return cls(path, json.loads(raw))
 
     # -- chunk addressing -------------------------------------------------
 
@@ -143,8 +179,8 @@ class Array:
     def chunk_path(self, idx: Sequence[int]) -> str:
         key = self.chunk_key(idx)
         if self._sep == "/":
-            return os.path.join(self.path, *key.split("/"))
-        return os.path.join(self.path, key)
+            return _join(self.path, *key.split("/"))
+        return _join(self.path, key)
 
     def chunk_slices(self, idx: Sequence[int]):
         """(array slice, valid-extent shape) for chunk idx."""
@@ -162,11 +198,9 @@ class Array:
 
     def read_chunk(self, idx: Sequence[int]) -> np.ndarray:
         """Full (padded) chunk; missing chunks come back as fill_value."""
-        p = self.chunk_path(idx)
-        if not os.path.exists(p):
+        raw = _read_bytes(self.chunk_path(idx))
+        if raw is None:
             return np.full(self.chunks, self.fill_value, self.dtype)
-        with builtins.open(p, "rb") as f:
-            raw = f.read()
         if self.compressor is not None:
             dec = self.compressor.decode(raw)
             arr = np.asarray(dec)
@@ -188,6 +222,7 @@ class Array:
         raw = (self.compressor.encode(data) if self.compressor is not None
                else data.tobytes())
         p = self.chunk_path(idx)
+        _check_writable(p)
         os.makedirs(os.path.dirname(p), exist_ok=True)
         with builtins.open(p, "wb") as f:
             f.write(raw)
@@ -196,17 +231,14 @@ class Array:
     def write_chunk_raw(self, idx: Sequence[int], raw: bytes) -> int:
         """Write pre-encoded chunk bytes (used by the pipelined encoder)."""
         p = self.chunk_path(idx)
+        _check_writable(p)
         os.makedirs(os.path.dirname(p), exist_ok=True)
         with builtins.open(p, "wb") as f:
             f.write(raw)
         return len(raw)
 
     def read_chunk_raw(self, idx: Sequence[int]) -> Optional[bytes]:
-        p = self.chunk_path(idx)
-        if not os.path.exists(p):
-            return None
-        with builtins.open(p, "rb") as f:
-            return f.read()
+        return _read_bytes(self.chunk_path(idx))
 
     # -- whole-array / sliced access ---------------------------------------
 
@@ -305,6 +337,10 @@ class Array:
     def nbytes_stored(self) -> int:
         """Total bytes on disk (metadata + chunks) — the reference's bpp
         accounting reads zarr's equivalent (reference src/test_cae.py:71-73)."""
+        if is_remote(self.path):
+            raise NotImplementedError(
+                "nbytes_stored needs a directory walk; remote stores "
+                "cannot be listed over HTTP")
         total = 0
         for root, _, files in os.walk(self.path):
             for fn in files:
@@ -321,10 +357,11 @@ class Group:
 
     def __init__(self, path: str):
         self.path = path
-        self.attrs = Attributes(os.path.join(path, ".zattrs"))
+        self.attrs = Attributes(_join(path, ".zattrs"))
 
     @classmethod
     def create(cls, path: str, overwrite: bool = False) -> "Group":
+        _check_writable(path)
         if overwrite and os.path.exists(path):
             shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
@@ -336,7 +373,7 @@ class Group:
 
     @classmethod
     def open(cls, path: str) -> "Group":
-        if not os.path.exists(os.path.join(path, ".zgroup")):
+        if _read_bytes(_join(path, ".zgroup")) is None:
             raise FileNotFoundError(f"No zarr group at {path}")
         return cls(path)
 
@@ -357,19 +394,24 @@ class Group:
         return Group.create(os.path.join(self.path, name))
 
     def __contains__(self, name: str) -> bool:
-        p = os.path.join(self.path, *str(name).split("/"))
-        return (os.path.exists(os.path.join(p, ".zarray"))
-                or os.path.exists(os.path.join(p, ".zgroup")))
+        p = _join(self.path, *str(name).split("/"))
+        return (_read_bytes(_join(p, ".zarray")) is not None
+                or _read_bytes(_join(p, ".zgroup")) is not None)
 
     def __getitem__(self, name: str):
-        p = os.path.join(self.path, *str(name).split("/"))
-        if os.path.exists(os.path.join(p, ".zarray")):
-            return Array.open(p)
-        if os.path.exists(os.path.join(p, ".zgroup")):
+        p = _join(self.path, *str(name).split("/"))
+        raw = _read_bytes(_join(p, ".zarray"))
+        if raw is not None:
+            return Array(p, json.loads(raw))
+        if _read_bytes(_join(p, ".zgroup")) is not None:
             return Group(p)
         raise KeyError(name)
 
     def keys(self):
+        if is_remote(self.path):
+            raise NotImplementedError(
+                "remote zarr groups cannot be listed over HTTP; address "
+                "members by name (e.g. group['0/0'])")
         if not os.path.isdir(self.path):
             return
         for name in sorted(os.listdir(self.path)):
@@ -392,10 +434,13 @@ class Group:
 
 
 def open(path: str, mode: str = "r"):
-    """Open a zarr array or group at ``path`` (creates a group for 'a'/'w')."""
-    if os.path.exists(os.path.join(path, ".zarray")):
-        return Array.open(path)
-    if os.path.exists(os.path.join(path, ".zgroup")):
+    """Open a zarr array or group at ``path`` (creates a group for 'a'/'w').
+
+    Remote (s3:// / http(s)://) paths open read-only; writes raise."""
+    raw = _read_bytes(_join(path, ".zarray"))
+    if raw is not None:
+        return Array(path, json.loads(raw))
+    if _read_bytes(_join(path, ".zgroup")) is not None:
         return Group(path)
     if mode in ("a", "w"):
         return Group.create(path, overwrite=(mode == "w"))

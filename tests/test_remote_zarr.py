@@ -1,0 +1,115 @@
+"""Remote (HTTP/anonymous-S3) zarr stores: read-only streaming through the
+storage layer and the compress pipeline, incl. OME sidecar fetch
+(reference src/compress.py:78-90,150-168)."""
+
+import threading
+from functools import partial
+from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from cnn_autoencoder_tpu.storage import zarr as zarrlib
+from cnn_autoencoder_tpu.storage.codecs import Blosc
+
+
+@pytest.fixture()
+def http_root(tmp_path):
+    """Serve tmp_path/ over local HTTP; yields (url, local_root)."""
+    handler = partial(SimpleHTTPRequestHandler, directory=str(tmp_path))
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield "http://127.0.0.1:%d" % server.server_address[1], tmp_path
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def _make_store(root, name="wsi.zarr", h=96, w=80):
+    rng = np.random.RandomState(0)
+    img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    g = zarrlib.Group.create(str(root / name))
+    arr = g.create_dataset("0/0", shape=(h, w, 3), chunks=(32, 32, 3),
+                           dtype=np.uint8,
+                           compressor=Blosc(cname="zlib", clevel=5),
+                           overwrite=True)
+    arr[...] = img
+    arr.attrs["key"] = "value"
+    return img
+
+
+def test_remote_array_reads_match_local(http_root):
+    url, root = http_root
+    img = _make_store(root)
+    local = zarrlib.open(str(root / "wsi.zarr"), mode="r")["0/0"]
+    remote = zarrlib.open(url + "/wsi.zarr", mode="r")["0/0"]
+    assert remote.shape == local.shape
+    assert remote.attrs["key"] == "value"
+    np.testing.assert_array_equal(remote[...], img)
+    np.testing.assert_array_equal(remote[10:50, 5:40, :],
+                                  img[10:50, 5:40, :])
+    # missing chunks (beyond stored region) come back as fill, fast
+    np.testing.assert_array_equal(remote.read_chunk_raw((9, 9, 0)),
+                                  local.read_chunk_raw((9, 9, 0)))
+
+
+def test_remote_store_is_read_only(http_root):
+    url, root = http_root
+    _make_store(root)
+    remote = zarrlib.open(url + "/wsi.zarr", mode="r")["0/0"]
+    with pytest.raises(OSError, match="read-only"):
+        remote.write_chunk((0, 0, 0), np.zeros((32, 32, 3), np.uint8))
+    with pytest.raises(OSError, match="read-only"):
+        remote.attrs["x"] = 1
+    with pytest.raises(NotImplementedError):
+        remote.nbytes_stored
+
+
+def test_compress_remote_zarr_with_ome_sidecar(http_root, tmp_path_factory,
+                                               monkeypatch):
+    """Full pipeline: compress an HTTP-served zarr slide; the OME sidecar
+    is fetched over the wire like the reference's download_metadata."""
+    import jax
+
+    from cnn_autoencoder_tpu.models.entropy import aux_loss_fn
+    from cnn_autoencoder_tpu.models.factory import build_model
+    from cnn_autoencoder_tpu.pipeline.tiles import (compress_pixels_to_cae,
+                                                    copy_sidecar_metadata,
+                                                    decompress_cae_array,
+                                                    normalize_to_yxc)
+    from cnn_autoencoder_tpu.data.imageio import image2array
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+    url, root = http_root
+    img = _make_store(root)
+    ome = root / "wsi.zarr" / "OME"
+    ome.mkdir()
+    (ome / "METADATA.ome.xml").write_text("<OME>test</OME>")
+
+    model = build_model(jax.random.PRNGKey(0), input_size=(32, 32),
+                        channels_org=3, channels_net=8, channels_bn=16,
+                        compression_level=2, K=4, r=3, act_layer_type="GDN")
+    p = model.variables["fact_ent"]["params"]
+    g = jax.jit(jax.grad(lambda q, pp: aux_loss_fn({**pp, "quantiles": q},
+                                                   4)))
+    q = p["quantiles"]
+    for _ in range(150):
+        q = q - 0.1 * g(q, p)
+    model.variables["fact_ent"]["params"] = {**p, "quantiles": q}
+    core = CAECodecCore(model)
+
+    src = image2array(url + "/wsi.zarr", source_format=".zarr",
+                      data_group="0/0")
+    pixels = normalize_to_yxc(src, "YXC")
+    np.testing.assert_array_equal(pixels, img)
+
+    out = tmp_path_factory.mktemp("out") / "compressed.zarr"
+    arr = compress_pixels_to_cae(core, pixels, str(out), patch_size=32)
+    copy_sidecar_metadata(url + "/wsi.zarr", str(out))
+    assert (out / "OME" / "METADATA.ome.xml").read_text() == "<OME>test</OME>"
+
+    rec = decompress_cae_array(arr, core=core)
+    assert rec.shape == img.shape
+    assert rec.std() > 0
