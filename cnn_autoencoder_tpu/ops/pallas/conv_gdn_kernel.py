@@ -50,8 +50,8 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
-def _kernel(t_ref, w_ref, g_ref, b_ref, o_ref, *, rows, w2, cin, cout,
-            compute_dtype):
+def _kernel(t_ref, w_ref, g_ref, b_ref, o_ref, y_ref=None, *, rows, w2,
+            cin, cout, compute_dtype):
     # f32 inputs go through the MXU at HIGHEST (matching the XLA conv's
     # precision); bf16 compute uses the fast single-pass path
     mxu_precision = (jax.lax.Precision.DEFAULT
@@ -69,9 +69,14 @@ def _kernel(t_ref, w_ref, g_ref, b_ref, o_ref, *, rows, w2, cin, cout,
                    precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=jnp.float32) + b_ref[:]
     o_ref[0] = (acc * jax.lax.rsqrt(norm)).reshape(rows, w2, cout)
+    if y_ref is not None:
+        # training variant: the pre-GDN conv output is a backward residual
+        # (saves recomputing the whole conv during backprop)
+        y_ref[0] = acc.reshape(rows, w2, cout)
 
 
-def _fused_conv_gdn_pallas(x, kernel, gamma, beta, interpret=False):
+def _fused_conv_gdn_pallas(x, kernel, gamma, beta, interpret=False,
+                           want_y=False):
     from ..convops import get_default_compute_dtype
 
     b, h, w, cin = x.shape
@@ -107,10 +112,13 @@ def _fused_conv_gdn_pallas(x, kernel, gamma, beta, interpret=False):
         taps = jnp.pad(taps, ((0, 0), (0, 0), (0, h2p - h2), (0, 0), (0, 0)))
 
     compute_dtype = get_default_compute_dtype() or jnp.float32
-    out = pl.pallas_call(
+    out_block = pl.BlockSpec((1, rows, w2, cop), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, h2p, w2, cop), jnp.float32)
+    res = pl.pallas_call(
         functools.partial(_kernel, rows=rows, w2=w2, cin=cip, cout=cop,
                           compute_dtype=compute_dtype),
-        out_shape=jax.ShapeDtypeStruct((b, h2p, w2, cop), jnp.float32),
+        out_shape=[out_shape, out_shape] if want_y else out_shape,
         grid=(b, h2p // rows),
         in_specs=[
             pl.BlockSpec((1, 9, rows, w2, cip), lambda i, j: (i, 0, j, 0, 0),
@@ -122,12 +130,12 @@ def _fused_conv_gdn_pallas(x, kernel, gamma, beta, interpret=False):
             pl.BlockSpec((1, cop), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rows, w2, cop),
-                               lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[out_block, out_block] if want_y else out_block,
         interpret=interpret,
     )(taps, w_taps, gamma_t, beta_p)
-    return out[:, :h2, :, :cout]
+    if want_y:
+        return (res[0][:, :h2, :, :cout], res[1][:, :h2, :, :cout])
+    return res[:, :h2, :, :cout]
 
 
 def _conv_gdn_xla(x, kernel, gamma, beta):
@@ -182,6 +190,50 @@ _fused_conv_gdn_spmd.def_partition(
     sharding_rule="b h w c, i j k l, f g, e -> b p q r")
 
 
+@functools.partial(custom_partitioning, static_argnums=(4,))
+def _fused_conv_gdn_train_spmd(x, kernel, gamma, beta, interpret):
+    return _fused_conv_gdn_pallas(x, kernel, gamma, beta, interpret,
+                                  want_y=True)
+
+
+def _cgt_infer_sharding(interpret, mesh, arg_infos, result_infos):
+    del interpret, result_infos
+    s = _batch_only(mesh, arg_infos[0].sharding)
+    return (s, s)
+
+
+def _cgt_partition(interpret, mesh, arg_infos, result_infos):
+    del result_infos
+    x_sharding = _batch_only(mesh, arg_infos[0].sharding)
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    def lower(x, kernel, gamma, beta):
+        return _fused_conv_gdn_pallas(x, kernel, gamma, beta, interpret,
+                                      want_y=True)
+
+    return (mesh, lower, (x_sharding, x_sharding),
+            (x_sharding, replicated, replicated, replicated))
+
+
+_fused_conv_gdn_train_spmd.def_partition(
+    partition=_cgt_partition,
+    infer_sharding_from_operands=_cgt_infer_sharding,
+    sharding_rule="b h w c, i j k l, f g, e -> b p q r, b s t u")
+
+
+def _reflect_conv(x, kernel):
+    """The linear conv part alone (same dtype/precision as _conv_gdn_xla),
+    for transpose-based gradients."""
+    from ..convops import get_default_compute_dtype, get_default_precision
+    dtype = get_default_compute_dtype() or x.dtype
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        xp.astype(dtype), kernel.astype(dtype), window_strides=(2, 2),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=get_default_precision(),
+        preferred_element_type=jnp.float32)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def fused_conv_gdn(x, kernel, gamma, beta):
     """reflect-pad -> 3x3/s2 conv -> GDN, fused in VMEM.
@@ -196,13 +248,49 @@ def fused_conv_gdn(x, kernel, gamma, beta):
 
 
 def _fused_fwd(x, kernel, gamma, beta):
-    return fused_conv_gdn(x, kernel, gamma, beta), (x, kernel, gamma, beta)
+    # the training forward also emits the pre-GDN conv output y as a
+    # residual, making the backward recompute-free (no second conv forward
+    # — the round-2 backward re-ran the whole XLA path under jax.vjp)
+    if pallas_enabled():
+        out, y = _fused_conv_gdn_train_spmd(x, kernel, gamma, beta,
+                                            _interpret_mode())
+    else:
+        y = _reflect_conv(x, kernel)
+        norm = jnp.einsum("...i,oi->...o", y * y, gamma,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32) + beta
+        out = y * jax.lax.rsqrt(norm)
+    return out, (x, kernel, gamma, beta, y)
 
 
 def _fused_bwd(res, g):
-    x, kernel, gamma, beta = res
-    _, vjp = jax.vjp(lambda *a: _conv_gdn_xla(*a), x, kernel, gamma, beta)
-    return vjp(g)
+    """Analytic VJP from the saved conv output.
+
+    out = y * rsqrt(norm), norm_o = sum_i y_i^2 gamma_oi + beta_o:
+      dnorm = -g * y * r^3 / 2;  dy = g * r + 2 y (dnorm @ gamma)
+      dgamma_oi = sum dnorm_o y_i^2;  dbeta_o = sum dnorm_o
+    and the conv gradients are pure transposes (jax.linear_transpose — no
+    forward evaluation, unlike jax.vjp)."""
+    x, kernel, gamma, beta, y = res
+    norm = jnp.einsum("...i,oi->...o", y * y, gamma,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32) + beta
+    r = jax.lax.rsqrt(norm)
+    g = g.astype(jnp.float32)
+    dnorm = -0.5 * g * y * (r * r * r)
+    dy = (g * r + 2.0 * y * jnp.einsum(
+        "...o,oi->...i", dnorm, gamma,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)).astype(jnp.float32)
+    dgamma = jnp.einsum("bhwo,bhwi->oi", dnorm, y * y,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    dbeta = jnp.sum(dnorm, axis=(0, 1, 2)).astype(beta.dtype)
+    (dx,) = jax.linear_transpose(lambda xx: _reflect_conv(xx, kernel), x)(dy)
+    (dkernel,) = jax.linear_transpose(lambda ww: _reflect_conv(x, ww),
+                                      kernel)(dy)
+    return (dx.astype(x.dtype), dkernel.astype(kernel.dtype),
+            dgamma.astype(gamma.dtype), dbeta)
 
 
 fused_conv_gdn.defvjp(_fused_fwd, _fused_bwd)
