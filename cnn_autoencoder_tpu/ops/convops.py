@@ -133,6 +133,63 @@ class Conv2dReflect(nn.Module):
         return y.astype(x.dtype)
 
 
+def deconv2x_polyphase(x, kernel, precision=None, dtype=None):
+    """Stride-2 3x3 transposed conv (torch p=1, op=1 geometry) as four
+    unstrided polyphase convolutions.
+
+    XLA executes ``lhs_dilation=(2, 2)`` convs densely on TPU — 3/4 of the
+    MACs multiply the inserted zeros.  Each output parity phase only ever
+    touches the non-zero taps:
+
+      out[2i,   2j  ] = W[1,1] x[i, j]
+      out[2i,   2j+1] = W[1,0] x[i, j] + W[1,2] x[i, j+1]
+      out[2i+1, 2j  ] = W[0,1] x[i, j] + W[2,1] x[i+1, j]
+      out[2i+1, 2j+1] = W[0,0] x[i,j] + W[0,2] x[i,j+1]
+                      + W[2,0] x[i+1,j] + W[2,2] x[i+1,j+1]
+
+    (``kernel`` is the stored, already-flipped HWIO weight; reads past the
+    edge are the dilated conv's zero padding.)  The four phases interleave
+    with one reshape.  Bit-for-bit NOT identical to the dilated form (adds
+    in a different order) but within float tolerance; RD-parity serving
+    keeps the dilated path (see ConvTranspose2dTorch).
+    """
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    dtype = dtype or _DEFAULT_COMPUTE_DTYPE or x.dtype
+    precision = precision or _DEFAULT_PRECISION
+    xt = x.astype(dtype)
+    kt = kernel.astype(dtype)
+    # x shifted by +1 (zero pad) along each axis
+    xr = jnp.pad(xt[:, :, 1:, :], ((0, 0), (0, 0), (0, 1), (0, 0)))
+    xd = jnp.pad(xt[:, 1:, :, :], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    xdr = jnp.pad(xd[:, :, 1:, :], ((0, 0), (0, 0), (0, 1), (0, 0)))
+
+    def dot(inp, ky, kx):
+        return jnp.einsum("bhwi,io->bhwo", inp, kt[ky, kx],
+                          precision=precision,
+                          preferred_element_type=jnp.float32)
+
+    p00 = dot(xt, 1, 1)
+    p01 = dot(xt, 1, 0) + dot(xr, 1, 2)
+    p10 = dot(xt, 0, 1) + dot(xd, 2, 1)
+    p11 = (dot(xt, 0, 0) + dot(xr, 0, 2)
+           + dot(xd, 2, 0) + dot(xdr, 2, 2))
+    # interleave: out[b, 2i+a, 2j+c, :] = P[a][c][b, i, j, :]
+    out = jnp.stack([jnp.stack([p00, p01], axis=3),
+                     jnp.stack([p10, p11], axis=3)], axis=2)
+    return out.reshape(b, 2 * h, 2 * w, cout)
+
+
+# polyphase deconv: OFF by default.  Measured on a real v5e (flagship
+# decoder, bf16, batch 16 x 512²): dilated 590 MP/s vs polyphase 182 MP/s —
+# XLA's native lhs_dilation lowering already avoids the zero MACs, and the
+# four shifted input copies + phase interleave cost extra HBM passes.  Kept
+# as an opt-in (CAE_TPU_POLYPHASE_DECONV=1) for future hardware where the
+# trade-off may differ.
+def polyphase_deconv_enabled() -> bool:
+    return _os.environ.get("CAE_TPU_POLYPHASE_DECONV", "0") == "1"
+
+
 class ConvTranspose2dTorch(nn.Module):
     """Transposed conv matching torch ConvTranspose2d geometry (NHWC).
 
@@ -165,19 +222,25 @@ class ConvTranspose2dTorch(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init,
             (k, k, cin // self.feature_group_count, self.features))
-        lo = k - 1 - self.padding
-        hi = k - 1 - self.padding + self.output_padding
-        dtype = self.dtype or _DEFAULT_COMPUTE_DTYPE or x.dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel.astype(dtype),
-            window_strides=(1, 1),
-            padding=((lo, hi), (lo, hi)),
-            lhs_dilation=(self.stride, self.stride),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.feature_group_count,
-            precision=self.precision or _DEFAULT_PRECISION,
-            preferred_element_type=jnp.float32,
-        )
+        if (k == 3 and self.stride == 2 and self.padding == 1
+                and self.output_padding == 1
+                and self.feature_group_count == 1
+                and polyphase_deconv_enabled()):
+            y = deconv2x_polyphase(x, kernel, self.precision, self.dtype)
+        else:
+            lo = k - 1 - self.padding
+            hi = k - 1 - self.padding + self.output_padding
+            dtype = self.dtype or _DEFAULT_COMPUTE_DTYPE or x.dtype
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype), kernel.astype(dtype),
+                window_strides=(1, 1),
+                padding=((lo, hi), (lo, hi)),
+                lhs_dilation=(self.stride, self.stride),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.feature_group_count,
+                precision=self.precision or _DEFAULT_PRECISION,
+                preferred_element_type=jnp.float32,
+            )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
             y = y + bias

@@ -206,3 +206,21 @@ def test_fused_conv_gdn_gradient(monkeypatch):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_polyphase_deconv_matches_dilated():
+    """Opt-in polyphase stride-2 deconv equals the dilated formulation."""
+    from cnn_autoencoder_tpu.ops.convops import deconv2x_polyphase
+
+    rng = np.random.RandomState(3)
+    for (h, w, ci, co) in [(8, 8, 16, 12), (5, 7, 3, 5)]:
+        x = jnp.asarray(rng.randn(2, h, w, ci), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, ci, co) * 0.1, jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding=((1, 2), (1, 2)),
+            lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        got = deconv2x_polyphase(x, k, precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
