@@ -57,6 +57,12 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET", 420))
 BIG_IMAGE_H = int(os.environ.get("BENCH_BIG_IMAGE_H", 2 * IMAGE_H))
 BIG_IMAGE_W = int(os.environ.get("BENCH_BIG_IMAGE_W", 2 * IMAGE_W))
 HEALTHY_MBPS = float(os.environ.get("BENCH_HEALTHY_MBPS", 150))
+# opportunistic mode: after the normal repeats, keep probing for a healthy
+# window (cheap 4 MB probes) up to this hard cap, and take one big-image
+# run if the tunnel heals; the probe sweep lands in detail.probe_sweep
+OPPORTUNISTIC_BUDGET_S = float(os.environ.get("BENCH_OPPORTUNISTIC_BUDGET",
+                                              900))
+PROBE_PERIOD_S = float(os.environ.get("BENCH_PROBE_PERIOD", 20))
 
 
 def synth_histology(h, w, seed=0):
@@ -221,12 +227,36 @@ def main():
         best_image = (IMAGE_H, IMAGE_W)
         best_mode = None
         best_bits_px = (0.0, 0.0)
+        probe_sweep = []  # (t_since_start_s, d2h, h2d) for every probe
         bench_t0 = time.perf_counter()
         last_error = None
-        for r in range(REPEATS):
-            if r > 0 and time.perf_counter() - bench_t0 > BUDGET_S:
-                print(f"# budget reached after {r} runs", file=sys.stderr)
-                break
+        saw_healthy = False
+        r = -1
+        while True:
+            r += 1
+            elapsed = time.perf_counter() - bench_t0
+            if r >= REPEATS or (r > 0 and elapsed > BUDGET_S):
+                # Opportunistic healthy-window hunt: if every measured run
+                # was congested, keep cheaply probing (small payloads)
+                # until either the tunnel heals — then take ONE big-image
+                # run — or the hard budget expires.  The sweep is recorded
+                # either way, so "no healthy window occurred" is evidenced.
+                if (saw_healthy or elapsed > OPPORTUNISTIC_BUDGET_S
+                        or best_mps == 0.0):
+                    print(f"# budget reached after {r} runs",
+                          file=sys.stderr)
+                    break
+                try:
+                    link = probe_link(jax, jnp, np, mb=4)
+                except Exception:
+                    time.sleep(PROBE_PERIOD_S)
+                    continue
+                probe_sweep.append((round(elapsed, 1), link[0], link[1]))
+                if min(link) < HEALTHY_MBPS:
+                    time.sleep(PROBE_PERIOD_S)
+                    continue
+                print(f"# healthy window detected at +{elapsed:.0f}s: "
+                      f"{link} MB/s — running big image", file=sys.stderr)
             out = os.path.join(tmp, f"bench_{r}.zarr")
             try:
                 link = probe_link(jax, jnp, np)
@@ -236,6 +266,10 @@ def main():
                       "retrying next repeat", file=sys.stderr)
                 time.sleep(5)
                 continue
+            probe_sweep.append((round(time.perf_counter() - bench_t0, 1),
+                                link[0], link[1]))
+            if min(link) >= HEALTHY_MBPS:
+                saw_healthy = True
             print(f"# link probe: d2h {link[0]} MB/s, h2d {link[1]} MB/s",
                   file=sys.stderr)
             if FUSED:
@@ -359,6 +393,9 @@ def main():
                 # achieved transport bits per image pixel (d2h, h2d);
                 # raw-pixel transport would be 24 each way
                 "transport_bits_px": list(best_bits_px),
+                # every link probe taken this invocation: (t+s, d2h, h2d)
+                # — records whether a healthy window ever occurred
+                "probe_sweep": probe_sweep,
             },
         }
         print(json.dumps(result))
