@@ -108,8 +108,12 @@ def decode_residuals_device(queues: jnp.ndarray, tables: DeviceTables,
                             dec_lut: jnp.ndarray, shape: Tuple[int, ...],
                             use_pallas: bool) -> jnp.ndarray:
     """Decode (B, Q) int32 word queues -> (B, P, Q, C) uint8 pixels, for
-    use INSIDE a jitted encode program (upload direction)."""
-    b, p, q, c = shape
+    use INSIDE a jitted encode program (upload direction).
+
+    The batch size comes from ``queues`` itself (under shard_map the
+    per-shard batch differs from the global one in ``shape``)."""
+    _, p, q, c = shape
+    b = queues.shape[0]
     n = p * q * c
     t = -(-n // STREAMS)
     if use_pallas:
@@ -215,8 +219,13 @@ class PixelRansTransport:
         self.freq = freq
 
     def capacity(self, n_values: int) -> int:
-        """Per-tile word capacity (bucketed to bound recompiles)."""
-        margin = 1.10 + 0.05 * min(4, self._overflows)
+        """Per-tile word capacity (bucketed to bound recompiles).
+
+        The margin is deliberately thin: per-tile totals concentrate
+        tightly around n*bits (CLT over ~1e6 values), overflow falls back
+        to raw byte-identically, and every margin word is fetched over the
+        link whether used or not."""
+        margin = 1.06 + 0.05 * min(4, self._overflows)
         words = 2 * STREAMS + 64 + int(
             n_values * self.bits_per_value / 16.0 * margin)
         return -(-words // _CAP_BUCKET) * _CAP_BUCKET

@@ -551,10 +551,23 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
     workers = ThreadPoolExecutor(max_workers=FETCH_WORKERS)
     inflight = []
 
+    # coded upload (see compress_pixels_to_cae): calibrated from the first
+    # batch's raw input tiles
+    from ..coding.link_probe import coded_upload_enabled
+    from ..coding.pixel_rans import PixelRansTransport, residual_hist_host
+    up_transport = PixelRansTransport() if coded_upload_enabled() else None
+
     def encode_and_write(idxs, tiles):
+        nonlocal up_transport
+        tiles_np = np.stack(tiles)
+        tr = up_transport
         with GLOBAL_TIMER.stage("compress/turbo_encode",
                                 len(idxs) * p * p / 1e6):
-            bufs = core.encode_tiles(np.stack(tiles))
+            bufs = core.encode_tiles(tiles_np, up_transport=tr)
+        if tr is not None and not tr.calibrated():
+            tr.calibrate(residual_hist_host(tiles_np))
+            if not tr.worthwhile(p * p * c):
+                up_transport = None
         for (i, j), buf in zip(idxs, bufs[:len(idxs)]):
             arr.write_chunk_raw((i, j, 0), buf)
 
@@ -563,6 +576,9 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
         while len(tiles) < batch:
             tiles.append(tiles[-1])
         inflight.append(workers.submit(encode_and_write, group, tiles))
+        if (up_transport is not None and not up_transport.calibrated()
+                and len(inflight) == 1 and len(grid) > batch):
+            inflight.pop(0).result()  # calibration barrier
         while len(inflight) > MAX_INFLIGHT:
             inflight.pop(0).result()
     for f in inflight:

@@ -172,14 +172,32 @@ class CAETurboCore:
                 capacity, use_pallas)
             return bufs, totals, rec
 
+        def encode_fused_rans(queues, ch_map, freq, start, slot, dec_lut,
+                              shape, capacity, use_pallas):
+            # coded upload: the host rANS-encodes raw tiles (C++), this
+            # program decodes them back before the conv encoder — only
+            # coded bytes cross the h2d link (coding/pixel_rans.py)
+            from ..coding.pixel_rans import decode_residuals_device
+            tiles = decode_residuals_device(
+                queues.astype(jnp.int32), _pixel_tables(freq, start, slot),
+                dec_lut, shape, use_pallas)
+            b, h, w, _ = shape
+            ph, pw = self.base.padded_hw(h, w)
+            if (ph, pw) != (h, w):
+                tiles = jnp.pad(tiles,
+                                ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
+                                mode="reflect")
+            return encode_fused(tiles, ch_map, capacity, use_pallas)
+
         self._raw_fns = {"enc": encode_fused, "scan": decode_fused_scan,
                          "pallas": decode_fused_pallas,
                          "v3": decode_fused_v3,
-                         "rans": decode_fused_rans}
+                         "rans": decode_fused_rans,
+                         "enc_rans": encode_fused_rans}
         # extra replicated (non-batch) array args beyond (batch, ch_map)
-        self._extra_args = {"rans": 5}
+        self._extra_args = {"rans": 5, "enc_rans": 4}
         # number of outputs (for shard_map out_specs)
-        self._n_out = {"enc": 3, "rans": 3}
+        self._n_out = {"enc": 3, "rans": 3, "enc_rans": 3}
 
     def _get_fn(self, kind: str, **statics):
         """Jitted (and, with a mesh, shard_mapped over the data axis)
@@ -240,18 +258,19 @@ class CAETurboCore:
 
     # -- encode -------------------------------------------------------------
 
-    def encode_tiles(self, tiles_u8, true_hw=None) -> List[bytes]:
+    def encode_tiles(self, tiles_u8, true_hw=None,
+                     up_transport=None) -> List[bytes]:
         """(B, H, W, 3) uint8 -> framed turbo bitstreams (host fallback on
-        escapes/overflow)."""
-        tiles_u8 = jnp.asarray(tiles_u8)
-        bsz, h, w, _ = tiles_u8.shape
+        escapes/overflow).
+
+        ``up_transport``: a calibrated coding.pixel_rans.PixelRansTransport
+        — raw tiles are then host-rANS-coded and decoded inside the encode
+        program, so only coded bytes cross the h2d link."""
+        tiles_np = np.asarray(tiles_u8)
+        bsz, h, w, _ = tiles_np.shape
         if true_hw is None:
             true_hw = [(h, w)] * bsz
         ph, pw = self.base.padded_hw(h, w)
-        if (ph, pw) != (h, w):
-            tiles_u8 = jnp.pad(
-                tiles_u8, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
-                mode="reflect")
         lh, lw = self._latent_hw(ph, pw)
         ch_map = self._get_ch_map(lh, lw)
         t = self._steps(lh, lw)
@@ -269,12 +288,42 @@ class CAETurboCore:
                       and rans_kernel.supported(s, self.channels_bn,
                                                 lh * lw))
         from ..utils.profiling import GLOBAL_TIMER
-        tiles_u8, _ = self._pad_batch(tiles_u8)
-        GLOBAL_TIMER.add_link_bytes("h2d", int(np.prod(tiles_u8.shape)))
+
+        n_px = h * w * tiles_np.shape[3]
+        coded_up = (up_transport is not None and up_transport.calibrated()
+                    and up_transport.worthwhile(n_px))
+        if coded_up:
+            cap_px = up_transport.capacity(n_px)
+            queues, q_totals = up_transport.encode_host(tiles_np, cap_px)
+            coded_up = bool((q_totals >= 0).all())
+            if not coded_up:
+                up_transport.note_overflow()
+        pb = bsz + (-bsz) % self._nd   # batch after mesh padding
+        if coded_up:
+            qdev, _ = self._pad_batch(jnp.asarray(queues))
+            GLOBAL_TIMER.add_link_bytes("h2d", queues.nbytes)
+            tab = up_transport.tables
+        else:
+            tiles_dev = jnp.asarray(tiles_np)
+            if (ph, pw) != (h, w):
+                tiles_dev = jnp.pad(
+                    tiles_dev, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
+                    mode="reflect")
+            tiles_dev, _ = self._pad_batch(tiles_dev)
+            GLOBAL_TIMER.add_link_bytes("h2d",
+                                        int(np.prod(tiles_dev.shape)))
         for _ in range(6):
-            encode = self._get_fn("enc", capacity=capacity,
-                                  use_pallas=enc_pallas)
-            bufs, totals, esc = encode(tiles_u8, ch_map)
+            if coded_up:
+                encode = self._get_fn(
+                    "enc_rans", shape=(pb, h, w, tiles_np.shape[3]),
+                    capacity=capacity, use_pallas=enc_pallas)
+                bufs, totals, esc = encode(qdev, ch_map, tab.freq,
+                                           tab.start, tab.slot,
+                                           up_transport.dec_lut)
+            else:
+                encode = self._get_fn("enc", capacity=capacity,
+                                      use_pallas=enc_pallas)
+                bufs, totals, esc = encode(tiles_dev, ch_map)
             # ONE device_get for everything: the tunnel's per-round-trip
             # latency dwarfs the (rare) waste of fetching buffers that a
             # capacity retry throws away
@@ -289,7 +338,8 @@ class CAETurboCore:
             capacity *= 2
 
         # fall back to the reference-compatible host coder
-        sym = self.base.fetch_symbols(self.base.encode_tiles_device(tiles_u8))
+        sym = self.base.fetch_symbols(
+            self.base.encode_tiles_device(jnp.asarray(tiles_np)))
         return self.base.entropy_encode(sym, true_hw)
 
     def _frame(self, bufs_np, totals_np, true_hw) -> List[bytes]:

@@ -279,6 +279,39 @@ def test_rans_transport_through_turbo_mesh(monkeypatch):
     np.testing.assert_array_equal(coded, raw)
 
 
+def test_turbo_coded_upload_identical_frames(monkeypatch):
+    """Turbo encode with a coded upload must emit byte-identical frames."""
+    from cnn_autoencoder_tpu.storage.turbo_codec import CAETurboCore
+
+    core = CAETurboCore(_trained_toy_model(), num_streams=64)
+    tiles = np.stack([_smooth_image(160, 160, seed=i) for i in range(3)])
+    raw_frames = core.encode_tiles(tiles)
+    tr = _calibrated(tiles)
+    assert tr.worthwhile(160 * 160 * 3)
+    coded_frames = core.encode_tiles(tiles, up_transport=tr)
+    assert [bytes(a) for a in raw_frames] == [bytes(b)
+                                              for b in coded_frames]
+
+
+def test_turbo_pipeline_coded_upload(tmp_path, monkeypatch):
+    """compress_pixels_to_cae_turbo with CAE_TPU_CODED_UPLOAD=1 writes the
+    same chunks as the raw-upload pipeline."""
+    from cnn_autoencoder_tpu.pipeline.tiles import (
+        compress_pixels_to_cae_turbo)
+    from cnn_autoencoder_tpu.storage.turbo_codec import CAETurboCore
+
+    core = CAETurboCore(_trained_toy_model(), num_streams=64)
+    img = _smooth_image(160, 640, seed=7)
+    monkeypatch.setenv("CAE_TPU_CODED_UPLOAD", "0")
+    a = compress_pixels_to_cae_turbo(core, img, str(tmp_path / "a.zarr"),
+                                     patch_size=160, batch_tiles=1)
+    monkeypatch.setenv("CAE_TPU_CODED_UPLOAD", "1")
+    b = compress_pixels_to_cae_turbo(core, img, str(tmp_path / "b.zarr"),
+                                     patch_size=160, batch_tiles=1)
+    for ij in a.chunk_ids():
+        assert a.read_chunk_raw(ij) == b.read_chunk_raw(ij)
+
+
 def test_ilv_alphabet_guard():
     """Native ilv_encode/ilv_decode reject >256-value alphabets."""
     if not rans.native_available():
