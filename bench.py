@@ -58,10 +58,12 @@ BIG_IMAGE_H = int(os.environ.get("BENCH_BIG_IMAGE_H", 2 * IMAGE_H))
 BIG_IMAGE_W = int(os.environ.get("BENCH_BIG_IMAGE_W", 2 * IMAGE_W))
 HEALTHY_MBPS = float(os.environ.get("BENCH_HEALTHY_MBPS", 150))
 # opportunistic mode: after the normal repeats, keep probing for a healthy
-# window (cheap 4 MB probes) up to this hard cap, and take one big-image
-# run if the tunnel heals; the probe sweep lands in detail.probe_sweep
+# window (cheap 4 MB probes) until TOTAL elapsed time reaches this cap,
+# and take one big-image run if the tunnel heals; the probe sweep lands in
+# detail.probe_sweep.  The cap must leave room for that final run plus
+# JSON emission inside whatever timeout wraps the bench.
 OPPORTUNISTIC_BUDGET_S = float(os.environ.get("BENCH_OPPORTUNISTIC_BUDGET",
-                                              900))
+                                              600))
 PROBE_PERIOD_S = float(os.environ.get("BENCH_PROBE_PERIOD", 20))
 
 
