@@ -363,6 +363,29 @@ def main():
         if best_mps == 0.0 and last_error is not None:
             raise last_error  # nothing measured: surface the real failure
 
+        # device-resident serving measurement (scripts/bench_serve.py):
+        # the link-free number the end-to-end result translates to on
+        # locally-attached hardware.  Embedded in the recorded detail.
+        device_resident = None
+        if os.environ.get("BENCH_DEVICE_RESIDENT", "1") == "1" \
+                and jax.default_backend() != "cpu":
+            try:
+                import importlib.util as _ilu
+                spec = _ilu.spec_from_file_location(
+                    "bench_serve", os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "scripts", "bench_serve.py"))
+                bs = _ilu.module_from_spec(spec)
+                spec.loader.exec_module(bs)
+                device_resident = bs.measure(model, steps=10, batch=8,
+                                             patch=PATCH)
+                print(f"# device-resident: {device_resident['value']} "
+                      f"{device_resident['unit']}", file=sys.stderr)
+            except Exception as e:
+                print(f"# device-resident measurement failed "
+                      f"({type(e).__name__}: {str(e)[:120]})",
+                      file=sys.stderr)
+
         result = {
             "metric": "WSI compress+decompress megapixels/sec/chip",
             "value": round(best_mps, 2),
@@ -398,6 +421,10 @@ def main():
                 # every link probe taken this invocation: (t+s, d2h, h2d)
                 # — records whether a healthy window ever occurred
                 "probe_sweep": probe_sweep,
+                # link-free encode/decode MP/s + MFU on this chip — the
+                # number the tunnel-bound result above translates to on
+                # locally-attached hardware (scripts/bench_serve.py)
+                "device_resident": device_resident,
             },
         }
         print(json.dumps(result))

@@ -61,28 +61,17 @@ def program_flops(jitted, *args) -> float:
         return 0.0
 
 
-def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    patch = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+def measure(model, steps: int = 30, batch: int = 16, patch: int = 512,
+            quiet: bool = False) -> dict:
+    """Device-resident encode/decode MP/s + MFU for ``model``.
 
+    Importable (bench.py embeds the result in its detail JSON so the
+    driver-recorded benchmark carries the local-hardware number)."""
     import jax
     import jax.numpy as jnp
 
-    from cnn_autoencoder_tpu.models.factory import (
-        autoencoder_from_state_dict, build_model)
     from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
     from cnn_autoencoder_tpu.storage.turbo_codec import CAETurboCore
-
-    fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "benchmarks", "bench_flagship.msgpack")
-    if os.path.exists(fixture):
-        model = autoencoder_from_state_dict(fixture)
-    else:
-        model = build_model(jax.random.PRNGKey(0), input_size=(patch, patch),
-                            channels_org=3, channels_net=128, channels_bn=48,
-                            compression_level=3, K=4, r=3,
-                            act_layer_type="GDN")
 
     core = CAECodecCore(model)
     tcore = CAETurboCore(model)
@@ -141,9 +130,10 @@ def main():
         dt = bench(fn, args, sync)
         results[name] = steps * mp_batch / dt
         flops[name] = program_flops(fn, *args)
-        print(f"# {name}: {results[name]:.1f} MP/s "
-              f"({flops[name] * steps / dt / 1e12:.2f} TFLOP/s)",
-              file=sys.stderr)
+        if not quiet:
+            print(f"# {name}: {results[name]:.1f} MP/s "
+                  f"({flops[name] * steps / dt / 1e12:.2f} TFLOP/s)",
+                  file=sys.stderr)
 
     dev = jax.devices()[0]
     peak = device_peak_tflops(dev)
@@ -154,7 +144,7 @@ def main():
     dec_tflops = flops["decode_model"] * results["decode_model"] / mp_batch \
         / 1e12
 
-    result = {
+    return {
         "metric": "device-resident serving throughput (flagship)",
         "value": round(serve_mps, 1),
         "unit": "MP/s (encode+decode combined, turbo codec)",
@@ -171,7 +161,28 @@ def main():
                     "decode_model": round(dec_tflops / peak, 4)},
         },
     }
-    print(json.dumps(result))
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    patch = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+
+    import jax
+
+    from cnn_autoencoder_tpu.models.factory import (
+        autoencoder_from_state_dict, build_model)
+
+    fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                           "benchmarks", "bench_flagship.msgpack")
+    if os.path.exists(fixture):
+        model = autoencoder_from_state_dict(fixture)
+    else:
+        model = build_model(jax.random.PRNGKey(0), input_size=(patch, patch),
+                            channels_org=3, channels_net=128, channels_bn=48,
+                            compression_level=3, K=4, r=3,
+                            act_layer_type="GDN")
+    print(json.dumps(measure(model, steps, batch, patch)))
 
 
 if __name__ == "__main__":
