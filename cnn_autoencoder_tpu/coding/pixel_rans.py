@@ -104,6 +104,28 @@ def encode_residuals_device(tiles_u8: jnp.ndarray, tables: DeviceTables,
     return bufs, totals
 
 
+def compact_queues_device(bufs: jnp.ndarray, totals: jnp.ndarray,
+                          head_words: int) -> jnp.ndarray:
+    """Concatenate per-tile word queues into one (head_words,) buffer.
+
+    Tile i's words land at [excl_cumsum(totals)[i], +totals[i]); the batch
+    then ships as ONE statically-sized head instead of B padded-capacity
+    rows, eliminating the per-tile margin from the wire.  B contiguous
+    dynamic_update_slices, ascending, so each overwrites the previous
+    tile's padding tail; overruns past head_words are the caller-detected
+    overflow case (totals ship alongside)."""
+    b, cap = bufs.shape
+    flat = jnp.zeros((head_words + cap,), bufs.dtype)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(totals)[:-1].astype(jnp.int32)])
+
+    def body(i, acc):
+        return jax.lax.dynamic_update_slice(acc, bufs[i], (offs[i],))
+
+    flat = jax.lax.fori_loop(0, b, body, flat)
+    return flat[:head_words]
+
+
 def decode_residuals_device(queues: jnp.ndarray, tables: DeviceTables,
                             dec_lut: jnp.ndarray, shape: Tuple[int, ...],
                             use_pallas: bool) -> jnp.ndarray:
@@ -238,6 +260,21 @@ class PixelRansTransport:
         per-tile flush of 2*STREAMS words + capacity margin can exceed raw
         bytes for tiny tiles or incompressible content)."""
         return 2 * self.capacity(n_values) < n_values
+
+    def pooled_head_words(self, n_values: int, batch: int) -> int:
+        """Static word budget for a COMPACTED batch of fetch frames.
+
+        Per-tile totals concentrate tightly (CLT over ~1e6 values) and the
+        pool averages residual deviations across the batch, so the margin
+        can be far thinner than the per-tile one — every word here crosses
+        the link whether used or not."""
+        margin = 1.02 + 0.02 * min(4, self._overflows)
+        words = batch * (2 * STREAMS + 64) + int(
+            batch * n_values * self.bits_per_value / 16.0 * margin)
+        return -(-words // _CAP_BUCKET) * _CAP_BUCKET
+
+    def worthwhile_fetch(self, n_values: int, batch: int) -> bool:
+        return 2 * self.pooled_head_words(n_values, batch) < batch * n_values
 
     # -- host halves --------------------------------------------------------
 

@@ -417,7 +417,7 @@ def decompress_cae_array(src: zarrlib.Array,
             # first batch travels raw; its residual histogram fits the
             # shared table every later batch is coded with
             transport.calibrate(residual_hist_host(rec_np))
-            if not transport.worthwhile(ph * pw * 3):
+            if not transport.worthwhile_fetch(ph * pw * 3, batch):
                 transport = None  # coding would expand on the wire
         if offset:
             rec_np = rec_np[:, offset:-offset, offset:-offset]

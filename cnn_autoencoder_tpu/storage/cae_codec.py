@@ -101,15 +101,18 @@ class CAECodecCore:
             return pack_pixels_device_with_head(decode_fn(sym_cm))
 
         def decode_rans_fn(sym_cm, freq, start, slot, enc_tab, enc_rcp,
-                           capacity, use_pallas):
+                           capacity, head_words, use_pallas):
             # fused decode + device rANS encode of prediction residuals:
             # the transport ships tiles at their residual ENTROPY (~2-5
             # bits/px on trained reconstructions) instead of raw 24
-            # (coding/pixel_rans.py); `rec` stays device-resident and is
-            # fetched only when a tile overflows its word budget.  Table
-            # arrays are traced args so recalibration never recompiles.
+            # (coding/pixel_rans.py); the per-tile queues compact into one
+            # statically-sized head so no per-tile margin crosses the
+            # link; `rec` stays device-resident and is fetched only when
+            # the batch overflows the head budget.  Table arrays are
+            # traced args so recalibration never recompiles.
             from ..coding.device_rans import DeviceTables
-            from ..coding.pixel_rans import encode_residuals_device
+            from ..coding.pixel_rans import (compact_queues_device,
+                                             encode_residuals_device)
             tables = DeviceTables(
                 freq=freq, start=start, slot=slot,
                 offset=jnp.zeros((1,), jnp.int32),
@@ -117,7 +120,8 @@ class CAECodecCore:
             rec = decode_fn(sym_cm)
             bufs, totals = encode_residuals_device(
                 rec, tables, (enc_tab, enc_rcp), capacity, use_pallas)
-            return bufs, totals, rec
+            head = compact_queues_device(bufs, totals, head_words)
+            return head[None], totals, rec
 
         def encode_from_rans_fn(queues, freq, start, slot, dec_lut, shape,
                                 use_pallas):
@@ -146,7 +150,8 @@ class CAECodecCore:
         self._encode = jax.jit(encode_fn)
         self._decode = jax.jit(decode_fn)
         self._decode_packed = jax.jit(decode_packed_fn)
-        self._decode_rans = jax.jit(decode_rans_fn, static_argnums=(6, 7))
+        self._decode_rans = jax.jit(decode_rans_fn,
+                                    static_argnums=(6, 7, 8))
         self._encode_rans = jax.jit(encode_from_rans_fn,
                                     static_argnums=(5, 6))
         self._decode_y = jax.jit(decode_y_fn, static_argnums=(1,))
@@ -274,7 +279,7 @@ class CAECodecCore:
             return self._decode_rans(
                 self._shard_batch(jnp.asarray(sym)), t.freq, t.start,
                 t.slot, *transport.enc_tables, transport.capacity(n),
-                use_pallas)
+                transport.pooled_head_words(n, b), use_pallas)
         if packed and self.mesh is None:
             return self._decode_packed(jnp.asarray(sym))
         return self._decode(self._shard_batch(jnp.asarray(sym)))
@@ -297,23 +302,33 @@ class CAECodecCore:
             GLOBAL_TIMER.add_link_bytes("d2h", out.nbytes)
             return out
         if len(rec_dev) == 3:        # rANS residual transport
-            bufs, totals, rec = rec_dev
-            bufs_np, totals_np = jax.device_get((bufs, totals))
-            GLOBAL_TIMER.add_link_bytes("d2h", bufs_np.nbytes
+            # (n_shards, head_words) compacted queues + per-tile totals;
+            # the host splits by cumulative totals per shard (under a mesh
+            # each shard compacted its own contiguous slice of the batch)
+            head, totals, rec = rec_dev
+            head_np, totals_np = jax.device_get((head, totals))
+            GLOBAL_TIMER.add_link_bytes("d2h", head_np.nbytes
                                         + totals_np.nbytes)
-            capacity = bufs_np.shape[1]
-            if int(totals_np.max()) > capacity:
-                # content noisier than the calibration batch: refetch raw
+            n_shards = head_np.shape[0]
+            b = totals_np.shape[0]
+            per = b // n_shards
+            p, q, c = shape[1:]
+            hw = head_np.shape[1]
+            offs = totals_np.reshape(n_shards, per)
+            if int(np.cumsum(offs, axis=1).max()) > hw:
+                # batch noisier than the calibration batch: refetch raw
                 transport.note_overflow()
                 out = np.asarray(rec)
                 GLOBAL_TIMER.add_link_bytes("d2h", out.nbytes)
                 return out
-            b = bufs_np.shape[0]
-            p, q, c = shape[1:]
             out = np.empty((b, p, q, c), np.uint8)
-            for i in range(b):
-                out[i] = transport.decode_host(
-                    bufs_np[i], int(totals_np[i]), (1, p, q, c))[0]
+            for s in range(n_shards):
+                off = 0
+                for j in range(per):
+                    tot = int(offs[s, j])
+                    out[s * per + j] = transport.decode_host(
+                        head_np[s, off:off + tot], tot, (1, p, q, c))[0]
+                    off += tot
             return out
         from ..coding.pixel_pack import unpack_pixels_host
         head, buf, widths, total = rec_dev

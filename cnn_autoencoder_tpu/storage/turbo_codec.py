@@ -152,11 +152,14 @@ class CAETurboCore:
 
         def decode_fused_rans(queues, ch_map, freq, start, slot, enc_tab,
                               enc_rcp, num_steps, lh, lw, capacity,
-                              use_pallas):
+                              head_words, use_pallas):
             # latent decode -> pixels -> device rANS encode of prediction
-            # residuals (coding/pixel_rans.py): entropy bits, not raw 24/px,
-            # cross the link; per-tile frames shard cleanly over the mesh
-            from ..coding.pixel_rans import encode_residuals_device
+            # residuals, compacted into one statically-sized head
+            # (coding/pixel_rans.py): entropy bits, not raw 24/px, cross
+            # the link.  Under shard_map each shard compacts its own
+            # contiguous batch slice; heads stack (n_shards, head_words).
+            from ..coding.pixel_rans import (compact_queues_device,
+                                             encode_residuals_device)
             if use_pallas:
                 vals = rans_kernel.decode_interleaved_pallas(
                     queues.astype(jnp.int32), ch_map[:, 0], self._dec_lut,
@@ -170,7 +173,8 @@ class CAETurboCore:
             bufs, totals = encode_residuals_device(
                 rec, _pixel_tables(freq, start, slot), (enc_tab, enc_rcp),
                 capacity, use_pallas)
-            return bufs, totals, rec
+            head = compact_queues_device(bufs, totals, head_words)
+            return head[None], totals, rec
 
         def encode_fused_rans(queues, ch_map, freq, start, slot, dec_lut,
                               shape, capacity, use_pallas):
@@ -445,19 +449,24 @@ class CAETurboCore:
                       and rans_kernel.supported(s, self.channels_bn,
                                                 lh * lw))
         ph, pw = 2 ** self.level * lh, 2 ** self.level * lw
+        n_px = ph * pw * 3
+        pb = batch + (-batch) % self._nd     # after mesh padding
+        per = pb // self._nd                 # tiles per shard
         use_rans = (transport is not None and transport.calibrated()
-                    and transport.worthwhile(ph * pw * 3))
+                    and transport.worthwhile_fetch(n_px, per))
         # packed transport stays single-device: its compacted buffer is a
         # global layout that per-shard packing would not reproduce (the
-        # rANS transport's per-tile frames shard fine and take precedence)
+        # rANS transport compacts per shard and takes precedence)
         packed = (not use_rans and self.mesh is None
-                  and packed_fetch_enabled() and ph * pw * 3 % 128 == 0)
+                  and packed_fetch_enabled() and n_px % 128 == 0)
         qdev, _ = self._pad_batch(jnp.asarray(queues))
         if use_rans:
             tab = transport.tables
-            decode = self._get_fn("rans", num_steps=t, lh=lh, lw=lw,
-                                  capacity=transport.capacity(ph * pw * 3),
-                                  use_pallas=use_pallas)
+            decode = self._get_fn(
+                "rans", num_steps=t, lh=lh, lw=lw,
+                capacity=transport.capacity(n_px),
+                head_words=transport.pooled_head_words(n_px, per),
+                use_pallas=use_pallas)
             with GLOBAL_TIMER.stage("decompress/turbo_h2d+decode", mp):
                 res = decode(qdev, ch_map, tab.freq, tab.start, tab.slot,
                              *transport.enc_tables)
