@@ -253,7 +253,17 @@ class PixelRansTransport:
         return -(-words // _CAP_BUCKET) * _CAP_BUCKET
 
     def note_overflow(self):
+        """Record a capacity overflow (raw fallback happened).
+
+        Repeated overflows mean the calibration no longer matches the
+        content (serving cores reuse transports across images): after 3,
+        the calibration invalidates so the next pipeline batch travels raw
+        and refits the table.  Mid-flight readers still see a consistent
+        (stale) table and correct raw fallbacks either way."""
         self._overflows += 1
+        if self._overflows >= 3:
+            self._overflows = 1   # keep slightly widened margins
+            self.freq = None      # calibrated() -> False: refit next batch
 
     def worthwhile(self, n_values: int) -> bool:
         """Whether coding beats raw on the wire for this tile size (the

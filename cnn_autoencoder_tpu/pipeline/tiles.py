@@ -157,7 +157,12 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
     # Calibrated from the first batch's residual histogram.
     from ..coding.link_probe import coded_upload_enabled
     from ..coding.pixel_rans import PixelRansTransport, residual_hist_host
-    up_transport = PixelRansTransport() if coded_upload_enabled() else None
+    up_transport = None
+    if coded_upload_enabled():
+        up_transport = getattr(core, "_up_transport", None)
+        if up_transport is None:
+            up_transport = PixelRansTransport()
+            core._up_transport = up_transport
 
     def compress_one(idxs):
         nonlocal up_transport
@@ -403,8 +408,15 @@ def decompress_cae_array(src: zarrlib.Array,
     fetch_codec = os.environ.get("CAE_TPU_FETCH_CODEC", "rans")
     use_packed = (coded and fetch_codec == "pack" and core.mesh is None
                   and ph * pw * 3 % 128 == 0)
-    transport = (PixelRansTransport() if coded and fetch_codec == "rans"
-                 else None)
+    # the transport persists on the core: a serving process decoding many
+    # images calibrates once and ships every later batch coded (stale
+    # tables self-heal through the overflow->refit path)
+    transport = None
+    if coded and fetch_codec == "rans":
+        transport = getattr(core, "_fetch_transport", None)
+        if transport is None:
+            transport = PixelRansTransport()
+            core._fetch_transport = transport
 
     def fetch_and_stitch(idxs, rec_dev):
         nonlocal transport
@@ -555,7 +567,12 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
     # batch's raw input tiles
     from ..coding.link_probe import coded_upload_enabled
     from ..coding.pixel_rans import PixelRansTransport, residual_hist_host
-    up_transport = PixelRansTransport() if coded_upload_enabled() else None
+    up_transport = None
+    if coded_upload_enabled():
+        up_transport = getattr(core, "_up_transport", None)
+        if up_transport is None:
+            up_transport = PixelRansTransport()
+            core._up_transport = up_transport
 
     def encode_and_write(idxs, tiles):
         nonlocal up_transport
@@ -608,10 +625,13 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
     # batch's reconstructions (see decompress_cae_array)
     from ..coding.pixel_pack import packed_fetch_enabled
     from ..coding.pixel_rans import PixelRansTransport, residual_hist_host
-    transport = (PixelRansTransport()
-                 if packed_fetch_enabled()
-                 and os.environ.get("CAE_TPU_FETCH_CODEC", "rans") == "rans"
-                 else None)
+    transport = None
+    if (packed_fetch_enabled()
+            and os.environ.get("CAE_TPU_FETCH_CODEC", "rans") == "rans"):
+        transport = getattr(core, "_fetch_transport", None)
+        if transport is None:
+            transport = PixelRansTransport()
+            core._fetch_transport = transport
 
     # decode_tiles is upload+dispatch+fetch in one call; concurrent worker
     # jobs overlap the link transfers while the device serializes decodes.
