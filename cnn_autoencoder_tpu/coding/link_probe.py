@@ -7,10 +7,16 @@ not compute — bounds the pipeline.  These probes measure each direction with
 a small fresh payload, cache the result briefly, and the transport gates
 read them.
 
+Threshold rationale: with raw bytes N, coded bytes f*N and a host codec
+half at rate R (the 1-core C++ coder: decode ~67, encode ~40 MB of pixels
+per second), the pipelined steady state is max(wire, host) per batch, so
+coding wins iff N/bw > max(f*N/bw, N/R) — i.e. iff bw < R.  The defaults
+sit just under the measured codec rates; faster links ship raw.
+
 Env overrides:
 * CAE_TPU_PACKED_FETCH = auto|0|1 — device->host (decompress fetch) coding
 * CAE_TPU_CODED_UPLOAD = auto|0|1 — host->device (compress upload) coding
-* CAE_TPU_PACKED_THRESHOLD_MBPS — "slow link" cutoff for both (default 200)
+* CAE_TPU_PACKED_THRESHOLD_MBPS — "slow link" cutoff for both directions
 """
 
 import os
@@ -20,10 +26,12 @@ import numpy as np
 
 _PROBE_TTL_S = 60.0
 _PROBE_MB = 4
+_DEFAULT_MBPS = {"d2h": 60.0, "h2d": 35.0}
 
 
-def _threshold() -> float:
-    return float(os.environ.get("CAE_TPU_PACKED_THRESHOLD_MBPS", 200.0))
+def _threshold(direction: str) -> float:
+    env = os.environ.get("CAE_TPU_PACKED_THRESHOLD_MBPS")
+    return float(env) if env else _DEFAULT_MBPS[direction]
 
 
 _cache = {"t": 0.0, "d2h": float("inf"), "h2d": float("inf")}
@@ -63,7 +71,7 @@ def _gated(env: str, direction: str) -> bool:
     if jax.default_backend() == "cpu":
         return False  # no link to save
     d2h, h2d = probe_link_mbps()
-    return (d2h if direction == "d2h" else h2d) < _threshold()
+    return (d2h if direction == "d2h" else h2d) < _threshold(direction)
 
 
 def coded_fetch_enabled() -> bool:
