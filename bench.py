@@ -87,30 +87,18 @@ def synth_histology(h, w, seed=0):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-_PROBE_FNS = {}  # payload MB -> jitted generator (cache keyed by size)
-
-
 def probe_link(jax, jnp, np, mb=24):
     """Measure the device<->host link right now (MB/s each way).
 
     The tunnel in remote-TPU environments is bimodal (~1 GB/s healthy,
     ~20 MB/s congested); reporting the measured bandwidth alongside the
     throughput makes link-bound results interpretable: when the d2h pixel
-    stage runs at probe bandwidth, the pipeline is saturating the link."""
-    n = mb * 1024 * 1024 // 4
-    fn = _PROBE_FNS.get(mb)
-    if fn is None:
-        fn = jax.jit(lambda s, n=n: jnp.arange(n, dtype=jnp.float32) + s)
-        _PROBE_FNS[mb] = fn
-    d = fn(jnp.float32(time.time() % 97.0))
-    np.asarray(d[:1])  # ensure computed
-    t0 = time.perf_counter()
-    h = np.asarray(d)
-    d2h = mb / (time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    up = jnp.asarray(h + 1)
-    np.asarray(up[:1])
-    h2d = mb / (time.perf_counter() - t0)
+    stage runs at probe bandwidth, the pipeline is saturating the link.
+    One implementation serves the transports' gates and this bench
+    (coding/link_probe.py); the bench forces a fresh, larger probe."""
+    del jax, jnp, np
+    from cnn_autoencoder_tpu.coding.link_probe import probe_link_mbps
+    d2h, h2d = probe_link_mbps(force=True, mb=mb)
     return round(d2h, 1), round(h2d, 1)
 
 
@@ -233,9 +221,8 @@ def main():
         bench_t0 = time.perf_counter()
         last_error = None
         saw_healthy = False
-        r = -1
+        r = 0   # completed/attempted benchmark runs (probe waits excluded)
         while True:
-            r += 1
             elapsed = time.perf_counter() - bench_t0
             if r >= REPEATS or (r > 0 and elapsed > BUDGET_S):
                 # Opportunistic healthy-window hunt: if every measured run
@@ -259,6 +246,7 @@ def main():
                     continue
                 print(f"# healthy window detected at +{elapsed:.0f}s: "
                       f"{link} MB/s — running big image", file=sys.stderr)
+            r += 1
             out = os.path.join(tmp, f"bench_{r}.zarr")
             try:
                 link = probe_link(jax, jnp, np)

@@ -651,13 +651,6 @@ int64_t ilv_encode(const int32_t *symbols, const int32_t *indexes, int64_t n,
                    int64_t table_stride, const int32_t *lengths,
                    const int32_t *offsets, int64_t n_streams, uint16_t *out,
                    int64_t capacity_words) {
-  int32_t max_len = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    max_len = std::max(max_len, lengths[indexes[i]]);
-  }
-  if (max_len > kIlvMaxValues) {
-    return -3;
-  }
   std::vector<uint32_t> state(static_cast<size_t>(n_streams), kIlvStateMin);
   std::vector<uint16_t> scratch(static_cast<size_t>(capacity_words));
   uint16_t *end = scratch.data() + capacity_words;
@@ -666,6 +659,11 @@ int64_t ilv_encode(const int32_t *symbols, const int32_t *indexes, int64_t n,
   for (int64_t i = n - 1; i >= 0; --i) {
     const int64_t s = i % n_streams;
     const int32_t c = indexes[i];
+    // alphabet guard folded into the hot loop (a separate O(n) pre-pass
+    // over indexes/lengths cost a full memory sweep per encode)
+    if (lengths[c] > kIlvMaxValues) {
+      return -3;
+    }
     const int64_t v = static_cast<int64_t>(symbols[i]) - offsets[c];
     if (v < 0 || v >= lengths[c]) {
       return -1;  // out of support: no escape coding in this format

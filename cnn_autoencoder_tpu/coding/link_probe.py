@@ -35,30 +35,34 @@ def _threshold(direction: str) -> float:
 
 
 _cache = {"t": 0.0, "d2h": float("inf"), "h2d": float("inf")}
-_payload_fn = None
+_payload_fns = {}  # payload MB -> jitted generator
 
 
-def probe_link_mbps(force: bool = False):
-    """(d2h MB/s, h2d MB/s), cached for a minute."""
-    global _payload_fn
+def probe_link_mbps(force: bool = False, mb: int = _PROBE_MB):
+    """(d2h MB/s, h2d MB/s), cached for a minute.
+
+    ``mb`` sizes the probe payload: the transport gates use a small cheap
+    one; benchmarks probe with a bigger payload for a steadier estimate
+    on a bursty tunnel."""
     now = time.monotonic()
     if not force and now - _cache["t"] < _PROBE_TTL_S:
         return _cache["d2h"], _cache["h2d"]
     import jax
     import jax.numpy as jnp
-    if _payload_fn is None:
-        n = _PROBE_MB * 1024 * 1024 // 4
-        _payload_fn = jax.jit(
-            lambda s: jnp.arange(n, dtype=jnp.float32) + s)
-    d = _payload_fn(jnp.float32(now % 97.0))
+    fn = _payload_fns.get(mb)
+    if fn is None:
+        n = mb * 1024 * 1024 // 4
+        fn = jax.jit(lambda s, n=n: jnp.arange(n, dtype=jnp.float32) + s)
+        _payload_fns[mb] = fn
+    d = fn(jnp.float32(now % 97.0))
     np.asarray(d[:8])  # ensure computed before timing the fetch
     t0 = time.perf_counter()
     h = np.asarray(d)
-    d2h = _PROBE_MB / max(1e-9, time.perf_counter() - t0)
+    d2h = mb / max(1e-9, time.perf_counter() - t0)
     t0 = time.perf_counter()
     up = jnp.asarray(h + 1.0)
     np.asarray(up[:1])
-    h2d = _PROBE_MB / max(1e-9, time.perf_counter() - t0)
+    h2d = mb / max(1e-9, time.perf_counter() - t0)
     _cache.update(t=now, d2h=d2h, h2d=h2d)
     return d2h, h2d
 

@@ -32,7 +32,8 @@ under a data mesh (unlike the bit-plane packer's globally-compacted buffer,
 which is why that one stayed single-device).
 """
 
-from typing import Optional, Tuple
+import threading
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,33 @@ from .device_rans import (DeviceTables, PRECISION, PROB_SCALE,
 
 STREAMS = 1024          # matches the Pallas kernel geometry
 _CAP_BUCKET = 1 << 11   # capacity quantum (words): bounds recompiles
+
+
+class RansFetchResult(NamedTuple):
+    """A dispatched coded-fetch: device outputs + the exact coding state
+    the program was traced with.
+
+    The snapshot matters: serving cores recalibrate transports over time
+    (overflow->refit), and a fetch job may run AFTER the transport's live
+    tables moved on — decoding with live state would be silent garbage.
+    ``capacity`` is the per-tile device word budget; any tile whose total
+    exceeds it was truncated ON DEVICE, so the host must take the raw
+    fallback even when the pooled head holds the (corrupt) words."""
+    head: jnp.ndarray      # (n_shards, head_words) device
+    totals: jnp.ndarray    # (B,) device
+    rec: jnp.ndarray       # (B, P, Q, C) device raw pixels (fallback)
+    capacity: int          # per-tile word budget the program used
+    freq: np.ndarray       # (256,) table snapshot
+    start: np.ndarray
+
+
+def make_pixel_tables(freq, start, slot) -> DeviceTables:
+    """The single-channel 256-value DeviceTables every fused transport
+    program builds from traced table arrays (one point of truth)."""
+    return DeviceTables(
+        freq=freq, start=start, slot=slot,
+        offset=jnp.zeros((1,), jnp.int32),
+        length=jnp.full((1,), 256, jnp.int32), support=256)
 
 
 # --------------------------------------------------------------------------
@@ -208,12 +236,34 @@ class PixelRansTransport:
         self.dec_lut = None                         # Pallas decode LUT
         self.bits_per_value: float = 8.0
         self._overflows = 0
+        self._lock = threading.Lock()
 
     def calibrated(self) -> bool:
         return self.freq is not None
 
+    def snapshot(self):
+        """Atomic (tables, enc_tables, dec_lut, freq, start) view, or None
+        when uncalibrated.  Dispatchers must code a whole batch from ONE
+        snapshot — reading the fields individually can interleave with a
+        concurrent refit and pair device tables with a newer host table."""
+        with self._lock:
+            if self.freq is None:
+                return None
+            return (self.tables, self.enc_tables, self.dec_lut, self.freq,
+                    self.start)
+
     def calibrate(self, hist: np.ndarray) -> None:
-        """Fit the shared 256-value table from a residual histogram."""
+        """Fit the shared 256-value table from a residual histogram.
+
+        Concurrent pipeline fetch jobs may both see an uncalibrated
+        transport after a refit; the lock + recheck makes the second
+        caller a no-op instead of a torn table set."""
+        with self._lock:
+            if self.calibrated():
+                return
+            self._calibrate_locked(hist)
+
+    def _calibrate_locked(self, hist: np.ndarray) -> None:
         from .cdf import pmf_to_quantized_cdf
         hist = np.asarray(hist, np.float64)
         pmf = (hist + 1.0) / (hist.sum() + 256.0)   # +1: every value codable
@@ -260,10 +310,11 @@ class PixelRansTransport:
         the calibration invalidates so the next pipeline batch travels raw
         and refits the table.  Mid-flight readers still see a consistent
         (stale) table and correct raw fallbacks either way."""
-        self._overflows += 1
-        if self._overflows >= 3:
-            self._overflows = 1   # keep slightly widened margins
-            self.freq = None      # calibrated() -> False: refit next batch
+        with self._lock:
+            self._overflows += 1
+            if self._overflows >= 3:
+                self._overflows = 1   # keep slightly widened margins
+                self.freq = None      # calibrated() False: refit next batch
 
     def worthwhile(self, n_values: int) -> bool:
         """Whether coding beats raw on the wire for this tile size (the
@@ -289,31 +340,43 @@ class PixelRansTransport:
     # -- host halves --------------------------------------------------------
 
     def decode_host(self, words: np.ndarray, total: int,
-                    shape: Tuple[int, int, int, int]) -> np.ndarray:
-        """uint16 word queue -> (B, P, Q, C) uint8 pixels (fused C++)."""
+                    shape: Tuple[int, int, int, int],
+                    freq: Optional[np.ndarray] = None,
+                    start: Optional[np.ndarray] = None) -> np.ndarray:
+        """uint16 word queue -> (B, P, Q, C) uint8 pixels (fused C++).
+
+        ``freq``/``start`` override the live tables — fetch jobs must pass
+        the snapshot their decode program was dispatched with (the live
+        transport may have recalibrated since)."""
         from . import rans
+        freq = self.freq if freq is None else freq
+        start = self.start if start is None else start
         b, p, q, c = shape
         words = np.ascontiguousarray(words[:total], np.uint16)
         out = np.empty(b * p * q * c, np.uint8)
         lib = rans._load_library()
         if lib is not None:
-            rc = lib.pixel_rans_decode(words, words.shape[0], self.freq,
-                                       self.start, 256, STREAMS,
+            rc = lib.pixel_rans_decode(words, words.shape[0], freq,
+                                       start, 256, STREAMS,
                                        b, p, q, c, out)
             if rc != 0:
                 raise ValueError("pixel rANS table invalid")
             return out.reshape(shape)
-        z = rans_decode_numpy(words, self.freq, self.start,
-                              b * p * q * c, STREAMS)
+        z = rans_decode_numpy(words, freq, start, b * p * q * c, STREAMS)
         return _unpredict_numpy(z.reshape(shape).astype(np.uint8))
 
-    def encode_host(self, tiles_u8: np.ndarray,
-                    capacity: int) -> Tuple[np.ndarray, np.ndarray]:
+    def encode_host(self, tiles_u8: np.ndarray, capacity: int,
+                    freq: Optional[np.ndarray] = None,
+                    start: Optional[np.ndarray] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
         """(B, P, Q, C) uint8 -> ((B, capacity) uint16 queues, totals).
 
         A tile that overflows ``capacity`` gets total == -1 (caller ships
-        that tile raw)."""
+        that tile raw).  ``freq``/``start`` pin the table snapshot the
+        matching device decode program will run with."""
         from . import rans
+        freq = self.freq if freq is None else freq
+        start = self.start if start is None else start
         tiles_u8 = np.ascontiguousarray(tiles_u8, np.uint8)
         b = tiles_u8.shape[0]
         out = np.zeros((b, capacity), np.uint16)
@@ -323,13 +386,13 @@ class PixelRansTransport:
             if lib is not None:
                 t = lib.pixel_rans_encode(
                     tiles_u8[i].reshape(-1), 1, tiles_u8.shape[1],
-                    tiles_u8.shape[2], tiles_u8.shape[3], self.freq,
-                    self.start, 256, STREAMS, out[i], capacity)
+                    tiles_u8.shape[2], tiles_u8.shape[3], freq,
+                    start, 256, STREAMS, out[i], capacity)
                 if t == -3:
                     raise ValueError("pixel rANS table invalid")
             else:
-                t = _encode_numpy_into(tiles_u8[i:i + 1], self.freq,
-                                       self.start, out[i])
+                t = _encode_numpy_into(tiles_u8[i:i + 1], freq,
+                                       start, out[i])
             totals[i] = t if t >= 0 else -1
         return out, totals
 

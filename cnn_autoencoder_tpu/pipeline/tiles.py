@@ -163,6 +163,9 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
         if up_transport is None:
             up_transport = PixelRansTransport()
             core._up_transport = up_transport
+        elif (up_transport.calibrated()
+              and not up_transport.worthwhile(pe * pe * c)):
+            up_transport = None  # this call's tiles are too small to code
 
     def compress_one(idxs):
         nonlocal up_transport
@@ -175,18 +178,20 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
                 tiles.append(tiles[-1])
         tiles_np = np.stack(tiles)
         tr = up_transport
-        coded = tr is not None and tr.calibrated()
+        snap = tr.snapshot() if tr is not None else None
+        coded = snap is not None
         if coded:
             with GLOBAL_TIMER.stage("compress/host_rans_up", mp):
                 cap = tr.capacity(pe * pe * c)
-                queues, totals = tr.encode_host(tiles_np, cap)
+                queues, totals = tr.encode_host(tiles_np, cap, snap[3],
+                                                snap[4])
                 coded = bool((totals >= 0).all())
                 if not coded:
                     tr.note_overflow()
         with GLOBAL_TIMER.stage("compress/h2d+dispatch", mp):
             if coded:
                 sym_dev = core.encode_tiles_device_coded(
-                    queues, tiles_np.shape, tr)
+                    queues, tiles_np.shape, snap)
             else:
                 GLOBAL_TIMER.add_link_bytes("h2d", tiles_np.nbytes)
                 sym_dev = core.encode_tiles_device(jnp.asarray(tiles_np))
@@ -417,6 +422,9 @@ def decompress_cae_array(src: zarrlib.Array,
         if transport is None:
             transport = PixelRansTransport()
             core._fetch_transport = transport
+        elif (transport.calibrated()
+              and not transport.worthwhile_fetch(ph * pw * 3, batch)):
+            transport = None  # this call's tiles are too small to code
 
     def fetch_and_stitch(idxs, rec_dev):
         nonlocal transport

@@ -110,16 +110,13 @@ class CAECodecCore:
             # link; `rec` stays device-resident and is fetched only when
             # the batch overflows the head budget.  Table arrays are
             # traced args so recalibration never recompiles.
-            from ..coding.device_rans import DeviceTables
             from ..coding.pixel_rans import (compact_queues_device,
-                                             encode_residuals_device)
-            tables = DeviceTables(
-                freq=freq, start=start, slot=slot,
-                offset=jnp.zeros((1,), jnp.int32),
-                length=jnp.full((1,), 256, jnp.int32), support=256)
+                                             encode_residuals_device,
+                                             make_pixel_tables)
             rec = decode_fn(sym_cm)
             bufs, totals = encode_residuals_device(
-                rec, tables, (enc_tab, enc_rcp), capacity, use_pallas)
+                rec, make_pixel_tables(freq, start, slot),
+                (enc_tab, enc_rcp), capacity, use_pallas)
             head = compact_queues_device(bufs, totals, head_words)
             return head[None], totals, rec
 
@@ -129,15 +126,12 @@ class CAECodecCore:
             # (coding/pixel_rans.py encode_host), the encode program starts
             # by decoding the word queues and inverting the predictor, so
             # only the coded bytes cross the h2d link
-            from ..coding.device_rans import DeviceTables
-            from ..coding.pixel_rans import decode_residuals_device
-            tables = DeviceTables(
-                freq=freq, start=start, slot=slot,
-                offset=jnp.zeros((1,), jnp.int32),
-                length=jnp.full((1,), 256, jnp.int32), support=256)
-            tiles = decode_residuals_device(queues.astype(jnp.int32),
-                                            tables, dec_lut, shape,
-                                            use_pallas)
+            from ..coding.pixel_rans import (decode_residuals_device,
+                                             make_pixel_tables)
+            tiles = decode_residuals_device(
+                queues.astype(jnp.int32),
+                make_pixel_tables(freq, start, slot), dec_lut, shape,
+                use_pallas)
             b, h, w, _ = shape
             ph, pw = _ceil_to(h, 2 ** self.level), _ceil_to(w,
                                                             2 ** self.level)
@@ -196,19 +190,20 @@ class CAECodecCore:
 
     def encode_tiles_device_coded(self, queues_u16: np.ndarray,
                                   shape: Tuple[int, int, int, int],
-                                  transport):
+                                  snap):
         """Coded-upload twin of ``encode_tiles_device``: ``queues_u16``
         ((B, capacity) uint16 from transport.encode_host) crosses the h2d
         link instead of raw pixels; the program decodes them back to the
-        (B, H, W, C) tiles of ``shape`` before encoding."""
+        (B, H, W, C) tiles of ``shape`` before encoding.  ``snap`` is the
+        transport.snapshot() the queues were encoded with."""
         from ..utils.profiling import GLOBAL_TIMER
         GLOBAL_TIMER.add_link_bytes("h2d", queues_u16.nbytes)
         use_pallas = (self.mesh is None
                       and jax.default_backend() == "tpu")
-        t = transport.tables
+        t, _, dec_lut, _, _ = snap
         return self._encode_rans(
             self._shard_batch(jnp.asarray(queues_u16)), t.freq, t.start,
-            t.slot, transport.dec_lut, shape, use_pallas)
+            t.slot, dec_lut, shape, use_pallas)
 
     @staticmethod
     def fetch_symbols(sym_dev) -> np.ndarray:
@@ -269,17 +264,22 @@ class CAECodecCore:
                     sym = sym.astype(np.int16)
         from ..utils.profiling import GLOBAL_TIMER
         GLOBAL_TIMER.add_link_bytes("h2d", sym.nbytes)
-        if transport is not None and transport.calibrated():
+        snap = transport.snapshot() if transport is not None else None
+        if snap is not None:
+            from ..coding.pixel_rans import RansFetchResult
+            t, enc_tables, _, freq, start = snap
             b, c, lh, lw = sym.shape
             scale = 2 ** self.level
             n = (lh * scale) * (lw * scale) * 3
             use_pallas = (self.mesh is None
                           and jax.default_backend() == "tpu")
-            t = transport.tables
-            return self._decode_rans(
+            capacity = transport.capacity(n)
+            head, totals, rec = self._decode_rans(
                 self._shard_batch(jnp.asarray(sym)), t.freq, t.start,
-                t.slot, *transport.enc_tables, transport.capacity(n),
+                t.slot, *enc_tables, capacity,
                 transport.pooled_head_words(n, b), use_pallas)
+            return RansFetchResult(head, totals, rec, capacity, freq,
+                                   start)
         if packed and self.mesh is None:
             return self._decode_packed(jnp.asarray(sym))
         return self._decode(self._shard_batch(jnp.asarray(sym)))
@@ -301,12 +301,13 @@ class CAECodecCore:
             out = np.asarray(rec_dev)
             GLOBAL_TIMER.add_link_bytes("d2h", out.nbytes)
             return out
-        if len(rec_dev) == 3:        # rANS residual transport
+        from ..coding.pixel_rans import RansFetchResult
+        if isinstance(rec_dev, RansFetchResult):
             # (n_shards, head_words) compacted queues + per-tile totals;
             # the host splits by cumulative totals per shard (under a mesh
             # each shard compacted its own contiguous slice of the batch)
-            head, totals, rec = rec_dev
-            head_np, totals_np = jax.device_get((head, totals))
+            head_np, totals_np = jax.device_get((rec_dev.head,
+                                                 rec_dev.totals))
             GLOBAL_TIMER.add_link_bytes("d2h", head_np.nbytes
                                         + totals_np.nbytes)
             n_shards = head_np.shape[0]
@@ -315,10 +316,14 @@ class CAECodecCore:
             p, q, c = shape[1:]
             hw = head_np.shape[1]
             offs = totals_np.reshape(n_shards, per)
-            if int(np.cumsum(offs, axis=1).max()) > hw:
-                # batch noisier than the calibration batch: refetch raw
+            # two distinct overflows force the raw fallback: a TILE past
+            # the per-tile device budget (its queue row was truncated on
+            # device, so the compacted words exist but are wrong), or the
+            # BATCH past the pooled head (words cut off in compaction)
+            if (int(totals_np.max()) > rec_dev.capacity
+                    or int(np.cumsum(offs, axis=1).max()) > hw):
                 transport.note_overflow()
-                out = np.asarray(rec)
+                out = np.asarray(rec_dev.rec)
                 GLOBAL_TIMER.add_link_bytes("d2h", out.nbytes)
                 return out
             out = np.empty((b, p, q, c), np.uint8)
@@ -327,7 +332,8 @@ class CAECodecCore:
                 for j in range(per):
                     tot = int(offs[s, j])
                     out[s * per + j] = transport.decode_host(
-                        head_np[s, off:off + tot], tot, (1, p, q, c))[0]
+                        head_np[s, off:off + tot], tot, (1, p, q, c),
+                        rec_dev.freq, rec_dev.start)[0]
                     off += tot
             return out
         from ..coding.pixel_pack import unpack_pixels_host

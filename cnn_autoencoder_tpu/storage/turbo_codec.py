@@ -143,12 +143,7 @@ class CAETurboCore:
             sym = decode_device(bufs, ch_map, self.tables, num_steps)
             return _finish_decode(sym, lh, lw, False)
 
-        def _pixel_tables(freq, start, slot):
-            from ..coding.device_rans import DeviceTables
-            return DeviceTables(
-                freq=freq, start=start, slot=slot,
-                offset=jnp.zeros((1,), jnp.int32),
-                length=jnp.full((1,), 256, jnp.int32), support=256)
+        from ..coding.pixel_rans import make_pixel_tables as _pixel_tables
 
         def decode_fused_rans(queues, ch_map, freq, start, slot, enc_tab,
                               enc_rcp, num_steps, lh, lw, capacity,
@@ -269,9 +264,11 @@ class CAETurboCore:
 
         ``up_transport``: a calibrated coding.pixel_rans.PixelRansTransport
         — raw tiles are then host-rANS-coded and decoded inside the encode
-        program, so only coded bytes cross the h2d link."""
-        tiles_np = np.asarray(tiles_u8)
-        bsz, h, w, _ = tiles_np.shape
+        program, so only coded bytes cross the h2d link.  Device-resident
+        inputs skip the coded upload (they are already past the link; a
+        host round trip to code them would add two full crossings)."""
+        input_on_host = isinstance(tiles_u8, np.ndarray)
+        bsz, h, w, _ = tiles_u8.shape
         if true_hw is None:
             true_hw = [(h, w)] * bsz
         ph, pw = self.base.padded_hw(h, w)
@@ -293,12 +290,15 @@ class CAETurboCore:
                                                 lh * lw))
         from ..utils.profiling import GLOBAL_TIMER
 
-        n_px = h * w * tiles_np.shape[3]
-        coded_up = (up_transport is not None and up_transport.calibrated()
-                    and up_transport.worthwhile(n_px))
+        n_px = h * w * tiles_u8.shape[3]
+        snap = (up_transport.snapshot()
+                if up_transport is not None and input_on_host else None)
+        coded_up = snap is not None and up_transport.worthwhile(n_px)
         if coded_up:
+            tab, _, dec_lut, s_freq, s_start = snap
             cap_px = up_transport.capacity(n_px)
-            queues, q_totals = up_transport.encode_host(tiles_np, cap_px)
+            queues, q_totals = up_transport.encode_host(
+                tiles_u8, cap_px, s_freq, s_start)
             coded_up = bool((q_totals >= 0).all())
             if not coded_up:
                 up_transport.note_overflow()
@@ -306,24 +306,23 @@ class CAETurboCore:
         if coded_up:
             qdev, _ = self._pad_batch(jnp.asarray(queues))
             GLOBAL_TIMER.add_link_bytes("h2d", queues.nbytes)
-            tab = up_transport.tables
         else:
-            tiles_dev = jnp.asarray(tiles_np)
+            tiles_dev = jnp.asarray(tiles_u8)
             if (ph, pw) != (h, w):
                 tiles_dev = jnp.pad(
                     tiles_dev, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
                     mode="reflect")
             tiles_dev, _ = self._pad_batch(tiles_dev)
-            GLOBAL_TIMER.add_link_bytes("h2d",
-                                        int(np.prod(tiles_dev.shape)))
+            if input_on_host:
+                GLOBAL_TIMER.add_link_bytes(
+                    "h2d", int(np.prod(tiles_dev.shape)))
         for _ in range(6):
             if coded_up:
                 encode = self._get_fn(
-                    "enc_rans", shape=(pb, h, w, tiles_np.shape[3]),
+                    "enc_rans", shape=(pb, h, w, tiles_u8.shape[3]),
                     capacity=capacity, use_pallas=enc_pallas)
                 bufs, totals, esc = encode(qdev, ch_map, tab.freq,
-                                           tab.start, tab.slot,
-                                           up_transport.dec_lut)
+                                           tab.start, tab.slot, dec_lut)
             else:
                 encode = self._get_fn("enc", capacity=capacity,
                                       use_pallas=enc_pallas)
@@ -343,7 +342,7 @@ class CAETurboCore:
 
         # fall back to the reference-compatible host coder
         sym = self.base.fetch_symbols(
-            self.base.encode_tiles_device(jnp.asarray(tiles_np)))
+            self.base.encode_tiles_device(jnp.asarray(tiles_u8)))
         return self.base.entropy_encode(sym, true_hw)
 
     def _frame(self, bufs_np, totals_np, true_hw) -> List[bytes]:
@@ -452,7 +451,8 @@ class CAETurboCore:
         n_px = ph * pw * 3
         pb = batch + (-batch) % self._nd     # after mesh padding
         per = pb // self._nd                 # tiles per shard
-        use_rans = (transport is not None and transport.calibrated()
+        snap = transport.snapshot() if transport is not None else None
+        use_rans = (snap is not None
                     and transport.worthwhile_fetch(n_px, per))
         # packed transport stays single-device: its compacted buffer is a
         # global layout that per-shard packing would not reproduce (the
@@ -461,15 +461,19 @@ class CAETurboCore:
                   and packed_fetch_enabled() and n_px % 128 == 0)
         qdev, _ = self._pad_batch(jnp.asarray(queues))
         if use_rans:
-            tab = transport.tables
+            from ..coding.pixel_rans import RansFetchResult
+            tab, enc_tables, _, freq, start = snap
+            capacity = transport.capacity(n_px)
             decode = self._get_fn(
-                "rans", num_steps=t, lh=lh, lw=lw,
-                capacity=transport.capacity(n_px),
+                "rans", num_steps=t, lh=lh, lw=lw, capacity=capacity,
                 head_words=transport.pooled_head_words(n_px, per),
                 use_pallas=use_pallas)
             with GLOBAL_TIMER.stage("decompress/turbo_h2d+decode", mp):
-                res = decode(qdev, ch_map, tab.freq, tab.start, tab.slot,
-                             *transport.enc_tables)
+                head, totals, rec_d = decode(qdev, ch_map, tab.freq,
+                                             tab.start, tab.slot,
+                                             *enc_tables)
+            res = RansFetchResult(head, totals, rec_d, capacity, freq,
+                                  start)
             with GLOBAL_TIMER.stage("decompress/turbo_d2h_pixels", mp):
                 rec = CAECodecCore.fetch_pixels(
                     res, (qdev.shape[0], ph, pw, 3), transport)

@@ -210,11 +210,33 @@ def test_rans_transport_overflow_falls_back(tmp_path, monkeypatch):
     sym = np.asarray(core.fetch_symbols(core.encode_tiles_device(
         jnp.asarray(_tiles((1, 160, 160, 3), seed=11)))))
     rec_raw = np.asarray(core.decode_tiles_device(sym))
+    from cnn_autoencoder_tpu.coding.pixel_rans import RansFetchResult
     res = core.decode_tiles_device(sym, transport=tr)
-    assert isinstance(res, tuple) and len(res) == 3
+    assert isinstance(res, RansFetchResult)
     got = core.fetch_pixels(res, (1, 160, 160, 3), tr)
     np.testing.assert_array_equal(got, rec_raw)
     assert tr._overflows == 1
+
+
+def test_per_tile_overflow_in_pooled_head_falls_back():
+    """A single noisy tile past its per-tile device budget must force the
+    raw fallback even when the POOLED head still holds the batch (its
+    queue row was truncated on device — the reproduced round-3 review
+    finding)."""
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+    core = CAECodecCore(_trained_toy_model())
+    smooth = np.stack([_smooth_image(160, 160, seed=i) for i in range(7)])
+    tr = _calibrated(smooth)
+    tiles = np.concatenate([smooth, _tiles((1, 160, 160, 3), seed=12)])
+    sym = np.asarray(core.fetch_symbols(core.encode_tiles_device(
+        jnp.asarray(tiles))))
+    rec_raw = np.asarray(core.decode_tiles_device(sym))
+    res = core.decode_tiles_device(sym, transport=tr)
+    got = core.fetch_pixels(res, (8, 160, 160, 3), tr)
+    np.testing.assert_array_equal(got, rec_raw)
 
 
 def test_coded_upload_through_pipeline(tmp_path, monkeypatch):
