@@ -16,6 +16,7 @@ importer transposes/flips reference OIHW / (in,out,kh,kw) weights into this
 layout once at load time.
 """
 
+import functools
 import math
 from typing import Callable
 
@@ -85,6 +86,53 @@ def get_default_compute_dtype():
     return _DEFAULT_COMPUTE_DTYPE
 
 
+def conv_mixed(x, kernel, *, window_strides, padding, lhs_dilation=None,
+               feature_group_count=1, precision=None):
+    """conv_general_dilated with a cast-consistent VJP for mixed dtypes.
+
+    With bf16 inputs and ``preferred_element_type=f32`` outputs, JAX's
+    built-in transpose rule feeds the f32 cotangent into a conv against
+    the bf16 kernel and rejects the dtype mix.  Here the backward casts
+    the cotangent to the input dtype first (the standard mixed-precision
+    recipe: bf16 multiplicands, f32 accumulation both directions), which
+    also makes the saved residuals bf16 — half the backward HBM traffic.
+    NHWC/HWIO only.
+    """
+    statics = dict(window_strides=window_strides, padding=padding,
+                   lhs_dilation=lhs_dilation,
+                   feature_group_count=feature_group_count,
+                   precision=precision)
+
+    def raw(x, kernel):
+        return jax.lax.conv_general_dilated(
+            x, kernel, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32, **statics)
+
+    def raw_same(x, kernel):
+        # same conv, output in the input dtype: the transpose twin whose
+        # cotangent can be the casted-down gradient
+        return jax.lax.conv_general_dilated(
+            x, kernel, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            **statics)
+
+    @jax.custom_vjp
+    def conv(x, kernel):
+        return raw(x, kernel)
+
+    def fwd(x, kernel):
+        return raw(x, kernel), (x, kernel)
+
+    def bwd(res, g):
+        x, kernel = res
+        g = g.astype(x.dtype)
+        (dx,) = jax.linear_transpose(lambda xx: raw_same(xx, kernel), x)(g)
+        (dk,) = jax.linear_transpose(lambda kk: raw_same(x, kk), kernel)(g)
+        return dx.astype(jnp.float32), dk.astype(jnp.float32)
+
+    conv.defvjp(fwd, bwd)
+    return conv(x, kernel)
+
+
 def bias_init_const(value: float = 0.01) -> Callable:
     def init(key, shape, dtype=jnp.float32):
         del key
@@ -118,14 +166,17 @@ class Conv2dReflect(nn.Module):
             x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
                         mode="reflect")
         dtype = self.dtype or _DEFAULT_COMPUTE_DTYPE or x.dtype
-        y = jax.lax.conv_general_dilated(
+        conv = conv_mixed if dtype != x.dtype \
+            else functools.partial(jax.lax.conv_general_dilated,
+                                   dimension_numbers=("NHWC", "HWIO",
+                                                      "NHWC"),
+                                   preferred_element_type=jnp.float32)
+        y = conv(
             x.astype(dtype), kernel.astype(dtype),
             window_strides=(self.stride, self.stride),
             padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.feature_group_count,
             precision=self.precision or _DEFAULT_PRECISION,
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
@@ -231,15 +282,18 @@ class ConvTranspose2dTorch(nn.Module):
             lo = k - 1 - self.padding
             hi = k - 1 - self.padding + self.output_padding
             dtype = self.dtype or _DEFAULT_COMPUTE_DTYPE or x.dtype
-            y = jax.lax.conv_general_dilated(
+            conv = conv_mixed if dtype != x.dtype \
+                else functools.partial(jax.lax.conv_general_dilated,
+                                       dimension_numbers=("NHWC", "HWIO",
+                                                          "NHWC"),
+                                       preferred_element_type=jnp.float32)
+            y = conv(
                 x.astype(dtype), kernel.astype(dtype),
                 window_strides=(1, 1),
                 padding=((lo, hi), (lo, hi)),
                 lhs_dilation=(self.stride, self.stride),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=self.feature_group_count,
                 precision=self.precision or _DEFAULT_PRECISION,
-                preferred_element_type=jnp.float32,
             )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))

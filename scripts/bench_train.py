@@ -33,13 +33,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # "bf16" is the SERVING cast mode (its f32-accumulating casts break the
-    # conv VJP under jax.grad); the training-supported fast mode is
-    # "default" (bf16 MXU multiplies, no dtype casts).
-    if os.environ.get("CAE_TPU_PRECISION", "").lower() == "bf16":
-        from cnn_autoencoder_tpu.ops import convops
-        convops.set_default_precision("default")
-        os.environ["CAE_TPU_PRECISION"] = "default"
+    # CAE_TPU_PRECISION=bf16 is now training-supported: conv_mixed installs
+    # a custom VJP (ops/convops.py) so the bf16-cast convs differentiate,
+    # with bf16 multiplicands / f32 accumulation both directions and bf16
+    # saved residuals (half the backward HBM traffic).
 
     from cnn_autoencoder_tpu.criteria.loss import setup_loss
     from cnn_autoencoder_tpu.models.factory import build_model

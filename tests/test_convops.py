@@ -81,3 +81,44 @@ def test_conv_shapes_jit():
     params = mod.init(jax.random.PRNGKey(0), x)
     y = jax.jit(mod.apply)(params, x)
     assert y.shape == (1, 16, 16, 8)
+
+
+class TestMixedPrecisionVJP:
+    """bf16 cast mode must be differentiable and track the f32 gradients.
+
+    CAE_TPU_PRECISION=bf16 casts conv inputs/kernels to bfloat16 with f32
+    accumulation (preferred_element_type); JAX's built-in conv transpose
+    rule rejects that dtype mix, so conv_mixed installs a custom VJP that
+    casts the cotangent down first (standard mixed-precision recipe).
+    This is the training fast path — guard it.
+    """
+
+    def _grads(self, mod_cls, kwargs, dtype):
+        mod = mod_cls(dtype=dtype, **kwargs)
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 16, 16, 3).astype(np.float32))
+        params = mod.init(jax.random.PRNGKey(0), x)
+
+        def loss(p, x):
+            return jnp.mean(mod.apply(p, x).astype(jnp.float32) ** 2)
+
+        gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+        return gp, gx
+
+    @pytest.mark.parametrize("mod_cls,kwargs", [
+        (Conv2dReflect, dict(features=8, kernel_size=3, stride=2)),
+        (ConvTranspose2dTorch, dict(features=8, kernel_size=3, stride=2,
+                                    padding=1, output_padding=1)),
+        (ConvTranspose2dTorch, dict(features=8, kernel_size=2, stride=2)),
+    ])
+    def test_bf16_grads_track_f32(self, mod_cls, kwargs):
+        gp32, gx32 = self._grads(mod_cls, kwargs, None)
+        gp16, gx16 = self._grads(mod_cls, kwargs, jnp.bfloat16)
+        # cotangents come back f32 (optimizer state stays full precision)
+        assert all(g.dtype == jnp.float32 for g in jax.tree.leaves(gp16))
+        assert gx16.dtype == jnp.float32
+        for a, b in zip(jax.tree.leaves(gp32), jax.tree.leaves(gp16)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(gx32), np.asarray(gx16),
+                                   rtol=0, atol=2e-2)
