@@ -157,6 +157,205 @@ _gdn_pallas_spmd.def_partition(
     sharding_rule="m j, i k, l -> m j")
 
 
+# --- training kernels (bf16 mode) ----------------------------------------
+#
+# The analytic mixed-precision GDN backward (ops.gdn.gdn_mixed) is HBM-bound:
+# XLA splits it into a dnorm pass, a dx pass and two reduction passes, each
+# re-streaming the large activations.  These kernels collapse the rowwise
+# work into one VMEM-resident pass each:
+#   fwd:  read x        -> write y (f32, bit-identical to the XLA HIGHEST
+#                          path) and r as bf16 (the backward residual)
+#   bwd:  read g,xb,rb  -> write dx and the materialized bf16 dnorm ("dnb");
+#                          dgamma/dbeta stay outside as XLA contractions over
+#                          dnb so GSPMD inserts the cross-shard psum itself.
+# Both are strictly rowwise (params replicated), so they reuse the same
+# custom_partitioning rule as the serving kernel and shard over batch rows.
+
+
+def gdn_train_kernels_enabled() -> bool:
+    """Opt-in (CAE_TPU_GDN_TRAIN_KERNEL=1): measured on v5e (batch 64 x
+    256^2 flagship train step), the kernels beat the XLA analytic path
+    locally (bwd 2.9 vs ~5.8 ms, fwd 2.3 vs ~3.2 ms per 128-ch stage) but
+    the pallas_call boundary stops XLA from fusing the neighbouring convs
+    with the GDN elementwise work, costing ~9 ms/step elsewhere — the
+    whole step regressed 1264 -> 984 img/s.  Same conclusion as the
+    serving-side kernels: XLA's own fusion wins at flagship shapes."""
+    flag = os.environ.get("CAE_TPU_GDN_TRAIN_KERNEL", "0")
+    if flag == "0":
+        return False
+    if not _PALLAS_OK:
+        return False
+    if _interpret_mode():
+        return True
+    return flag == "1" and jax.default_backend() == "tpu"
+
+
+def _gdn_train_fwd_kernel(x_ref, gamma_ref, beta_ref, y_ref, rb_ref, *,
+                          inverse: bool):
+    x = x_ref[:]
+    norm = jnp.dot(x * x, gamma_ref[:],
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32) + beta_ref[:]
+    r = jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm)
+    y_ref[:] = x * r
+    rb_ref[:] = r.astype(jnp.bfloat16)
+
+
+def _gdn_train_fwd_pallas(x2d, gamma, beta, inverse: bool,
+                          interpret: bool = False):
+    n, c = x2d.shape
+    cp = _round_up(c, 128)
+    npad = _round_up(max(n, 8), _ROW_TILE)
+    x_p = jnp.pad(x2d.astype(jnp.float32), ((0, npad - n), (0, cp - c)))
+    gamma_t = jnp.pad(gamma.T.astype(jnp.float32),
+                      ((0, cp - c), (0, cp - c)))
+    beta_p = jnp.pad(beta.astype(jnp.float32), (0, cp - c),
+                     constant_values=1.0)[None, :]
+    grid = (npad // _ROW_TILE,)
+    y, rb = pl.pallas_call(
+        functools.partial(_gdn_train_fwd_kernel, inverse=inverse),
+        out_shape=(jax.ShapeDtypeStruct((npad, cp), jnp.float32),
+                   jax.ShapeDtypeStruct((npad, cp), jnp.bfloat16)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_ROW_TILE, cp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, cp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((_ROW_TILE, cp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((_ROW_TILE, cp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(x_p, gamma_t, beta_p)
+    return y[:n, :c], rb[:n, :c]
+
+
+def _gdn_train_bwd_kernel(g_ref, xb_ref, rb_ref, gamma_ref, dx_ref, dnb_ref,
+                          *, inverse: bool):
+    g = g_ref[:]
+    x = xb_ref[:].astype(jnp.float32)
+    r = rb_ref[:].astype(jnp.float32)
+    if inverse:
+        dnorm = (0.5 * g * x) / r
+    else:
+        dnorm = (-0.5 * g * x) * (r * r * r)
+    dnb = dnorm.astype(jnp.bfloat16)
+    back = jnp.dot(dnb, gamma_ref[:],
+                   precision=jax.lax.Precision.DEFAULT,
+                   preferred_element_type=jnp.float32)
+    dx_ref[:] = g * r + 2.0 * x * back
+    dnb_ref[:] = dnb
+
+
+def _gdn_train_bwd_pallas(g, xb, rb, gamma, inverse: bool,
+                          interpret: bool = False):
+    n, c = g.shape
+    cp = _round_up(c, 128)
+    npad = _round_up(max(n, 8), _ROW_TILE)
+    g_p = jnp.pad(g.astype(jnp.float32), ((0, npad - n), (0, cp - c)))
+    xb_p = jnp.pad(xb, ((0, npad - n), (0, cp - c)))
+    # padded rows/channels get r=1 so the inverse mode's division is finite
+    rb_p = jnp.pad(rb, ((0, npad - n), (0, cp - c)),
+                   constant_values=jnp.bfloat16(1))
+    gamma_p = jnp.pad(gamma.astype(jnp.bfloat16),
+                      ((0, cp - c), (0, cp - c)))
+    grid = (npad // _ROW_TILE,)
+    dx, dnb = pl.pallas_call(
+        functools.partial(_gdn_train_bwd_kernel, inverse=inverse),
+        out_shape=(jax.ShapeDtypeStruct((npad, cp), jnp.float32),
+                   jax.ShapeDtypeStruct((npad, cp), jnp.bfloat16)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_ROW_TILE, cp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROW_TILE, cp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROW_TILE, cp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, cp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((_ROW_TILE, cp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((_ROW_TILE, cp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(g_p, xb_p, rb_p, gamma_p)
+    return dx[:n, :c], dnb[:n, :c]
+
+
+@functools.partial(custom_partitioning, static_argnums=(3, 4))
+def _gdn_train_fwd_spmd(x2d, gamma, beta, inverse, interpret):
+    return _gdn_train_fwd_pallas(x2d, gamma, beta, inverse, interpret)
+
+
+def _tf_infer_sharding(inverse, interpret, mesh, arg_infos, result_infos):
+    del inverse, interpret, result_infos
+    s = _row_only(mesh, arg_infos[0].sharding)
+    return (s, s)
+
+
+def _tf_partition(inverse, interpret, mesh, arg_infos, result_infos):
+    del result_infos
+    x_sharding = _row_only(mesh, arg_infos[0].sharding)
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    def lower(x, gamma, beta):
+        return _gdn_train_fwd_pallas(x, gamma, beta, inverse, interpret)
+
+    return (mesh, lower, (x_sharding, x_sharding),
+            (x_sharding, replicated, replicated))
+
+
+_gdn_train_fwd_spmd.def_partition(
+    partition=_tf_partition,
+    infer_sharding_from_operands=_tf_infer_sharding,
+    sharding_rule="m j, i k, l -> m j, m j")
+
+
+@functools.partial(custom_partitioning, static_argnums=(4, 5))
+def _gdn_train_bwd_spmd(g, xb, rb, gamma, inverse, interpret):
+    return _gdn_train_bwd_pallas(g, xb, rb, gamma, inverse, interpret)
+
+
+def _tb_infer_sharding(inverse, interpret, mesh, arg_infos, result_infos):
+    del inverse, interpret, result_infos
+    s = _row_only(mesh, arg_infos[0].sharding)
+    return (s, s)
+
+
+def _tb_partition(inverse, interpret, mesh, arg_infos, result_infos):
+    del result_infos
+    g_sharding = _row_only(mesh, arg_infos[0].sharding)
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    def lower(g, xb, rb, gamma):
+        return _gdn_train_bwd_pallas(g, xb, rb, gamma, inverse, interpret)
+
+    return (mesh, lower, (g_sharding, g_sharding),
+            (g_sharding, g_sharding, g_sharding, replicated))
+
+
+_gdn_train_bwd_spmd.def_partition(
+    partition=_tb_partition,
+    infer_sharding_from_operands=_tb_infer_sharding,
+    sharding_rule="m j, m j, m j, i k -> m j, m j")
+
+
+def gdn_train_fwd(x2d, gamma, beta, inverse: bool):
+    """(y, r_bf16) in one pass; y bit-identical to the XLA HIGHEST path."""
+    return _gdn_train_fwd_spmd(x2d, gamma, beta, inverse, _interpret_mode())
+
+
+def gdn_train_bwd(g, xb, rb, gamma, inverse: bool):
+    """(dx, dnb) in one pass; dgamma/dbeta are contractions over dnb."""
+    return _gdn_train_bwd_spmd(g, xb, rb, gamma, inverse, _interpret_mode())
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_gdn(x2d, gamma, beta, inverse: bool = False,
               use_pallas: bool = True):

@@ -67,3 +67,106 @@ def test_gdn_igdn_inverse_pair():
     # sign preservation and magnitude shrink for the forward direction.
     assert np.all(np.sign(np.asarray(y)) == np.sign(np.asarray(x)))
     assert np.all(np.abs(np.asarray(y)) <= np.abs(np.asarray(x)) + 1e-6)
+
+
+# --- gdn_mixed: analytic mixed-precision backward (bf16 training mode) ------
+
+
+def _gdn_ref(x, gamma, beta, inverse):
+    norm = jnp.einsum("...i,oi->...o", x * x, gamma,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32) + beta
+    return x * (jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm))
+
+
+def _mixed_case(inverse):
+    from cnn_autoencoder_tpu.ops.gdn import gdn_mixed
+
+    rng = np.random.RandomState(2 + inverse)
+    c = 16
+    x = jnp.asarray(rng.randn(3, 6, 6, c).astype(np.float32) * 2)
+    gamma = jnp.asarray((0.1 * np.eye(c)
+                         + 0.01 * rng.rand(c, c)).astype(np.float32))
+    beta = jnp.asarray((1.0 + rng.rand(c)).astype(np.float32))
+    cot = jnp.asarray(rng.randn(3, 6, 6, c).astype(np.float32))
+
+    y_mixed = gdn_mixed(x, gamma, beta, inverse)
+    y_ref = _gdn_ref(x, gamma, beta, inverse)
+    # forward path is the identical computation -> bitwise equal
+    np.testing.assert_array_equal(np.asarray(y_mixed), np.asarray(y_ref))
+
+    def loss_mixed(x, gamma, beta):
+        return jnp.vdot(gdn_mixed(x, gamma, beta, inverse), cot)
+
+    def loss_ref(x, gamma, beta):
+        return jnp.vdot(_gdn_ref(x, gamma, beta, inverse), cot)
+
+    gm = jax.grad(loss_mixed, argnums=(0, 1, 2))(x, gamma, beta)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
+    for m, r, tol in zip(gm, gr, (3e-2, 3e-2, 1e-2)):
+        m, r = np.asarray(m), np.asarray(r)
+        scale = np.abs(r).max() + 1e-9
+        assert np.abs(m - r).max() / scale < tol, (inverse, tol)
+
+
+def test_gdn_mixed_backward_forward_mode():
+    _mixed_case(False)
+
+
+def test_gdn_mixed_backward_inverse_mode():
+    _mixed_case(True)
+
+
+def test_gdn_module_routes_bf16_mode_through_mixed():
+    from cnn_autoencoder_tpu.ops import convops
+
+    c = 8
+    mod = GDN(channels=c, inverse=False)
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 4, 4, c),
+                    jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    y_plain = mod.apply(params, x)
+    convops.set_default_precision("bf16")
+    try:
+        y_bf16 = mod.apply(params, x)
+        g = jax.grad(lambda p: mod.apply(p, x).sum())(params)
+        assert jnp.isfinite(
+            g["params"]["gamma"]).all()
+    finally:
+        convops.set_default_precision("highest")
+    # forward values identical: the mixed path only changes the backward
+    np.testing.assert_array_equal(np.asarray(y_plain), np.asarray(y_bf16))
+
+
+def test_gdn_train_kernels_interpret_match_xla():
+    """The Pallas training fwd/bwd kernels (interpret mode) must match the
+    XLA analytic path: forward bit-identical, gradients to tolerance."""
+    import os
+    from cnn_autoencoder_tpu.ops.gdn import gdn_mixed
+
+    rng = np.random.RandomState(7)
+    c = 48  # non-128-multiple exercises the channel padding
+    x = jnp.asarray(rng.randn(2, 9, 9, c).astype(np.float32) * 2)
+    gamma = jnp.asarray((0.1 * np.eye(c)
+                         + 0.01 * rng.rand(c, c)).astype(np.float32))
+    beta = jnp.asarray((1.0 + rng.rand(c)).astype(np.float32))
+    cot = jnp.asarray(rng.randn(2, 9, 9, c).astype(np.float32))
+
+    for inverse in (False, True):
+        def loss(x, gamma, beta, inverse=inverse):
+            return jnp.vdot(gdn_mixed(x, gamma, beta, inverse), cot)
+
+        y_xla = gdn_mixed(x, gamma, beta, inverse)
+        g_xla = jax.grad(loss, argnums=(0, 1, 2))(x, gamma, beta)
+        os.environ["CAE_TPU_PALLAS_INTERPRET"] = "1"
+        try:
+            y_k = gdn_mixed(x, gamma, beta, inverse)
+            g_k = jax.grad(loss, argnums=(0, 1, 2))(x, gamma, beta)
+        finally:
+            del os.environ["CAE_TPU_PALLAS_INTERPRET"]
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_xla),
+                                   rtol=1e-6, atol=1e-6)
+        for a, b in zip(g_k, g_xla):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(b).max() + 1e-9
+            assert np.abs(a - b).max() / scale < 2e-2, inverse
