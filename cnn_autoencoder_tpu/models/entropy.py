@@ -55,12 +55,47 @@ def logits_cumulative(params: Dict[str, jnp.ndarray], v: jnp.ndarray,
     return x[..., 0]
 
 
+def _logits_cumulative_unrolled(params: Dict[str, jnp.ndarray],
+                                v: jnp.ndarray, num_filters: int,
+                                stop_gradient: bool = False) -> jnp.ndarray:
+    """Same math as :func:`logits_cumulative`, unrolled over the filter axes.
+
+    The einsum form is a batched (C-deep) stack of 3x3 matmuls — on TPU
+    that lowers to MXU work at ~0.02% utilization plus layout shuffles,
+    and was 7.5 ms/step of the flagship training profile despite touching
+    only megabytes.  The filter widths are <= 4, so the chain unrolls into
+    per-(out, in) broadcast multiply-adds over (..., C) arrays: pure VPU
+    elementwise work that XLA fuses into a handful of passes.  Float
+    rounding differs from the einsum at ~1e-7; CDF baking keeps the einsum
+    so serialized tables are unaffected.
+    """
+    sg = jax.lax.stop_gradient if stop_gradient else (lambda t: t)
+    xs = [v]                                             # F arrays (..., C)
+    for i in range(num_filters + 1):
+        m = sg(jax.nn.softplus(params[f"matrix_{i}"]))   # (C, f_out, f_in)
+        b = sg(params[f"bias_{i}"][:, :, 0])             # (C, f_out)
+        outs = []
+        for o in range(m.shape[1]):
+            acc = b[:, o]
+            for f, xf in enumerate(xs):
+                acc = acc + m[:, o, f] * xf
+            outs.append(acc)
+        if i < num_filters:
+            fac = sg(jnp.tanh(params[f"factor_{i}"][:, :, 0]))  # (C, f_out)
+            outs = [y + fac[:, o] * jnp.tanh(y)
+                    for o, y in enumerate(outs)]
+        xs = outs
+    return xs[0]
+
+
 def likelihood_fn(params: Dict[str, jnp.ndarray], v: jnp.ndarray,
                   num_filters: int, likelihood_bound: float = 1e-9,
                   stop_gradient: bool = False) -> jnp.ndarray:
     """P(round(v)) under the factorized density; ``v`` channel-last."""
-    lower = logits_cumulative(params, v - 0.5, num_filters, stop_gradient)
-    upper = logits_cumulative(params, v + 0.5, num_filters, stop_gradient)
+    lower = _logits_cumulative_unrolled(params, v - 0.5, num_filters,
+                                        stop_gradient)
+    upper = _logits_cumulative_unrolled(params, v + 0.5, num_filters,
+                                        stop_gradient)
     sign = jax.lax.stop_gradient(-jnp.sign(lower + upper))
     likelihood = jnp.abs(
         jax.nn.sigmoid(sign * upper) - jax.nn.sigmoid(sign * lower))

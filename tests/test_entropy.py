@@ -132,3 +132,37 @@ def test_cdf_tables_and_rans_roundtrip():
     est_bits = float(-jnp.sum(jnp.log2(lik)))
     actual_bits = len(stream) * 8
     assert actual_bits < est_bits * 1.2 + 128
+
+
+def test_unrolled_logits_match_einsum_form():
+    """The unrolled likelihood chain must match the einsum reference to
+    float rounding, values and gradients."""
+    import jax
+    import jax.numpy as jnp
+    from cnn_autoencoder_tpu.models.entropy import (
+        FactorizedEntropyBottleneck, _logits_cumulative_unrolled,
+        logits_cumulative)
+
+    c, filters = 6, (3, 3, 3)
+    mod = FactorizedEntropyBottleneck(channels=c, filters=filters)
+    rng = np.random.RandomState(0)
+    v = jnp.asarray(rng.randn(2, 4, 4, c).astype(np.float32) * 3)
+    variables = mod.init(jax.random.PRNGKey(1), v)
+    params = {k: jnp.asarray(val) for k, val
+              in variables["params"].items()}
+
+    a = logits_cumulative(params, v, len(filters))
+    b = _logits_cumulative_unrolled(params, v, len(filters))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        def inner(params):
+            return jnp.abs(fn(params, v, len(filters))).sum()
+        return jax.grad(inner)(params)
+
+    ga = loss(logits_cumulative)
+    gb = loss(_logits_cumulative_unrolled)
+    for k in ga:
+        np.testing.assert_allclose(np.asarray(ga[k]), np.asarray(gb[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
