@@ -127,7 +127,10 @@ def conv_mixed(x, kernel, *, window_strides, padding, lhs_dilation=None,
         g = g.astype(x.dtype)
         (dx,) = jax.linear_transpose(lambda xx: raw_same(xx, kernel), x)(g)
         (dk,) = jax.linear_transpose(lambda kk: raw_same(x, kk), kernel)(g)
-        return dx.astype(jnp.float32), dk.astype(jnp.float32)
+        # cotangents in the primal dtypes: a bf16 activation flow keeps
+        # bf16 cotangents between layers (half the backward HBM traffic);
+        # the weight gradient upcasts to f32 where the optimizer needs it
+        return dx.astype(x.dtype), dk.astype(jnp.float32)
 
     conv.defvjp(fwd, bwd)
     return conv(x, kernel)
@@ -166,7 +169,9 @@ class Conv2dReflect(nn.Module):
             x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
                         mode="reflect")
         dtype = self.dtype or _DEFAULT_COMPUTE_DTYPE or x.dtype
-        conv = conv_mixed if dtype != x.dtype \
+        # conv_mixed also when x is already bf16: the builtin transpose
+        # rule rejects the f32-cotangent/bf16-operand mix either way
+        conv = conv_mixed if (dtype != x.dtype or dtype == jnp.bfloat16) \
             else functools.partial(jax.lax.conv_general_dilated,
                                    dimension_numbers=("NHWC", "HWIO",
                                                       "NHWC"),
@@ -282,7 +287,9 @@ class ConvTranspose2dTorch(nn.Module):
             lo = k - 1 - self.padding
             hi = k - 1 - self.padding + self.output_padding
             dtype = self.dtype or _DEFAULT_COMPUTE_DTYPE or x.dtype
-            conv = conv_mixed if dtype != x.dtype \
+            # see Conv2dReflect: bf16 needs the custom-VJP conv
+            conv = conv_mixed if (dtype != x.dtype
+                                  or dtype == jnp.bfloat16) \
                 else functools.partial(jax.lax.conv_general_dilated,
                                        dimension_numbers=("NHWC", "HWIO",
                                                           "NHWC"),

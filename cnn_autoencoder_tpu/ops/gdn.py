@@ -20,14 +20,17 @@ import jax.numpy as jnp
 from ..ops.bounds import REPARAM_OFFSET, nonneg_init, nonneg_param
 
 
-def _gdn_core(x32, gamma, beta, inverse):
+def _gdn_core(x, gamma, beta, inverse):
     """Exact forward: HIGHEST-precision norm pool (the rsqrt input must be
-    near-f32; bf16 here costs ~0.5 dB of reconstruction parity)."""
+    near-f32; bf16 here costs ~0.5 dB of reconstruction parity).  Dtype
+    polymorphic: internal math is f32, output returns in ``x.dtype`` so a
+    bf16 activation flow stays bf16 across the layer."""
+    x32 = x.astype(jnp.float32)
     norm = jnp.einsum("...i,oi->...o", x32 * x32, gamma,
                       precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32) + beta
     r = jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm)
-    return x32 * r, r
+    return (x32 * r).astype(x.dtype), r
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -46,20 +49,20 @@ def gdn_mixed(x32, gamma, beta, inverse):
     return _gdn_core(x32, gamma, beta, inverse)[0]
 
 
-def _gdn_mixed_fwd(x32, gamma, beta, inverse):
+def _gdn_mixed_fwd(x, gamma, beta, inverse):
     from .pallas.gdn_kernel import gdn_train_fwd, gdn_train_kernels_enabled
-    c = x32.shape[-1]
+    c = x.shape[-1]
     if gdn_train_kernels_enabled():
         # one VMEM pass: y (bit-identical HIGHEST norm) + the bf16 backward
         # residual r, instead of XLA's separate square/pool/scale passes
-        y2, rb2 = gdn_train_fwd(x32.reshape(-1, c), gamma, beta, inverse)
-        y, rb = y2.reshape(x32.shape), rb2.reshape(x32.shape)
+        y2, rb2 = gdn_train_fwd(x.reshape(-1, c), gamma, beta, inverse)
+        y, rb = y2.reshape(x.shape).astype(x.dtype), rb2.reshape(x.shape)
     else:
-        y, r = _gdn_core(x32, gamma, beta, inverse)
+        y, r = _gdn_core(x, gamma, beta, inverse)
         rb = r.astype(jnp.bfloat16)
     # bf16 residuals: half the backward HBM traffic; gradients already
     # carry bf16-level noise from the backward contractions
-    return y, (x32.astype(jnp.bfloat16), gamma, rb)
+    return y, (x.astype(jnp.bfloat16), gamma, rb)
 
 
 def _gdn_mixed_bwd(inverse, res, g):
@@ -96,7 +99,9 @@ def _gdn_mixed_bwd(inverse, res, g):
                         precision=jax.lax.Precision.DEFAULT,
                         preferred_element_type=jnp.float32)
     dbeta = dnb.astype(jnp.float32).reshape(-1, c).sum(0)
-    return dx, dgamma, dbeta
+    # the cotangent dtype equals the primal activation dtype (bf16 flow
+    # stays bf16 through the layer boundary)
+    return dx.astype(g.dtype), dgamma, dbeta
 
 
 gdn_mixed.defvjp(_gdn_mixed_fwd, _gdn_mixed_bwd)
@@ -146,8 +151,9 @@ class GDN(nn.Module):
 
         from .convops import get_default_compute_dtype
         if get_default_compute_dtype() is not None:
-            # bf16 mode: same forward values, analytic bf16 backward
-            return gdn_mixed(x32, gamma, beta, self.inverse).astype(x.dtype)
+            # bf16 mode: f32 in-register math, analytic bf16 backward;
+            # activations keep x.dtype across the layer boundary
+            return gdn_mixed(x, gamma, beta, self.inverse)
 
         # HIGHEST precision: the norm pool feeds an rsqrt, and TPU's default
         # bf16 matmul precision costs ~0.5 dB of reconstruction parity here.

@@ -68,6 +68,15 @@ def make_train_step(modules: Dict[str, Any], criterion,
         trainable_params = {k: variables[k]["params"] for k in trainable
                             if k in variables}
 
+        # bf16 mode: the network sees bf16 activations end-to-end (the
+        # profiled step is HBM-bound streaming f32 tensors between layers;
+        # halving them is the single biggest lever).  The distortion target
+        # stays the original f32 batch, and every reduction/norm inside the
+        # layers still accumulates in f32.
+        from ..ops.convops import get_default_compute_dtype
+        cdt = get_default_compute_dtype()
+        x_net = x if cdt is None else x.astype(cdt)
+
         def loss_fn(tp):
             vars_full = {
                 k: ({**variables[k], "params": tp[k]} if k in tp
@@ -76,9 +85,9 @@ def make_train_step(modules: Dict[str, Any], criterion,
             rngs = {"noise": jax.random.fold_in(rng, 0),
                     "dropout": jax.random.fold_in(rng, 1)}
             if remat:
-                outputs, mutated = forward(vars_full, x, rngs)
+                outputs, mutated = forward(vars_full, x_net, rngs)
             else:
-                outputs, mutated = forward_raw(vars_full, x, train=True,
+                outputs, mutated = forward_raw(vars_full, x_net, train=True,
                                                rngs=rngs)
             loss_dict = criterion(x, outputs, targets=t,
                                   net=_net_aux(modules, vars_full))
