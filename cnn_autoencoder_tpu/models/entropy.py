@@ -92,10 +92,12 @@ def likelihood_fn(params: Dict[str, jnp.ndarray], v: jnp.ndarray,
                   num_filters: int, likelihood_bound: float = 1e-9,
                   stop_gradient: bool = False) -> jnp.ndarray:
     """P(round(v)) under the factorized density; ``v`` channel-last."""
-    lower = _logits_cumulative_unrolled(params, v - 0.5, num_filters,
-                                        stop_gradient)
-    upper = _logits_cumulative_unrolled(params, v + 0.5, num_filters,
-                                        stop_gradient)
+    # one stacked chain evaluation for both interval edges: the two evals
+    # differ only by the +-0.5 input shift, so stacking halves the op count
+    # (the chain is launch/fusion-bound, not FLOP-bound)
+    both = _logits_cumulative_unrolled(
+        params, jnp.stack([v - 0.5, v + 0.5]), num_filters, stop_gradient)
+    lower, upper = both[0], both[1]
     sign = jax.lax.stop_gradient(-jnp.sign(lower + upper))
     likelihood = jnp.abs(
         jax.nn.sigmoid(sign * upper) - jax.nn.sigmoid(sign * lower))
