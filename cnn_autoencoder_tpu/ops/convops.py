@@ -86,6 +86,22 @@ def get_default_compute_dtype():
     return _DEFAULT_COMPUTE_DTYPE
 
 
+def get_activations_dtype():
+    """Dtype serving pipelines should cast normalized pixels to at the
+    model boundary.  In bf16 mode the whole stack then flows bf16
+    activations (half the HBM streaming — the serving stacks are
+    bandwidth-bound, profiled on v5e); CAE_TPU_BF16_ACTIVATIONS=0 keeps
+    the previous per-conv-cast behaviour (f32 between layers).  RD impact
+    is measured by tests/test_bf16_rd.py; the latent is bf16-rounded
+    before quantization, so expect extra ~1-step symbol flips near
+    rounding boundaries.  Training ignores this knob (the train step
+    always flows the compute dtype)."""
+    if (_DEFAULT_COMPUTE_DTYPE is not None
+            and _os.environ.get("CAE_TPU_BF16_ACTIVATIONS", "1") != "0"):
+        return _DEFAULT_COMPUTE_DTYPE
+    return jnp.float32
+
+
 def conv_mixed(x, kernel, *, window_strides, padding, lhs_dilation=None,
                feature_group_count=1, precision=None):
     """conv_general_dilated with a cast-consistent VJP for mixed dtypes.

@@ -62,8 +62,13 @@ class CAECodecCore:
         modules = model.modules
         variables = model.variables
 
+        from ..ops.convops import get_activations_dtype
+
         def encode_fn(x_u8):
-            x = x_u8.astype(jnp.float32) / 255.0
+            # bf16 mode flows bf16 activations end-to-end (the stacks are
+            # HBM-bound; see ops.convops.get_activations_dtype)
+            x = (x_u8.astype(jnp.float32) / 255.0).astype(
+                get_activations_dtype())
             y = modules["encoder"].apply(variables["encoder"], x)
             # symbols ship int8 (quarters the device->host transfer — the
             # tunnel link is the pipeline bottleneck; trained latents sit
@@ -77,22 +82,27 @@ class CAECodecCore:
             return sym.astype(jnp.int8), overflow, sym
 
         def decode_y_fn(y, rec_idx: int = 0):
-            x_r, _ = modules["decoder"].apply(variables["decoder"], y)
+            x_r, _ = modules["decoder"].apply(
+                variables["decoder"], y.astype(get_activations_dtype()))
             if x_r[rec_idx] is None:
                 raise ValueError(
                     "Partial reconstruction at this level needs a "
                     "multiscale_analysis decoder (color layers)")
             # match the reference's clip->truncate uint8 conversion
             # (reference _autoencoders.py:576-578)
-            return jnp.clip(x_r[rec_idx] * 255.0, 0, 255).astype(jnp.uint8)
+            return jnp.clip(x_r[rec_idx].astype(jnp.float32) * 255.0,
+                            0, 255).astype(jnp.uint8)
 
         def decode_fn(sym_cm):
             y = jnp.transpose(sym_cm, (0, 2, 3, 1)).astype(jnp.float32) + med
             return decode_y_fn(y)
 
         def latent_fn(x_u8):
-            x = x_u8.astype(jnp.float32) / 255.0
-            return modules["encoder"].apply(variables["encoder"], x)
+            x = (x_u8.astype(jnp.float32) / 255.0).astype(
+                get_activations_dtype())
+            # stored latents stay f32 on disk regardless of the flow dtype
+            return modules["encoder"].apply(
+                variables["encoder"], x).astype(jnp.float32)
 
         def decode_packed_fn(sym_cm):
             # fused decode + residual bit-plane pack: only ~w bits/pixel

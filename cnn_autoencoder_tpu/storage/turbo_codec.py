@@ -91,8 +91,12 @@ class CAETurboCore:
         self._use_pallas = (jax.default_backend() == "tpu"
                             and os.environ.get("CAE_TPU_PALLAS", "1") != "0")
 
+        from ..ops.convops import get_activations_dtype
+
         def encode_fused(x_u8, ch_map, capacity, use_pallas=False):
-            x = x_u8.astype(jnp.float32) / 255.0
+            # bf16 mode flows bf16 activations (see cae_codec/encode_fn)
+            x = (x_u8.astype(jnp.float32) / 255.0).astype(
+                get_activations_dtype())
             y = modules["encoder"].apply(variables["encoder"], x)
             sym = jnp.round(y - med).astype(jnp.int32)
             sym_cm = jnp.transpose(sym, (0, 3, 1, 2))     # (B, C, lh, lw)
@@ -118,8 +122,10 @@ class CAETurboCore:
             flat = unpack_streams(sym_ts, n)
             sym_cm = flat.reshape(-1, self.channels_bn, lh, lw)
             y = jnp.transpose(sym_cm, (0, 2, 3, 1)).astype(jnp.float32) + med
-            x_r, _ = modules["decoder"].apply(variables["decoder"], y)
-            rec = jnp.clip(x_r[0] * 255.0, 0, 255).astype(jnp.uint8)
+            x_r, _ = modules["decoder"].apply(
+                variables["decoder"], y.astype(get_activations_dtype()))
+            rec = jnp.clip(x_r[0].astype(jnp.float32) * 255.0,
+                           0, 255).astype(jnp.uint8)
             if packed:
                 from ..coding.pixel_pack import pack_pixels_device_with_head
                 return pack_pixels_device_with_head(rec)
