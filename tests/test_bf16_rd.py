@@ -96,3 +96,58 @@ def test_bf16_stream_decodes_on_f32_path(trained_model):
     np.testing.assert_array_equal(sym_w, sym_r)
     rec = reader.decode_tiles(bufs)
     assert rec.shape == (1, 64, 64, 3)
+
+
+def test_bf16_activation_flow_toggle(trained_model):
+    """CAE_TPU_BF16_ACTIVATIONS=0 restores the per-conv-cast bf16 path;
+    both flows stay inside the RD budget and produce decodable streams."""
+    import os
+
+    from cnn_autoencoder_tpu.ops.convops import set_default_precision
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+    img = np.round(synth_tiles(1, 64, seed=13).numpy()[0] * 255.0) \
+        .astype(np.uint8).transpose(1, 2, 0)
+    recs, syms = {}, {}
+    try:
+        set_default_precision("bf16")
+        for flag in ("1", "0"):
+            os.environ["CAE_TPU_BF16_ACTIVATIONS"] = flag
+            core = CAECodecCore(trained_model)
+            bufs = core.encode_tiles(img[None])
+            syms[flag], _ = core.entropy_decode(bufs)
+            recs[flag] = core.decode_tiles(bufs)[0]
+    finally:
+        set_default_precision("highest")
+        os.environ.pop("CAE_TPU_BF16_ACTIVATIONS", None)
+
+    flip = float(np.mean(syms["1"] != syms["0"]))
+    assert flip < 5e-3, flip
+    p1, p0 = _psnr(img, recs["1"]), _psnr(img, recs["0"])
+    assert abs(p1 - p0) <= 0.05, (p1, p0)
+
+
+def test_bf16_turbo_matches_host_symbols(trained_model):
+    """In bf16-activation mode the turbo codec's device encode must still
+    produce byte-identical frames to its own decode loop (closed loop) and
+    the same symbols as the host 'cae' core (same encoder program)."""
+    from cnn_autoencoder_tpu.ops.convops import set_default_precision
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+    from cnn_autoencoder_tpu.storage.turbo_codec import CAETurboCore
+
+    img = np.round(synth_tiles(1, 64, seed=17).numpy()[0] * 255.0) \
+        .astype(np.uint8).transpose(1, 2, 0)
+    try:
+        set_default_precision("bf16")
+        core = CAECodecCore(trained_model)
+        tcore = CAETurboCore(trained_model)
+        bufs = core.encode_tiles(img[None])
+        sym_host, _ = core.entropy_decode(bufs)
+        frames = tcore.encode_tiles(img[None])
+        rec_turbo = np.asarray(tcore.decode_tiles(frames))
+        rec_host = np.asarray(core.decode_tiles(bufs))
+    finally:
+        set_default_precision("highest")
+    del sym_host
+    # same device programs under both codecs -> byte-identical output
+    np.testing.assert_array_equal(rec_turbo, rec_host)
