@@ -48,7 +48,18 @@ def decompress_image(input_filename, output_filename,
         not isinstance(checkpoint, str) or len(checkpoint) > 0)
 
     if has_checkpoint or core is not None:
-        # latent ('cae_bn'-stored) input -> decoder
+        # latent ('cae_bn'-stored) input -> decoder.  A checkpoint means
+        # "this store holds latents" (same contract as the reference,
+        # src/decompress.py:62-77); catch the pixels-stored case here
+        # instead of letting the synthesizer die on a channel mismatch.
+        stored_id = (getattr(z_arr, "_meta", {}).get("compressor")
+                     or {}).get("id")
+        if stored_id in ("cae", "cae_tpu"):
+            raise ValueError(
+                "input %r stores codec-coded PIXELS (compressor %r); it is "
+                "self-decoding — drop the checkpoint argument (-chk). A "
+                "checkpoint is only for latent ('cae_bn' / -sbn) inputs."
+                % (input_filename, stored_id))
         if core is None:
             from ..models.factory import autoencoder_from_state_dict
             from ..parallel.mesh import serving_mesh

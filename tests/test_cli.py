@@ -223,3 +223,35 @@ def test_single_zarr_output_with_multiple_inputs_errors(tmp_path):
         "-ld", str(tmp_path)])
     with pytest.raises(ValueError, match="inputs but only"):
         compress(args)
+
+
+def test_decompress_with_checkpoint_rejects_pixel_store(tmp_path,
+                                                        trained_checkpoint):
+    """A checkpoint tells decompress the store holds LATENTS (reference
+    src/decompress.py:62-77); pointing it at a 'cae' pixel store must fail
+    with a clear message, not a synthesizer channel-shape error."""
+    from PIL import Image
+
+    from cnn_autoencoder_tpu.cli.compress import compress
+    from cnn_autoencoder_tpu.cli.decompress import decompress
+
+    rng = np.random.RandomState(2)
+    img = np.clip(rng.rand(64, 48, 3) * 255, 0, 255).astype(np.uint8)
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    Image.fromarray(img).save(str(img_dir / "p.png"))
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    args = get_args("encoder", "inference", args_list=[
+        "-dd", str(img_dir), "-o", str(out_dir), "-if", "png",
+        "-cod", "CAE", "-chk", trained_checkpoint, "-ps", "32",
+        "-da", "YXC", "-ld", str(tmp_path)])
+    compress(args)
+
+    rec_dir = tmp_path / "rec"
+    rec_dir.mkdir()
+    dargs = get_args("decoder", "inference", args_list=[
+        "-dd", str(out_dir), "-o", str(rec_dir), "-of", "zarr",
+        "-dg", "0/0", "-chk", trained_checkpoint, "-ld", str(tmp_path)])
+    with pytest.raises(ValueError, match="self-decoding"):
+        decompress(dargs)
