@@ -98,7 +98,9 @@ def bake_device_tables(params, filters: Sequence[int],
     sign = -np.sign(lower + upper)
 
     def sig(x):
-        return 1.0 / (1.0 + np.exp(-x))
+        # piecewise-stable: exp only ever sees non-positive arguments
+        e = np.exp(-np.abs(x))
+        return np.where(x >= 0, 1.0 / (1.0 + e), e / (1.0 + e))
 
     pmf = np.abs(sig(sign * upper) - sig(sign * lower)).T  # (C, L)
 

@@ -236,7 +236,10 @@ def update_cdf_tables(params, filters: Sequence[int],
     sign = -np.sign(lower + upper)
 
     def _sigmoid(x):
-        return 1.0 / (1.0 + np.exp(-x))
+        # piecewise-stable: exp only ever sees non-positive arguments, so
+        # strongly-peaked trained priors don't overflow-warn
+        e = np.exp(-np.abs(x))
+        return np.where(x >= 0, 1.0 / (1.0 + e), e / (1.0 + e))
 
     pmf = np.abs(_sigmoid(sign * upper) - _sigmoid(sign * lower))  # (L, C)
     pmf = pmf.T                                                    # (C, L)
