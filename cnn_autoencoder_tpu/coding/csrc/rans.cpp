@@ -952,8 +952,8 @@ int64_t pixel_rans_encode(const uint8_t *pixels, int64_t b, int64_t p,
   pixel_predict_zigzag(pixels, b, p, q, c, z.data());
 
   // division-free state update: per-value round-up reciprocals (exact for
-  // all 32-bit states — the same rans64-style formulation as the device
-  // encode kernel in ops/pallas/rans_kernel.py)
+  // states < 2^31, with a +1-overshoot correction beyond that — the same
+  // formulation as the device encode kernel in ops/pallas/rans_kernel.py)
   uint32_t rcp[256], sh[256], fr[256], st_tab[256];
   for (int32_t v = 0; v < 256; ++v) {
     const uint32_t f = static_cast<uint32_t>(freqs[v]);
@@ -982,11 +982,20 @@ int64_t pixel_rans_encode(const uint8_t *pixels, int64_t b, int64_t p,
       *--ptr = static_cast<uint16_t>(x & 0xFFFF);
       x >>= 16;
     }
-    const uint32_t q32 =
+    uint32_t q32 =
         (f == 1) ? x
                  : static_cast<uint32_t>(
                        (static_cast<uint64_t>(x) * rcp[v]) >> (32 + sh[v] - 1));
-    x = (q32 << kIlvPrecision) + (x - q32 * f) + st_tab[v];
+    uint32_t r = x - q32 * f;
+    // The 2^(31+shift) round-up reciprocal is exact only for x < 2^31;
+    // states reach f<<20, which exceeds that once f > 2^11 (peaked tables
+    // on smooth content).  The overshoot is at most +1 — detect it from
+    // the wrapped remainder and step back.
+    if (static_cast<int32_t>(r) < 0) {
+      --q32;
+      r += f;
+    }
+    x = (q32 << kIlvPrecision) + r + st_tab[v];
     state[s] = x;
     if (--s < 0) s = n_streams - 1;
   }

@@ -20,11 +20,17 @@ already serves the latent codec:
   with the Pallas/scan rANS decoder, inverting the predictor with two
   mod-256 cumulative sums before the encoder conv.
 
-Calibration: the first batch ships raw; its residual histogram fits a
-single shared 12-bit table (pmf_to_quantized_cdf) covering all 256 zigzag
-values with freq >= 1, so NO escape is possible and any content stays
-decodable.  Capacity overflows (content far noisier than the calibration
-batch) are detected from the totals and that batch falls back to raw —
+Calibration: uploads fit the table from the first batch's host tiles
+BEFORE dispatching anything; fetches decode one probe batch raw, fit from
+its reconstructions, and DISCARD the probe's pixels.  Either way every
+OUTPUT batch flows through the same coded program — the raw and coded
+programs compile separately and the bf16 activation flow rounds
+differently between them, so mixing them would make results depend on
+calibration timing.  The single shared 12-bit table (pmf_to_quantized_cdf)
+covers all 256 zigzag values with freq >= 1, so NO escape is possible and
+any content stays decodable.  Capacity overflows (content far noisier
+than the calibration batch) are detected from the totals and that batch
+falls back to the SAME program's device-resident raw pixels —
 byte-identical output either way.
 
 Per-tile frames stack along the batch axis, so the transport shards cleanly

@@ -206,8 +206,9 @@ def decode_interleaved_pallas(queues: jnp.ndarray, channels: jnp.ndarray,
 #
 # The rANS state update needs an exact 32-bit division x // freq; the VPU
 # has no integer divide, so the wrapper precomputes per-symbol round-up
-# reciprocals (rcp = ceil(2^(31+shift)/freq), exact for all x < 2^32 —
-# the rans64 32-bit formulation) and the kernel computes the 32x32->hi32
+# reciprocals (rcp = ceil(2^(31+shift)/freq) — exact for x < 2^31, with an
+# in-kernel +1-overshoot correction covering states up to fk<<20, which
+# pass 2^31 once fk > 2^11) and the kernel computes the 32x32->hi32
 # product from 16-bit halves with explicit carries.
 
 
@@ -327,7 +328,16 @@ def _encode_kernel(ch_ref, voff_ref, sym_ref, tab_ref, rcp_ref, queue_ref,
         sh_eff = jnp.maximum(shift, 1).astype(jnp.uint32) - 1
         q = _mulhi32(xu, rcp) >> sh_eff
         q = jnp.where(shift == 0, xu, q)
-        rem = xu - q * pltpu.bitcast(fk, jnp.uint32)
+        fku = pltpu.bitcast(fk, jnp.uint32)
+        rem = xu - q * fku
+        # The 2^(31+shift) round-up reciprocal is exact only for xu < 2^31;
+        # states reach fk<<20, which exceeds that once fk > 2^11 (peaked
+        # tables on converged priors).  The overshoot is at most +1 —
+        # detect it from the wrapped remainder (true rem < 2^13, so a
+        # wrapped one is negative as int32) and step back.
+        over = pltpu.bitcast(rem, jnp.int32) < 0
+        q = jnp.where(over, q - jnp.uint32(1), q)
+        rem = jnp.where(over, rem + fku, rem)
         xu = (q << PRECISION) + rem + pltpu.bitcast(stk, jnp.uint32)
         x = pltpu.bitcast(xu, jnp.int32)
 
@@ -392,9 +402,10 @@ def pack_enc_tables(tables):
     c*2 + (v>>7), lane v&127):
 
     * packed:  freq | start<<13 | shift<<25  (shift = ceil log2 freq)
-    * rcp:     round-up reciprocal ceil(2^(31+shift)/freq) — exact 32-bit
-      division for any state; freq==1 marked by shift 0, special-cased
-      in-kernel.  Pure numpy (uint64 host math)."""
+    * rcp:     round-up reciprocal ceil(2^(31+shift)/freq) — exact for
+      states < 2^31; the kernel corrects the rare +1 overshoot beyond
+      that (reachable when freq > 2^11).  freq==1 marked by shift 0,
+      special-cased in-kernel.  Pure numpy (uint64 host math)."""
     freq = np.asarray(tables.freq).astype(np.uint64)      # (C, L)
     c, length = freq.shape
     n_vals = _ENC_ROWS * 128

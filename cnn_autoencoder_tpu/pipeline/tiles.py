@@ -178,6 +178,17 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
                 tiles.append(tiles[-1])
         tiles_np = np.stack(tiles)
         tr = up_transport
+        if tr is not None and not tr.calibrated():
+            # host tiles carry everything calibration needs: fit BEFORE
+            # the first dispatch so every batch (including this one) rides
+            # the same coded-upload program.  The raw and coded upload
+            # programs compile separately and the bf16 encoder rounds
+            # differently between them, so mixing them would make the
+            # stored bytes depend on when the serving core calibrated.
+            tr.calibrate(residual_hist_host(tiles_np))
+            if not tr.worthwhile(pe * pe * c):
+                up_transport = None
+                tr = None
         snap = tr.snapshot() if tr is not None else None
         coded = snap is not None
         if coded:
@@ -195,10 +206,6 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
             else:
                 GLOBAL_TIMER.add_link_bytes("h2d", tiles_np.nbytes)
                 sym_dev = core.encode_tiles_device(jnp.asarray(tiles_np))
-        if tr is not None and not tr.calibrated():
-            tr.calibrate(residual_hist_host(tiles_np))
-            if not tr.worthwhile(pe * pe * c):
-                up_transport = None
         with GLOBAL_TIMER.stage("compress/d2h_sym", mp):
             sym_np = core.fetch_symbols(sym_dev)[:len(idxs)]  # d2h int8
         with GLOBAL_TIMER.stage("compress/rans", mp):
@@ -427,18 +434,11 @@ def decompress_cae_array(src: zarrlib.Array,
             transport = None  # this call's tiles are too small to code
 
     def fetch_and_stitch(idxs, rec_dev):
-        nonlocal transport
         # every job writes a disjoint region of `out`, so fetch+stitch jobs
         # run concurrently on the fetch pool — overlapping tunnel streams
         with GLOBAL_TIMER.stage("decompress/d2h_pixels", mp_batch):
             rec_np = core.fetch_pixels(
                 rec_dev, (batch, ph, pw, 3), transport)[:len(idxs)]
-        if transport is not None and not transport.calibrated():
-            # first batch travels raw; its residual histogram fits the
-            # shared table every later batch is coded with
-            transport.calibrate(residual_hist_host(rec_np))
-            if not transport.worthwhile_fetch(ph * pw * 3, batch):
-                transport = None  # coding would expand on the wire
         if offset:
             rec_np = rec_np[:, offset:-offset, offset:-offset]
         with GLOBAL_TIMER.stage("decompress/stitch", mp_batch):
@@ -467,6 +467,28 @@ def decompress_cae_array(src: zarrlib.Array,
     rans_pool = ThreadPoolExecutor(max_workers=1)
     fetchers = ThreadPoolExecutor(max_workers=FETCH_WORKERS)
     starts = list(range(0, len(grid), batch))
+
+    if transport is not None and not transport.calibrated():
+        # Dedicated calibration probe: decode the first decodable batch
+        # through the RAW program, fit the table from its reconstructions,
+        # and DISCARD the pixels — every OUTPUT batch then flows through
+        # the calibrated coded program, so the bytes a store decompresses
+        # to do not depend on when the serving core calibrated (raw and
+        # coded fetch programs compile separately and the bf16 activation
+        # flow rounds differently between them).  One extra batch decode,
+        # once per serving core's lifetime.
+        for i0 in starts:
+            sym0, _, _ = rans_decode_group(i0)
+            if sym0 is None:
+                continue
+            rec0 = np.asarray(core.decode_tiles_device(sym0,
+                                                       packed=False))
+            GLOBAL_TIMER.add_link_bytes("d2h", rec0.nbytes)
+            transport.calibrate(residual_hist_host(rec0))
+            if not transport.worthwhile_fetch(ph * pw * 3, batch):
+                transport = None  # coding would expand on the wire
+            break
+
     futures = {}
     jobs: List = []
     for k, i in enumerate(starts):
@@ -480,12 +502,6 @@ def decompress_cae_array(src: zarrlib.Array,
             rec = core.decode_tiles_device(sym, packed=use_packed,
                                            transport=transport)
         jobs.append(fetchers.submit(fetch_and_stitch, ids, rec))
-        if (transport is not None and not transport.calibrated()
-                and len(jobs) == 1 and len(starts) > 1):
-            # block on the calibration batch so every later one is coded;
-            # a one-batch pipeline bubble, repaid many times over in wire
-            # bytes on slow links
-            jobs.pop(0).result()
         while len(jobs) > MAX_INFLIGHT:
             jobs.pop(0).result()
     for f in jobs:
@@ -586,13 +602,18 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
         nonlocal up_transport
         tiles_np = np.stack(tiles)
         tr = up_transport
-        with GLOBAL_TIMER.stage("compress/turbo_encode",
-                                len(idxs) * p * p / 1e6):
-            bufs = core.encode_tiles(tiles_np, up_transport=tr)
         if tr is not None and not tr.calibrated():
+            # calibrate from the host tiles BEFORE the first dispatch so
+            # every batch rides the same coded-upload program (see
+            # compress_pixels_to_cae: mixing raw/coded upload programs
+            # would make stored bytes depend on calibration timing)
             tr.calibrate(residual_hist_host(tiles_np))
             if not tr.worthwhile(p * p * c):
                 up_transport = None
+                tr = None
+        with GLOBAL_TIMER.stage("compress/turbo_encode",
+                                len(idxs) * p * p / 1e6):
+            bufs = core.encode_tiles(tiles_np, up_transport=tr)
         for (i, j), buf in zip(idxs, bufs[:len(idxs)]):
             arr.write_chunk_raw((i, j, 0), buf)
 
@@ -644,15 +665,35 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
     # decode_tiles is upload+dispatch+fetch in one call; concurrent worker
     # jobs overlap the link transfers while the device serializes decodes.
     # Each job stitches a disjoint region of `out`.
+    if transport is not None and not transport.calibrated():
+        # Dedicated calibration probe: decode the first present batch
+        # through the RAW program, fit the table from its reconstructions,
+        # and DISCARD the pixels.  Every OUTPUT batch then flows through
+        # the calibrated coded program, so the bytes a store decompresses
+        # to do not depend on when the serving core calibrated (the raw
+        # and coded fetch programs compile separately and the bf16
+        # activation flow rounds differently between them).  One extra
+        # batch decode, once per serving core's lifetime.
+        bufs0 = None
+        for i0 in range(0, len(grid), batch):
+            bufs0 = [b for b in raw[i0:i0 + batch] if b is not None]
+            if bufs0:
+                break
+        if bufs0:
+            rec0 = core.decode_tiles(bufs0)
+            sample = rec0 if isinstance(rec0, np.ndarray) else \
+                np.stack([r for r in rec0 if r.shape == rec0[0].shape])
+            transport.calibrate(residual_hist_host(
+                np.ascontiguousarray(sample)))
+            ph0, pw0 = core.base.padded_hw(*sample.shape[1:3])
+            if not transport.worthwhile_fetch(ph0 * pw0 * 3,
+                                              max(1, len(bufs0))):
+                transport = None
+
     def decode_and_stitch(ids, bufs):
         with GLOBAL_TIMER.stage("decompress/turbo_decode",
                                 len(ids) * p * p / 1e6):
             rec = core.decode_tiles(bufs, transport=transport)
-        if transport is not None and not transport.calibrated():
-            sample = rec if isinstance(rec, np.ndarray) else \
-                np.stack([r for r in rec if r.shape == rec[0].shape])
-            transport.calibrate(residual_hist_host(
-                np.ascontiguousarray(sample)))
         for ij, r in zip(ids, rec):
             sl, valid = src.chunk_slices(ij)
             out[sl] = r[:valid[0], :valid[1], :valid[2]]
@@ -670,10 +711,6 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
         if not bufs:
             continue
         jobs.append(workers.submit(decode_and_stitch, ids, bufs))
-        if (transport is not None and not transport.calibrated()
-                and len(jobs) == 1 and len(grid) > batch):
-            # block on the calibration batch so every later one is coded
-            jobs.pop(0).result()
         while len(jobs) > MAX_INFLIGHT:
             jobs.pop(0).result()
     for f in jobs:

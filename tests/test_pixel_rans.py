@@ -172,7 +172,9 @@ def _smooth_image(h, w, seed=0):
 
 def test_rans_transport_through_pipeline(tmp_path, monkeypatch):
     """CAE_TPU_FETCH_CODEC=rans must reproduce raw-transport
-    reconstructions byte-for-byte (calibration batch + coded batches)."""
+    reconstructions byte-for-byte.  The calibration probe's batch is
+    decoded raw and DISCARDED (so every output batch flows through the
+    same coded program); its fetch still crosses the wire once."""
     from cnn_autoencoder_tpu.pipeline.tiles import (compress_pixels_to_cae,
                                                     decompress_cae_array)
     from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
@@ -190,9 +192,12 @@ def test_rans_transport_through_pipeline(tmp_path, monkeypatch):
     GLOBAL_TIMER.reset()
     coded = decompress_cae_array(arr, core=core, batch_tiles=1)
     np.testing.assert_array_equal(coded, raw)
-    # the coded batches must actually have shipped fewer bytes than raw
+    # the 4 coded output batches must ship fewer bytes than they would
+    # raw; the one-off calibration probe adds a single raw batch on top
+    raw_batch = 160 * 160 * 3
     d2h = GLOBAL_TIMER.link_bytes()["d2h"]
-    assert 0 < d2h < 4 * 160 * 160 * 3
+    assert raw_batch < d2h < 5 * raw_batch
+    assert d2h - raw_batch < 4 * raw_batch
 
 
 def test_rans_transport_overflow_falls_back(tmp_path, monkeypatch):
@@ -354,3 +359,71 @@ def test_ilv_alphabet_guard():
         rans.decode_interleaved(np.zeros(64, np.uint16), idx, freqs,
                                 starts.reshape(1, -1).astype(np.int32),
                                 lengths, offsets, 16)
+
+
+def _rare_spike_tiles(shape, seed):
+    """Pixels whose zigzag residuals are 0 except ~6% rare values: the
+    quantized table then has one frequency near 3839 (> 2^11) and the
+    rare symbols pump encoder states past 2^31 — the regime where the
+    32-bit round-up reciprocal overshoots the quotient by one unless
+    corrected.  Seeds verified by exact-integer simulation to hit the
+    overshoot (bad states need x % f == f-1 AND x/f past ~7e5)."""
+    b, p, q, c = shape
+    n = p * q * c
+    rng = np.random.RandomState(seed)
+    z = np.where(rng.rand(n) < 1 / 16.0, 5, 0).astype(np.uint8)
+    return _unpredict_numpy(np.tile(z.reshape(1, p, q, c), (b, 1, 1, 1)))
+
+
+def test_reciprocal_overshoot_host_encode_exact():
+    """Regression (round 3): csrc/rans.cpp pixel_rans_encode silently
+    corrupted streams once a table frequency passed 2^11 and states
+    crossed 2^31 (first seen on converged-model reconstructions)."""
+    shape = (1, 512, 512, 3)
+    tiles = _rare_spike_tiles(shape, seed=1)   # simulation: 7 overshoots
+    tr = _calibrated(tiles)
+    assert int(np.asarray(tr.freq).max()) > 2048
+    n = shape[1] * shape[2] * shape[3]
+    cap = tr.capacity(n) + 4096
+    queues, totals = tr.encode_host(tiles, cap)
+    assert (totals > 0).all()
+    # the (exact-division) scan encoder is the oracle bitstream
+    bufs_dev, totals_dev = encode_residuals_device(
+        jnp.asarray(tiles), tr.tables, tr.enc_tables, cap,
+        use_pallas=False)
+    bufs_dev, totals_dev = np.asarray(bufs_dev), np.asarray(totals_dev)
+    np.testing.assert_array_equal(totals, totals_dev)
+    np.testing.assert_array_equal(queues[0, :totals[0]],
+                                  bufs_dev[0, :totals_dev[0]])
+    rec = decode_residuals_device(jnp.asarray(queues.astype(np.int32)),
+                                  tr.tables, tr.dec_lut, shape,
+                                  use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(rec), tiles)
+
+
+def test_reciprocal_overshoot_pallas_encode_exact():
+    """Same regression for the Pallas encode kernel (interpret mode):
+    ops/pallas/rans_kernel.py needs the in-kernel +1-overshoot
+    correction (found live: corrupt turbo frames on real TPU with the
+    converged fixture's peaked latent tables)."""
+    shape = (1, 256, 256, 3)
+    tiles = _rare_spike_tiles(shape, seed=10)  # simulation: 2 overshoots
+    tr = _calibrated(tiles)
+    assert int(np.asarray(tr.freq).max()) > 2048
+    n = shape[1] * shape[2] * shape[3]
+    cap = tr.capacity(n) + 4096
+    ref, ref_tot = encode_residuals_device(
+        jnp.asarray(tiles), tr.tables, tr.enc_tables, cap,
+        use_pallas=False)
+    from cnn_autoencoder_tpu.coding.device_rans import pack_streams
+    from cnn_autoencoder_tpu.ops.pallas.rans_kernel import (
+        encode_interleaved_pallas)
+    z = residual_zigzag_device(jnp.asarray(tiles))
+    packed = pack_streams(z.reshape(shape[0], n), STREAMS)
+    ch_map = jnp.zeros((packed.shape[1], STREAMS), jnp.int32)
+    bufs, tot, _ = encode_interleaved_pallas(
+        packed, ch_map, tr.tables, tr.enc_tables, cap, True)
+    ref, ref_tot = np.asarray(ref), np.asarray(ref_tot)
+    bufs, tot = np.asarray(bufs), np.asarray(tot)
+    np.testing.assert_array_equal(tot, ref_tot)
+    np.testing.assert_array_equal(bufs[0, :tot[0]], ref[0, :ref_tot[0]])
