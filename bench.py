@@ -114,7 +114,8 @@ def main():
 
     fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "benchmarks", "bench_flagship.msgpack")
-    if os.path.exists(fixture):
+    trained_fixture = os.path.exists(fixture)
+    if trained_fixture:
         # trained flagship fixture (scripts/make_bench_checkpoint.py) —
         # the reference harness measures trained checkpoints, and trained
         # reconstructions/bpp are what serving-path optimizations (packed
@@ -216,6 +217,7 @@ def main():
         best_util = 0.0
         best_image = (IMAGE_H, IMAGE_W)
         best_mode = None
+        best_psnr = None
         best_bits_px = (0.0, 0.0)
         probe_sweep = []  # (t_since_start_s, d2h, h2d) for every probe
         bench_t0 = time.perf_counter()
@@ -313,6 +315,17 @@ def main():
             if stage_report:
                 print("# stages:", stage_report, file=sys.stderr)
             assert rec.shape == run_img.shape
+            # quality guard: a lossy-codec throughput number is only valid
+            # if the reconstruction is sane (a silent device-coder bug once
+            # produced plausible-looking 14 dB garbage at full speed)
+            mse = float(np.mean((rec[::4, ::4].astype(np.float64)
+                                 - run_img[::4, ::4].astype(np.float64))
+                                ** 2))
+            run_psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+            if trained_fixture:
+                assert run_psnr > 22.0, (
+                    f"reconstruction PSNR {run_psnr:.2f} dB is garbage — "
+                    "refusing to record this run")
             run_bpp = arr.nbytes_stored * 8 / (h * w)
             mps = mp / (t2 - t0)
             # link-boundedness: bytes that ACTUALLY crossed the tunnel
@@ -341,6 +354,7 @@ def main():
                   f"d2h {d2h_mb:.0f} MB h2d {h2d_mb:.0f} MB = "
                   f"{bits_px[0]}/{bits_px[1]} bits/px)", file=sys.stderr)
             if mps > best_mps:
+                best_psnr = run_psnr
                 best_stages = {k: round(v, 3)
                                for k, v in GLOBAL_TIMER.totals().items()}
                 best_link = bw      # bracketing max: what the util used
@@ -394,6 +408,11 @@ def main():
                 "image": list(best_image),
                 "patch_size": PATCH,
                 "bpp": round(float(bpp), 3),
+                # reconstruction quality of the best run (quality-guarded:
+                # runs under 22 dB are rejected when the trained fixture
+                # is present)
+                "psnr_db": (round(best_psnr, 2)
+                            if best_psnr is not None else None),
                 "model": "net128_bn48_cl3_gdn",
                 "path": best_mode,
                 "turbo": TURBO,
