@@ -14,6 +14,10 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 #ifdef _OPENMP
 #include <omp.h>
 #endif
@@ -775,9 +779,93 @@ const uint64_t *bit_spread_lut() {
 // Shared inverse-transform tail: un-zigzag + spatial prefix, per tile.
 // All arithmetic is mod-256 (uint8 wraparound), the exact inverse of the
 // device packers' left/up predictor.
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+// AVX-512 row kernel: un-zigzag all bytes, then a stride-c byte prefix
+// sum (vpermb byte shifts by c*2^k inside each 64-byte block, one vpermb
+// carry broadcast between blocks).  Bytewise adds wrap mod 256, exactly
+// like the scalar loop.
+struct UnpredictShifts {
+  __m512i idx[6];
+  __mmask64 mask[6];
+  int n;
+  __m512i carry_idx;
+};
+
+static UnpredictShifts make_unpredict_shifts(int64_t c) {
+  UnpredictShifts sh;
+  alignas(64) uint8_t buf[64];
+  sh.n = 0;
+  for (int64_t k = c; k < 64; k <<= 1) {
+    for (int64_t j = 0; j < 64; ++j) {
+      buf[j] = static_cast<uint8_t>(j >= k ? j - k : 0);
+    }
+    sh.idx[sh.n] = _mm512_load_si512(buf);
+    sh.mask[sh.n] = ~((__mmask64{1} << k) - 1);
+    ++sh.n;
+  }
+  for (int64_t j = 0; j < 64; ++j) {
+    buf[j] = static_cast<uint8_t>(64 - c + (j % c));
+  }
+  sh.carry_idx = _mm512_load_si512(buf);
+  return sh;
+}
+
+static void unpredict_row_avx512(const uint8_t *zr, uint8_t *orow,
+                                 const uint8_t *prev_col0, int64_t len,
+                                 int64_t c, const UnpredictShifts &sh) {
+  alignas(64) uint8_t sbuf[64];
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i lsb = _mm512_set1_epi8(1);
+  const __m512i m7f = _mm512_set1_epi8(0x7F);
+  __m512i prev = zero;
+  int64_t x = 0;
+  for (; x + 64 <= len; x += 64) {
+    const __m512i z = _mm512_loadu_si512(zr + x);
+    // s = (z >> 1) ^ (-(z & 1)) per byte
+    __m512i s = _mm512_xor_si512(
+        _mm512_and_si512(_mm512_srli_epi16(z, 1), m7f),
+        _mm512_sub_epi8(zero, _mm512_and_si512(z, lsb)));
+    if (x == 0 && prev_col0 != nullptr) {
+      // fold the up-predictor carry into the first c bytes
+      _mm512_store_si512(sbuf, s);
+      for (int64_t ch = 0; ch < c; ++ch) {
+        sbuf[ch] = static_cast<uint8_t>(sbuf[ch] + prev_col0[ch]);
+      }
+      s = _mm512_load_si512(sbuf);
+    }
+    // in-block stride-c prefix: element i accumulates i-c, i-2c, ...
+    for (int k = 0; k < sh.n; ++k) {
+      s = _mm512_add_epi8(
+          s, _mm512_maskz_permutexvar_epi8(sh.mask[k], sh.idx[k], s));
+    }
+    if (x > 0) {
+      s = _mm512_add_epi8(s,
+                          _mm512_permutexvar_epi8(sh.carry_idx, prev));
+    }
+    _mm512_storeu_si512(orow + x, s);
+    prev = s;
+  }
+  // ragged tail: scalar, seeded from the last written block
+  for (; x < len; ++x) {
+    const uint8_t zz = zr[x];
+    const uint8_t s =
+        static_cast<uint8_t>((zz >> 1) ^ static_cast<uint8_t>(-(zz & 1)));
+    const uint8_t left =
+        (x >= c) ? orow[x - c]
+                 : (prev_col0 != nullptr ? prev_col0[x] : 0);
+    orow[x] = static_cast<uint8_t>(s + left);
+  }
+}
+#endif  // __AVX512VBMI__ && __AVX512BW__
+
 static void unzigzag_unpredict_tiles(const uint8_t *z, int64_t b, int64_t p,
                                      int64_t q, int64_t c, uint8_t *out) {
   const int64_t tile = p * q * c;
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+  const bool vec_rows = (q * c >= 64 && c >= 1 && c <= 32);
+  const UnpredictShifts sh =
+      vec_rows ? make_unpredict_shifts(c) : UnpredictShifts{};
+#endif
   for (int64_t t = 0; t < b; ++t) {
     const uint8_t *zt = z + t * tile;
     uint8_t *ot = out + t * tile;
@@ -785,6 +873,12 @@ static void unzigzag_unpredict_tiles(const uint8_t *z, int64_t b, int64_t p,
       const uint8_t *zr = zt + y * q * c;
       uint8_t *orow = ot + y * q * c;
       const uint8_t *prev_col0 = (y > 0) ? ot + (y - 1) * q * c : nullptr;
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+      if (vec_rows) {
+        unpredict_row_avx512(zr, orow, prev_col0, q * c, c, sh);
+        continue;
+      }
+#endif
       for (int64_t ch = 0; ch < c; ++ch) {
         const uint8_t zz = zr[ch];
         const uint8_t s =
@@ -854,6 +948,73 @@ int64_t pixel_unpack_blocks(const uint32_t *words, int64_t n_words,
 // pixels in one fused pass.  The mirror direction (compress uploads) runs
 // predict+zigzag+encode here and the Pallas decode kernel on device.
 
+#if defined(__AVX512F__)
+// AVX-512 inner loop for the interleaved single-table decode: 16 streams
+// per vector, per-step queue refills resolved with a masked expand-load
+// (a step consumes its refill words in ascending stream order, exactly
+// like the scalar loop, so groups processed in ascending order preserve
+// the global word order).  The queue is widened to 32-bit once with a
+// 16-element zero slack, which both feeds the expand-load element size
+// and keeps truncated-buffer reads in bounds (scalar semantics: reads
+// past the end decode as zero words).
+static void ilv_pixel_decode_avx512(const uint16_t *words,
+                                    int64_t total_words,
+                                    const uint32_t *lut, int64_t n,
+                                    int64_t n_streams, uint8_t *z) {
+  std::vector<uint32_t> w32(static_cast<size_t>(total_words) + 16, 0u);
+  for (int64_t k = 0; k < total_words; ++k) w32[k] = words[k];
+  std::vector<uint32_t> state(static_cast<size_t>(n_streams));
+  int64_t pos = 0;
+  for (int64_t s = 0; s < n_streams; ++s) {
+    const uint32_t lo = (pos < total_words) ? words[pos++] : 0u;
+    const uint32_t hi = (pos < total_words) ? words[pos++] : 0u;
+    state[s] = lo | (hi << 16);
+  }
+  const __m512i vmask = _mm512_set1_epi32(static_cast<int>(kIlvMask));
+  const __m512i vone = _mm512_set1_epi32(1);
+  const __m512i vmin = _mm512_set1_epi32(static_cast<int>(kIlvStateMin));
+  const int64_t full = (n / n_streams) * n_streams;
+  const int64_t groups = n_streams / 16;
+  int64_t i = 0;
+  while (i < full) {
+    for (int64_t g = 0; g < groups; ++g, i += 16) {
+      __m512i x = _mm512_loadu_si512(state.data() + g * 16);
+      const __m512i cum = _mm512_and_si512(x, vmask);
+      const __m512i pk = _mm512_i32gather_epi32(cum, lut, 4);
+      const __m512i f =
+          _mm512_add_epi32(_mm512_and_si512(pk, vmask), vone);
+      const __m512i st =
+          _mm512_and_si512(_mm512_srli_epi32(pk, 12), vmask);
+      x = _mm512_add_epi32(
+          _mm512_mullo_epi32(f, _mm512_srli_epi32(x, 12)),
+          _mm512_sub_epi32(cum, st));
+      const __mmask16 m = _mm512_cmplt_epu32_mask(x, vmin);
+      const int64_t rd = (pos < total_words) ? pos : total_words;
+      const __m512i w =
+          _mm512_maskz_expandloadu_epi32(m, w32.data() + rd);
+      x = _mm512_mask_mov_epi32(
+          x, m, _mm512_or_si512(_mm512_slli_epi32(x, 16), w));
+      pos += _mm_popcnt_u32(static_cast<unsigned>(m));
+      _mm512_storeu_si512(state.data() + g * 16, x);
+      _mm_storeu_si128(reinterpret_cast<__m128i *>(z + i),
+                       _mm512_cvtepi32_epi8(_mm512_srli_epi32(pk, 24)));
+    }
+  }
+  for (int64_t s = 0; i < n; ++i, ++s) {  // ragged tail: scalar
+    uint32_t x = state[s];
+    const uint32_t cum = x & kIlvMask;
+    const uint32_t pk = lut[cum];
+    x = ((pk & kIlvMask) + 1) * (x >> kIlvPrecision) + cum
+        - ((pk >> kIlvPrecision) & kIlvMask);
+    if (x < kIlvStateMin) {
+      x = (x << 16) | ((pos < total_words) ? words[pos++] : 0u);
+    }
+    state[s] = x;
+    z[i] = static_cast<uint8_t>(pk >> 24);
+  }
+}
+#endif  // __AVX512F__
+
 // Decode an interleaved single-channel queue straight into pixels:
 // rANS decode (LUT in L1) -> un-zigzag -> spatial prefix.  Returns 0, or
 // -3 if length > kIlvMaxValues.
@@ -878,6 +1039,14 @@ int32_t pixel_rans_decode(const uint16_t *words, int64_t total_words,
 
   const int64_t n = b * p * q * c;
   std::vector<uint8_t> z(static_cast<size_t>(n));
+#if defined(__AVX512F__)
+  if (n_streams % 16 == 0 && n_streams >= 16) {
+    ilv_pixel_decode_avx512(words, total_words, lut.data(), n, n_streams,
+                            z.data());
+    unzigzag_unpredict_tiles(z.data(), b, p, q, c, out);
+    return 0;
+  }
+#endif
   std::vector<uint32_t> state(static_cast<size_t>(n_streams), 0);
   int64_t pos = 0;
   auto next_w = [&]() -> uint32_t {
@@ -908,9 +1077,65 @@ int32_t pixel_rans_decode(const uint16_t *words, int64_t total_words,
 
 // Forward predictor + zigzag (the host mirror of the device packer's
 // residual pass), for the upload direction.
+#if defined(__AVX512BW__)
+// AVX-512 row kernel: r[i] = p[i] - p[i-c] (up-predictor for the first c
+// bytes), zigzagged bytewise.  No loop-carried dependency, so this is a
+// straight streaming pass.
+static void predict_row_avx512(const uint8_t *prow,
+                               const uint8_t *prev_col0, uint8_t *zrow,
+                               int64_t len, int64_t c) {
+  alignas(64) uint8_t head[64];
+  const __m512i zero = _mm512_setzero_si512();
+  int64_t x = 0;
+  for (; x + 64 <= len; x += 64) {
+    const __m512i cur = _mm512_loadu_si512(prow + x);
+    __m512i left;
+    if (x == 0) {
+      for (int64_t j = 0; j < c; ++j) {
+        head[j] = (prev_col0 != nullptr) ? prev_col0[j] : 0;
+      }
+      for (int64_t j = c; j < 64; ++j) {
+        head[j] = prow[j - c];
+      }
+      left = _mm512_load_si512(head);
+    } else {
+      left = _mm512_loadu_si512(prow + x - c);
+    }
+    const __m512i r = _mm512_sub_epi8(cur, left);
+    const __m512i sign =
+        _mm512_movm_epi8(_mm512_cmplt_epi8_mask(r, zero));
+    const __m512i zz =
+        _mm512_xor_si512(_mm512_add_epi8(r, r), sign);
+    _mm512_storeu_si512(zrow + x, zz);
+  }
+  for (; x < len; ++x) {
+    const uint8_t left =
+        (x >= c) ? prow[x - c]
+                 : (prev_col0 != nullptr ? prev_col0[x] : 0);
+    const uint8_t r = static_cast<uint8_t>(prow[x] - left);
+    zrow[x] = static_cast<uint8_t>(
+        (r << 1) ^ static_cast<uint8_t>(static_cast<int8_t>(r) >> 7));
+  }
+}
+#endif  // __AVX512BW__
+
 void pixel_predict_zigzag(const uint8_t *pixels, int64_t b, int64_t p,
                           int64_t q, int64_t c, uint8_t *z) {
   const int64_t tile = p * q * c;
+#if defined(__AVX512BW__)
+  if (q * c >= 64 && c >= 1 && c <= 32) {
+    for (int64_t t = 0; t < b; ++t) {
+      const uint8_t *pt = pixels + t * tile;
+      uint8_t *zt = z + t * tile;
+      for (int64_t y = 0; y < p; ++y) {
+        predict_row_avx512(
+            pt + y * q * c, (y > 0) ? pt + (y - 1) * q * c : nullptr,
+            zt + y * q * c, q * c, c);
+      }
+    }
+    return;
+  }
+#endif
   for (int64_t t = 0; t < b; ++t) {
     const uint8_t *pt = pixels + t * tile;
     uint8_t *zt = z + t * tile;
@@ -935,6 +1160,111 @@ void pixel_predict_zigzag(const uint8_t *pixels, int64_t b, int64_t p,
     }
   }
 }
+
+#if defined(__AVX512F__)
+// AVX-512 inner loop for the interleaved single-table encode (reversed
+// order): 16 streams per vector, groups processed in DESCENDING order so
+// compress-stores land emitted words in exact scalar order (scalar walks
+// streams high-to-low writing back-to-front, i.e. ascending lanes at
+// ascending addresses within a group).  Two gathers per 16 symbols:
+// packed (freq | start<<13 | shift<<25) and the round-up reciprocal,
+// with the +1-overshoot correction vectorized.  Words stage as 32-bit
+// and narrow once at the end.  Returns total words or -2 on overflow.
+static int64_t ilv_pixel_encode_avx512(const uint8_t *zz, int64_t n,
+                                       int64_t n_streams,
+                                       const uint32_t *fr,
+                                       const uint32_t *st_tab,
+                                       const uint32_t *rcp,
+                                       const uint32_t *sh,
+                                       const uint32_t *packed_tab,
+                                       uint16_t *out,
+                                       int64_t capacity_words) {
+  std::vector<uint32_t> state(static_cast<size_t>(n_streams),
+                              kIlvStateMin);
+  std::vector<uint32_t> stage(static_cast<size_t>(capacity_words));
+  int64_t wp = capacity_words;           // exclusive write end
+  const int64_t full = (n / n_streams) * n_streams;
+  int64_t i = n - 1;
+  int64_t s = (n - 1) % n_streams;
+  for (; i >= full; --i) {               // ragged head: scalar
+    const uint8_t v = zz[i];
+    const uint32_t f = fr[v];
+    uint32_t x = state[s];
+    if ((x >> kIlvEmitShift) >= f) {
+      if (wp == 0) return -2;
+      stage[--wp] = x & 0xFFFF;
+      x >>= 16;
+    }
+    uint32_t q32 = (f == 1) ? x
+        : static_cast<uint32_t>(
+              (static_cast<uint64_t>(x) * rcp[v]) >> (32 + sh[v] - 1));
+    uint32_t r = x - q32 * f;
+    if (static_cast<int32_t>(r) < 0) {
+      --q32;
+      r += f;
+    }
+    state[s] = (q32 << kIlvPrecision) + r + st_tab[v];
+    if (--s < 0) s = n_streams - 1;
+  }
+  const int64_t groups = n_streams / 16;
+  const __m512i vone = _mm512_set1_epi32(1);
+  const __m512i vzero = _mm512_setzero_si512();
+  const __m512i low16 = _mm512_set1_epi32(0xFFFF);
+  const __m512i m13 = _mm512_set1_epi32(0x1FFF);
+  const __m512i m12 = _mm512_set1_epi32(0xFFF);
+  for (int64_t t = full / n_streams - 1; t >= 0; --t) {
+    for (int64_t g = groups - 1; g >= 0; --g) {
+      __m512i x = _mm512_loadu_si512(state.data() + g * 16);
+      const __m512i v = _mm512_cvtepu8_epi32(_mm_loadu_si128(
+          reinterpret_cast<const __m128i *>(zz + t * n_streams + g * 16)));
+      const __m512i pk = _mm512_i32gather_epi32(v, packed_tab, 4);
+      const __m512i m = _mm512_i32gather_epi32(v, rcp, 4);
+      const __m512i f = _mm512_and_si512(pk, m13);
+      const __m512i stv =
+          _mm512_and_si512(_mm512_srli_epi32(pk, 13), m12);
+      const __m512i shv = _mm512_srli_epi32(pk, 25);
+      const __mmask16 em = _mm512_cmp_epu32_mask(
+          _mm512_srli_epi32(x, kIlvEmitShift), f, _MM_CMPINT_NLT);
+      const int cnt = _mm_popcnt_u32(static_cast<unsigned>(em));
+      if (wp < cnt) return -2;
+      wp -= cnt;
+      _mm512_mask_compressstoreu_epi32(stage.data() + wp, em,
+                                       _mm512_and_si512(x, low16));
+      x = _mm512_mask_srli_epi32(x, em, x, 16);
+      // q = x // f exactly: mulhi32 (vpmuludq pairs) >> (shift-1), then
+      // the +1-overshoot correction; f == 1 (shift 0) means q = x
+      const __m512i pe = _mm512_mul_epu32(x, m);
+      const __m512i po = _mm512_mul_epu32(_mm512_srli_epi64(x, 32),
+                                          _mm512_srli_epi64(m, 32));
+      const __m512i mh = _mm512_mask_blend_epi32(
+          0xAAAA, _mm512_srli_epi64(pe, 32), po);
+      const __m512i sh1 =
+          _mm512_sub_epi32(_mm512_max_epu32(shv, vone), vone);
+      __m512i qv = _mm512_srlv_epi32(mh, sh1);
+      qv = _mm512_mask_mov_epi32(
+          qv, _mm512_cmp_epi32_mask(shv, vzero, _MM_CMPINT_EQ), x);
+      __m512i r = _mm512_sub_epi32(x, _mm512_mullo_epi32(qv, f));
+      const __mmask16 over =
+          _mm512_cmp_epi32_mask(r, vzero, _MM_CMPINT_LT);
+      qv = _mm512_mask_sub_epi32(qv, over, qv, vone);
+      r = _mm512_mask_add_epi32(r, over, r, f);
+      x = _mm512_add_epi32(
+          _mm512_add_epi32(_mm512_slli_epi32(qv, kIlvPrecision), r), stv);
+      _mm512_storeu_si512(state.data() + g * 16, x);
+    }
+  }
+  if (wp < 2 * n_streams) return -2;
+  for (int64_t k = n_streams - 1; k >= 0; --k) {
+    stage[--wp] = state[k] >> 16;
+    stage[--wp] = state[k] & 0xFFFF;
+  }
+  const int64_t total = capacity_words - wp;
+  for (int64_t k = 0; k < total; ++k) {
+    out[k] = static_cast<uint16_t>(stage[wp + k]);
+  }
+  return total;
+}
+#endif  // __AVX512F__
 
 // Fused predict + zigzag + interleaved encode of ONE tile batch member
 // (single-channel 256-value table).  Returns total words (flush included),
@@ -965,6 +1295,18 @@ int64_t pixel_rans_encode(const uint8_t *pixels, int64_t b, int64_t p,
     rcp[v] = static_cast<uint32_t>(
         ((static_cast<uint64_t>(1) << (31 + shift)) + f - 1) / f);
   }
+
+#if defined(__AVX512F__)
+  if (n_streams % 16 == 0 && n_streams >= 16) {
+    uint32_t packed_tab[256];
+    for (int32_t v = 0; v < 256; ++v) {
+      packed_tab[v] = fr[v] | (st_tab[v] << 13) | (sh[v] << 25);
+    }
+    return ilv_pixel_encode_avx512(z.data(), n, n_streams, fr, st_tab,
+                                   rcp, sh, packed_tab, out,
+                                   capacity_words);
+  }
+#endif
 
   std::vector<uint32_t> state(static_cast<size_t>(n_streams), kIlvStateMin);
   std::vector<uint16_t> scratch(static_cast<size_t>(capacity_words));

@@ -8,10 +8,11 @@ a small fresh payload, cache the result briefly, and the transport gates
 read them.
 
 Threshold rationale: with raw bytes N, coded bytes f*N and a host codec
-half at rate R (the 1-core C++ coder: decode ~67, encode ~40 MB of pixels
-per second), the pipelined steady state is max(wire, host) per batch, so
-coding wins iff N/bw > max(f*N/bw, N/R) — i.e. iff bw < R.  The defaults
-sit just under the measured codec rates; faster links ship raw.
+half at rate R, the pipelined steady state is max(wire, host) per batch,
+so coding wins iff N/bw > max(f*N/bw, N/R) — i.e. iff bw < R.  The
+defaults sit just under the measured 1-core codec rates (AVX-512 paths:
+fused decode ~200-235, encode ~175-195 MB of pixel-channels per second);
+faster links ship raw.
 
 Env overrides:
 * CAE_TPU_PACKED_FETCH = auto|0|1 — device->host (decompress fetch) coding
@@ -26,7 +27,7 @@ import numpy as np
 
 _PROBE_TTL_S = 60.0
 _PROBE_MB = 4
-_DEFAULT_MBPS = {"d2h": 60.0, "h2d": 35.0}
+_DEFAULT_MBPS = {"d2h": 190.0, "h2d": 160.0}
 
 
 def _threshold(direction: str) -> float:

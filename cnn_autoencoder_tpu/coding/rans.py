@@ -29,15 +29,21 @@ _NATIVE_DISABLED = os.environ.get("CAE_TPU_DISABLE_NATIVE_RANS", "0") == "1"
 
 
 def _build_library() -> bool:
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
-           "-o", _LIB_PATH, _SRC]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
-        LOGGER.warning("Could not build native rANS library (%s); "
-                       "falling back to pure-Python coder", e)
-        return False
+    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
+            "-o", _LIB_PATH, _SRC]
+    # the library is always compiled on the machine it runs on, so
+    # -march=native is safe and unlocks the AVX-512 coder paths; fall
+    # back to the generic build if the toolchain rejects it
+    for cmd in (base[:1] + ["-march=native"] + base[1:], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=120)
+            return True
+        except (subprocess.SubprocessError, FileNotFoundError) as e:
+            err = e
+    LOGGER.warning("Could not build native rANS library (%s); "
+                   "falling back to pure-Python coder", err)
+    return False
 
 
 def _load_library():

@@ -427,3 +427,31 @@ def test_reciprocal_overshoot_pallas_encode_exact():
     bufs, tot = np.asarray(bufs), np.asarray(tot)
     np.testing.assert_array_equal(tot, ref_tot)
     np.testing.assert_array_equal(bufs[0, :tot[0]], ref[0, :ref_tot[0]])
+
+
+@pytest.mark.parametrize("c,q", [(1, 64), (1, 77), (3, 85), (4, 64),
+                                 (5, 51), (7, 33), (16, 16), (31, 9)])
+def test_transform_channel_counts_roundtrip(c, q):
+    """The SIMD predict/un-predict row kernels (vpermb stride-c prefix)
+    must match the scalar/numpy transforms for every channel count and
+    ragged row length, both transport directions."""
+    shape = (2, 12, q, c)
+    tiles = _tiles(shape, seed=40 + c)
+    tr = _calibrated(tiles)
+    n = shape[1] * shape[2] * shape[3]
+    cap = tr.capacity(n) + 4096
+    # upload direction: C++ predict+encode -> device scan decode
+    queues, totals = tr.encode_host(tiles, cap)
+    assert (totals > 0).all()
+    rec = decode_residuals_device(jnp.asarray(queues.astype(np.int32)),
+                                  tr.tables, tr.dec_lut, shape,
+                                  use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(rec), tiles)
+    # fetch direction: device scan encode -> C++ decode+un-predict
+    bufs, totals = encode_residuals_device(
+        jnp.asarray(tiles), tr.tables, tr.enc_tables, cap,
+        use_pallas=False)
+    bufs, totals = np.asarray(bufs), np.asarray(totals)
+    for i in range(shape[0]):
+        out = tr.decode_host(bufs[i], int(totals[i]), (1,) + shape[1:])
+        np.testing.assert_array_equal(out[0], tiles[i])
