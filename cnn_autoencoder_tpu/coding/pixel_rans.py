@@ -50,6 +50,7 @@ from .device_rans import (DeviceTables, PRECISION, PROB_SCALE,
 
 STREAMS = 1024          # matches the Pallas kernel geometry
 _CAP_BUCKET = 1 << 11   # capacity quantum (words): bounds recompiles
+_FLAT_BUCKET = 1 << 15  # compacted upload buffer quantum (words)
 
 
 class RansFetchResult(NamedTuple):
@@ -158,6 +159,47 @@ def compact_queues_device(bufs: jnp.ndarray, totals: jnp.ndarray,
 
     flat = jax.lax.fori_loop(0, b, body, flat)
     return flat[:head_words]
+
+
+def compact_host(queues: np.ndarray, totals: np.ndarray,
+                 capacity: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Concatenate host-encoded per-tile queues into one exact flat buffer.
+
+    (B, capacity) uint16 + per-tile totals -> ((F,) uint16 flat, (B,) int32
+    offsets).  Only sum(totals) words (plus bucket padding) cross the h2d
+    link instead of B padded-capacity rows — the per-tile margin+bucket
+    waste (~10% of the coded upload) stays on the host.  ``flat`` carries
+    one extra ``capacity`` of zero tail so the device-side expansion's
+    dynamic_slice(offsets[i], capacity) never clamps (lax.dynamic_slice
+    shifts out-of-range starts, which would silently misalign the last
+    tile's words)."""
+    b = queues.shape[0]
+    totals = np.asarray(totals, np.int64)
+    offs = np.zeros(b, np.int32)
+    offs[1:] = np.cumsum(totals[:-1]).astype(np.int32)
+    need = int(totals.sum()) + capacity
+    f = -(-need // _FLAT_BUCKET) * _FLAT_BUCKET
+    flat = np.zeros(f, np.uint16)
+    for i in range(b):
+        t = int(totals[i])
+        flat[offs[i]:offs[i] + t] = queues[i, :t]
+    return flat, offs
+
+
+def expand_queues_device(flat: jnp.ndarray, offsets: jnp.ndarray,
+                         capacity: int) -> jnp.ndarray:
+    """Inverse of compact_host, for use INSIDE the jitted encode program:
+    (F,) flat words + (B,) offsets -> (B, capacity) padded queue rows.
+    Rows read past their tile's total into the next tile's words; the rANS
+    decoder never consumes past its symbol count, so the tail is inert."""
+    b = offsets.shape[0]
+
+    def body(i, acc):
+        row = jax.lax.dynamic_slice(flat, (offsets[i],), (capacity,))
+        return jax.lax.dynamic_update_slice(acc, row[None], (i, 0))
+
+    out = jnp.zeros((b, capacity), flat.dtype)
+    return jax.lax.fori_loop(0, b, body, out)
 
 
 def decode_residuals_device(queues: jnp.ndarray, tables: DeviceTables,
@@ -299,11 +341,11 @@ class PixelRansTransport:
     def capacity(self, n_values: int) -> int:
         """Per-tile word capacity (bucketed to bound recompiles).
 
-        The margin is deliberately thin: per-tile totals concentrate
-        tightly around n*bits (CLT over ~1e6 values), overflow falls back
-        to raw byte-identically, and every margin word is fetched over the
-        link whether used or not."""
-        margin = 1.06 + 0.05 * min(4, self._overflows)
+        Margin words never cross the link (uploads compact to sum(totals)
+        via compact_host; fetches slice the pooled head to the used span),
+        so the margin only costs device memory — it is sized generously so
+        content drift rarely forces the raw-fallback path."""
+        margin = 1.25 + 0.1 * min(4, self._overflows)
         words = 2 * STREAMS + 64 + int(
             n_values * self.bits_per_value / 16.0 * margin)
         return -(-words // _CAP_BUCKET) * _CAP_BUCKET
@@ -324,24 +366,33 @@ class PixelRansTransport:
 
     def worthwhile(self, n_values: int) -> bool:
         """Whether coding beats raw on the wire for this tile size (the
-        per-tile flush of 2*STREAMS words + capacity margin can exceed raw
-        bytes for tiny tiles or incompressible content)."""
-        return 2 * self.capacity(n_values) < n_values
+        per-tile flush of 2*STREAMS words can exceed raw bytes for tiny
+        tiles or incompressible content).  Uploads ship exactly
+        sum(totals) words (compact_host), so the estimate uses the coded
+        size, not the margined device capacity."""
+        coded_words = (n_values * self.bits_per_value / 16.0
+                       + 2 * STREAMS + 64)
+        return 2 * coded_words < n_values
 
     def pooled_head_words(self, n_values: int, batch: int) -> int:
         """Static word budget for a COMPACTED batch of fetch frames.
 
-        Per-tile totals concentrate tightly (CLT over ~1e6 values) and the
-        pool averages residual deviations across the batch, so the margin
-        can be far thinner than the per-tile one — every word here crosses
-        the link whether used or not."""
-        margin = 1.02 + 0.02 * min(4, self._overflows)
+        The host fetches only the used span (fetch_pixels slices the head
+        after reading totals), so pool margin costs device memory, not
+        wire bytes — sized to make batch overflows rare while the pool
+        still averages residual deviations across tiles."""
+        margin = 1.08 + 0.04 * min(4, self._overflows)
         words = batch * (2 * STREAMS + 64) + int(
             batch * n_values * self.bits_per_value / 16.0 * margin)
         return -(-words // _CAP_BUCKET) * _CAP_BUCKET
 
     def worthwhile_fetch(self, n_values: int, batch: int) -> bool:
-        return 2 * self.pooled_head_words(n_values, batch) < batch * n_values
+        """Like worthwhile(): the wire cost is the coded size (the host
+        slices the pooled head to the used span), not the margined
+        device budget."""
+        coded_words = batch * (n_values * self.bits_per_value / 16.0
+                               + 2 * STREAMS + 64)
+        return 2 * coded_words < batch * n_values
 
     # -- host halves --------------------------------------------------------
 

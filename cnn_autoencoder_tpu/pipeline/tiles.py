@@ -202,7 +202,7 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
         with GLOBAL_TIMER.stage("compress/h2d+dispatch", mp):
             if coded:
                 sym_dev = core.encode_tiles_device_coded(
-                    queues, tiles_np.shape, snap)
+                    queues, totals, tiles_np.shape, snap, cap)
             else:
                 GLOBAL_TIMER.add_link_bytes("h2d", tiles_np.nbytes)
                 sym_dev = core.encode_tiles_device(jnp.asarray(tiles_np))

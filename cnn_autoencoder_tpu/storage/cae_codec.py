@@ -130,14 +130,17 @@ class CAECodecCore:
             head = compact_queues_device(bufs, totals, head_words)
             return head[None], totals, rec
 
-        def encode_from_rans_fn(queues, freq, start, slot, dec_lut, shape,
-                                use_pallas):
+        def encode_from_rans_fn(offsets, flat, freq, start, slot, dec_lut,
+                                shape, px_capacity, use_pallas):
             # upload direction: host C++ rANS-encodes raw input tiles
-            # (coding/pixel_rans.py encode_host), the encode program starts
-            # by decoding the word queues and inverting the predictor, so
-            # only the coded bytes cross the h2d link
+            # (coding/pixel_rans.py encode_host) and compacts them into
+            # one exact flat buffer (compact_host); the encode program
+            # expands + decodes the word queues and inverts the predictor,
+            # so only sum(totals) coded words cross the h2d link
             from ..coding.pixel_rans import (decode_residuals_device,
+                                             expand_queues_device,
                                              make_pixel_tables)
+            queues = expand_queues_device(flat, offsets, px_capacity)
             tiles = decode_residuals_device(
                 queues.astype(jnp.int32),
                 make_pixel_tables(freq, start, slot), dec_lut, shape,
@@ -157,7 +160,7 @@ class CAECodecCore:
         self._decode_rans = jax.jit(decode_rans_fn,
                                     static_argnums=(6, 7, 8))
         self._encode_rans = jax.jit(encode_from_rans_fn,
-                                    static_argnums=(5, 6))
+                                    static_argnums=(6, 7, 8))
         self._decode_y = jax.jit(decode_y_fn, static_argnums=(1,))
         self._latent = jax.jit(latent_fn)
 
@@ -199,21 +202,27 @@ class CAECodecCore:
         return self._encode(self._shard_batch(tiles_u8))
 
     def encode_tiles_device_coded(self, queues_u16: np.ndarray,
+                                  totals: np.ndarray,
                                   shape: Tuple[int, int, int, int],
-                                  snap):
+                                  snap, px_capacity: int):
         """Coded-upload twin of ``encode_tiles_device``: ``queues_u16``
-        ((B, capacity) uint16 from transport.encode_host) crosses the h2d
-        link instead of raw pixels; the program decodes them back to the
-        (B, H, W, C) tiles of ``shape`` before encoding.  ``snap`` is the
-        transport.snapshot() the queues were encoded with."""
+        ((B, capacity) uint16 from transport.encode_host, per-tile word
+        counts in ``totals``) is compacted into one exact flat buffer and
+        only that crosses the h2d link instead of raw pixels; the program
+        expands + decodes it back to the (B, H, W, C) tiles of ``shape``
+        before encoding.  ``snap`` is the transport.snapshot() the queues
+        were encoded with."""
+        from ..coding.pixel_rans import compact_host
         from ..utils.profiling import GLOBAL_TIMER
-        GLOBAL_TIMER.add_link_bytes("h2d", queues_u16.nbytes)
+        flat, offs = compact_host(queues_u16, totals, px_capacity)
+        GLOBAL_TIMER.add_link_bytes("h2d", flat.nbytes + offs.nbytes)
         use_pallas = (self.mesh is None
                       and jax.default_backend() == "tpu")
         t, _, dec_lut, _, _ = snap
         return self._encode_rans(
-            self._shard_batch(jnp.asarray(queues_u16)), t.freq, t.start,
-            t.slot, dec_lut, shape, use_pallas)
+            self._shard_batch(jnp.asarray(offs)), jnp.asarray(flat),
+            t.freq, t.start, t.slot, dec_lut, shape, px_capacity,
+            use_pallas)
 
     @staticmethod
     def fetch_symbols(sym_dev) -> np.ndarray:
@@ -315,16 +324,16 @@ class CAECodecCore:
         if isinstance(rec_dev, RansFetchResult):
             # (n_shards, head_words) compacted queues + per-tile totals;
             # the host splits by cumulative totals per shard (under a mesh
-            # each shard compacted its own contiguous slice of the batch)
-            head_np, totals_np = jax.device_get((rec_dev.head,
-                                                 rec_dev.totals))
-            GLOBAL_TIMER.add_link_bytes("d2h", head_np.nbytes
-                                        + totals_np.nbytes)
-            n_shards = head_np.shape[0]
+            # each shard compacted its own contiguous slice of the batch).
+            # Totals come down FIRST (a tiny round trip) so the head fetch
+            # can slice away the pooled margin — only words the encoder
+            # actually wrote cross the link.
+            totals_np = jax.device_get(rec_dev.totals)
+            n_shards = rec_dev.head.shape[0]
+            hw = rec_dev.head.shape[1]
             b = totals_np.shape[0]
             per = b // n_shards
             p, q, c = shape[1:]
-            hw = head_np.shape[1]
             offs = totals_np.reshape(n_shards, per)
             # two distinct overflows force the raw fallback: a TILE past
             # the per-tile device budget (its queue row was truncated on
@@ -334,8 +343,16 @@ class CAECodecCore:
                     or int(np.cumsum(offs, axis=1).max()) > hw):
                 transport.note_overflow()
                 out = np.asarray(rec_dev.rec)
-                GLOBAL_TIMER.add_link_bytes("d2h", out.nbytes)
+                GLOBAL_TIMER.add_link_bytes("d2h",
+                                            out.nbytes + totals_np.nbytes)
                 return out
+            # slice to the largest per-shard used span, bucketed to bound
+            # the number of compiled slice programs
+            needed = int(offs.sum(axis=1).max())
+            nb = min(hw, -(-needed // 2048) * 2048)
+            head_np = jax.device_get(rec_dev.head[:, :nb])
+            GLOBAL_TIMER.add_link_bytes("d2h", head_np.nbytes
+                                        + totals_np.nbytes)
             out = np.empty((b, p, q, c), np.uint8)
             for s in range(n_shards):
                 off = 0

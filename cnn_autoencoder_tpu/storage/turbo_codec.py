@@ -177,12 +177,17 @@ class CAETurboCore:
             head = compact_queues_device(bufs, totals, head_words)
             return head[None], totals, rec
 
-        def encode_fused_rans(queues, ch_map, freq, start, slot, dec_lut,
-                              shape, capacity, use_pallas):
-            # coded upload: the host rANS-encodes raw tiles (C++), this
-            # program decodes them back before the conv encoder — only
-            # coded bytes cross the h2d link (coding/pixel_rans.py)
-            from ..coding.pixel_rans import decode_residuals_device
+        def encode_fused_rans(offsets, ch_map, flat, freq, start, slot,
+                              dec_lut, shape, capacity, px_capacity,
+                              use_pallas):
+            # coded upload: the host rANS-encodes raw tiles (C++) and
+            # compacts them into one exact flat buffer (compact_host), this
+            # program expands + decodes them back before the conv encoder —
+            # only sum(totals) coded words cross the h2d link
+            # (coding/pixel_rans.py)
+            from ..coding.pixel_rans import (decode_residuals_device,
+                                             expand_queues_device)
+            queues = expand_queues_device(flat, offsets, px_capacity)
             tiles = decode_residuals_device(
                 queues.astype(jnp.int32), _pixel_tables(freq, start, slot),
                 dec_lut, shape, use_pallas)
@@ -200,7 +205,7 @@ class CAETurboCore:
                          "rans": decode_fused_rans,
                          "enc_rans": encode_fused_rans}
         # extra replicated (non-batch) array args beyond (batch, ch_map)
-        self._extra_args = {"rans": 5, "enc_rans": 4}
+        self._extra_args = {"rans": 5, "enc_rans": 5}
         # number of outputs (for shard_map out_specs)
         self._n_out = {"enc": 3, "rans": 3, "enc_rans": 3}
 
@@ -303,15 +308,20 @@ class CAETurboCore:
         if coded_up:
             tab, _, dec_lut, s_freq, s_start = snap
             cap_px = up_transport.capacity(n_px)
-            queues, q_totals = up_transport.encode_host(
-                tiles_u8, cap_px, s_freq, s_start)
+            with GLOBAL_TIMER.stage("compress/host_rans_px",
+                                    bsz * h * w / 1e6):
+                queues, q_totals = up_transport.encode_host(
+                    tiles_u8, cap_px, s_freq, s_start)
             coded_up = bool((q_totals >= 0).all())
             if not coded_up:
                 up_transport.note_overflow()
         pb = bsz + (-bsz) % self._nd   # batch after mesh padding
         if coded_up:
-            qdev, _ = self._pad_batch(jnp.asarray(queues))
-            GLOBAL_TIMER.add_link_bytes("h2d", queues.nbytes)
+            from ..coding.pixel_rans import compact_host
+            flat, offs = compact_host(queues, q_totals, cap_px)
+            flat_dev = jnp.asarray(flat)
+            odev, _ = self._pad_batch(jnp.asarray(offs))
+            GLOBAL_TIMER.add_link_bytes("h2d", flat.nbytes + offs.nbytes)
         else:
             tiles_dev = jnp.asarray(tiles_u8)
             if (ph, pw) != (h, w):
@@ -326,9 +336,11 @@ class CAETurboCore:
             if coded_up:
                 encode = self._get_fn(
                     "enc_rans", shape=(pb, h, w, tiles_u8.shape[3]),
-                    capacity=capacity, use_pallas=enc_pallas)
-                bufs, totals, esc = encode(qdev, ch_map, tab.freq,
-                                           tab.start, tab.slot, dec_lut)
+                    capacity=capacity, px_capacity=cap_px,
+                    use_pallas=enc_pallas)
+                bufs, totals, esc = encode(odev, ch_map, flat_dev,
+                                           tab.freq, tab.start, tab.slot,
+                                           dec_lut)
             else:
                 encode = self._get_fn("enc", capacity=capacity,
                                       use_pallas=enc_pallas)
@@ -336,8 +348,10 @@ class CAETurboCore:
             # ONE device_get for everything: the tunnel's per-round-trip
             # latency dwarfs the (rare) waste of fetching buffers that a
             # capacity retry throws away
-            bufs_np, totals_np, esc_np = jax.device_get(
-                (bufs, totals, esc))
+            with GLOBAL_TIMER.stage("compress/turbo_fetch",
+                                    bsz * h * w / 1e6):
+                bufs_np, totals_np, esc_np = jax.device_get(
+                    (bufs, totals, esc))
             GLOBAL_TIMER.add_link_bytes("d2h", bufs_np.nbytes
                                         + totals_np.nbytes + 4)
             if int(esc_np.sum()) == 0 and totals_np.max() <= capacity:
