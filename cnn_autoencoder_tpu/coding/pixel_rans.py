@@ -168,16 +168,15 @@ def compact_host(queues: np.ndarray, totals: np.ndarray,
     (B, capacity) uint16 + per-tile totals -> ((F,) uint16 flat, (B,) int32
     offsets).  Only sum(totals) words (plus bucket padding) cross the h2d
     link instead of B padded-capacity rows — the per-tile margin+bucket
-    waste (~10% of the coded upload) stays on the host.  ``flat`` carries
-    one extra ``capacity`` of zero tail so the device-side expansion's
-    dynamic_slice(offsets[i], capacity) never clamps (lax.dynamic_slice
-    shifts out-of-range starts, which would silently misalign the last
-    tile's words)."""
+    waste (~10-25% of the coded upload) stays on the host.  The zero tail
+    that keeps the device-side dynamic_slice(offsets[i], capacity) in
+    bounds is appended IN-PROGRAM by expand_queues_device (device zeros
+    are free; host tail bytes would cross the link)."""
     b = queues.shape[0]
     totals = np.asarray(totals, np.int64)
     offs = np.zeros(b, np.int32)
     offs[1:] = np.cumsum(totals[:-1]).astype(np.int32)
-    need = int(totals.sum()) + capacity
+    need = int(totals.sum())
     f = -(-need // _FLAT_BUCKET) * _FLAT_BUCKET
     flat = np.zeros(f, np.uint16)
     for i in range(b):
@@ -191,8 +190,12 @@ def expand_queues_device(flat: jnp.ndarray, offsets: jnp.ndarray,
     """Inverse of compact_host, for use INSIDE the jitted encode program:
     (F,) flat words + (B,) offsets -> (B, capacity) padded queue rows.
     Rows read past their tile's total into the next tile's words; the rANS
-    decoder never consumes past its symbol count, so the tail is inert."""
+    decoder never consumes past its symbol count, so the tail is inert.
+    A ``capacity`` zero tail is concatenated here (device-side, free on
+    the wire) so the last row's dynamic_slice never goes out of bounds —
+    lax.dynamic_slice would shift the start and misalign its words."""
     b = offsets.shape[0]
+    flat = jnp.concatenate([flat, jnp.zeros((capacity,), flat.dtype)])
 
     def body(i, acc):
         row = jax.lax.dynamic_slice(flat, (offsets[i],), (capacity,))
