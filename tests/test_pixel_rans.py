@@ -455,3 +455,51 @@ def test_transform_channel_counts_roundtrip(c, q):
     for i in range(shape[0]):
         out = tr.decode_host(bufs[i], int(totals[i]), (1,) + shape[1:])
         np.testing.assert_array_equal(out[0], tiles[i])
+
+
+def test_quantize_freqs_optimal_beats_reference_quantizer():
+    """The transport's table quantizer must (a) be a valid 2^12 table and
+    (b) not regress vs the latent path's parity-mandated quantizer, whose
+    steal-from-smallest repair grinds mid-tail bins to freq=1 (measured
+    +0.24 bits/value on bench-like content)."""
+    from cnn_autoencoder_tpu.coding.cdf import pmf_to_quantized_cdf
+    from cnn_autoencoder_tpu.coding.device_rans import PRECISION, PROB_SCALE
+    from cnn_autoencoder_tpu.coding.pixel_rans import _quantize_freqs_optimal
+
+    rng = np.random.RandomState(7)
+    # gaussian-ish zigzag residual histogram with a long thin tail
+    mag = np.abs(rng.randn(2_000_00) * 8.5)
+    z = np.minimum((mag * 2).astype(np.int64), 255)
+    hist = np.bincount(z, minlength=256)
+
+    f = _quantize_freqs_optimal(hist)
+    assert f.sum() == PROB_SCALE and f.min() >= 1 and f.shape == (256,)
+
+    p = hist / hist.sum()
+    nz = p > 0
+
+    def xent(freqs):
+        return float(np.sum(p[nz] * -np.log2(freqs[nz] / PROB_SCALE)))
+
+    pmf = (hist + 1.0) / (hist.sum() + 256.0)
+    ref = np.diff(np.asarray(pmf_to_quantized_cdf(pmf, PRECISION)))
+    ent = float(np.sum(p[nz] * -np.log2(p[nz])))
+    assert xent(f) <= xent(ref) + 1e-9
+    # near-optimal: the remaining gap is the floor-of-1 codability tax on
+    # ~150 unused symbols (1/4096 mass each), not assignment suboptimality
+    assert xent(f) - ent < 0.08
+
+
+def test_quantize_freqs_optimal_degenerate():
+    """Single-spike and near-empty histograms stay valid tables."""
+    from cnn_autoencoder_tpu.coding.device_rans import PROB_SCALE
+    from cnn_autoencoder_tpu.coding.pixel_rans import _quantize_freqs_optimal
+
+    spike = np.zeros(256, np.int64)
+    spike[0] = 10_000_000
+    f = _quantize_freqs_optimal(spike)
+    assert f.sum() == PROB_SCALE and f.min() >= 1
+    assert f[0] == PROB_SCALE - 255  # everything else at the floor
+
+    f = _quantize_freqs_optimal(np.zeros(256, np.int64))  # uniform
+    assert f.sum() == PROB_SCALE and f.min() >= 1
