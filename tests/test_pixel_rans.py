@@ -503,3 +503,26 @@ def test_quantize_freqs_optimal_degenerate():
 
     f = _quantize_freqs_optimal(np.zeros(256, np.int64))  # uniform
     assert f.sum() == PROB_SCALE and f.min() >= 1
+
+
+def test_compact_host_expand_device_roundtrip():
+    """compact_host -> expand_queues_device must reproduce the padded
+    queue rows exactly for every tile, including a last tile at full
+    capacity (the expansion's dynamic_slice reads past the flat payload
+    into the in-program zero tail)."""
+    from cnn_autoencoder_tpu.coding.pixel_rans import (compact_host,
+                                                       expand_queues_device)
+
+    rng = np.random.RandomState(11)
+    cap = 4096
+    totals = np.array([100, cap, 0, 777], np.int32)
+    queues = np.zeros((4, cap), np.uint16)
+    for i, t in enumerate(totals):
+        queues[i, :t] = rng.randint(1, 1 << 16, t, np.uint16)
+
+    flat, offs = compact_host(queues, totals, cap)
+    assert flat.nbytes <= 2 * (int(totals.sum()) + (1 << 15))
+    rows = np.asarray(expand_queues_device(jnp.asarray(flat),
+                                           jnp.asarray(offs), cap))
+    for i, t in enumerate(totals):
+        np.testing.assert_array_equal(rows[i, :t], queues[i, :t])
