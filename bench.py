@@ -389,8 +389,10 @@ def main():
                 spec.loader.exec_module(bs)
                 # steps/batch sized so per-dispatch tunnel latency
                 # (~1-3 ms) amortizes: at 10x8 the measurement read ~45%
-                # low vs the standalone bench (98.9 vs 177.7 combined)
-                device_resident = bs.measure(model, steps=20, batch=16,
+                # low vs the standalone bench (98.9 vs 177.7 combined);
+                # batch 64 keeps the G-interleaved rANS kernels and the
+                # conv pipeline saturated (373 vs 330 MP/s at batch 16)
+                device_resident = bs.measure(model, steps=12, batch=64,
                                              patch=PATCH)
                 print(f"# device-resident: {device_resident['value']} "
                       f"{device_resident['unit']}", file=sys.stderr)

@@ -81,67 +81,104 @@ def _prefix_sum(x):
 
 def _select_gather(rows, row_idx, lane_idx, n_rows):
     """out[r, l] = rows[row_idx[r, l], lane_idx[r, l]] via n_rows
-    lane-shuffles + selects.  ``rows``: (n_rows, 128) int32."""
-    out = jnp.zeros((_SUB, _LANE), jnp.int32)
+    lane-shuffles + selects.  ``rows``: (n_rows, 128) int32; the index
+    operands may be any (rows, 128) shape (the G-interleaved kernels pass
+    (G*8, 128))."""
+    out = jnp.zeros(row_idx.shape, jnp.int32)
     for r in range(n_rows):
-        bc = jnp.broadcast_to(rows[r][None, :], (_SUB, _LANE))
+        bc = jnp.broadcast_to(rows[r][None, :], row_idx.shape)
         cand = jnp.take_along_axis(bc, lane_idx, axis=1)
         out = jnp.where(row_idx == r, cand, out)
     return out
 
 
-def _decode_kernel(ch_ref, x0_ref, queue_ref, lut_ref, out_ref):
-    """One tile: T steps x (8,128) streams.
+def _pick_group(b: int, block_words: int) -> int:
+    """Tiles interleaved per kernel invocation.
 
-    ch_ref: (T,) i32 scalar-prefetch — channel per step
-    x0_ref: (8, 128) i32 — initial states (from the 2S flush words)
-    queue_ref: (Qrows + 9, 128) i32 — zero-extended u16 words, padded
-    lut_ref: (C * 32, 128) i32 — packed val<<24 | start<<12 | (freq-1)
-    out_ref: (T, 8, 128) i32 — decoded value indices
-    """
-    t_steps = out_ref.shape[0]
-    q_rows = queue_ref.shape[0]
-    mask = jnp.int32(MASK)
+    The scan steps are serial per tile but independent ACROSS tiles;
+    stacking G tiles' stream registers on the sublane axis lets Mosaic
+    overlap their dependency chains (measured on v5e: encode 520 -> 1245
+    -> 2364 Msym/s marginal at G=1/2/4).  Bounded by VMEM: ``block_words``
+    is the per-tile int32 block footprint; budget keeps the G-scaled
+    blocks (double-buffered across the grid) inside ~16 MB/core."""
+    budget = (7 * 1024 * 1024) // 4
+    for g in (4, 2):
+        if b % g == 0 and g * block_words <= budget:
+            return g
+    return 1
 
-    def step(t, carry):
-        x, base = carry  # x: (8,128) int32 (bit pattern of u32 state)
-        ch = ch_ref[t]
 
-        # ---- LUT lookup: packed = lut[ch, cum] -------------------------
-        cum = x & mask
-        lrows = lut_ref[pl.ds(ch * _LUT_ROWS, _LUT_ROWS), :]
-        p = _select_gather(lrows, cum >> 7, cum & (_LANE - 1), _LUT_ROWS)
+def _make_decode_kernel(g):
+    """G-tile-interleaved decode kernel: G tiles' stream registers stack
+    on the sublane axis ((G*8, 128)); their serial per-tile chains are
+    independent, so Mosaic overlaps them (the single-tile step is
+    latency-bound, not throughput-bound — measured ~4x at G=4)."""
+    gs = g * _SUB
 
-        fk = (p & mask) + 1                       # freq, 1..4096
-        stk = (p >> PRECISION) & mask             # start
-        val = (p >> 24) & 0xFF                    # value index
+    def _decode_kernel(ch_ref, x0_ref, queue_ref, lut_ref, out_ref):
+        """G tiles: T steps x (G*8,128) streams.
 
-        # state update (mod 2^32; logical shift via uint32 view)
-        xu = pltpu.bitcast(x, jnp.uint32)
-        x = pltpu.bitcast(
-            pltpu.bitcast(fk, jnp.uint32) * (xu >> PRECISION), jnp.int32)
-        x = x + cum - stk
+        ch_ref: (T,) i32 scalar-prefetch — channel per step
+        x0_ref: (G*8, 128) i32 — initial states (from the 2S flush words)
+        queue_ref: (G, Qrows + 9, 128) i32 — zero-extended u16 words
+        lut_ref: (C * 32, 128) i32 — packed val<<24 | start<<12 | (freq-1)
+        out_ref: (T, G*8, 128) i32 — decoded value indices
+        """
+        t_steps = out_ref.shape[0]
+        q_rows = queue_ref.shape[1]
+        mask = jnp.int32(MASK)
 
-        # ---- refill: next k words off the shared queue -----------------
-        xu = pltpu.bitcast(x, jnp.uint32)
-        need = xu < jnp.uint32(STATE_MIN)
-        ni = need.astype(jnp.int32)
-        incl, total = _prefix_sum(ni)
-        rank = incl - ni                               # (8,128) exclusive
+        def step(t, carry):
+            x, bases = carry  # x: (G*8,128); bases: per-tile queue pos
+            ch = ch_ref[t]
 
-        r0 = jnp.minimum(base >> 7, q_rows - _WIN_ROWS)
-        off = base - (r0 << 7)
-        win = queue_ref[pl.ds(r0, _WIN_ROWS), :]
-        j = off + rank
-        w = _select_gather(win, j >> 7, j & (_LANE - 1), _WIN_ROWS)
+            # ---- LUT lookup: packed = lut[ch, cum] ---------------------
+            cum = x & mask
+            lrows = lut_ref[pl.ds(ch * _LUT_ROWS, _LUT_ROWS), :]
+            p = _select_gather(lrows, cum >> 7, cum & (_LANE - 1),
+                               _LUT_ROWS)
 
-        x = jnp.where(need, (x << 16) | w, x)
-        out_ref[pl.ds(t, 1)] = val[None]
-        return x, base + total
+            fk = (p & mask) + 1                       # freq, 1..4096
+            stk = (p >> PRECISION) & mask             # start
+            val = (p >> 24) & 0xFF                    # value index
 
-    x0 = x0_ref[:]
-    jax.lax.fori_loop(0, t_steps, step,
-                      (x0, jnp.int32(2 * STREAMS)))
+            # state update (mod 2^32; logical shift via uint32 view)
+            xu = pltpu.bitcast(x, jnp.uint32)
+            x = pltpu.bitcast(
+                pltpu.bitcast(fk, jnp.uint32) * (xu >> PRECISION),
+                jnp.int32)
+            x = x + cum - stk
+
+            # ---- refill: next k words off each tile's queue ------------
+            xu = pltpu.bitcast(x, jnp.uint32)
+            need = xu < jnp.uint32(STATE_MIN)
+            ni_all = need.astype(jnp.int32)
+            new_bases = []
+            words = []
+            for gi in range(g):
+                ni = ni_all[gi * _SUB:(gi + 1) * _SUB]
+                base = bases[gi]
+                incl, total = _prefix_sum(ni)
+                rank = incl - ni                      # (8,128) exclusive
+                r0 = jnp.minimum(base >> 7, q_rows - _WIN_ROWS)
+                off = base - (r0 << 7)
+                win = queue_ref[gi, pl.ds(r0, _WIN_ROWS), :]
+                j = off + rank
+                words.append(_select_gather(win, j >> 7, j & (_LANE - 1),
+                                            _WIN_ROWS))
+                new_bases.append(base + total)
+            w = words[0] if g == 1 else jnp.concatenate(words, axis=0)
+
+            x = jnp.where(need, (x << 16) | w, x)
+            out_ref[pl.ds(t, 1)] = val[None]
+            return x, tuple(new_bases)
+
+        x0 = x0_ref[:]
+        jax.lax.fori_loop(
+            0, t_steps, step,
+            (x0, tuple(jnp.int32(2 * STREAMS) for _ in range(g))))
+
+    return _decode_kernel
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -169,29 +206,40 @@ def decode_interleaved_pallas(queues: jnp.ndarray, channels: jnp.ndarray,
     q_rows = queues_p.shape[1] // _LANE
     queues_p = queues_p.reshape(b, q_rows, _LANE)
 
+    g = _pick_group(b, (num_steps * _SUB + q_rows + _SUB) * _LANE)
+    gs = g * _SUB
+    # (B, ...) -> (B/G, G tiles side by side on the sublane axis)
+    x0 = (x0.reshape(b // g, g, _SUB, _LANE)
+          .reshape(b // g, gs, _LANE))
+    queues_g = queues_p.reshape(b // g, g, q_rows, _LANE)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((None, _SUB, _LANE), lambda i, ch: (i, 0, 0),
+            pl.BlockSpec((None, gs, _LANE), lambda i, ch: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, q_rows, _LANE), lambda i, ch: (i, 0, 0),
+            pl.BlockSpec((None, g, q_rows, _LANE),
+                         lambda i, ch: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c * _LUT_ROWS, _LANE), lambda i, ch: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, num_steps, _SUB, _LANE),
+        out_specs=pl.BlockSpec((None, num_steps, gs, _LANE),
                                lambda i, ch: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
     out = pl.pallas_call(
-        _decode_kernel,
+        _make_decode_kernel(g),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, num_steps, _SUB, _LANE),
+        out_shape=jax.ShapeDtypeStruct((b // g, num_steps, gs, _LANE),
                                        jnp.int32),
         interpret=interpret,
-    )(channels, x0, queues_p, lut.reshape(c * _LUT_ROWS, _LANE))
+    )(channels, x0, queues_g, lut.reshape(c * _LUT_ROWS, _LANE))
+    # (B/G, T, G*8, 128) -> (B, T, S): ungroup the sublane stacking
+    out = (out.reshape(b // g, num_steps, g, _SUB, _LANE)
+           .transpose(0, 2, 1, 3, 4))
     return out.reshape(b, num_steps, STREAMS)
 
 
@@ -261,139 +309,163 @@ def _flat_roll_right_traced(x, off):
 _ENC_ROWS = 2      # table rows per channel: supports <= 256 values
 
 
-def _encode_kernel(ch_ref, voff_ref, sym_ref, tab_ref, rcp_ref, queue_ref,
-                   back_ref, xfin_ref):
-    """One tile: T steps x (8,128) streams, reversed.
+def _make_encode_kernel(g):
+    """G-tile-interleaved encode kernel (see _make_decode_kernel): the
+    vectorized rANS math runs on all G tiles at once ((G*8, 128)); the
+    per-tile compaction/placement chains are emitted as G independent op
+    chains Mosaic overlaps.  Measured on v5e: 520 -> 1245 -> 2364 Msym/s
+    marginal at G=1/2/4, bit-identical payloads."""
+    gs = g * _SUB
 
-    ch_ref:  (T,) i32 scalar-prefetch — channel of every step
-    voff_ref: (T,) i32 scalar-prefetch — channel offset of every step
-    sym_ref: (T, 8, 128) i32 — raw symbols
-    tab_ref: (C*2, 128) i32 — per-value freq | start<<13 | shift<<25
-    rcp_ref: (C*2, 128) i32 — per-value round-up reciprocal of freq
-    queue_ref: (Qrows, 128) i32 out — BACK-aligned emitted words
-    back_ref: (1, 1) i32 out (SMEM) — number of emitted words
-    xfin_ref: (8, 128) i32 out — final states (flush words)
+    def _encode_kernel(ch_ref, voff_ref, sym_ref, tab_ref, rcp_ref,
+                       queue_ref, back_ref, xfin_ref):
+        """G tiles: T steps x (G*8,128) streams, reversed.
 
-    The per-symbol table lookup runs in-kernel (two-row lane shuffle per
-    field) — materializing gathered (B, T, S) field arrays in XLA costs
-    more than the whole rANS math.
-    """
-    t_steps = sym_ref.shape[0]
-    # the last WIN_ROWS rows are window-spill scratch, not payload
-    capw = (queue_ref.shape[0] - _WIN_ROWS) * _LANE
-    mask = jnp.int32(MASK)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
-    flat_pos = (jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
-                * _LANE + lane)  # s index of each lane
-    n_vals = _ENC_ROWS * _LANE
+        ch_ref:  (T,) i32 scalar-prefetch — channel of every step
+        voff_ref: (T,) i32 scalar-prefetch — channel offset of every step
+        sym_ref: (T, G*8, 128) i32 — raw symbols, tiles on sublanes
+        tab_ref: (C*2, 128) i32 — per-value freq | start<<13 | shift<<25
+        rcp_ref: (C*2, 128) i32 — per-value round-up reciprocal of freq
+        queue_ref: (G, Qrows, 128) i32 out — BACK-aligned emitted words
+        back_ref: (G, 1) i32 out (SMEM) — emitted words per tile
+        xfin_ref: (G*8, 128) i32 out — final states (flush words)
 
-    def step(i, carry):
-        x, back = carry  # x: (8,128) uint32-as-int32
-        t = t_steps - 1 - i
-        ch = ch_ref[t]
+        The per-symbol table lookup runs in-kernel (two-row lane shuffle
+        per field) — materializing gathered (B, T, S) field arrays in XLA
+        costs more than the whole rANS math.
+        """
+        t_steps = sym_ref.shape[0]
+        # the last WIN_ROWS rows are window-spill scratch, not payload
+        capw = (queue_ref.shape[1] - _WIN_ROWS) * _LANE
+        mask = jnp.int32(MASK)
+        lane_g = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
+        flat_pos = (jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+                    * _LANE + lane_g)  # s index of each lane (per tile)
+        n_vals = _ENC_ROWS * _LANE
 
-        # value index, clipped to the table range (escapes are counted by
-        # the XLA wrapper and the whole batch falls back to the host path)
-        v = jnp.clip(sym_ref[pl.ds(t, 1)][0] - voff_ref[t], 0, n_vals - 1)
-        vl = v & (_LANE - 1)
-        hi = v >> 7
+        def step(i, carry):
+            x, backs = carry  # x: (G*8,128) uint32-as-int32
+            t = t_steps - 1 - i
+            ch = ch_ref[t]
 
-        trows = tab_ref[pl.ds(ch * _ENC_ROWS, _ENC_ROWS), :]
-        rrows = rcp_ref[pl.ds(ch * _ENC_ROWS, _ENC_ROWS), :]
+            # value index, clipped to the table range (escapes are counted
+            # by the XLA wrapper; the whole batch falls back on escape)
+            v = jnp.clip(sym_ref[pl.ds(t, 1)][0] - voff_ref[t], 0,
+                         n_vals - 1)
+            vl = v & (_LANE - 1)
+            hi = v >> 7
 
-        def lut2(rows):
-            lo_v = jnp.take_along_axis(
-                jnp.broadcast_to(rows[0][None, :], (_SUB, _LANE)), vl,
-                axis=1)
-            hi_v = jnp.take_along_axis(
-                jnp.broadcast_to(rows[1][None, :], (_SUB, _LANE)), vl,
-                axis=1)
-            return jnp.where(hi == 0, lo_v, hi_v)
+            trows = tab_ref[pl.ds(ch * _ENC_ROWS, _ENC_ROWS), :]
+            rrows = rcp_ref[pl.ds(ch * _ENC_ROWS, _ENC_ROWS), :]
 
-        packed = lut2(trows)
-        rcp = pltpu.bitcast(lut2(rrows), jnp.uint32)
-        fk = packed & jnp.int32(0x1FFF)
-        stk = (packed >> 13) & mask
-        shift = (packed >> 25) & 0xF
+            def lut2(rows):
+                lo_v = jnp.take_along_axis(
+                    jnp.broadcast_to(rows[0][None, :], (gs, _LANE)), vl,
+                    axis=1)
+                hi_v = jnp.take_along_axis(
+                    jnp.broadcast_to(rows[1][None, :], (gs, _LANE)), vl,
+                    axis=1)
+                return jnp.where(hi == 0, lo_v, hi_v)
 
-        xu = pltpu.bitcast(x, jnp.uint32)
-        # xu >> 20 < 2^12 and fk <= 2^12: compare is safe in int32
-        e = ((xu >> EMIT_SHIFT).astype(jnp.int32) >= fk)
-        w = x & jnp.int32(0xFFFF)
-        xu = jnp.where(e, xu >> 16, xu)
+            packed = lut2(trows)
+            rcp = pltpu.bitcast(lut2(rrows), jnp.uint32)
+            fk = packed & jnp.int32(0x1FFF)
+            stk = (packed >> 13) & mask
+            shift = (packed >> 25) & 0xF
 
-        # q = xu // fk, exactly: mulhi(x, rcp) >> (shift - 1); fk == 1
-        # (shift == 0) means q = x.  Clamp the shift base so the variable
-        # shift amount stays in [0, 31] even where the where() discards it.
-        sh_eff = jnp.maximum(shift, 1).astype(jnp.uint32) - 1
-        q = _mulhi32(xu, rcp) >> sh_eff
-        q = jnp.where(shift == 0, xu, q)
-        fku = pltpu.bitcast(fk, jnp.uint32)
-        rem = xu - q * fku
-        # The 2^(31+shift) round-up reciprocal is exact only for xu < 2^31;
-        # states reach fk<<20, which exceeds that once fk > 2^11 (peaked
-        # tables on converged priors).  The overshoot is at most +1 —
-        # detect it from the wrapped remainder (true rem < 2^13, so a
-        # wrapped one is negative as int32) and step back.
-        over = pltpu.bitcast(rem, jnp.int32) < 0
-        q = jnp.where(over, q - jnp.uint32(1), q)
-        rem = jnp.where(over, rem + fku, rem)
-        xu = (q << PRECISION) + rem + pltpu.bitcast(stk, jnp.uint32)
-        x = pltpu.bitcast(xu, jnp.int32)
+            xu = pltpu.bitcast(x, jnp.uint32)
+            # xu >> 20 < 2^12 and fk <= 2^12: compare is safe in int32
+            e = ((xu >> EMIT_SHIFT).astype(jnp.int32) >= fk)
+            w = x & jnp.int32(0xFFFF)
+            xu = jnp.where(e, xu >> 16, xu)
 
-        # back-aligned placement: flagged lanes (s ascending) fill
-        # [capw - back - k, capw - back)
-        ni = e.astype(jnp.int32)
-        incl, k = _prefix_sum(ni)
-        rank = incl - ni
-        base = capw - back - k
-        w0 = jnp.maximum(base >> 7, 0)
+            # q = xu // fk, exactly: mulhi(x, rcp) >> (shift - 1); fk == 1
+            # (shift == 0) means q = x.  Clamp the shift base so the
+            # variable shift stays in [0, 31] where the where() discards.
+            sh_eff = jnp.maximum(shift, 1).astype(jnp.uint32) - 1
+            q = _mulhi32(xu, rcp) >> sh_eff
+            q = jnp.where(shift == 0, xu, q)
+            fku = pltpu.bitcast(fk, jnp.uint32)
+            rem = xu - q * fku
+            # The 2^(31+shift) round-up reciprocal is exact only for
+            # xu < 2^31; states reach fk<<20, which exceeds that once
+            # fk > 2^11 (peaked tables on converged priors).  The
+            # overshoot is at most +1 — detect it from the wrapped
+            # remainder (true rem < 2^13, so a wrapped one is negative as
+            # int32) and step back.
+            over = pltpu.bitcast(rem, jnp.int32) < 0
+            q = jnp.where(over, q - jnp.uint32(1), q)
+            rem = jnp.where(over, rem + fku, rem)
+            xu = (q << PRECISION) + rem + pltpu.bitcast(stk, jnp.uint32)
+            x = pltpu.bitcast(xu, jnp.int32)
 
-        # compact flagged words to rank order with a butterfly shift
-        # network (pure integer VPU ops — exact, unlike MXU f32 one-hots):
-        # element s moves left by delta = s - rank(s), which is monotone
-        # non-decreasing in s, so stage-wise moves by each set bit of
-        # delta (LSB first) never collide.
-        v = w
-        d = flat_pos - rank
-        m = ni
-        for bb in range(10):
-            sh = 1 << bb
-            cv = _flat_roll_left(v, sh)
-            cd = _flat_roll_left(d, sh)
-            cm = jnp.where(flat_pos >= STREAMS - sh,
-                           0, _flat_roll_left(m, sh))
-            take = (cm > 0) & (((cd >> bb) & 1) > 0)
-            stay = (m > 0) & (((d >> bb) & 1) == 0)
-            v = jnp.where(take, cv, v)
-            d = jnp.where(take, cd & ~sh, d)
-            m = (take | stay).astype(jnp.int32)
+            ni_all = e.astype(jnp.int32)
+            new_backs = []
+            for gi in range(g):
+                ni = ni_all[gi * _SUB:(gi + 1) * _SUB]
+                wg = w[gi * _SUB:(gi + 1) * _SUB]
+                back = backs[gi]
+                # back-aligned placement: flagged lanes (s ascending) fill
+                # [capw - back - k, capw - back) of tile gi's queue
+                incl, k = _prefix_sum(ni)
+                rank = incl - ni
+                base = capw - back - k
+                w0 = jnp.maximum(base >> 7, 0)
 
-        # place the k compacted words at window offset off = base & 127:
-        # pad one spill row, shift right by off (traced), masked write
-        off = base - (w0 << 7)
-        v9 = jnp.concatenate([v, jnp.zeros((1, _LANE), jnp.int32)], axis=0)
-        m9 = jnp.concatenate([m, jnp.zeros((1, _LANE), jnp.int32)], axis=0)
-        vs = _flat_roll_right_traced(v9, off)
-        ms9 = _flat_roll_right_traced(m9, off)
-        row9 = jax.lax.broadcasted_iota(jnp.int32, (_WIN_ROWS, _LANE), 0)
-        pos9 = (row9 << 7) + jax.lax.broadcasted_iota(
-            jnp.int32, (_WIN_ROWS, _LANE), 1)
-        ms = jnp.where((pos9 >= off) & (pos9 < off + k), ms9, 0)
+                # compact flagged words to rank order with a butterfly
+                # shift network (pure integer VPU ops — exact, unlike MXU
+                # f32 one-hots): element s moves left by delta =
+                # s - rank(s), monotone non-decreasing in s, so stage-wise
+                # moves by each set bit of delta (LSB first) never
+                # collide.
+                vv = wg
+                d = flat_pos - rank
+                m = ni
+                for bb in range(10):
+                    sh = 1 << bb
+                    cv = _flat_roll_left(vv, sh)
+                    cd = _flat_roll_left(d, sh)
+                    cm = jnp.where(flat_pos >= STREAMS - sh,
+                                   0, _flat_roll_left(m, sh))
+                    take = (cm > 0) & (((cd >> bb) & 1) > 0)
+                    stay = (m > 0) & (((d >> bb) & 1) == 0)
+                    vv = jnp.where(take, cv, vv)
+                    d = jnp.where(take, cd & ~sh, d)
+                    m = (take | stay).astype(jnp.int32)
 
-        # single-row dynamic stores (a multi-row store at a traced offset
-        # lowers to a slow path; row-wise stores are what the decode
-        # kernel's output writes use and they pipeline well)
-        win_old = queue_ref[pl.ds(w0, _WIN_ROWS), :]
-        merged = jnp.where(ms > 0, vs, win_old)
-        for r in range(_WIN_ROWS):
-            queue_ref[pl.ds(w0 + r, 1), :] = merged[r][None]
-        return x, back + k
+                # place the k compacted words at window offset
+                # off = base & 127: pad one spill row, shift right by off
+                # (traced), masked write
+                off = base - (w0 << 7)
+                v9 = jnp.concatenate(
+                    [vv, jnp.zeros((1, _LANE), jnp.int32)], axis=0)
+                m9 = jnp.concatenate(
+                    [m, jnp.zeros((1, _LANE), jnp.int32)], axis=0)
+                vs = _flat_roll_right_traced(v9, off)
+                ms9 = _flat_roll_right_traced(m9, off)
+                row9 = jax.lax.broadcasted_iota(
+                    jnp.int32, (_WIN_ROWS, _LANE), 0)
+                pos9 = (row9 << 7) + jax.lax.broadcasted_iota(
+                    jnp.int32, (_WIN_ROWS, _LANE), 1)
+                ms = jnp.where((pos9 >= off) & (pos9 < off + k), ms9, 0)
 
-    x0 = jnp.full((_SUB, _LANE), STATE_MIN, jnp.int32)
-    x, back = jax.lax.fori_loop(0, t_steps, step, (x0, jnp.int32(0)))
-    xfin_ref[:] = x
-    back_ref[0, 0] = back
+                # single-row dynamic stores (a multi-row store at a traced
+                # offset lowers to a slow path; row-wise stores pipeline)
+                win_old = queue_ref[gi, pl.ds(w0, _WIN_ROWS), :]
+                merged = jnp.where(ms > 0, vs, win_old)
+                for r in range(_WIN_ROWS):
+                    queue_ref[gi, pl.ds(w0 + r, 1), :] = merged[r][None]
+                new_backs.append(back + k)
+            return x, tuple(new_backs)
+
+        x0 = jnp.full((gs, _LANE), STATE_MIN, jnp.int32)
+        x, backs = jax.lax.fori_loop(
+            0, t_steps, step, (x0, tuple(jnp.int32(0) for _ in range(g))))
+        xfin_ref[:] = x
+        for gi in range(g):
+            back_ref[gi, 0] = backs[gi]
+
+    return _encode_kernel
 
 
 def pack_enc_tables(tables):
@@ -439,9 +511,15 @@ def encode_interleaved_pallas(symbols: jnp.ndarray, channel_map: jnp.ndarray,
     tab, rcp = enc_tables
     c = tab.shape[0] // _ENC_ROWS
 
-    esc_v = symbols - tables.offset[channel_map][None]
-    esc = jnp.sum((esc_v < 0)
-                  | (esc_v >= tables.length[channel_map][None]))
+    # ``supported()`` guarantees plane % S == 0, so every step is
+    # single-channel: per-step values broadcast over lanes instead of a
+    # full (T, S) gather — XLA lowers big gathers to scalar loops
+    # (measured ~4.7 ms per batch-16 call on a v5e, more than the rANS
+    # kernel itself)
+    off_steps = tables.offset[channel_map[:, 0]][None, :, None]
+    len_steps = tables.length[channel_map[:, 0]][None, :, None]
+    esc_v = symbols - off_steps
+    esc = jnp.sum((esc_v < 0) | (esc_v >= len_steps))
 
     # per-step channel + channel offset (each step is single-channel)
     ch_steps = channel_map[:, 0].astype(jnp.int32)
@@ -453,11 +531,17 @@ def encode_interleaved_pallas(symbols: jnp.ndarray, channel_map: jnp.ndarray,
     # never part of the payload and are sliced away below
     q_rows = capw // _LANE + _WIN_ROWS
 
+    g = _pick_group(b, (t * _SUB + q_rows + _SUB) * _LANE)
+    gs = g * _SUB
+    # (B, T, S) -> (B/G, T, G*8, 128): G tiles side by side on sublanes
+    sym_g = (symbols.reshape(b // g, g, t, _SUB, _LANE)
+             .transpose(0, 2, 1, 3, 4).reshape(b // g, t, gs, _LANE))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((None, t, _SUB, _LANE),
+            pl.BlockSpec((None, t, gs, _LANE),
                          lambda i, ch, vo: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c * _ENC_ROWS, _LANE),
@@ -468,26 +552,28 @@ def encode_interleaved_pallas(symbols: jnp.ndarray, channel_map: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, q_rows, _LANE),
-                         lambda i, ch, vo: (i, 0, 0),
+            pl.BlockSpec((None, g, q_rows, _LANE),
+                         lambda i, ch, vo: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, 1), lambda i, ch, vo: (i, 0, 0),
+            pl.BlockSpec((None, g, 1), lambda i, ch, vo: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, _SUB, _LANE), lambda i, ch, vo: (i, 0, 0),
+            pl.BlockSpec((None, gs, _LANE), lambda i, ch, vo: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     queue_back, back, xfin = pl.pallas_call(
-        _encode_kernel,
+        _make_encode_kernel(g),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, q_rows, _LANE), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((b, _SUB, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((b // g, g, q_rows, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((b // g, g, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b // g, gs, _LANE), jnp.int32),
         ],
         interpret=interpret,
-    )(ch_steps, voff_steps, symbols.reshape(b, t, _SUB, _LANE), tab, rcp)
+    )(ch_steps, voff_steps, sym_g, tab, rcp)
 
+    queue_back = queue_back.reshape(b, q_rows, _LANE)
+    xfin = xfin.reshape(b, _SUB, _LANE)
     back = back.reshape(b)
     # epilogue: front-align the payload, prepend the 2S flush words
     flat = queue_back.reshape(b, q_rows * _LANE)[:, :capw]
