@@ -183,3 +183,54 @@ def test_pallas_encode_fuzz_interpret(seed):
     for i in range(b):
         nw = int(np.asarray(ref_tot)[i])
         np.testing.assert_array_equal(bb[i, :nw], rb[i, :nw])
+
+
+def test_pallas_group_batch_invariance_interpret():
+    """The G-tile-interleaved kernels must emit the same per-tile frame
+    regardless of how the batch is grouped: b=4 routes through G=4
+    (tiles stacked on the sublane axis), b=1 through G=1.  Also pins the
+    grouped decode wrapper's ungrouping transpose."""
+    from cnn_autoencoder_tpu.ops.pallas.rans_kernel import (
+        STREAMS, decode_interleaved_pallas, encode_interleaved_pallas,
+        pack_dec_lut, pack_enc_tables, _pick_group)
+
+    rng = np.random.RandomState(41)
+    c = 4
+    tables = _random_tables(rng, c)
+    lh = lw = 32
+    length = np.asarray(tables.length)
+    offset = np.asarray(tables.offset)
+    b = 4
+    sym = np.stack([
+        np.concatenate([rng.randint(0, length[ch], lh * lw) + offset[ch]
+                        for ch in range(c)]).astype(np.int32)
+        for _ in range(b)])
+    ch_map = jnp.asarray(stream_channel_map(c, (lh, lw), STREAMS))
+    packed = np.asarray(pack_streams(jnp.asarray(sym), STREAMS))
+    t = packed.shape[1]
+    cap = 2 * STREAMS + t * STREAMS + 16
+    enc_tables = pack_enc_tables(tables)
+    # the batched call must actually take the grouped path
+    assert _pick_group(b, (t * 8 + cap // 128 + 17 + 8) * 128) > 1
+
+    bufs4, tot4, esc4 = encode_interleaved_pallas(
+        jnp.asarray(packed), ch_map, tables, enc_tables, cap, True)
+    assert int(esc4) == 0
+    bufs4, tot4 = np.asarray(bufs4), np.asarray(tot4)
+    for i in range(b):
+        b1, t1, e1 = encode_interleaved_pallas(
+            jnp.asarray(packed[i:i + 1]), ch_map, tables, enc_tables, cap,
+            True)
+        assert int(e1) == 0
+        assert int(np.asarray(t1)[0]) == int(tot4[i])
+        np.testing.assert_array_equal(
+            np.asarray(b1)[0, :tot4[i]], bufs4[i, :tot4[i]])
+
+    # grouped decode roundtrip (G=4) recovers every tile exactly
+    qpad = np.zeros((b, -(-cap // 128) * 128), np.int32)
+    for i in range(b):
+        qpad[i, :tot4[i]] = bufs4[i, :tot4[i]].astype(np.int32)
+    vals = decode_interleaved_pallas(
+        jnp.asarray(qpad), ch_map[:, 0], pack_dec_lut(tables), t, True)
+    dec = np.asarray(vals) + offset[np.asarray(ch_map[:, 0])][None, :, None]
+    np.testing.assert_array_equal(dec, packed)
