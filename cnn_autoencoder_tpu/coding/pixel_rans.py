@@ -174,6 +174,11 @@ def compact_host(queues: np.ndarray, totals: np.ndarray,
     are free; host tail bytes would cross the link)."""
     b = queues.shape[0]
     totals = np.asarray(totals, np.int64)
+    if totals.max() > capacity:
+        raise ValueError(
+            f"per-tile total {int(totals.max())} exceeds the device "
+            f"expansion capacity {capacity}; the expanded row would "
+            "truncate this tile's words")
     offs = np.zeros(b, np.int32)
     offs[1:] = np.cumsum(totals[:-1]).astype(np.int32)
     need = int(totals.sum())

@@ -113,7 +113,6 @@ def _make_decode_kernel(g):
     on the sublane axis ((G*8, 128)); their serial per-tile chains are
     independent, so Mosaic overlaps them (the single-tile step is
     latency-bound, not throughput-bound — measured ~4x at G=4)."""
-    gs = g * _SUB
 
     def _decode_kernel(ch_ref, x0_ref, queue_ref, lut_ref, out_ref):
         """G tiles: T steps x (G*8,128) streams.

@@ -347,10 +347,19 @@ class CAECodecCore:
                                             out.nbytes + totals_np.nbytes)
                 return out
             # slice to the largest per-shard used span, bucketed to bound
-            # the number of compiled slice programs
+            # the number of compiled slice programs.  Slicing costs one
+            # extra (tiny) dispatch beyond the totals fetch, so only do it
+            # when the margin bytes it saves outrun a round trip at the
+            # probed bandwidth; otherwise fetch the whole head.
             needed = int(offs.sum(axis=1).max())
             nb = min(hw, -(-needed // 2048) * 2048)
-            head_np = jax.device_get(rec_dev.head[:, :nb])
+            from ..coding.link_probe import probe_link_mbps
+            d2h_mbps, _ = probe_link_mbps()
+            saved_s = (hw - nb) * 2 * n_shards / (d2h_mbps * 1e6)
+            if saved_s < 0.004:   # ~dispatch latency on a healthy tunnel
+                nb = hw
+            head_np = jax.device_get(rec_dev.head[:, :nb]
+                                     if nb < hw else rec_dev.head)
             GLOBAL_TIMER.add_link_bytes("d2h", head_np.nbytes
                                         + totals_np.nbytes)
             out = np.empty((b, p, q, c), np.uint8)

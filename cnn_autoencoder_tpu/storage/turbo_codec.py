@@ -78,6 +78,18 @@ class CAETurboCore:
         self._call_cache = {}
         self.tables = bake_device_tables(
             model.variables["fact_ent"]["params"], model.filters)
+        # the fused paths' escape accounting skips pack_streams' zero
+        # padding (a (T,S) gather there lowers to a scalar loop); that is
+        # only sound while symbol 0 is codable in every channel, which
+        # bake_device_tables guarantees via its widened quantile support
+        # (extra_support around the medians).  Fail loudly if a future
+        # table source breaks the invariant instead of desyncing streams.
+        _z = -np.asarray(self.tables.offset)
+        if not bool(((_z >= 0) & (_z < np.asarray(self.tables.length)))
+                    .all()):
+            raise ValueError(
+                "turbo tables exclude symbol 0 for some channel; "
+                "pack_streams zero padding would be uncodable")
         self.expected_bits = expected_bits_per_symbol(self.tables)
         self._ch_maps = {}
         med = jnp.asarray(self.base.medians)
