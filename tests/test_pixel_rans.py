@@ -526,3 +526,29 @@ def test_compact_host_expand_device_roundtrip():
                                            jnp.asarray(offs), cap))
     for i, t in enumerate(totals):
         np.testing.assert_array_equal(rows[i, :t], queues[i, :t])
+
+
+@pytest.mark.parametrize("slow_link", [True, False])
+def test_fetch_head_slice_gate_both_branches(monkeypatch, slow_link):
+    """The pooled-head fetch slices away margin words only when the bytes
+    saved outrun a dispatch at the probed bandwidth; both branches must
+    reconstruct byte-identically."""
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.coding import link_probe
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+    core = CAECodecCore(_trained_toy_model())
+    smooth = np.stack([_smooth_image(160, 160, seed=i) for i in range(4)])
+    tr = _calibrated(smooth)
+    sym = np.asarray(core.fetch_symbols(core.encode_tiles_device(
+        jnp.asarray(smooth))))
+    rec_raw = np.asarray(core.decode_tiles_device(sym))
+    res = core.decode_tiles_device(sym, transport=tr)
+    from cnn_autoencoder_tpu.coding.pixel_rans import RansFetchResult
+    assert isinstance(res, RansFetchResult)
+    mbps = 0.1 if slow_link else 1e6   # congested -> slice; healthy -> full
+    monkeypatch.setattr(link_probe, "probe_link_mbps",
+                        lambda *a, **k: (mbps, mbps))
+    got = core.fetch_pixels(res, (4, 160, 160, 3), tr)
+    np.testing.assert_array_equal(got, rec_raw)
