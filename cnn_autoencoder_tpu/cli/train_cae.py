@@ -314,7 +314,12 @@ def main(args):
           optimizers, opt_states, acc, schedulers, lrs, args)
 
 
-if __name__ == "__main__":
+def cli():
+    """Console entry point (``cae-train``): parse argv and train."""
     args = get_args(task="autoencoder", mode="training")
     loggers.setup_logger(args)
     main(args)
+
+
+if __name__ == "__main__":
+    cli()
