@@ -1184,6 +1184,32 @@ static int64_t ilv_pixel_encode_avx512(const uint8_t *zz, int64_t n,
   std::vector<uint32_t> stage(static_cast<size_t>(capacity_words));
   int64_t wp = capacity_words;           // exclusive write end
   const int64_t full = (n / n_streams) * n_streams;
+  // zero pads first: the device/numpy encoders pad the symbol plane to a
+  // multiple of n_streams with zigzag value 0 and CODE those pads, so the
+  // ragged-tile bitstream is identical across all three encoders (and the
+  // decoder's pad-step consumption is real coded data, not clamped
+  // garbage).  Pads occupy streams n_streams-1 .. n % n_streams of the
+  // top (reversed-first) step.
+  if (n % n_streams != 0) {
+    const uint32_t f0 = fr[0];
+    for (int64_t k = n_streams - 1; k >= n % n_streams; --k) {
+      uint32_t x = state[k];
+      if ((x >> kIlvEmitShift) >= f0) {
+        if (wp == 0) return -2;
+        stage[--wp] = x & 0xFFFF;
+        x >>= 16;
+      }
+      uint32_t q32 = (f0 == 1) ? x
+          : static_cast<uint32_t>(
+                (static_cast<uint64_t>(x) * rcp[0]) >> (32 + sh[0] - 1));
+      uint32_t r = x - q32 * f0;
+      if (static_cast<int32_t>(r) < 0) {
+        --q32;
+        r += f0;
+      }
+      state[k] = (q32 << kIlvPrecision) + r + st_tab[0];
+    }
+  }
   int64_t i = n - 1;
   int64_t s = (n - 1) % n_streams;
   for (; i >= full; --i) {               // ragged head: scalar
@@ -1312,6 +1338,30 @@ int64_t pixel_rans_encode(const uint8_t *pixels, int64_t b, int64_t p,
   std::vector<uint16_t> scratch(static_cast<size_t>(capacity_words));
   uint16_t *end = scratch.data() + capacity_words;
   uint16_t *ptr = end;
+  // zero pads first (see the AVX path): identical ragged-tile bitstreams
+  // across the C++/numpy/device encoders
+  if (n % n_streams != 0) {
+    const uint32_t f0 = fr[0];
+    for (int64_t k = n_streams - 1; k >= n % n_streams; --k) {
+      uint32_t x = state[k];
+      if ((x >> kIlvEmitShift) >= f0) {
+        if (ptr == scratch.data()) {
+          return -2;
+        }
+        *--ptr = static_cast<uint16_t>(x & 0xFFFF);
+        x >>= 16;
+      }
+      uint32_t q32 = (f0 == 1) ? x
+          : static_cast<uint32_t>(
+                (static_cast<uint64_t>(x) * rcp[0]) >> (32 + sh[0] - 1));
+      uint32_t r = x - q32 * f0;
+      if (static_cast<int32_t>(r) < 0) {
+        --q32;
+        r += f0;
+      }
+      state[k] = (q32 << kIlvPrecision) + r + st_tab[0];
+    }
+  }
   int64_t s = static_cast<int64_t>((n - 1) % n_streams);
   for (int64_t i = n - 1; i >= 0; --i) {
     const uint8_t v = z[i];

@@ -128,8 +128,8 @@ def encode_residuals_device(tiles_u8: jnp.ndarray, tables: DeviceTables,
     packed = pack_streams(z.reshape(b, n), STREAMS)      # (B, T, S)
     t = packed.shape[1]
     ch_map = jnp.zeros((t, STREAMS), jnp.int32)
-    if use_pallas:
-        from ..ops.pallas import rans_kernel
+    from ..ops.pallas import rans_kernel
+    if use_pallas and rans_kernel.fits_vmem(t):
         bufs, totals, _ = rans_kernel.encode_interleaved_pallas(
             packed, ch_map, tables, enc_tables, capacity)
     else:
@@ -194,11 +194,14 @@ def expand_queues_device(flat: jnp.ndarray, offsets: jnp.ndarray,
                          capacity: int) -> jnp.ndarray:
     """Inverse of compact_host, for use INSIDE the jitted encode program:
     (F,) flat words + (B,) offsets -> (B, capacity) padded queue rows.
-    Rows read past their tile's total into the next tile's words; the rANS
-    decoder never consumes past its symbol count, so the tail is inert.
-    A ``capacity`` zero tail is concatenated here (device-side, free on
-    the wire) so the last row's dynamic_slice never goes out of bounds —
-    lax.dynamic_slice would shift the start and misalign its words."""
+    Rows LOAD past their tile's total into the next tile's words, but the
+    rANS decoder consumes exactly ``totals[i]`` words per tile — every
+    symbol including the stream pads is coded by all three encoders (the
+    C++ half pads like the device/numpy ones), so the over-read tail is
+    never consumed.  A ``capacity`` zero tail is concatenated here
+    (device-side, free on the wire) so the last row's dynamic_slice never
+    goes out of bounds — lax.dynamic_slice would shift the start and
+    misalign its words."""
     b = offsets.shape[0]
     flat = jnp.concatenate([flat, jnp.zeros((capacity,), flat.dtype)])
 
@@ -222,8 +225,8 @@ def decode_residuals_device(queues: jnp.ndarray, tables: DeviceTables,
     b = queues.shape[0]
     n = p * q * c
     t = -(-n // STREAMS)
-    if use_pallas:
-        from ..ops.pallas import rans_kernel
+    from ..ops.pallas import rans_kernel
+    if use_pallas and rans_kernel.fits_vmem(t):
         vals = rans_kernel.decode_interleaved_pallas(
             queues, jnp.zeros((t,), jnp.int32), dec_lut, t)
     else:
@@ -360,11 +363,9 @@ class PixelRansTransport:
         f = freq.astype(np.float64) / PROB_SCALE
         self.bits_per_value = float(np.sum(p * -np.log2(f)))
         slot = np.repeat(np.arange(256, dtype=np.int32), freq)
-        self.tables = DeviceTables(
-            freq=jnp.asarray(freq[None]), start=jnp.asarray(start[None]),
-            slot=jnp.asarray(slot[None]),
-            offset=jnp.zeros((1,), jnp.int32),
-            length=jnp.full((1,), 256, jnp.int32), support=256)
+        self.tables = make_pixel_tables(
+            jnp.asarray(freq[None]), jnp.asarray(start[None]),
+            jnp.asarray(slot[None]))
         from ..ops.pallas import rans_kernel
         self.enc_tables = rans_kernel.pack_enc_tables(self.tables)
         self.dec_lut = rans_kernel.pack_dec_lut(self.tables)
@@ -432,6 +433,20 @@ class PixelRansTransport:
 
     # -- host halves --------------------------------------------------------
 
+    def _live_tables(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Atomic (freq, start) of the live calibration, for callers that
+        did not capture a snapshot.  Read under the lock: note_overflow's
+        invalidation sets ``freq = None`` while ``start`` stays stale, so
+        unlocked field reads could pair None freq with old start mid-batch
+        and crash inside the C++ call."""
+        snap = self.snapshot()
+        if snap is None:
+            raise RuntimeError(
+                "pixel transport is uncalibrated (or was invalidated by "
+                "an overflow refit); pass the snapshot tables the device "
+                "program was dispatched with")
+        return snap[3], snap[4]
+
     def decode_host(self, words: np.ndarray, total: int,
                     shape: Tuple[int, int, int, int],
                     freq: Optional[np.ndarray] = None,
@@ -442,8 +457,8 @@ class PixelRansTransport:
         the snapshot their decode program was dispatched with (the live
         transport may have recalibrated since)."""
         from . import rans
-        freq = self.freq if freq is None else freq
-        start = self.start if start is None else start
+        if freq is None or start is None:
+            freq, start = self._live_tables()
         b, p, q, c = shape
         words = np.ascontiguousarray(words[:total], np.uint16)
         out = np.empty(b * p * q * c, np.uint8)
@@ -468,8 +483,8 @@ class PixelRansTransport:
         that tile raw).  ``freq``/``start`` pin the table snapshot the
         matching device decode program will run with."""
         from . import rans
-        freq = self.freq if freq is None else freq
-        start = self.start if start is None else start
+        if freq is None or start is None:
+            freq, start = self._live_tables()
         tiles_u8 = np.ascontiguousarray(tiles_u8, np.uint8)
         b = tiles_u8.shape[0]
         out = np.zeros((b, capacity), np.uint16)

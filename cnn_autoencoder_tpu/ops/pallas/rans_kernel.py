@@ -598,8 +598,23 @@ def pack_dec_lut(tables) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(packed, jnp.int32)
 
 
+def fits_vmem(num_steps: int) -> bool:
+    """Whether one tile's (G=1) kernel blocks fit the VMEM budget.
+
+    The encode queue is worst-case ``num_steps * S`` words; past ~900
+    steps (e.g. pixel-transport tiles over ~640x640x3) the per-tile
+    blocks exceed the ~16 MB/core VMEM and Mosaic fails to COMPILE —
+    callers must take the XLA scan instead of crashing at serve time."""
+    q_rows = num_steps * STREAMS // _LANE + _WIN_ROWS
+    return ((num_steps * _SUB + q_rows + _SUB) * _LANE
+            <= (7 * 1024 * 1024) // 4)
+
+
 def supported(num_streams: int, num_channels: int, plane: int) -> bool:
-    """Whether this kernel can decode the given geometry: 1024 streams and
-    a stream-aligned latent plane (so every scan step reads one channel)."""
-    del num_channels  # the (C, 4096) LUT reshapes for any channel count
-    return num_streams == STREAMS and plane % num_streams == 0
+    """Whether this kernel can decode the given geometry: 1024 streams, a
+    stream-aligned latent plane (so every scan step reads one channel),
+    and per-tile blocks that fit VMEM."""
+    if num_streams != STREAMS or plane % num_streams != 0:
+        return False
+    steps = num_channels * plane // num_streams
+    return fits_vmem(steps)

@@ -552,3 +552,53 @@ def test_fetch_head_slice_gate_both_branches(monkeypatch, slow_link):
                         lambda *a, **k: (mbps, mbps))
     got = core.fetch_pixels(res, (4, 160, 160, 3), tr)
     np.testing.assert_array_equal(got, rec_raw)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 60, 3), (2, 12, 77, 1),
+                                   (2, 31, 33, 5)])
+def test_three_way_encoder_identity_ragged(shape):
+    """C++, numpy, and device encoders must emit IDENTICAL streams for
+    ragged tiles (n % STREAMS != 0): all three code the zero stream pads
+    (the C++ half once encoded ragged and diverged — round-3 review
+    finding)."""
+    tiles = _tiles(shape, seed=60 + shape[-1])
+    tr = _calibrated(tiles)
+    n = shape[1] * shape[2] * shape[3]
+    assert n % STREAMS != 0
+    cap = tr.capacity(n) + 8192
+    q_cpp, tot_cpp = tr.encode_host(tiles, cap)
+    out = np.zeros(cap, np.uint16)
+    t_np = _encode_numpy_into(tiles[:1], tr.freq, tr.start, out)
+    bufs, totals = encode_residuals_device(
+        jnp.asarray(tiles), tr.tables, tr.enc_tables, cap, use_pallas=False)
+    bufs, totals = np.asarray(bufs), np.asarray(totals)
+    assert t_np == tot_cpp[0] == totals[0]
+    np.testing.assert_array_equal(out[:t_np], q_cpp[0, :t_np])
+    np.testing.assert_array_equal(bufs[0, :t_np], q_cpp[0, :t_np])
+
+
+def test_pallas_vmem_gate():
+    """Geometries whose per-tile blocks exceed the VMEM budget must be
+    rejected (the wrappers fall back to the XLA scan instead of failing
+    to compile at serve time)."""
+    from cnn_autoencoder_tpu.ops.pallas.rans_kernel import (fits_vmem,
+                                                            supported)
+    assert fits_vmem(768)        # 512x512x3 pixel tiles
+    assert not fits_vmem(3072)   # 1024x1024x3 pixel tiles
+    assert supported(STREAMS, 48, 64 * 64)       # flagship latent
+    assert supported(STREAMS, 48, 128 * 128)     # 1024² tile latent
+    assert not supported(STREAMS, 48, 256 * 256)  # 2048² tile latent
+
+
+def test_live_tables_race_guard():
+    """decode_host/encode_host without snapshot args must fail loudly
+    when an overflow refit invalidated the calibration (not crash inside
+    the C++ call with freq=None)."""
+    tiles = _tiles((1, 16, 64, 2), seed=70)
+    tr = _calibrated(tiles)
+    tr.note_overflow(); tr.note_overflow(); tr.note_overflow()
+    assert not tr.calibrated()
+    with pytest.raises(RuntimeError, match="uncalibrated"):
+        tr.encode_host(tiles, 4096)
+    with pytest.raises(RuntimeError, match="uncalibrated"):
+        tr.decode_host(np.zeros(64, np.uint16), 64, (1, 16, 64, 2))
