@@ -141,9 +141,19 @@ def main():
         model.variables["fact_ent"]["params"] = {**p, "quantiles": q}
 
     from cnn_autoencoder_tpu.pipeline.tiles import (
-        compress_pixels_to_cae_turbo, decompress_cae_turbo_array)
+        compress_pixels_to_cae_turbo, decompress_cae_turbo_array,
+        default_batch_tiles)
     from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
     from cnn_autoencoder_tpu.storage.turbo_codec import CAETurboCore
+
+    # ONE batch size for every image (warmup, the normal image, and the
+    # healthy-window big image): default_batch_tiles varies with n_tiles,
+    # and a different batch shape recompiles every serving program — the
+    # first big-image run was measured eating ~60 s of mid-run compiles.
+    if not os.environ.get("CAE_TPU_BATCH_TILES"):
+        n_tiles = (IMAGE_H // PATCH) * (IMAGE_W // PATCH)
+        os.environ["CAE_TPU_BATCH_TILES"] = str(
+            default_batch_tiles(PATCH, None, n_tiles))
 
     # serving paths: the host-rANS 'cae' path (reference-compatible
     # bitstream; wins when the link is healthy) and the device-coded

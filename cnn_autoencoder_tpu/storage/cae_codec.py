@@ -325,15 +325,25 @@ class CAECodecCore:
             # (n_shards, head_words) compacted queues + per-tile totals;
             # the host splits by cumulative totals per shard (under a mesh
             # each shard compacted its own contiguous slice of the batch).
-            # Totals come down FIRST (a tiny round trip) so the head fetch
-            # can slice away the pooled margin — only words the encoder
-            # actually wrote cross the link.
-            totals_np = jax.device_get(rec_dev.totals)
+            # ONE round trip: the totals and a PREDICTED slice of the head
+            # come down together (per-shard word counts concentrate
+            # tightly, so the bits_per_value estimate + 4% covers almost
+            # every batch); a congested tunnel charges ~0.1-0.5 s latency
+            # per round trip, so a separate totals-then-slice fetch
+            # measurably stalled many-batch decompresses.  Only on a rare
+            # under-prediction does a tail fetch add a second trip.
             n_shards = rec_dev.head.shape[0]
             hw = rec_dev.head.shape[1]
-            b = totals_np.shape[0]
+            b = rec_dev.totals.shape[0]
             per = b // n_shards
             p, q, c = shape[1:]
+            from ..coding.pixel_rans import STREAMS as _PX_STREAMS
+            est = per * (2 * _PX_STREAMS + 64 + int(
+                p * q * c * transport.bits_per_value / 16.0))
+            nb = min(hw, -(-int(est * 1.04) // 2048) * 2048)
+            totals_np, head_np = jax.device_get(
+                (rec_dev.totals, rec_dev.head[:, :nb]
+                 if nb < hw else rec_dev.head))
             offs = totals_np.reshape(n_shards, per)
             # two distinct overflows force the raw fallback: a TILE past
             # the per-tile device budget (its queue row was truncated on
@@ -344,22 +354,14 @@ class CAECodecCore:
                 transport.note_overflow()
                 out = np.asarray(rec_dev.rec)
                 GLOBAL_TIMER.add_link_bytes("d2h",
-                                            out.nbytes + totals_np.nbytes)
+                                            out.nbytes + totals_np.nbytes
+                                            + head_np.nbytes)
                 return out
-            # slice to the largest per-shard used span, bucketed to bound
-            # the number of compiled slice programs.  Slicing costs one
-            # extra (tiny) dispatch beyond the totals fetch, so only do it
-            # when the margin bytes it saves outrun a round trip at the
-            # probed bandwidth; otherwise fetch the whole head.
             needed = int(offs.sum(axis=1).max())
-            nb = min(hw, -(-needed // 2048) * 2048)
-            from ..coding.link_probe import probe_link_mbps
-            d2h_mbps, _ = probe_link_mbps()
-            saved_s = (hw - nb) * 2 * n_shards / (d2h_mbps * 1e6)
-            if saved_s < 0.004:   # ~dispatch latency on a healthy tunnel
-                nb = hw
-            head_np = jax.device_get(rec_dev.head[:, :nb]
-                                     if nb < hw else rec_dev.head)
+            if needed > nb:   # under-predicted: fetch the missing tail
+                nb2 = min(hw, -(-needed // 2048) * 2048)
+                tail = jax.device_get(rec_dev.head[:, nb:nb2])
+                head_np = np.concatenate([head_np, tail], axis=1)
             GLOBAL_TIMER.add_link_bytes("d2h", head_np.nbytes
                                         + totals_np.nbytes)
             out = np.empty((b, p, q, c), np.uint8)

@@ -528,14 +528,14 @@ def test_compact_host_expand_device_roundtrip():
         np.testing.assert_array_equal(rows[i, :t], queues[i, :t])
 
 
-@pytest.mark.parametrize("slow_link", [True, False])
-def test_fetch_head_slice_gate_both_branches(monkeypatch, slow_link):
-    """The pooled-head fetch slices away margin words only when the bytes
-    saved outrun a dispatch at the probed bandwidth; both branches must
+@pytest.mark.parametrize("underpredict", [False, True])
+def test_fetch_head_predicted_slice_both_branches(underpredict):
+    """The pooled-head fetch reads totals + a PREDICTED head slice in one
+    round trip; an under-prediction (forced here by shrinking the
+    transport's bits estimate) must trigger the tail fetch and still
     reconstruct byte-identically."""
     import jax.numpy as jnp
 
-    from cnn_autoencoder_tpu.coding import link_probe
     from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
 
     core = CAECodecCore(_trained_toy_model())
@@ -547,9 +547,8 @@ def test_fetch_head_slice_gate_both_branches(monkeypatch, slow_link):
     res = core.decode_tiles_device(sym, transport=tr)
     from cnn_autoencoder_tpu.coding.pixel_rans import RansFetchResult
     assert isinstance(res, RansFetchResult)
-    mbps = 0.1 if slow_link else 1e6   # congested -> slice; healthy -> full
-    monkeypatch.setattr(link_probe, "probe_link_mbps",
-                        lambda *a, **k: (mbps, mbps))
+    if underpredict:
+        tr.bits_per_value = 0.01   # est << needed: forces the tail fetch
     got = core.fetch_pixels(res, (4, 160, 160, 3), tr)
     np.testing.assert_array_equal(got, rec_raw)
 
