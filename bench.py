@@ -150,7 +150,9 @@ def main():
     # healthy-window big image): default_batch_tiles varies with n_tiles,
     # and a different batch shape recompiles every serving program — the
     # first big-image run was measured eating ~60 s of mid-run compiles.
-    if not os.environ.get("CAE_TPU_BATCH_TILES"):
+    # "0" is default_batch_tiles' documented "auto" — treat it as unset
+    # so the pin still applies
+    if not int(os.environ.get("CAE_TPU_BATCH_TILES") or 0):
         n_tiles = (IMAGE_H // PATCH) * (IMAGE_W // PATCH)
         os.environ["CAE_TPU_BATCH_TILES"] = str(
             default_batch_tiles(PATCH, None, n_tiles))

@@ -407,9 +407,7 @@ class PixelRansTransport:
         tiles or incompressible content).  Uploads ship exactly
         sum(totals) words (compact_host), so the estimate uses the coded
         size, not the margined device capacity."""
-        coded_words = (n_values * self.bits_per_value / 16.0
-                       + 2 * STREAMS + 64)
-        return 2 * coded_words < n_values
+        return 2 * self.estimate_coded_words(n_values, 1) < n_values
 
     def pooled_head_words(self, n_values: int, batch: int) -> int:
         """Static word budget for a COMPACTED batch of fetch frames.
@@ -427,9 +425,16 @@ class PixelRansTransport:
         """Like worthwhile(): the wire cost is the coded size (the host
         slices the pooled head to the used span), not the margined
         device budget."""
-        coded_words = batch * (n_values * self.bits_per_value / 16.0
-                               + 2 * STREAMS + 64)
+        coded_words = self.estimate_coded_words(n_values, batch)
         return 2 * coded_words < batch * n_values
+
+    def estimate_coded_words(self, n_values: int, batch: int) -> float:
+        """Expected coded frame words for ``batch`` tiles (flush + slack
+        included, no margin) — the ONE place the frame-size formula
+        lives: fetch_pixels' predicted head slice, worthwhile gates and
+        the pooled budget all derive from it."""
+        return batch * (n_values * self.bits_per_value / 16.0
+                        + 2 * STREAMS + 64)
 
     # -- host halves --------------------------------------------------------
 

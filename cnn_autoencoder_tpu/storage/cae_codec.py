@@ -337,10 +337,12 @@ class CAECodecCore:
             b = rec_dev.totals.shape[0]
             per = b // n_shards
             p, q, c = shape[1:]
-            from ..coding.pixel_rans import STREAMS as _PX_STREAMS
-            est = per * (2 * _PX_STREAMS + 64 + int(
-                p * q * c * transport.bits_per_value / 16.0))
-            nb = min(hw, -(-int(est * 1.04) // 2048) * 2048)
+            # (overflow batches waste this predicted fetch — a deliberate
+            # trade: overflows are rare and self-heal via refit, while the
+            # old totals-first probe charged EVERY batch a round trip)
+            from ..coding.pixel_rans import _CAP_BUCKET
+            est = transport.estimate_coded_words(p * q * c, per)
+            nb = min(hw, -(-int(est * 1.04) // _CAP_BUCKET) * _CAP_BUCKET)
             totals_np, head_np = jax.device_get(
                 (rec_dev.totals, rec_dev.head[:, :nb]
                  if nb < hw else rec_dev.head))
@@ -359,7 +361,7 @@ class CAECodecCore:
                 return out
             needed = int(offs.sum(axis=1).max())
             if needed > nb:   # under-predicted: fetch the missing tail
-                nb2 = min(hw, -(-needed // 2048) * 2048)
+                nb2 = min(hw, -(-needed // _CAP_BUCKET) * _CAP_BUCKET)
                 tail = jax.device_get(rec_dev.head[:, nb:nb2])
                 head_np = np.concatenate([head_np, tail], axis=1)
             GLOBAL_TIMER.add_link_bytes("d2h", head_np.nbytes

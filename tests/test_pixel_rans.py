@@ -529,28 +529,42 @@ def test_compact_host_expand_device_roundtrip():
 
 
 @pytest.mark.parametrize("underpredict", [False, True])
-def test_fetch_head_predicted_slice_both_branches(underpredict):
+def test_fetch_head_predicted_slice_both_branches(monkeypatch,
+                                                  underpredict):
     """The pooled-head fetch reads totals + a PREDICTED head slice in one
     round trip; an under-prediction (forced here by shrinking the
     transport's bits estimate) must trigger the tail fetch and still
-    reconstruct byte-identically."""
+    reconstruct byte-identically.  The device_get count pins which
+    branch actually ran (1 = predicted slice sufficed, 2 = tail fetch)."""
+    import jax
     import jax.numpy as jnp
 
+    from cnn_autoencoder_tpu.storage import cae_codec
     from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
 
     core = CAECodecCore(_trained_toy_model())
     smooth = np.stack([_smooth_image(160, 160, seed=i) for i in range(4)])
-    tr = _calibrated(smooth)
     sym = np.asarray(core.fetch_symbols(core.encode_tiles_device(
         jnp.asarray(smooth))))
     rec_raw = np.asarray(core.decode_tiles_device(sym))
+    # calibrate on the RECONSTRUCTIONS (as the serving pipeline does) so
+    # the coded path actually runs — tables fit on the source would
+    # overflow on the toy model's noisy recons and take the raw fallback
+    tr = _calibrated(rec_raw)
     res = core.decode_tiles_device(sym, transport=tr)
     from cnn_autoencoder_tpu.coding.pixel_rans import RansFetchResult
     assert isinstance(res, RansFetchResult)
+    tot = np.asarray(res.totals)
+    assert tot.max() <= res.capacity   # the coded path, not the fallback
     if underpredict:
         tr.bits_per_value = 0.01   # est << needed: forces the tail fetch
-    got = core.fetch_pixels(res, (4, 160, 160, 3), tr)
+    calls = []
+    real_get = jax.device_get
+    monkeypatch.setattr(cae_codec.jax, "device_get",
+                        lambda x: (calls.append(1), real_get(x))[1])
+    got = CAECodecCore.fetch_pixels(res, (4, 160, 160, 3), tr)
     np.testing.assert_array_equal(got, rec_raw)
+    assert len(calls) == (2 if underpredict else 1)
 
 
 @pytest.mark.parametrize("shape", [(2, 8, 60, 3), (2, 12, 77, 1),
