@@ -334,8 +334,9 @@ def main():
                                  - run_img[::4, ::4].astype(np.float64))
                                 ** 2))
             run_psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
-            if trained_fixture:
-                assert run_psnr > 22.0, (
+            if trained_fixture and not run_psnr > 22.0:
+                # not an assert: `python -O` must not disable this guard
+                raise RuntimeError(
                     f"reconstruction PSNR {run_psnr:.2f} dB is garbage — "
                     "refusing to record this run")
             run_bpp = arr.nbytes_stored * 8 / (h * w)
@@ -450,16 +451,45 @@ def main():
                 # achieved transport bits per image pixel (d2h, h2d);
                 # raw-pixel transport would be 24 each way
                 "transport_bits_px": list(best_bits_px),
-                # every link probe taken this invocation: (t+s, d2h, h2d)
-                # — records whether a healthy window ever occurred
-                "probe_sweep": probe_sweep,
-                # link-free encode/decode MP/s + MFU on this chip — the
-                # number the tunnel-bound result above translates to on
-                # locally-attached hardware (scripts/bench_serve.py)
-                "device_resident": device_resident,
             },
         }
-        print(json.dumps(result))
+        # Bulky diagnostics (the full probe sweep, the device-resident
+        # serving measurement's per-program breakdown) go to a sidecar
+        # file: round 3's single giant JSON line overflowed the driver's
+        # capture and the headline was lost ("parsed": null in
+        # BENCH_r03.json).  The final stdout line must stay <2 KB.
+        sidecar = {
+            # every link probe taken this invocation: (t+s, d2h, h2d)
+            # — records whether a healthy window ever occurred
+            "probe_sweep": probe_sweep,
+            # link-free encode/decode MP/s + MFU on this chip — the
+            # number the tunnel-bound result above translates to on
+            # locally-attached hardware (scripts/bench_serve.py)
+            "device_resident": device_resident,
+            "headline": {k: v for k, v in result.items() if k != "detail"},
+        }
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks", "bench_detail.json")
+        try:
+            os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+            with open(detail_path, "w") as f:
+                json.dump(sidecar, f, indent=1)
+            result["detail"]["detail_file"] = os.path.relpath(
+                detail_path, os.path.dirname(os.path.abspath(__file__)))
+        except OSError as e:
+            print(f"# sidecar write failed: {e}", file=sys.stderr)
+        if device_resident is not None:
+            # keep the headline device-resident number on the main line,
+            # compactly (full breakdown lives in the sidecar)
+            result["detail"]["device_resident_mps"] = device_resident[
+                "value"]
+        line = json.dumps(result)
+        if len(line) > 2048:
+            # hard cap: drop stage detail rather than risk driver capture
+            result["detail"].pop("stages_s", None)
+            line = json.dumps(result)
+        print(line)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
