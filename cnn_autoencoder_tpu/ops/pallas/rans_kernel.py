@@ -92,6 +92,15 @@ def _select_gather(rows, row_idx, lane_idx, n_rows):
     return out
 
 
+# ONE VMEM word budget gates both the G>1 group pick (_pick_group) and the
+# compile-at-all gate (fits_vmem): tuning them separately could let
+# _pick_group choose G=2/4 for geometries fits_vmem only validated at G=1
+# margins, reintroducing a Mosaic compile failure at serve time.  v5e has
+# 16 MB VMEM/core; 7 MB of int32 words leaves room for the grid's
+# double-buffering and the LUT/queue blocks beside the per-tile state.
+_VMEM_WORD_BUDGET = (7 * 1024 * 1024) // 4
+
+
 def _pick_group(b: int, block_words: int) -> int:
     """Tiles interleaved per kernel invocation.
 
@@ -99,11 +108,10 @@ def _pick_group(b: int, block_words: int) -> int:
     stacking G tiles' stream registers on the sublane axis lets Mosaic
     overlap their dependency chains (measured on v5e: encode 520 -> 1245
     -> 2364 Msym/s marginal at G=1/2/4).  Bounded by VMEM: ``block_words``
-    is the per-tile int32 block footprint; budget keeps the G-scaled
-    blocks (double-buffered across the grid) inside ~16 MB/core."""
-    budget = (7 * 1024 * 1024) // 4
+    is the per-tile int32 block footprint; the shared budget keeps the
+    G-scaled blocks (double-buffered across the grid) inside VMEM."""
     for g in (4, 2):
-        if b % g == 0 and g * block_words <= budget:
+        if b % g == 0 and g * block_words <= _VMEM_WORD_BUDGET:
             return g
     return 1
 
@@ -603,11 +611,12 @@ def fits_vmem(num_steps: int) -> bool:
 
     The encode queue is worst-case ``num_steps * S`` words; past ~900
     steps (e.g. pixel-transport tiles over ~640x640x3) the per-tile
-    blocks exceed the ~16 MB/core VMEM and Mosaic fails to COMPILE —
-    callers must take the XLA scan instead of crashing at serve time."""
+    blocks exceed the VMEM budget (shared with _pick_group) and Mosaic
+    fails to COMPILE — callers must take the XLA scan instead of
+    crashing at serve time."""
     q_rows = num_steps * STREAMS // _LANE + _WIN_ROWS
     return ((num_steps * _SUB + q_rows + _SUB) * _LANE
-            <= (7 * 1024 * 1024) // 4)
+            <= _VMEM_WORD_BUDGET)
 
 
 def supported(num_streams: int, num_channels: int, plane: int) -> bool:

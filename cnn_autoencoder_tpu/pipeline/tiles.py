@@ -439,6 +439,15 @@ def decompress_cae_array(src: zarrlib.Array,
         with GLOBAL_TIMER.stage("decompress/d2h_pixels", mp_batch):
             rec_np = core.fetch_pixels(
                 rec_dev, (batch, ph, pw, 3), transport)[:len(idxs)]
+        tr = transport
+        if tr is not None and not tr.calibrated():
+            # a 3rd overflow invalidated the table MID-CALL (note_overflow
+            # in fetch_pixels): without a refit every remaining batch of
+            # this image would silently dispatch the RAW program and never
+            # re-code — a wire-bytes cliff on long images.  These pixels
+            # ARE raw-fallback output, so they carry everything a refit
+            # needs (mirrors the compress direction's per-batch refit).
+            tr.calibrate(residual_hist_host(np.ascontiguousarray(rec_np)))
         if offset:
             rec_np = rec_np[:, offset:-offset, offset:-offset]
         with GLOBAL_TIMER.stage("decompress/stitch", mp_batch):
@@ -686,14 +695,28 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
             transport.calibrate(residual_hist_host(
                 np.ascontiguousarray(sample)))
             ph0, pw0 = core.base.padded_hw(*sample.shape[1:3])
-            if not transport.worthwhile_fetch(ph0 * pw0 * 3,
-                                              max(1, len(bufs0))):
+            # gate with the SAME per-shard batch the decode path frames
+            # with (_decode_turbo_group: pb // nd after mesh padding) —
+            # a short first batch must not disagree with the steady-state
+            # framing economics and disable coding for the whole image
+            nd = getattr(core, "_nd", 1)
+            per = (batch + (-batch) % nd) // nd
+            if not transport.worthwhile_fetch(ph0 * pw0 * 3, max(1, per)):
                 transport = None
 
     def decode_and_stitch(ids, bufs):
         with GLOBAL_TIMER.stage("decompress/turbo_decode",
                                 len(ids) * p * p / 1e6):
             rec = core.decode_tiles(bufs, transport=transport)
+        tr = transport
+        if tr is not None and not tr.calibrated():
+            # mid-call overflow invalidation (3rd overflow in
+            # fetch_pixels): refit from these raw-fallback reconstructions
+            # so later batches return to the coded fetch program instead
+            # of silently shipping raw pixels for the rest of the image
+            sample = rec if isinstance(rec, np.ndarray) else \
+                np.stack([r for r in rec if r.shape == rec[0].shape])
+            tr.calibrate(residual_hist_host(np.ascontiguousarray(sample)))
         for ij, r in zip(ids, rec):
             sl, valid = src.chunk_slices(ij)
             out[sl] = r[:valid[0], :valid[1], :valid[2]]

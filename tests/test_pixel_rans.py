@@ -615,3 +615,39 @@ def test_live_tables_race_guard():
         tr.encode_host(tiles, 4096)
     with pytest.raises(RuntimeError, match="uncalibrated"):
         tr.decode_host(np.zeros(64, np.uint16), 64, (1, 16, 64, 2))
+
+
+def test_midcall_invalidation_refits(tmp_path, monkeypatch):
+    """A 3rd overflow that invalidates the fetch transport MID-decompress
+    must refit from that batch's raw-fallback pixels: later batches return
+    to the coded program instead of silently shipping raw for the rest of
+    the image (round-3 advisor finding on the one-time pre-loop probe)."""
+    from cnn_autoencoder_tpu.pipeline.tiles import (compress_pixels_to_cae,
+                                                    decompress_cae_array)
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+    core = CAECodecCore(_trained_toy_model())
+    img = _smooth_image(160, 960, seed=3)     # 6 tiles, batch_tiles=1
+    arr = compress_pixels_to_cae(core, img, str(tmp_path / "m.zarr"),
+                                 patch_size=160)
+
+    monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "0")
+    raw = decompress_cae_array(arr, core=core, batch_tiles=1)
+
+    # seed the serving core with a transport whose calibration no longer
+    # matches the content (near-constant => tiny capacity) and which is
+    # one overflow away from invalidation
+    flat = np.full((1, 160, 160, 3), 7, np.uint8)
+    tr = _calibrated(flat)
+    stale_bits = tr.bits_per_value
+    tr._overflows = 2
+    core._fetch_transport = tr
+
+    monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "1")
+    monkeypatch.setenv("CAE_TPU_FETCH_CODEC", "rans")
+    coded = decompress_cae_array(arr, core=core, batch_tiles=1)
+    np.testing.assert_array_equal(coded, raw)
+    # the stale table overflowed and invalidated; the pipeline must have
+    # refit from the raw-fallback batch, not left the transport dead
+    assert tr.calibrated()
+    assert tr.bits_per_value != stale_bits
