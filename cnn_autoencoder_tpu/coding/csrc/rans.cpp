@@ -858,41 +858,57 @@ static void unpredict_row_avx512(const uint8_t *zr, uint8_t *orow,
 }
 #endif  // __AVX512VBMI__ && __AVX512BW__
 
+// Scalar twin of unpredict_row_avx512: un-zigzag + stride-c byte prefix,
+// the first c bytes seeded from prev_col0 (nullptr = zero seed).
+static void unpredict_row_scalar(const uint8_t *zr, uint8_t *orow,
+                                 const uint8_t *prev_col0, int64_t len,
+                                 int64_t c) {
+  for (int64_t x = 0; x < len; ++x) {
+    const uint8_t zz = zr[x];
+    const uint8_t s =
+        static_cast<uint8_t>((zz >> 1) ^ static_cast<uint8_t>(-(zz & 1)));
+    const uint8_t left =
+        (x >= c) ? orow[x - c] : (prev_col0 != nullptr ? prev_col0[x] : 0);
+    orow[x] = static_cast<uint8_t>(s + left);
+  }
+}
+
+// mode 0: hybrid predictor inverse (the original).  mode 1: plane
+// predictor inverse — the same zero-seeded horizontal prefix per row,
+// then a bytewise add of the previous OUTPUT row (the vertical prefix of
+// the separable Dh∘Dv transform; see pixel_predict_zigzag).
 static void unzigzag_unpredict_tiles(const uint8_t *z, int64_t b, int64_t p,
-                                     int64_t q, int64_t c, uint8_t *out) {
+                                     int64_t q, int64_t c, uint8_t *out,
+                                     int64_t mode) {
   const int64_t tile = p * q * c;
+  const int64_t len = q * c;
 #if defined(__AVX512VBMI__) && defined(__AVX512BW__)
-  const bool vec_rows = (q * c >= 64 && c >= 1 && c <= 32);
+  const bool vec_rows = (len >= 64 && c >= 1 && c <= 32);
   const UnpredictShifts sh =
       vec_rows ? make_unpredict_shifts(c) : UnpredictShifts{};
+#else
+  const bool vec_rows = false;
 #endif
   for (int64_t t = 0; t < b; ++t) {
     const uint8_t *zt = z + t * tile;
     uint8_t *ot = out + t * tile;
     for (int64_t y = 0; y < p; ++y) {
-      const uint8_t *zr = zt + y * q * c;
-      uint8_t *orow = ot + y * q * c;
-      const uint8_t *prev_col0 = (y > 0) ? ot + (y - 1) * q * c : nullptr;
+      const uint8_t *zr = zt + y * len;
+      uint8_t *orow = ot + y * len;
+      const uint8_t *prev_out = (y > 0) ? ot + (y - 1) * len : nullptr;
+      const uint8_t *seed = (mode == 1) ? nullptr : prev_out;
 #if defined(__AVX512VBMI__) && defined(__AVX512BW__)
       if (vec_rows) {
-        unpredict_row_avx512(zr, orow, prev_col0, q * c, c, sh);
-        continue;
+        unpredict_row_avx512(zr, orow, seed, len, c, sh);
+      } else {
+        unpredict_row_scalar(zr, orow, seed, len, c);
       }
+#else
+      unpredict_row_scalar(zr, orow, seed, len, c);
 #endif
-      for (int64_t ch = 0; ch < c; ++ch) {
-        const uint8_t zz = zr[ch];
-        const uint8_t s =
-            static_cast<uint8_t>((zz >> 1) ^ static_cast<uint8_t>(-(zz & 1)));
-        orow[ch] = static_cast<uint8_t>(
-            s + (prev_col0 != nullptr ? prev_col0[ch] : 0));
-      }
-      for (int64_t x = 1; x < q; ++x) {
-        for (int64_t ch = 0; ch < c; ++ch) {
-          const uint8_t zz = zr[x * c + ch];
-          const uint8_t s = static_cast<uint8_t>(
-              (zz >> 1) ^ static_cast<uint8_t>(-(zz & 1)));
-          orow[x * c + ch] =
-              static_cast<uint8_t>(s + orow[(x - 1) * c + ch]);
+      if (mode == 1 && prev_out != nullptr) {
+        for (int64_t j = 0; j < len; ++j) {  // Cv: bytewise, autovec
+          orow[j] = static_cast<uint8_t>(orow[j] + prev_out[j]);
         }
       }
     }
@@ -935,7 +951,7 @@ int64_t pixel_unpack_blocks(const uint32_t *words, int64_t n_words,
     }
   }
 
-  unzigzag_unpredict_tiles(z.data(), b, p, q, c, out);
+  unzigzag_unpredict_tiles(z.data(), b, p, q, c, out, 0);
   return truncated;
 }
 
@@ -1022,7 +1038,7 @@ int32_t pixel_rans_decode(const uint16_t *words, int64_t total_words,
                           const int32_t *freqs, const int32_t *starts,
                           int32_t length, int64_t n_streams,
                           int64_t b, int64_t p, int64_t q, int64_t c,
-                          uint8_t *out) {
+                          uint8_t *out, int64_t mode) {
   if (length > kIlvMaxValues) {
     return -3;
   }
@@ -1043,7 +1059,7 @@ int32_t pixel_rans_decode(const uint16_t *words, int64_t total_words,
   if (n_streams % 16 == 0 && n_streams >= 16) {
     ilv_pixel_decode_avx512(words, total_words, lut.data(), n, n_streams,
                             z.data());
-    unzigzag_unpredict_tiles(z.data(), b, p, q, c, out);
+    unzigzag_unpredict_tiles(z.data(), b, p, q, c, out, mode);
     return 0;
   }
 #endif
@@ -1071,7 +1087,7 @@ int32_t pixel_rans_decode(const uint16_t *words, int64_t total_words,
     z[i] = static_cast<uint8_t>(pk >> 24);
     if (++s == n_streams) s = 0;
   }
-  unzigzag_unpredict_tiles(z.data(), b, p, q, c, out);
+  unzigzag_unpredict_tiles(z.data(), b, p, q, c, out, mode);
   return 0;
 }
 
@@ -1119,44 +1135,63 @@ static void predict_row_avx512(const uint8_t *prow,
 }
 #endif  // __AVX512BW__
 
-void pixel_predict_zigzag(const uint8_t *pixels, int64_t b, int64_t p,
-                          int64_t q, int64_t c, uint8_t *z) {
-  const int64_t tile = p * q * c;
-#if defined(__AVX512BW__)
-  if (q * c >= 64 && c >= 1 && c <= 32) {
-    for (int64_t t = 0; t < b; ++t) {
-      const uint8_t *pt = pixels + t * tile;
-      uint8_t *zt = z + t * tile;
-      for (int64_t y = 0; y < p; ++y) {
-        predict_row_avx512(
-            pt + y * q * c, (y > 0) ? pt + (y - 1) * q * c : nullptr,
-            zt + y * q * c, q * c, c);
-      }
-    }
-    return;
+// Scalar twin of predict_row_avx512: left-diff + zigzag of one row, the
+// first c bytes predicted from prev_col0 (nullptr = zero seed).
+static void predict_row_scalar(const uint8_t *prow, const uint8_t *prev_col0,
+                               uint8_t *zrow, int64_t len, int64_t c) {
+  for (int64_t x = 0; x < len; ++x) {
+    const uint8_t left =
+        (x >= c) ? prow[x - c] : (prev_col0 != nullptr ? prev_col0[x] : 0);
+    const uint8_t r = static_cast<uint8_t>(prow[x] - left);
+    zrow[x] = static_cast<uint8_t>(
+        (r << 1) ^ static_cast<uint8_t>(static_cast<int8_t>(r) >> 7));
   }
+}
+
+// mode 0: hybrid predictor (left; up for column 0) — the original wire
+// transform.  mode 1: plane predictor (left + up - upleft), computed in
+// SEPARABLE form as a vertical byte-diff followed by the horizontal
+// left-diff of the SAME row kernels: r = Dh(Dv(x)) mod 256 — the 2-D
+// gradient residual whose inverse is two mod-256 prefix sums (so the
+// device can invert it with two cumsums, no wavefront recurrence).
+void pixel_predict_zigzag(const uint8_t *pixels, int64_t b, int64_t p,
+                          int64_t q, int64_t c, uint8_t *z, int64_t mode) {
+  const int64_t tile = p * q * c;
+  const int64_t len = q * c;
+  std::vector<uint8_t> drow;
+  if (mode == 1) {
+    drow.resize(static_cast<size_t>(len));
+  }
+#if defined(__AVX512BW__)
+  const bool vec_rows = (len >= 64 && c >= 1 && c <= 32);
+#else
+  const bool vec_rows = false;
 #endif
   for (int64_t t = 0; t < b; ++t) {
     const uint8_t *pt = pixels + t * tile;
     uint8_t *zt = z + t * tile;
     for (int64_t y = 0; y < p; ++y) {
-      const uint8_t *prow = pt + y * q * c;
-      const uint8_t *prev_col0 = (y > 0) ? pt + (y - 1) * q * c : nullptr;
-      uint8_t *zrow = zt + y * q * c;
-      for (int64_t ch = 0; ch < c; ++ch) {
-        const uint8_t r = static_cast<uint8_t>(
-            prow[ch] - (prev_col0 != nullptr ? prev_col0[ch] : 0));
-        zrow[ch] = static_cast<uint8_t>(
-            (r << 1) ^ static_cast<uint8_t>(static_cast<int8_t>(r) >> 7));
-      }
-      for (int64_t x = 1; x < q; ++x) {
-        for (int64_t ch = 0; ch < c; ++ch) {
-          const uint8_t r =
-              static_cast<uint8_t>(prow[x * c + ch] - prow[(x - 1) * c + ch]);
-          zrow[x * c + ch] = static_cast<uint8_t>(
-              (r << 1) ^ static_cast<uint8_t>(static_cast<int8_t>(r) >> 7));
+      const uint8_t *prow = pt + y * len;
+      const uint8_t *prev = (y > 0) ? pt + (y - 1) * len : nullptr;
+      uint8_t *zrow = zt + y * len;
+      const uint8_t *src = prow;
+      const uint8_t *seed = prev;
+      if (mode == 1) {
+        if (prev != nullptr) {
+          for (int64_t j = 0; j < len; ++j) {  // Dv: bytewise, autovec
+            drow[j] = static_cast<uint8_t>(prow[j] - prev[j]);
+          }
+          src = drow.data();
         }
+        seed = nullptr;  // Dh runs zero-seeded on the vertical diff
       }
+#if defined(__AVX512BW__)
+      if (vec_rows) {
+        predict_row_avx512(src, seed, zrow, len, c);
+        continue;
+      }
+#endif
+      predict_row_scalar(src, seed, zrow, len, c);
     }
   }
 }
@@ -1299,13 +1334,13 @@ int64_t pixel_rans_encode(const uint8_t *pixels, int64_t b, int64_t p,
                           int64_t q, int64_t c, const int32_t *freqs,
                           const int32_t *starts, int32_t length,
                           int64_t n_streams, uint16_t *out,
-                          int64_t capacity_words) {
+                          int64_t capacity_words, int64_t mode) {
   if (length > kIlvMaxValues || length < 256) {
     return -3;  // residual alphabet must cover all 256 zigzag values
   }
   const int64_t n = b * p * q * c;
   std::vector<uint8_t> z(static_cast<size_t>(n));
-  pixel_predict_zigzag(pixels, b, p, q, c, z.data());
+  pixel_predict_zigzag(pixels, b, p, q, c, z.data(), mode);
 
   // division-free state update: per-value round-up reciprocals (exact for
   // states < 2^31, with a +1-overshoot correction beyond that — the same

@@ -69,6 +69,7 @@ class RansFetchResult(NamedTuple):
     capacity: int          # per-tile word budget the program used
     freq: np.ndarray       # (256,) table snapshot
     start: np.ndarray
+    pred_mode: int = 0     # predictor the program residualized with
 
 
 def make_pixel_tables(freq, start, slot) -> DeviceTables:
@@ -84,12 +85,23 @@ def make_pixel_tables(freq, start, slot) -> DeviceTables:
 # device-side transforms
 
 
-def residual_zigzag_device(tiles_u8: jnp.ndarray) -> jnp.ndarray:
+def residual_zigzag_device(tiles_u8: jnp.ndarray,
+                           mode: int = 0) -> jnp.ndarray:
     """(B, P, Q, C) uint8 -> (B, P, Q, C) int32 zigzag residuals in [0, 256).
 
-    Left predictor; up for column 0; (0, 0) raw — per channel, mod 256
-    (the same transform as coding/pixel_pack.py's packer and the C++
-    pixel_predict_zigzag twin)."""
+    ``mode`` 0: hybrid 1-D predictor (left; up for column 0; (0, 0) raw) —
+    per channel, mod 256 (the same transform as coding/pixel_pack.py's
+    packer).  ``mode`` 1: plane predictor (left + up - upleft), computed
+    in separable form as a vertical then a horizontal byte-diff — it codes
+    smooth content (trained reconstructions) ~0.5 bits/value tighter and
+    its inverse is two cumsums.  Twin of the C++ pixel_predict_zigzag."""
+    if mode == 1:
+        x = tiles_u8
+        d1 = jnp.concatenate([x[:, :1], x[:, 1:] - x[:, :-1]], axis=1)
+        d2 = jnp.concatenate([d1[:, :, :1], d1[:, :, 1:] - d1[:, :, :-1]],
+                             axis=2)
+        s = d2.astype(jnp.int8).astype(jnp.int32)
+        return ((s << 1) ^ (s >> 7)) & 0xFF
     b, p, q, c = tiles_u8.shape
     left = tiles_u8[:, :, :-1, :]
     up_col0 = jnp.concatenate(
@@ -101,12 +113,17 @@ def residual_zigzag_device(tiles_u8: jnp.ndarray) -> jnp.ndarray:
     return ((s << 1) ^ (s >> 7)) & 0xFF
 
 
-def unzigzag_unpredict_device(z: jnp.ndarray) -> jnp.ndarray:
+def unzigzag_unpredict_device(z: jnp.ndarray, mode: int = 0) -> jnp.ndarray:
     """Inverse of residual_zigzag_device: (B, P, Q, C) int32 zigzag values
-    -> (B, P, Q, C) uint8 pixels.  Two mod-256 cumulative sums (sums stay
-    < 2^31 for any realistic tile side, so int32 cumsum is exact mod 256).
-    """
+    -> (B, P, Q, C) uint8 pixels.  Two mod-256 cumulative sums either way
+    (sums stay < 2^31 for any realistic tile side, so int32 cumsum is
+    exact mod 256); the plane predictor's 2-D inverse is a horizontal
+    THEN a vertical full-tile prefix (the separable form's whole point:
+    no sequential wavefront on device)."""
     s = ((z >> 1) ^ -(z & 1)) & 0xFF                     # residuals, 0..255
+    if mode == 1:
+        h = jnp.cumsum(s, axis=2) & 0xFF                 # Ch
+        return (jnp.cumsum(h, axis=1) & 0xFF).astype(jnp.uint8)  # Cv
     col0 = jnp.cumsum(s[:, :, :1, :], axis=1) & 0xFF     # down column 0
     rest = jnp.cumsum(s[:, :, 1:, :], axis=2)            # across rows
     out = jnp.concatenate([col0, (rest + col0) & 0xFF], axis=2)
@@ -115,8 +132,9 @@ def unzigzag_unpredict_device(z: jnp.ndarray) -> jnp.ndarray:
 
 def encode_residuals_device(tiles_u8: jnp.ndarray, tables: DeviceTables,
                             enc_tables, capacity: int,
-                            use_pallas: bool) -> Tuple[jnp.ndarray,
-                                                       jnp.ndarray]:
+                            use_pallas: bool,
+                            pred_mode: int = 0) -> Tuple[jnp.ndarray,
+                                                         jnp.ndarray]:
     """Fused residual+encode, for use INSIDE a jitted decode program.
 
     Returns ((B, capacity) uint16 word queues, totals (B,) int32).  Values
@@ -124,7 +142,7 @@ def encode_residuals_device(tiles_u8: jnp.ndarray, tables: DeviceTables,
     capacity signals overflow (caller refetches raw)."""
     b = tiles_u8.shape[0]
     n = tiles_u8.shape[1] * tiles_u8.shape[2] * tiles_u8.shape[3]
-    z = residual_zigzag_device(tiles_u8)
+    z = residual_zigzag_device(tiles_u8, pred_mode)
     packed = pack_streams(z.reshape(b, n), STREAMS)      # (B, T, S)
     t = packed.shape[1]
     ch_map = jnp.zeros((t, STREAMS), jnp.int32)
@@ -215,7 +233,8 @@ def expand_queues_device(flat: jnp.ndarray, offsets: jnp.ndarray,
 
 def decode_residuals_device(queues: jnp.ndarray, tables: DeviceTables,
                             dec_lut: jnp.ndarray, shape: Tuple[int, ...],
-                            use_pallas: bool) -> jnp.ndarray:
+                            use_pallas: bool,
+                            pred_mode: int = 0) -> jnp.ndarray:
     """Decode (B, Q) int32 word queues -> (B, P, Q, C) uint8 pixels, for
     use INSIDE a jitted encode program (upload direction).
 
@@ -234,14 +253,14 @@ def decode_residuals_device(queues: jnp.ndarray, tables: DeviceTables,
         vals = decode_device_interleaved(
             queues, jnp.zeros((t, STREAMS), jnp.int32), tables, t)
     z = vals.reshape(b, -1)[:, :n].reshape(b, p, q, c)
-    return unzigzag_unpredict_device(z)
+    return unzigzag_unpredict_device(z, pred_mode)
 
 
 # --------------------------------------------------------------------------
 # host-side codec + calibration
 
 
-def residual_hist_host(tiles_u8: np.ndarray) -> np.ndarray:
+def residual_hist_host(tiles_u8: np.ndarray, mode: int = 0) -> np.ndarray:
     """(B, P, Q, C) uint8 -> (256,) int64 zigzag-residual histogram."""
     from . import rans
     tiles_u8 = np.ascontiguousarray(tiles_u8, np.uint8)
@@ -249,13 +268,29 @@ def residual_hist_host(tiles_u8: np.ndarray) -> np.ndarray:
     lib = rans._load_library()
     if lib is not None:
         z = np.empty_like(tiles_u8).reshape(-1)
-        lib.pixel_predict_zigzag(tiles_u8.reshape(-1), b, p, q, c, z)
+        lib.pixel_predict_zigzag(tiles_u8.reshape(-1), b, p, q, c, z, mode)
     else:
-        z = _predict_zigzag_numpy(tiles_u8).reshape(-1)
+        z = _predict_zigzag_numpy(tiles_u8, mode).reshape(-1)
     return np.bincount(z, minlength=256)
 
 
-def _predict_zigzag_numpy(tiles_u8: np.ndarray) -> np.ndarray:
+def _hist_entropy_bits(hist: np.ndarray) -> float:
+    """Shannon entropy (bits/value) of a residual histogram."""
+    p = hist.astype(np.float64)
+    p = p / max(1.0, p.sum())
+    p = p[p > 0]
+    return float(-(p * np.log2(p)).sum())
+
+
+def _predict_zigzag_numpy(tiles_u8: np.ndarray, mode: int = 0) -> np.ndarray:
+    if mode == 1:
+        x = tiles_u8
+        d1 = x.copy()
+        d1[:, 1:] = x[:, 1:] - x[:, :-1]          # uint8 wraps mod 256
+        d2 = d1.copy()
+        d2[:, :, 1:] = d1[:, :, 1:] - d1[:, :, :-1]
+        s = d2.astype(np.int8).astype(np.int32)
+        return (((s << 1) ^ (s >> 7)) & 0xFF).astype(np.uint8)
     b, p, q, c = tiles_u8.shape
     pred = np.empty_like(tiles_u8)
     pred[:, :, 1:, :] = tiles_u8[:, :, :-1, :]
@@ -266,9 +301,12 @@ def _predict_zigzag_numpy(tiles_u8: np.ndarray) -> np.ndarray:
     return (((s << 1) ^ (s >> 7)) & 0xFF).astype(np.uint8)
 
 
-def _unpredict_numpy(z: np.ndarray) -> np.ndarray:
+def _unpredict_numpy(z: np.ndarray, mode: int = 0) -> np.ndarray:
     zi = z.astype(np.int32)
     s = ((zi >> 1) ^ -(zi & 1)).astype(np.uint8)
+    if mode == 1:
+        h = np.cumsum(s.astype(np.int64), axis=2) & 0xFF
+        return (np.cumsum(h, axis=1) & 0xFF).astype(np.uint8)
     out = np.zeros_like(s)
     col0 = np.cumsum(s[:, :, 0, :].astype(np.int64), axis=1).astype(np.uint8)
     out[:, :, 0, :] = col0
@@ -324,6 +362,7 @@ class PixelRansTransport:
         self.tables: Optional[DeviceTables] = None  # C=1 device tables
         self.enc_tables = None                      # Pallas encode tables
         self.dec_lut = None                         # Pallas decode LUT
+        self.pred_mode: int = 0                     # 0 hybrid, 1 plane
         self.bits_per_value: float = 8.0
         self._overflows = 0
         self._lock = threading.Lock()
@@ -332,18 +371,20 @@ class PixelRansTransport:
         return self.freq is not None
 
     def snapshot(self):
-        """Atomic (tables, enc_tables, dec_lut, freq, start) view, or None
-        when uncalibrated.  Dispatchers must code a whole batch from ONE
-        snapshot — reading the fields individually can interleave with a
-        concurrent refit and pair device tables with a newer host table."""
+        """Atomic (tables, enc_tables, dec_lut, freq, start, pred_mode)
+        view, or None when uncalibrated.  Dispatchers must code a whole
+        batch from ONE snapshot — reading the fields individually can
+        interleave with a concurrent refit and pair device tables with a
+        newer host table (or a different predictor)."""
         with self._lock:
             if self.freq is None:
                 return None
             return (self.tables, self.enc_tables, self.dec_lut, self.freq,
-                    self.start)
+                    self.start, self.pred_mode)
 
-    def calibrate(self, hist: np.ndarray) -> None:
-        """Fit the shared 256-value table from a residual histogram.
+    def calibrate(self, hist: np.ndarray, mode: Optional[int] = None) -> None:
+        """Fit the shared 256-value table from a residual histogram
+        (computed with predictor ``mode``; None keeps the current one).
 
         Concurrent pipeline fetch jobs may both see an uncalibrated
         transport after a refit; the lock + recheck makes the second
@@ -351,7 +392,30 @@ class PixelRansTransport:
         with self._lock:
             if self.calibrated():
                 return
+            if mode is not None:
+                self.pred_mode = mode
             self._calibrate_locked(hist)
+
+    def calibrate_from_tiles(self, tiles_u8: np.ndarray) -> None:
+        """Content-adaptive calibration: fit whichever predictor codes
+        this content tighter — the 1-D hybrid (mode 0) or the 2-D plane
+        (mode 1).  Plane wins on smooth content (trained reconstructions:
+        measured ~-0.55 bits/value on the bench fixture's fetch
+        direction); the hybrid wins on noisy content where 2-D prediction
+        AMPLIFIES per-pixel noise (raw bench uploads measured plane +0.5
+        bits/value WORSE — the documented MED/Paeth negative result).
+        Both histograms come from one C++ predict pass each (~ms)."""
+        if self.calibrated():
+            return
+        tiles_u8 = np.ascontiguousarray(tiles_u8, np.uint8)
+        hists = [residual_hist_host(tiles_u8, m) for m in (0, 1)]
+        ent = [_hist_entropy_bits(h) for h in hists]
+        mode = int(np.argmin(ent))
+        with self._lock:
+            if self.calibrated():
+                return
+            self.pred_mode = mode
+            self._calibrate_locked(hists[mode])
 
     def _calibrate_locked(self, hist: np.ndarray) -> None:
         hist = np.asarray(hist, np.float64)
@@ -438,32 +502,38 @@ class PixelRansTransport:
 
     # -- host halves --------------------------------------------------------
 
-    def _live_tables(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Atomic (freq, start) of the live calibration, for callers that
-        did not capture a snapshot.  Read under the lock: note_overflow's
-        invalidation sets ``freq = None`` while ``start`` stays stale, so
-        unlocked field reads could pair None freq with old start mid-batch
-        and crash inside the C++ call."""
+    def _live_tables(self) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Atomic (freq, start, pred_mode) of the live calibration, for
+        callers that did not capture a snapshot.  Read under the lock:
+        note_overflow's invalidation sets ``freq = None`` while ``start``
+        stays stale, so unlocked field reads could pair None freq with old
+        start mid-batch and crash inside the C++ call."""
         snap = self.snapshot()
         if snap is None:
             raise RuntimeError(
                 "pixel transport is uncalibrated (or was invalidated by "
                 "an overflow refit); pass the snapshot tables the device "
                 "program was dispatched with")
-        return snap[3], snap[4]
+        return snap[3], snap[4], snap[5]
 
     def decode_host(self, words: np.ndarray, total: int,
                     shape: Tuple[int, int, int, int],
                     freq: Optional[np.ndarray] = None,
-                    start: Optional[np.ndarray] = None) -> np.ndarray:
+                    start: Optional[np.ndarray] = None,
+                    mode: Optional[int] = None) -> np.ndarray:
         """uint16 word queue -> (B, P, Q, C) uint8 pixels (fused C++).
 
-        ``freq``/``start`` override the live tables — fetch jobs must pass
-        the snapshot their decode program was dispatched with (the live
-        transport may have recalibrated since)."""
+        ``freq``/``start``/``mode`` override the live state — fetch jobs
+        must pass the snapshot their decode program was dispatched with
+        (the live transport may have recalibrated since, possibly onto the
+        other predictor)."""
         from . import rans
         if freq is None or start is None:
-            freq, start = self._live_tables()
+            freq, start, live_mode = self._live_tables()
+            if mode is None:
+                mode = live_mode
+        elif mode is None:
+            mode = 0   # historical explicit-table behavior
         b, p, q, c = shape
         words = np.ascontiguousarray(words[:total], np.uint16)
         out = np.empty(b * p * q * c, np.uint8)
@@ -471,25 +541,30 @@ class PixelRansTransport:
         if lib is not None:
             rc = lib.pixel_rans_decode(words, words.shape[0], freq,
                                        start, 256, STREAMS,
-                                       b, p, q, c, out)
+                                       b, p, q, c, out, mode)
             if rc != 0:
                 raise ValueError("pixel rANS table invalid")
             return out.reshape(shape)
         z = rans_decode_numpy(words, freq, start, b * p * q * c, STREAMS)
-        return _unpredict_numpy(z.reshape(shape).astype(np.uint8))
+        return _unpredict_numpy(z.reshape(shape).astype(np.uint8), mode)
 
     def encode_host(self, tiles_u8: np.ndarray, capacity: int,
                     freq: Optional[np.ndarray] = None,
-                    start: Optional[np.ndarray] = None
+                    start: Optional[np.ndarray] = None,
+                    mode: Optional[int] = None
                     ) -> Tuple[np.ndarray, np.ndarray]:
         """(B, P, Q, C) uint8 -> ((B, capacity) uint16 queues, totals).
 
         A tile that overflows ``capacity`` gets total == -1 (caller ships
-        that tile raw).  ``freq``/``start`` pin the table snapshot the
+        that tile raw).  ``freq``/``start``/``mode`` pin the snapshot the
         matching device decode program will run with."""
         from . import rans
         if freq is None or start is None:
-            freq, start = self._live_tables()
+            freq, start, live_mode = self._live_tables()
+            if mode is None:
+                mode = live_mode
+        elif mode is None:
+            mode = 0   # historical explicit-table behavior
         tiles_u8 = np.ascontiguousarray(tiles_u8, np.uint8)
         b = tiles_u8.shape[0]
         out = np.zeros((b, capacity), np.uint16)
@@ -500,12 +575,12 @@ class PixelRansTransport:
                 t = lib.pixel_rans_encode(
                     tiles_u8[i].reshape(-1), 1, tiles_u8.shape[1],
                     tiles_u8.shape[2], tiles_u8.shape[3], freq,
-                    start, 256, STREAMS, out[i], capacity)
+                    start, 256, STREAMS, out[i], capacity, mode)
                 if t == -3:
                     raise ValueError("pixel rANS table invalid")
             else:
                 t = _encode_numpy_into(tiles_u8[i:i + 1], freq,
-                                       start, out[i])
+                                       start, out[i], mode)
             totals[i] = t if t >= 0 else -1
         return out, totals
 
@@ -540,9 +615,9 @@ def rans_decode_numpy(words: np.ndarray, freq: np.ndarray,
     return vals[:n].astype(np.int32)
 
 
-def _encode_numpy_into(tiles_u8, freq, start, out_row) -> int:
+def _encode_numpy_into(tiles_u8, freq, start, out_row, mode: int = 0) -> int:
     """Reverse-pass numpy encoder for one tile (fallback/oracle)."""
-    z = _predict_zigzag_numpy(tiles_u8).reshape(-1)
+    z = _predict_zigzag_numpy(tiles_u8, mode).reshape(-1)
     n = z.shape[0]
     s_count = STREAMS
     t = -(-n // s_count)

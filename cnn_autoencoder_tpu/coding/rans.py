@@ -101,12 +101,15 @@ def _load_library():
             p_u32, i64, p_u8, i64, i64, i64, i64, i64, p_u8]
         lib.pixel_rans_decode.restype = i32
         lib.pixel_rans_decode.argtypes = [
-            p_u16, i64, p_i32, p_i32, i32, i64, i64, i64, i64, i64, p_u8]
+            p_u16, i64, p_i32, p_i32, i32, i64, i64, i64, i64, i64, p_u8,
+            i64]
         lib.pixel_predict_zigzag.restype = None
-        lib.pixel_predict_zigzag.argtypes = [p_u8, i64, i64, i64, i64, p_u8]
+        lib.pixel_predict_zigzag.argtypes = [p_u8, i64, i64, i64, i64, p_u8,
+                                             i64]
         lib.pixel_rans_encode.restype = i64
         lib.pixel_rans_encode.argtypes = [
-            p_u8, i64, i64, i64, i64, p_i32, p_i32, i32, i64, p_u16, i64]
+            p_u8, i64, i64, i64, i64, p_i32, p_i32, i32, i64, p_u16, i64,
+            i64]
         lib.rans_num_threads.restype = i32
         lib.rans_num_threads.argtypes = []
         _LIB = lib

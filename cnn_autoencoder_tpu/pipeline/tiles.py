@@ -156,7 +156,7 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
     # so ~entropy bits/px cross the link instead of 24 (pixel_rans.py).
     # Calibrated from the first batch's residual histogram.
     from ..coding.link_probe import coded_upload_enabled
-    from ..coding.pixel_rans import PixelRansTransport, residual_hist_host
+    from ..coding.pixel_rans import PixelRansTransport
     up_transport = None
     if coded_upload_enabled():
         up_transport = getattr(core, "_up_transport", None)
@@ -185,7 +185,7 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
             # programs compile separately and the bf16 encoder rounds
             # differently between them, so mixing them would make the
             # stored bytes depend on when the serving core calibrated.
-            tr.calibrate(residual_hist_host(tiles_np))
+            tr.calibrate_from_tiles(tiles_np)
             if not tr.worthwhile(pe * pe * c):
                 up_transport = None
                 tr = None
@@ -195,7 +195,7 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
             with GLOBAL_TIMER.stage("compress/host_rans_up", mp):
                 cap = tr.capacity(pe * pe * c)
                 queues, totals = tr.encode_host(tiles_np, cap, snap[3],
-                                                snap[4])
+                                                snap[4], snap[5])
                 coded = bool((totals >= 0).all())
                 if not coded:
                     tr.note_overflow()
@@ -414,7 +414,7 @@ def decompress_cae_array(src: zarrlib.Array,
     # and shards cleanly under a mesh; 'pack' keeps the round-2 bit-plane
     # packer (single-device only).
     from ..coding.pixel_pack import packed_fetch_enabled
-    from ..coding.pixel_rans import PixelRansTransport, residual_hist_host
+    from ..coding.pixel_rans import PixelRansTransport
     ph, pw = core.padded_hw(p + 2 * offset, p + 2 * offset)
     coded = packed_fetch_enabled()
     fetch_codec = os.environ.get("CAE_TPU_FETCH_CODEC", "rans")
@@ -447,7 +447,7 @@ def decompress_cae_array(src: zarrlib.Array,
             # re-code — a wire-bytes cliff on long images.  These pixels
             # ARE raw-fallback output, so they carry everything a refit
             # needs (mirrors the compress direction's per-batch refit).
-            tr.calibrate(residual_hist_host(np.ascontiguousarray(rec_np)))
+            tr.calibrate_from_tiles(rec_np)
         if offset:
             rec_np = rec_np[:, offset:-offset, offset:-offset]
         with GLOBAL_TIMER.stage("decompress/stitch", mp_batch):
@@ -493,7 +493,7 @@ def decompress_cae_array(src: zarrlib.Array,
             rec0 = np.asarray(core.decode_tiles_device(sym0,
                                                        packed=False))
             GLOBAL_TIMER.add_link_bytes("d2h", rec0.nbytes)
-            transport.calibrate(residual_hist_host(rec0))
+            transport.calibrate_from_tiles(rec0)
             if not transport.worthwhile_fetch(ph * pw * 3, batch):
                 transport = None  # coding would expand on the wire
             break
@@ -599,7 +599,7 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
     # coded upload (see compress_pixels_to_cae): calibrated from the first
     # batch's raw input tiles
     from ..coding.link_probe import coded_upload_enabled
-    from ..coding.pixel_rans import PixelRansTransport, residual_hist_host
+    from ..coding.pixel_rans import PixelRansTransport
     up_transport = None
     if coded_upload_enabled():
         up_transport = getattr(core, "_up_transport", None)
@@ -616,7 +616,7 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
             # every batch rides the same coded-upload program (see
             # compress_pixels_to_cae: mixing raw/coded upload programs
             # would make stored bytes depend on calibration timing)
-            tr.calibrate(residual_hist_host(tiles_np))
+            tr.calibrate_from_tiles(tiles_np)
             if not tr.worthwhile(p * p * c):
                 up_transport = None
                 tr = None
@@ -662,7 +662,7 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
     # coded fetch: rANS residual transport, calibrated from the first
     # batch's reconstructions (see decompress_cae_array)
     from ..coding.pixel_pack import packed_fetch_enabled
-    from ..coding.pixel_rans import PixelRansTransport, residual_hist_host
+    from ..coding.pixel_rans import PixelRansTransport
     transport = None
     if (packed_fetch_enabled()
             and os.environ.get("CAE_TPU_FETCH_CODEC", "rans") == "rans"):
@@ -692,8 +692,7 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
             rec0 = core.decode_tiles(bufs0)
             sample = rec0 if isinstance(rec0, np.ndarray) else \
                 np.stack([r for r in rec0 if r.shape == rec0[0].shape])
-            transport.calibrate(residual_hist_host(
-                np.ascontiguousarray(sample)))
+            transport.calibrate_from_tiles(sample)
             ph0, pw0 = core.base.padded_hw(*sample.shape[1:3])
             # gate with the SAME per-shard batch the decode path frames
             # with (_decode_turbo_group: pb // nd after mesh padding) —
@@ -716,7 +715,7 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
             # of silently shipping raw pixels for the rest of the image
             sample = rec if isinstance(rec, np.ndarray) else \
                 np.stack([r for r in rec if r.shape == rec[0].shape])
-            tr.calibrate(residual_hist_host(np.ascontiguousarray(sample)))
+            tr.calibrate_from_tiles(sample)
         for ij, r in zip(ids, rec):
             sl, valid = src.chunk_slices(ij)
             out[sl] = r[:valid[0], :valid[1], :valid[2]]

@@ -111,7 +111,7 @@ class CAECodecCore:
             return pack_pixels_device_with_head(decode_fn(sym_cm))
 
         def decode_rans_fn(sym_cm, freq, start, slot, enc_tab, enc_rcp,
-                           capacity, head_words, use_pallas):
+                           capacity, head_words, use_pallas, pred_mode):
             # fused decode + device rANS encode of prediction residuals:
             # the transport ships tiles at their residual ENTROPY (~2-5
             # bits/px on trained reconstructions) instead of raw 24
@@ -126,12 +126,12 @@ class CAECodecCore:
             rec = decode_fn(sym_cm)
             bufs, totals = encode_residuals_device(
                 rec, make_pixel_tables(freq, start, slot),
-                (enc_tab, enc_rcp), capacity, use_pallas)
+                (enc_tab, enc_rcp), capacity, use_pallas, pred_mode)
             head = compact_queues_device(bufs, totals, head_words)
             return head[None], totals, rec
 
         def encode_from_rans_fn(offsets, flat, freq, start, slot, dec_lut,
-                                shape, px_capacity, use_pallas):
+                                shape, px_capacity, use_pallas, pred_mode):
             # upload direction: host C++ rANS-encodes raw input tiles
             # (coding/pixel_rans.py encode_host) and compacts them into
             # one exact flat buffer (compact_host); the encode program
@@ -144,7 +144,7 @@ class CAECodecCore:
             tiles = decode_residuals_device(
                 queues.astype(jnp.int32),
                 make_pixel_tables(freq, start, slot), dec_lut, shape,
-                use_pallas)
+                use_pallas, pred_mode)
             b, h, w, _ = shape
             ph, pw = _ceil_to(h, 2 ** self.level), _ceil_to(w,
                                                             2 ** self.level)
@@ -158,9 +158,9 @@ class CAECodecCore:
         self._decode = jax.jit(decode_fn)
         self._decode_packed = jax.jit(decode_packed_fn)
         self._decode_rans = jax.jit(decode_rans_fn,
-                                    static_argnums=(6, 7, 8))
+                                    static_argnums=(6, 7, 8, 9))
         self._encode_rans = jax.jit(encode_from_rans_fn,
-                                    static_argnums=(6, 7, 8))
+                                    static_argnums=(6, 7, 8, 9))
         self._decode_y = jax.jit(decode_y_fn, static_argnums=(1,))
         self._latent = jax.jit(latent_fn)
 
@@ -218,11 +218,11 @@ class CAECodecCore:
         GLOBAL_TIMER.add_link_bytes("h2d", flat.nbytes + offs.nbytes)
         use_pallas = (self.mesh is None
                       and jax.default_backend() == "tpu")
-        t, _, dec_lut, _, _ = snap
+        t, _, dec_lut, _, _, pred_mode = snap
         return self._encode_rans(
             self._shard_batch(jnp.asarray(offs)), jnp.asarray(flat),
             t.freq, t.start, t.slot, dec_lut, shape, px_capacity,
-            use_pallas)
+            use_pallas, pred_mode)
 
     @staticmethod
     def fetch_symbols(sym_dev) -> np.ndarray:
@@ -286,7 +286,7 @@ class CAECodecCore:
         snap = transport.snapshot() if transport is not None else None
         if snap is not None:
             from ..coding.pixel_rans import RansFetchResult
-            t, enc_tables, _, freq, start = snap
+            t, enc_tables, _, freq, start, pred_mode = snap
             b, c, lh, lw = sym.shape
             scale = 2 ** self.level
             n = (lh * scale) * (lw * scale) * 3
@@ -296,9 +296,9 @@ class CAECodecCore:
             head, totals, rec = self._decode_rans(
                 self._shard_batch(jnp.asarray(sym)), t.freq, t.start,
                 t.slot, *enc_tables, capacity,
-                transport.pooled_head_words(n, b), use_pallas)
+                transport.pooled_head_words(n, b), use_pallas, pred_mode)
             return RansFetchResult(head, totals, rec, capacity, freq,
-                                   start)
+                                   start, pred_mode)
         if packed and self.mesh is None:
             return self._decode_packed(jnp.asarray(sym))
         return self._decode(self._shard_batch(jnp.asarray(sym)))
@@ -373,7 +373,7 @@ class CAECodecCore:
                     tot = int(offs[s, j])
                     out[s * per + j] = transport.decode_host(
                         head_np[s, off:off + tot], tot, (1, p, q, c),
-                        rec_dev.freq, rec_dev.start)[0]
+                        rec_dev.freq, rec_dev.start, rec_dev.pred_mode)[0]
                     off += tot
             return out
         from ..coding.pixel_pack import unpack_pixels_host

@@ -172,7 +172,7 @@ class CAETurboCore:
 
         def decode_fused_rans(queues, ch_map, freq, start, slot, enc_tab,
                               enc_rcp, num_steps, lh, lw, capacity,
-                              head_words, use_pallas):
+                              head_words, use_pallas, pred_mode):
             # latent decode -> pixels -> device rANS encode of prediction
             # residuals, compacted into one statically-sized head
             # (coding/pixel_rans.py): entropy bits, not raw 24/px, cross
@@ -192,13 +192,13 @@ class CAETurboCore:
             rec = _finish_decode(sym, lh, lw, False)
             bufs, totals = encode_residuals_device(
                 rec, _pixel_tables(freq, start, slot), (enc_tab, enc_rcp),
-                capacity, use_pallas)
+                capacity, use_pallas, pred_mode)
             head = compact_queues_device(bufs, totals, head_words)
             return head[None], totals, rec
 
         def encode_fused_rans(offsets, ch_map, flat, freq, start, slot,
                               dec_lut, shape, capacity, px_capacity,
-                              use_pallas):
+                              use_pallas, pred_mode):
             # coded upload: the host rANS-encodes raw tiles (C++) and
             # compacts them into one exact flat buffer (compact_host), this
             # program expands + decodes them back before the conv encoder —
@@ -209,7 +209,7 @@ class CAETurboCore:
             queues = expand_queues_device(flat, offsets, px_capacity)
             tiles = decode_residuals_device(
                 queues.astype(jnp.int32), _pixel_tables(freq, start, slot),
-                dec_lut, shape, use_pallas)
+                dec_lut, shape, use_pallas, pred_mode)
             b, h, w, _ = shape
             ph, pw = self.base.padded_hw(h, w)
             if (ph, pw) != (h, w):
@@ -325,12 +325,12 @@ class CAETurboCore:
                 if up_transport is not None and input_on_host else None)
         coded_up = snap is not None and up_transport.worthwhile(n_px)
         if coded_up:
-            tab, _, dec_lut, s_freq, s_start = snap
+            tab, _, dec_lut, s_freq, s_start, s_mode = snap
             cap_px = up_transport.capacity(n_px)
             with GLOBAL_TIMER.stage("compress/host_rans_px",
                                     bsz * h * w / 1e6):
                 queues, q_totals = up_transport.encode_host(
-                    tiles_u8, cap_px, s_freq, s_start)
+                    tiles_u8, cap_px, s_freq, s_start, s_mode)
             coded_up = bool((q_totals >= 0).all())
             if not coded_up:
                 up_transport.note_overflow()
@@ -356,7 +356,7 @@ class CAETurboCore:
                 encode = self._get_fn(
                     "enc_rans", shape=(pb, h, w, tiles_u8.shape[3]),
                     capacity=capacity, px_capacity=cap_px,
-                    use_pallas=enc_pallas)
+                    use_pallas=enc_pallas, pred_mode=s_mode)
                 bufs, totals, esc = encode(odev, ch_map, flat_dev,
                                            tab.freq, tab.start, tab.slot,
                                            dec_lut)
@@ -501,18 +501,18 @@ class CAETurboCore:
         qdev, _ = self._pad_batch(jnp.asarray(queues))
         if use_rans:
             from ..coding.pixel_rans import RansFetchResult
-            tab, enc_tables, _, freq, start = snap
+            tab, enc_tables, _, freq, start, pred_mode = snap
             capacity = transport.capacity(n_px)
             decode = self._get_fn(
                 "rans", num_steps=t, lh=lh, lw=lw, capacity=capacity,
                 head_words=transport.pooled_head_words(n_px, per),
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, pred_mode=pred_mode)
             with GLOBAL_TIMER.stage("decompress/turbo_h2d+decode", mp):
                 head, totals, rec_d = decode(qdev, ch_map, tab.freq,
                                              tab.start, tab.slot,
                                              *enc_tables)
             res = RansFetchResult(head, totals, rec_d, capacity, freq,
-                                  start)
+                                  start, pred_mode)
             with GLOBAL_TIMER.stage("decompress/turbo_d2h_pixels", mp):
                 rec = CAECodecCore.fetch_pixels(
                     res, (qdev.shape[0], ph, pw, 3), transport)

@@ -651,3 +651,115 @@ def test_midcall_invalidation_refits(tmp_path, monkeypatch):
     # refit from the raw-fallback batch, not left the transport dead
     assert tr.calibrated()
     assert tr.bits_per_value != stale_bits
+
+# ---------------------------------------------------------------------------
+# plane predictor (pred_mode 1): the 2-D separable left+up-upleft residual
+
+
+def _smooth2d(shape, seed=0):
+    """2-D-structured content where the plane predictor beats the 1-D
+    hybrid: strong vertical correlation (each row ~ the row above) with
+    high WITHIN-row variation — the left predictor pays that variation on
+    every row, the plane predictor pays it once (like the smooth textured
+    reconstructions the fetch direction codes)."""
+    rng = np.random.RandomState(seed)
+    b, p, q, c = shape
+    cols = rng.randint(0, 200, size=(b, 1, q, c)).astype(np.float64)
+    drift = np.cumsum(rng.randint(-2, 3, size=(b, p, 1, c)), axis=1)
+    img = cols + drift + 28
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_plane_transforms_roundtrip_and_host_identity():
+    tiles = _tiles((2, 9, 17, 3), seed=21)
+    z = residual_zigzag_device(jnp.asarray(tiles), mode=1)
+    back = unzigzag_unpredict_device(z, mode=1)
+    np.testing.assert_array_equal(np.asarray(back), tiles)
+    z_np = _predict_zigzag_numpy(tiles, mode=1)
+    np.testing.assert_array_equal(np.asarray(z).astype(np.uint8), z_np)
+    np.testing.assert_array_equal(_unpredict_numpy(z_np, mode=1), tiles)
+    # C++ twin agrees with both
+    lib = rans._load_library()
+    if lib is not None:
+        b, p, q, c = tiles.shape
+        z_cpp = np.empty_like(tiles).reshape(-1)
+        lib.pixel_predict_zigzag(
+            np.ascontiguousarray(tiles).reshape(-1), b, p, q, c, z_cpp, 1)
+        np.testing.assert_array_equal(z_cpp.reshape(tiles.shape), z_np)
+
+
+def test_plane_separable_equals_direct_form():
+    """The separable Dh(Dv(x)) transform IS the plane predictor: interior
+    residuals equal x - (left + up - upleft) mod 256."""
+    tiles = _tiles((1, 8, 12, 2), seed=22)
+    z = _predict_zigzag_numpy(tiles, mode=1)
+    s = ((z.astype(np.int32) >> 1) ^ -(z.astype(np.int32) & 1)) & 0xFF
+    x = tiles.astype(np.int32)
+    direct = (x[:, 1:, 1:] - x[:, 1:, :-1] - x[:, :-1, 1:]
+              + x[:, :-1, :-1]) & 0xFF
+    np.testing.assert_array_equal(s[:, 1:, 1:], direct)
+
+
+@pytest.mark.parametrize("mode", [0, 1])
+def test_plane_fetch_direction_roundtrip(mode):
+    """Device scan encode -> C++ fused decode, both predictor modes."""
+    shape = (2, 16, 64, 2)
+    tiles = _smooth2d(shape, seed=23)
+    tr = PixelRansTransport()
+    tr.calibrate(residual_hist_host(tiles, mode), mode)
+    assert tr.pred_mode == mode
+    n = shape[1] * shape[2] * shape[3]
+    cap = tr.capacity(n)
+    bufs, totals = encode_residuals_device(
+        jnp.asarray(tiles), tr.tables, tr.enc_tables, cap,
+        use_pallas=False, pred_mode=mode)
+    bufs, totals = np.asarray(bufs), np.asarray(totals)
+    for i in range(shape[0]):
+        rec = tr.decode_host(bufs[i], int(totals[i]), (1,) + shape[1:])
+        np.testing.assert_array_equal(rec[0], tiles[i])
+
+
+def test_plane_upload_direction_roundtrip():
+    """C++ plane encode -> device scan decode."""
+    shape = (2, 16, 64, 2)
+    tiles = _smooth2d(shape, seed=24)
+    tr = PixelRansTransport()
+    tr.calibrate(residual_hist_host(tiles, 1), 1)
+    n = shape[1] * shape[2] * shape[3]
+    cap = tr.capacity(n)
+    queues, totals = tr.encode_host(tiles, cap)
+    assert (totals > 0).all()
+    rec = decode_residuals_device(
+        jnp.asarray(queues.astype(np.int32)), tr.tables, tr.dec_lut,
+        (shape[0],) + shape[1:], use_pallas=False, pred_mode=1)
+    np.testing.assert_array_equal(np.asarray(rec), tiles)
+
+
+def test_adaptive_calibration_picks_the_tighter_predictor():
+    smooth = _smooth2d((2, 32, 64, 3), seed=25)
+    tr = PixelRansTransport()
+    tr.calibrate_from_tiles(smooth)
+    assert tr.pred_mode == 1  # 2-D structure: plane wins
+    # plane codes this content strictly tighter than the hybrid would
+    from cnn_autoencoder_tpu.coding.pixel_rans import _hist_entropy_bits
+    e0 = _hist_entropy_bits(residual_hist_host(smooth, 0))
+    assert tr.bits_per_value < e0
+
+    noisy = _tiles((2, 32, 64, 3), seed=26)
+    tr2 = PixelRansTransport()
+    tr2.calibrate_from_tiles(noisy)
+    assert tr2.pred_mode == 0  # iid noise: 2-D prediction amplifies it
+
+
+def test_snapshot_carries_pred_mode():
+    tiles = _smooth2d((1, 16, 64, 2), seed=27)
+    tr = PixelRansTransport()
+    tr.calibrate_from_tiles(tiles)
+    snap = tr.snapshot()
+    assert len(snap) == 6 and snap[5] == tr.pred_mode == 1
+    # explicit-snapshot host halves honor the mode argument
+    cap = tr.capacity(16 * 64 * 2)
+    q1, t1 = tr.encode_host(tiles, cap, snap[3], snap[4], snap[5])
+    q2, t2 = tr.encode_host(tiles, cap)   # live state: same result
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(q1, q2)
