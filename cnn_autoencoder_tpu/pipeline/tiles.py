@@ -167,16 +167,17 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
               and not up_transport.worthwhile(pe * pe * c)):
             up_transport = None  # this call's tiles are too small to code
 
-    def compress_one(idxs):
+    def compress_one(idxs, tiles_np=None):
         nonlocal up_transport
         mp = len(idxs) * p * p / 1e6
-        with GLOBAL_TIMER.stage("compress/read", mp):
-            tiles = list(pool.map(read_tile, idxs))
-            # fixed batch shape: pad the final group so the device program
-            # compiles exactly once
-            while len(tiles) < batch:
-                tiles.append(tiles[-1])
-        tiles_np = np.stack(tiles)
+        if tiles_np is None:
+            with GLOBAL_TIMER.stage("compress/read", mp):
+                tiles = list(pool.map(read_tile, idxs))
+                # fixed batch shape: pad the final group so the device
+                # program compiles exactly once
+                while len(tiles) < batch:
+                    tiles.append(tiles[-1])
+            tiles_np = np.stack(tiles)
         tr = up_transport
         if tr is not None and not tr.calibrated():
             # host tiles carry everything calibration needs: fit BEFORE
@@ -215,12 +216,25 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
                 arr.write_chunk_raw((i, j, 0), buf)
 
     for group in _iter_batches(grid, batch):
-        inflight.append(workers.submit(compress_one, group))
-        if (up_transport is not None and not up_transport.calibrated()
-                and len(inflight) == 1 and len(grid) > batch):
-            # block on the calibration batch so every later upload is
-            # coded; a one-batch bubble, repaid in wire bytes
-            inflight.pop(0).result()
+        pre = None
+        if up_transport is not None and not up_transport.calibrated():
+            # calibrate on the MAIN thread from this group's tiles, then
+            # submit every job barrier-free.  The old design blocked on
+            # the whole first JOB (dispatch + fetch + write included) just
+            # to settle the calibration — a full batch of pipeline fill
+            # (~1/n_batches of the run); only the host tiles are actually
+            # needed, so later batches' host encodes and uploads now
+            # overlap the first batch's device round trip from t=0.
+            mp = len(group) * p * p / 1e6
+            with GLOBAL_TIMER.stage("compress/read", mp):
+                tiles = list(pool.map(read_tile, group))
+                while len(tiles) < batch:
+                    tiles.append(tiles[-1])
+            pre = np.stack(tiles)
+            up_transport.calibrate_from_tiles(pre)
+            if not up_transport.worthwhile(pe * pe * c):
+                up_transport = None
+        inflight.append(workers.submit(compress_one, group, pre))
         while len(inflight) > MAX_INFLIGHT:
             inflight.pop(0).result()
     for f in inflight:
@@ -630,10 +644,16 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
         tiles = list(pool.map(read_tile, group))
         while len(tiles) < batch:
             tiles.append(tiles[-1])
+        if up_transport is not None and not up_transport.calibrated():
+            # calibrate on the MAIN thread before the first submit (the
+            # tiles are already in hand here): the old whole-job barrier
+            # (dispatch + fetch + write included) cost a full batch of
+            # pipeline fill, and only the host tiles are needed to settle
+            # the table
+            up_transport.calibrate_from_tiles(np.stack(tiles))
+            if not up_transport.worthwhile(p * p * c):
+                up_transport = None
         inflight.append(workers.submit(encode_and_write, group, tiles))
-        if (up_transport is not None and not up_transport.calibrated()
-                and len(inflight) == 1 and len(grid) > batch):
-            inflight.pop(0).result()  # calibration barrier
         while len(inflight) > MAX_INFLIGHT:
             inflight.pop(0).result()
     for f in inflight:
