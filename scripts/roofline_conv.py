@@ -1,0 +1,307 @@
+"""Per-layer roofline of the flagship serving conv stack.
+
+Answers VERDICT r3 item #4: serving encode/decode MFU was reported at
+15.6/18.5% with the bound asserted ("shape-limited") but never shown.
+This script produces the evidence, in two halves:
+
+1. An ANALYTIC table: per layer, the MXU work (FLOPs), the minimum HBM
+   traffic, the MXU tile utilization its shapes allow (contracting and
+   output-channel dims vs the 128x128 systolic array), and the roofline
+   time  t >= max(flops / (peak * tile_util), bytes / bw).  The conv
+   stack's layers are extreme points: down_0 contracts over 9*3=27
+   (21% of a 128 tile), down_2 emits 48 channels (37%), and every GDN
+   is a channels^2 pool matmul sandwiched between elementwise passes.
+
+2. A MEASURED table from a jax.profiler device trace of the exact
+   serving programs (docs/KERNELS.md "Profiling method"): per-op
+   durations aggregated by layer, with achieved GB/s and TFLOP/s.
+
+Run on the TPU:  python scripts/roofline_conv.py [--batch 64]
+Writes benchmarks/roofline_conv.json and prints markdown tables.
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("CAE_TPU_PRECISION", "bf16")
+
+# public spec-sheet numbers (bench_serve.py uses the same peak table)
+_PEAK = {"v5 lite": (197.0, 819.0), "v5e": (197.0, 819.0),
+         "v6 lite": (918.0, 1640.0), "v6e": (918.0, 1640.0),
+         "v4": (275.0, 1228.0), "v5p": (459.0, 2765.0),
+         "cpu": (1.0, 100.0)}
+
+
+def device_peaks():
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in _PEAK.items():
+        if key in kind:
+            return peaks
+    return _PEAK["v5 lite"]
+
+
+def _tile_util(contract, cout):
+    """MXU 128x128 tile utilization a (contract x cout) matmul can reach
+    (spatial/batch rows assumed plentiful)."""
+    uk = contract / (-(-contract // 128) * 128)
+    un = cout / (-(-cout // 128) * 128)
+    return uk * un
+
+
+def build_analytic(batch, patch, channels_org, channels_net, channels_bn,
+                   level, k, peak_tflops, bw_gbs, dtype_bytes=2):
+    """Per-layer roofline rows for the encoder + decoder stacks."""
+    rows = []
+
+    def add_conv(name, b, ih, iw, cin, oh, ow, cout, taps_in=None):
+        # taps_in: true MAC count per output px when the lhs-dilated
+        # deconv only sees 1/stride^2 nonzero inputs per tap
+        contract = k * k * cin
+        flops = 2.0 * b * oh * ow * cout * (taps_in or contract)
+        byts = dtype_bytes * b * (ih * iw * cin + oh * ow * cout) \
+            + 4 * k * k * cin * cout
+        util = _tile_util(contract, cout)
+        t_mxu = flops / (peak_tflops * 1e12 * util)
+        t_hbm = byts / (bw_gbs * 1e9)
+        rows.append(dict(layer=name, kind="conv",
+                         gflops=flops / 1e9, gbytes=byts / 1e9,
+                         tile_util=round(util, 3),
+                         t_mxu_ms=t_mxu * 1e3, t_hbm_ms=t_hbm * 1e3,
+                         t_roof_ms=max(t_mxu, t_hbm) * 1e3,
+                         bound="mxu" if t_mxu > t_hbm else "hbm"))
+
+    def add_gdn(name, b, oh, ow, c):
+        # norm pool: (B*OH*OW, C) x (C, C) matmul + ~8 elementwise passes
+        flops = 2.0 * b * oh * ow * c * c + 8.0 * b * oh * ow * c
+        byts = dtype_bytes * b * oh * ow * c * 3    # read x, read x2, write
+        util = _tile_util(c, c)
+        t_mxu = flops / (peak_tflops * 1e12 * util)
+        t_hbm = byts / (bw_gbs * 1e9)
+        rows.append(dict(layer=name, kind="gdn",
+                         gflops=flops / 1e9, gbytes=byts / 1e9,
+                         tile_util=round(util, 3),
+                         t_mxu_ms=t_mxu * 1e3, t_hbm_ms=t_hbm * 1e3,
+                         t_roof_ms=max(t_mxu, t_hbm) * 1e3,
+                         bound="mxu" if t_mxu > t_hbm else "hbm"))
+
+    # encoder: stride-2 stages (cin -> cout at half spatial), GDN on all
+    # but the bottleneck stage
+    stages = []
+    prev, curr = channels_org, channels_net
+    for _ in range(level - 1):
+        stages.append((prev, curr, True))
+        prev, curr = curr, curr
+    stages.append((prev, channels_bn, False))
+    side = patch
+    for i, (cin, cout, act) in enumerate(stages):
+        oh = side // 2
+        add_conv(f"enc/down_{i}/conv", batch, side, side, cin, oh, oh, cout)
+        if act:
+            add_gdn(f"enc/down_{i}/gdn", batch, oh, oh, cout)
+        side = oh
+
+    # decoder: mirrored lhs-dilated stride-2 deconvs + IGDN.  The dilated
+    # input is 3/4 zeros; the USEFUL MACs per output px are k*k*cin/4 on
+    # average (XLA's polyphase-style lowering exploits this; its cost
+    # model reports the full count, so both are shown).
+    dstages = []
+    prev, curr = channels_bn, channels_net
+    for _ in range(level - 1):
+        dstages.append((prev, curr, True))
+        prev = curr
+    dstages.append((prev, channels_org, False))
+    side = patch // (2 ** level)
+    for i, (cin, cout, act) in enumerate(dstages):
+        oh = side * 2
+        add_conv(f"dec/up_{i}/deconv", batch, side, side, cin, oh, oh, cout,
+                 taps_in=k * k * cin / 4.0)
+        if act:
+            add_gdn(f"dec/up_{i}/igdn", batch, oh, oh, cout)
+        side = oh
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# measured half: jax.profiler trace -> per-layer aggregation
+
+_LAYER_RE = re.compile(r"(down_\d+|up_\d+|fx_brg|color_\d+)")
+_SUB_RE = re.compile(r"(conv_pre|conv_down|conv_up|gdn_down|gdn_up|"
+                     r"fused_conv_gdn)")
+
+
+def classify(tf_op, name):
+    text = f"{tf_op}/{name}"
+    layer = _LAYER_RE.search(text)
+    sub = _SUB_RE.search(text)
+    if layer is None:
+        return "other"
+    key = layer.group(1)
+    if sub is not None:
+        s = sub.group(1)
+        if "gdn" in s:
+            key += "/gdn"
+        elif "fused" in s:
+            key += "/conv+gdn(fused)"
+        else:
+            key += "/conv"
+    return key
+
+
+def parse_trace(trace_dir):
+    """Aggregate XLA-op events by layer from a jax.profiler trace dir."""
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    agg = {}
+    for path in paths:
+        with gzip.open(path, "rt") as f:
+            data = json.load(f)
+        events = data.get("traceEvents", [])
+        # the device-side op timeline is the thread NAMED "XLA Ops"
+        # inside the /device:TPU:N process
+        xla_tids = set()
+        for e in events:
+            if (e.get("ph") == "M" and e.get("name") == "thread_name"
+                    and str(e.get("args", {}).get("name", "")) == "XLA Ops"):
+                xla_tids.add((e["pid"], e["tid"]))
+        for e in events:
+            if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in xla_tids:
+                continue
+            args = e.get("args", {})
+            key = classify(str(args.get("tf_op", "")), str(e.get("name", "")))
+            row = agg.setdefault(key, dict(dur_us=0.0, flops=0.0,
+                                           bytes=0.0, n=0))
+            row["dur_us"] += float(e.get("dur", 0.0))
+            row["flops"] += float(args.get("model_flops", 0) or 0)
+            row["bytes"] += float(args.get("bytes_accessed", 0) or 0)
+            row["n"] += 1
+    return agg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--patch", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "roofline_conv.json"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.models.factory import (autoencoder_from_state_dict,
+                                                    build_model)
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+    fixture = os.path.join(os.path.dirname(args.out),
+                           "bench_flagship.msgpack")
+    if os.path.exists(fixture):
+        model = autoencoder_from_state_dict(fixture)
+    else:
+        model = build_model(jax.random.PRNGKey(0),
+                            input_size=(args.patch, args.patch),
+                            channels_org=3, channels_net=128,
+                            channels_bn=48, compression_level=3, K=4, r=3,
+                            act_layer_type="GDN")
+    core = CAECodecCore(model)
+
+    rng = np.random.RandomState(0)
+    tiles = jnp.asarray(np.clip(
+        rng.rand(args.batch, args.patch, args.patch, 3) * 160 + 60
+        + rng.randn(args.batch, args.patch, args.patch, 3) * 6,
+        0, 255).astype(np.uint8))
+    mp_batch = args.batch * args.patch * args.patch / 1e6
+
+    sym8, _, _ = core._encode(tiles)
+    np.asarray(sym8.reshape(-1)[:1])     # settle (block_until_ready no-op)
+
+    peak_tflops, bw = device_peaks()
+    cfg = model.config if hasattr(model, "config") else {}
+    ch_net = int(cfg.get("channels_net", 128))
+    ch_bn = int(cfg.get("channels_bn", 48))
+    level = int(cfg.get("compression_level", 3))
+    k = int(cfg.get("kernel_size", 3))
+    analytic = build_analytic(args.batch, args.patch, 3, ch_net, ch_bn,
+                              level, k, peak_tflops, bw)
+
+    # measured: trace N back-to-back dispatches of each program
+    tdir = tempfile.mkdtemp(prefix="cae_roofline_")
+    with jax.profiler.trace(tdir):
+        out = None
+        for _ in range(args.steps):
+            out = core._encode(tiles)
+        np.asarray(out[0].reshape(-1)[:1])
+        rec = None
+        for _ in range(args.steps):
+            rec = core._decode(sym8)
+        np.asarray(rec.reshape(-1)[:1])
+    agg = parse_trace(tdir)
+
+    total_us = sum(r["dur_us"] for r in agg.values())
+    measured = []
+    for key in sorted(agg, key=lambda q: -agg[q]["dur_us"]):
+        r = agg[key]
+        dur_s = r["dur_us"] / 1e6 / args.steps  # per dispatch-pair
+        measured.append(dict(
+            layer=key, ms=r["dur_us"] / 1e3 / args.steps,
+            pct=100.0 * r["dur_us"] / max(1.0, total_us),
+            tflops=(r["flops"] / 1e12 / max(r["dur_us"] / 1e6, 1e-9)),
+            gbs=(r["bytes"] / 1e9 / max(r["dur_us"] / 1e6, 1e-9)),
+            n_ops=r["n"] // args.steps))
+
+    roof_enc = sum(r["t_roof_ms"] for r in analytic
+                   if r["layer"].startswith("enc/"))
+    roof_dec = sum(r["t_roof_ms"] for r in analytic
+                   if r["layer"].startswith("dec/"))
+    meas_ms = total_us / 1e3 / args.steps
+
+    result = dict(
+        batch=args.batch, patch=args.patch, mp_batch=mp_batch,
+        precision=os.environ.get("CAE_TPU_PRECISION"),
+        device=str(jax.devices()[0]), peak_tflops=peak_tflops,
+        hbm_gbs=bw, analytic=analytic, measured=measured,
+        roofline_encode_ms=roof_enc, roofline_decode_ms=roof_dec,
+        roofline_encode_mps=mp_batch / (roof_enc / 1e3),
+        roofline_decode_mps=mp_batch / (roof_dec / 1e3),
+        measured_total_ms=meas_ms)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+
+    print("\n## analytic roofline (batch %d, %d², %s, peak %.0f TFLOP/s "
+          "bf16 / %.0f GB/s)\n" % (args.batch, args.patch,
+                                   result["precision"], peak_tflops, bw))
+    print("| layer | GFLOP | GB | tile util | t_mxu ms | t_hbm ms | "
+          "roofline ms | bound |")
+    print("|---|---|---|---|---|---|---|---|")
+    for r in analytic:
+        print("| %s | %.1f | %.2f | %.2f | %.2f | %.2f | %.2f | %s |" % (
+            r["layer"], r["gflops"], r["gbytes"], r["tile_util"],
+            r["t_mxu_ms"], r["t_hbm_ms"], r["t_roof_ms"], r["bound"]))
+    print("\nroofline ceilings: encode %.1f ms (%.0f MP/s), decode %.1f ms"
+          " (%.0f MP/s)\n" % (roof_enc, result["roofline_encode_mps"],
+                              roof_dec, result["roofline_decode_mps"]))
+    print("## measured (jax.profiler XLA-op timeline, %d dispatches)\n"
+          % args.steps)
+    print("| layer | ms/dispatch | % | TFLOP/s | GB/s | ops |")
+    print("|---|---|---|---|---|---|")
+    for r in measured:
+        print("| %s | %.2f | %.1f | %.1f | %.0f | %d |" % (
+            r["layer"], r["ms"], r["pct"], r["tflops"], r["gbs"],
+            r["n_ops"]))
+    print("\nwrote %s" % args.out)
+
+
+if __name__ == "__main__":
+    main()
