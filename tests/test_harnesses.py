@@ -65,11 +65,97 @@ def test_test_cae_harness(tmp_path):
     assert stats["rate_stats"]["avg"] > 0
     assert stats["psnr_stats"]["avg"] > 0
 
-    # stats file readable via torch (reference schema)
+    # stats file readable via torch, field-by-field reference schema parity
+    # (reference src/test_cae.py:181-233: per-metric value lists, *_stats
+    # dicts of avg/std/med/min/max, plus codec + seed)
     import torch
     saved = torch.load(str(tmp_path / "metrics_stats_1_CAE_.pth"),
                        weights_only=False)
     assert saved["codec"] == "CAE"
+    assert saved["seed"] == 1
+    metric_keys = ["dist", "rate", "ms-ssim", "ssim", "psnr", "delta_cielab",
+                   "execution_time", "evaluation_time"]
+    expected = (set(metric_keys) | {m + "_stats" for m in metric_keys}
+                | {"codec", "seed"})
+    assert set(saved.keys()) == expected, sorted(set(saved) ^ expected)
+    for m_k in metric_keys:
+        vals = saved[m_k]
+        assert isinstance(vals, list) and len(vals) == 2, m_k  # 2 images
+        st = saved[m_k + "_stats"]
+        assert set(st.keys()) == {"avg", "std", "med", "min", "max"}, m_k
+        assert np.isclose(st["avg"], np.nanmean(vals)), m_k
+        assert np.isclose(st["min"], np.nanmin(vals)), m_k
+        assert np.isclose(st["max"], np.nanmax(vals)), m_k
+
+
+def test_classifier_harness_segmentation_roc_cc(tmp_path):
+    """Dense single-class (segmentation) path end-to-end: stored prediction
+    tree, ROC curve files, and connected-component crops (reference
+    src/test_cae_classifier.py:233-373)."""
+    from scipy import ndimage
+
+    from cnn_autoencoder_tpu.cli.test_cae_classifier import (compute_metrics,
+                                                             save_pred2zarr)
+    from cnn_autoencoder_tpu.storage import zarr as zarrlib
+
+    rng = np.random.RandomState(3)
+    h = w = 48
+    target = np.zeros((1, h, w, 1), np.uint8)
+    target[0, 5:15, 6:18, 0] = 1        # blob 1
+    target[0, 30:42, 28:40, 0] = 1      # blob 2
+    # logits correlated with the target (so AUC is clearly > 0.5)
+    logits = (target[..., 0].astype(np.float32) * 3.0 - 1.5
+              + rng.randn(1, h, w) * 0.5)[..., None]
+    x = rng.rand(1, h, w, 3).astype(np.float32)
+
+    save_filename = str(tmp_path / "output.zarr")
+    save_pred2zarr(save_filename, 0, x, target, logits, seg_threshold=0.5,
+                   batch_size=1, patch_size=48, num_classes=1,
+                   compute_components_metrics=True, save_input=True)
+
+    z = zarrlib.open(save_filename, mode="r")
+    # CC crops: both blobs stored under /<im>/<k> for k=1..n, matching
+    # scipy's labeling with a 1px context margin
+    labels, n_objs = ndimage.label(target[..., 0],
+                                   structure=np.ones((3, 3, 3)))
+    assert n_objs == 2
+    full_scores = z["scores"]["0"]["0"][...]
+    for k in range(1, n_objs + 1):
+        for grp in ("target", "scores", "class", "input"):
+            assert k.__str__() in z[grp]["0"], (grp, k)
+        cc_y, cc_x = np.nonzero(labels == k)[-2:]
+        box = (slice(None),
+               slice(max(0, cc_y.min() - 1), min(h, cc_y.max() + 2)),
+               slice(max(0, cc_x.min() - 1), min(w, cc_x.max() + 2)),
+               slice(None))
+        np.testing.assert_array_equal(z["scores"]["0"][str(k)][...],
+                                      full_scores[box])
+        np.testing.assert_array_equal(z["target"]["0"][str(k)][...],
+                                      target[box])
+
+    class _Args:
+        log_dir = str(tmp_path)
+        log_identifier = ""
+        num_classes = 1
+        seg_threshold = 0.5
+        mode = "test"
+
+    # image-level metrics write the ROC arrays into the same tree
+    metrics = compute_metrics(_Args(), object_level=False)
+    assert 0.5 < metrics["auc"] <= 1.0
+    z = zarrlib.open(save_filename, mode="r")
+    fpr = z["image_level"]["fpr"][...]
+    tpr = z["image_level"]["tpr"][...]
+    thrsh = z["image_level"]["thrsh"][...]
+    assert fpr.shape == tpr.shape == thrsh.shape
+    assert np.all(np.diff(fpr) >= 0) and np.all(np.diff(tpr) >= 0)
+    assert fpr[0] == 0.0 and np.isclose(fpr[-1], 1.0)
+
+    # object-level pass runs over the CC crops and writes its own ROC
+    metrics_obj = compute_metrics(_Args(), object_level=True)
+    assert 0.0 <= metrics_obj["acc"] <= 1.0
+    z = zarrlib.open(save_filename, mode="r")
+    assert "object_level" in z and "tpr" in z["object_level"]
 
 
 def test_classifier_harness(tmp_path):
