@@ -181,9 +181,6 @@ class Conv2dReflect(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init,
             (k, k, cin // self.feature_group_count, self.features))
-        if pad > 0:
-            x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
-                        mode="reflect")
         dtype = self.dtype or _DEFAULT_COMPUTE_DTYPE or x.dtype
         # conv_mixed also when x is already bf16: the builtin transpose
         # rule rejects the f32-cotangent/bf16-operand mix either way
@@ -192,17 +189,72 @@ class Conv2dReflect(nn.Module):
                                    dimension_numbers=("NHWC", "HWIO",
                                                       "NHWC"),
                                    preferred_element_type=jnp.float32)
+        prec = self.precision or _DEFAULT_PRECISION
+        if (k == 3 and self.stride == 2 and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0 and min(x.shape[1:3]) >= 2
+                and _os.environ.get("CAE_TPU_POLYPHASE_CONV", "0") == "1"):
+            y = conv_s2_reflect_polyphase(
+                x.astype(dtype), kernel.astype(dtype), conv,
+                feature_group_count=self.feature_group_count,
+                precision=prec)
+            if self.use_bias:
+                bias = self.param("bias", self.bias_init, (self.features,))
+                y = y + bias
+            return y.astype(x.dtype)
+        if pad > 0:
+            x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                        mode="reflect")
         y = conv(
             x.astype(dtype), kernel.astype(dtype),
             window_strides=(self.stride, self.stride),
             padding="VALID",
             feature_group_count=self.feature_group_count,
-            precision=self.precision or _DEFAULT_PRECISION,
+            precision=prec,
         )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
             y = y + bias
         return y.astype(x.dtype)
+
+
+def conv_s2_reflect_polyphase(x, kernel, conv, *, feature_group_count=1,
+                              precision=None):
+    """k=3 stride-2 reflect(p=1) conv as four dense stride-1 convs.
+
+    The round-4 roofline (benchmarks/roofline_conv.json) showed XLA's
+    strided-conv lowering reaching 29% of MXU peak and 30% of HBM BW
+    *simultaneously* on the 128->128 encode stages — bound by neither —
+    while the mirrored dilated deconv of the same contraction hits 71%
+    MXU.  Decomposing by output-tap parity turns the strided conv into
+    four dense stride-1 convs (1x1, 1x2, 2x1 and 2x2 taps on the
+    even/odd phase grids), each a well-tiled MXU contraction.
+
+    Geometry is EXACT reflect: with even H,W only the top/left pad rows
+    are ever consumed (the last window starts at padded row H-2, i.e.
+    rows H-3..H-1), and reflect row -1 == row 1 == odd-phase row 0 — an
+    EDGE pad of the odd phases.  Tap (a, b) multiplies
+    x[2i + a - 1, 2j + b - 1]: a == 1 hits even rows; a in {0, 2} hits
+    the odd phase as a 2-tap kernel.  Not bit-identical to the fused
+    form (adds in a different order); RD-parity serving keeps the
+    reflect+VALID path (gate below).
+    """
+    ev, od = x[:, 0::2], x[:, 1::2]
+    od = jnp.concatenate([od[:, :1], od], axis=1)
+    xee, xeo = ev[:, :, 0::2], ev[:, :, 1::2]
+    xoe, xoo = od[:, :, 0::2], od[:, :, 1::2]
+    xeo = jnp.concatenate([xeo[:, :, :1], xeo], axis=2)
+    xoo = jnp.concatenate([xoo[:, :, :1], xoo], axis=2)
+
+    def c(xx, kk):
+        return conv(xx, kk, window_strides=(1, 1), padding="VALID",
+                    feature_group_count=feature_group_count,
+                    precision=precision)
+
+    y = c(xee, kernel[1:2, 1:2])
+    y = y + c(xoe, kernel[0::2, 1:2])
+    y = y + c(xeo, kernel[1:2, 0::2])
+    y = y + c(xoo, kernel[0::2, 0::2])
+    return y
 
 
 def deconv2x_polyphase(x, kernel, precision=None, dtype=None):

@@ -1,0 +1,168 @@
+"""Microbenchmark of stride-2 conv formulations for the encode stack.
+
+Round-4 roofline (benchmarks/roofline_conv.json) showed `down_1/conv`
+(stride-2, 128ch -> 128ch at 256^2, k=3) running at 56 TFLOP/s and
+242 GB/s — 29% of MXU peak and 30% of HBM BW *simultaneously*, i.e.
+bound by neither: XLA's strided-conv lowering tiles badly.  The mirrored
+up_1 deconv (same contraction) achieves 140 TFLOP/s.  This script
+measures candidate rewrites on the real chip:
+
+  reflect_valid   the shipped formulation (jnp.pad reflect + VALID s2)
+  zero_fused      conv-internal zero padding (geometry probe only)
+  polyphase       out = conv1x1(x_ee) + conv1x2(x_eo~) + conv2x1(x_oe~)
+                  + conv2x2(x_oo~), all stride-1 dense.  With k=3 s=2
+                  pad=1 on even-sized input only the top/left pad rows
+                  are used, and reflect row -1 == row 1 == odd-phase
+                  row 0, so an EDGE pad of the odd phases reproduces
+                  reflect geometry exactly (verified here numerically).
+  s2d             space-to-depth to (H/2,W/2,4C) + 2x2 stride-1 conv
+                  with a zeros-expanded (2,2,4C,C) kernel (16/9 FLOPs).
+
+Timing: N back-to-back dispatches, one tiny fetch to settle (the axon
+tunnel makes single-op timings meaningless; dispatch queue amortizes).
+
+Run on the TPU:  python scripts/microbench_strided_conv.py
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def reflect_valid(x, k):
+    import jax
+    import jax.numpy as jnp
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        xp, k, window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def zero_fused(x, k):
+    import jax
+    import jax.numpy as jnp
+    return jax.lax.conv_general_dilated(
+        x, k, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def polyphase(x, k):
+    """Exact reflect-geometry polyphase rewrite of k=3 s=2 pad=1 conv."""
+    import jax
+    import jax.numpy as jnp
+
+    def c(xx, kk):
+        return jax.lax.conv_general_dilated(
+            xx, kk, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
+    ev_r, od_r = x[:, 0::2], x[:, 1::2]
+    # odd phases gain one leading row/col: reflect(-1) == row 1 == odd[0]
+    od_r = jnp.concatenate([od_r[:, :1], od_r], axis=1)
+    xee, xeo = ev_r[:, :, 0::2], ev_r[:, :, 1::2]
+    xoe, xoo = od_r[:, :, 0::2], od_r[:, :, 1::2]
+    xeo = jnp.concatenate([xeo[:, :, :1], xeo], axis=2)
+    xoo = jnp.concatenate([xoo[:, :, :1], xoo], axis=2)
+    # kernel taps by parity of (2i + a - 1): a=1 -> even, a in {0,2} -> odd
+    y = c(xee, k[1:2, 1:2])
+    y += c(xeo, k[1:2, 0::2])
+    y += c(xoe, k[0::2, 1:2])
+    y += c(xoo, k[0::2, 0::2])
+    return y
+
+
+def s2d(x, k):
+    import jax
+    import jax.numpy as jnp
+    b, h, w, c = x.shape
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5) \
+        .reshape(b, h // 2, w // 2, 4 * c)
+    # expanded kernel: block-tap (A,B), phase (p,q) -> original tap
+    # (2A+p-1, 2B+q-1); out-of-range taps are zero
+    ke = jnp.zeros((2, 2, 2, 2, c, k.shape[-1]), k.dtype)
+    for A in (0, 1):
+        for B in (0, 1):
+            for p in (0, 1):
+                for q in (0, 1):
+                    a, bb = 2 * A + p - 1, 2 * B + q - 1
+                    if 0 <= a < 3 and 0 <= bb < 3:
+                        ke = ke.at[A, B, p, q].set(k[a, bb])
+    ke = ke.reshape(2, 2, 4 * c, k.shape[-1])
+    return jax.lax.conv_general_dilated(
+        xs, ke, window_strides=(1, 1), padding=((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--side", type=int, default=256)
+    ap.add_argument("--cin", type=int, default=128)
+    ap.add_argument("--cout", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(args.dtype)
+    # generate on device: a 2 GB host upload stalls congested tunnels
+    kx, kk = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(
+        kx, (args.batch, args.side, args.side, args.cin), dt)
+    k = jax.random.normal(kk, (3, 3, args.cin, args.cout), dt) * 0.05
+    np.asarray(x.reshape(-1)[:1])
+
+    flops = 2.0 * args.batch * (args.side // 2) ** 2 * args.cout \
+        * 9 * args.cin
+    byts = 2 * args.batch * (args.side ** 2 * args.cin
+                             + (args.side // 2) ** 2 * args.cout)
+
+    fns = {"reflect_valid": reflect_valid, "zero_fused": zero_fused,
+           "polyphase": polyphase, "s2d": s2d}
+    ref = None
+    results = {}
+    for name, fn in fns.items():
+        jf = jax.jit(fn)
+        out = jf(x, k)
+        # equivalence over a 2-tile slice (full fetches stall congested
+        # tunnels: 537 MB each)
+        got = np.asarray(out[:2], np.float32)
+        if name == "reflect_valid":
+            ref = got
+        elif name == "polyphase":
+            err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
+            print("polyphase max rel err vs reflect_valid: %.2e" % err,
+                  flush=True)
+            assert err < (3e-2 if dt == jnp.bfloat16 else 1e-5)
+        del got
+        np.asarray(out.reshape(-1)[:1])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            out = jf(x, k)
+        np.asarray(out.reshape(-1)[:1])
+        dt_s = (time.perf_counter() - t0) / args.steps
+        results[name] = dt_s
+        print("%-14s %7.3f ms   %6.1f TFLOP/s  %6.1f GB/s(min)" % (
+            name, dt_s * 1e3, flops / dt_s / 1e12, byts / dt_s / 1e9),
+            flush=True)
+
+    base = results["reflect_valid"]
+    for name, t in results.items():
+        if name != "reflect_valid":
+            print("%-14s speedup vs shipped: %.2fx" % (name, base / t))
+
+
+if __name__ == "__main__":
+    main()

@@ -122,3 +122,70 @@ class TestMixedPrecisionVJP:
                                        rtol=0, atol=2e-2)
         np.testing.assert_allclose(np.asarray(gx32), np.asarray(gx16),
                                    rtol=0, atol=2e-2)
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (16, 12), (8, 10)])
+def test_conv_polyphase_matches_torch(monkeypatch, h, w):
+    """CAE_TPU_POLYPHASE_CONV=1 routes k=3 s=2 through the 4-phase
+    decomposition (ops/convops.py:conv_s2_reflect_polyphase); geometry
+    must stay exactly torch-Conv2d(reflect)."""
+    monkeypatch.setenv("CAE_TPU_POLYPHASE_CONV", "1")
+    rng = np.random.RandomState(3)
+    cin, cout = 5, 7
+    x = rng.randn(2, cin, h, w).astype(np.float32)
+    tconv = nn.Conv2d(cin, cout, 3, stride=2, padding=1,
+                      bias=True, padding_mode="reflect")
+    with torch.no_grad():
+        ref = tconv(torch.from_numpy(x)).numpy()
+
+    mod = Conv2dReflect(features=cout, kernel_size=3, stride=2,
+                        use_bias=True)
+    params = {"params": {
+        "kernel": jnp.asarray(_torch_to_hwio(tconv.weight.detach().numpy())),
+        "bias": jnp.asarray(tconv.bias.detach().numpy()),
+    }}
+    out = mod.apply(params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_conv_polyphase_odd_size_falls_back(monkeypatch):
+    """Odd spatial sizes use reflect rows the phase split can't reach;
+    the gate must fall back to the fused path and stay torch-exact."""
+    monkeypatch.setenv("CAE_TPU_POLYPHASE_CONV", "1")
+    rng = np.random.RandomState(4)
+    x = rng.randn(1, 5, 9, 11).astype(np.float32)
+    tconv = nn.Conv2d(5, 6, 3, stride=2, padding=1, bias=False,
+                      padding_mode="reflect")
+    with torch.no_grad():
+        ref = tconv(torch.from_numpy(x)).numpy()
+    mod = Conv2dReflect(features=6, kernel_size=3, stride=2)
+    params = {"params": {
+        "kernel": jnp.asarray(_torch_to_hwio(tconv.weight.detach().numpy()))}}
+    out = mod.apply(params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 3, 1, 2)), ref,
+        rtol=1e-5, atol=1e-5)
+
+
+def test_conv_polyphase_grads_match(monkeypatch):
+    """Training safety: the polyphase path's input/kernel grads equal the
+    fused reflect path's."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32))
+    mod = Conv2dReflect(features=7, kernel_size=3, stride=2)
+    params = mod.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, xx):
+        y = mod.apply(p, xx)
+        return jnp.sum(y * y)
+
+    monkeypatch.setenv("CAE_TPU_POLYPHASE_CONV", "0")
+    g_ref = jax.grad(loss, argnums=(0, 1))(params, x)
+    monkeypatch.setenv("CAE_TPU_POLYPHASE_CONV", "1")
+    g_poly = jax.grad(loss, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_poly)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
