@@ -1,0 +1,139 @@
+"""Microbenchmark of the final 128->3 stride-2 deconv (serving up_2).
+
+Round-4 roofline: up_2 measured 3.60 ms/batch vs a 1.43 ms HBM floor
+(reads 1.07 GB of bf16 activations, emits 3 of 128 output lanes — MXU
+output-starved by construction, so the only lever is streaming the input
+at full bandwidth).  Variants:
+
+  dilated        the shipped lhs_dilation=(2,2) conv (XLA native)
+  phase_packed   one 2x2 stride-1 conv emitting all four output parity
+                 phases as 12 channels (zeros-scattered kernel), then a
+                 device-side interleave reshape.  Reads x exactly once;
+                 the interleave pass moves only the 0.1 GB output.
+  einsum_poly    ops/convops.deconv2x_polyphase (4 shifted copies;
+                 measured 3.2x slower at cout=128 in round 3 — re-tested
+                 here at cout=3 where the MXU is starved either way).
+
+Geometry: torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1); the
+kernel argument is the stored HWIO already-flipped weight (see
+ops/convops.py conventions).
+
+Run on the TPU:  python scripts/microbench_final_deconv.py
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def dilated(x, k):
+    import jax
+    import jax.numpy as jnp
+    # torch CT(k3,s2,p1,op1): pad so out = 2*in (ConvTranspose2dTorch's
+    # arithmetic: lo = k-1-p = 1, hi = k-1-p+op = 2)
+    return jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding=((1, 2), (1, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def phase_packed(x, k):
+    """out[2i+p, 2j+q] as channel (p*2+q)*cout of a 2x2 stride-1 conv.
+
+    y[r] = sum_a Wf[a] xd[r+a-1] with xd[2m] = x[m]: for r = 2i+p the
+    tap a must have a == 1-p (mod 2); the x row index is
+    (2i+p+a-1)/2 = i + (p+a-1)/2, i.e. block offset A = (p+a-1)/2 of a
+    2-row window.  Same along columns.
+    """
+    import jax
+    import jax.numpy as jnp
+    b, h, w, cin = x.shape
+    cout = k.shape[-1]
+    ke = jnp.zeros((2, 2, cin, 2, 2, cout), k.dtype)
+    for p in (0, 1):
+        for q in (0, 1):
+            for a in (1 - p, 3 - p):
+                for c in (1 - q, 3 - q):
+                    if a > 2 or c > 2:
+                        continue
+                    A, C = (p + a - 1) // 2, (q + c - 1) // 2
+                    ke = ke.at[A, C, :, p, q].set(k[a, c])
+    ke = ke.reshape(2, 2, cin, 4 * cout)
+    yp = jax.lax.conv_general_dilated(
+        x, ke, window_strides=(1, 1), padding=((0, 1), (0, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    yp = yp.reshape(b, h, w, 2, 2, cout)
+    return yp.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, cout)
+
+
+def einsum_poly(x, k):
+    from cnn_autoencoder_tpu.ops.convops import deconv2x_polyphase
+    import jax.numpy as jnp
+    return deconv2x_polyphase(x, k, dtype=x.dtype).astype(jnp.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--side", type=int, default=256)
+    ap.add_argument("--cin", type=int, default=128)
+    ap.add_argument("--cout", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(args.dtype)
+    kx, kk = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, (args.batch, args.side, args.side,
+                               args.cin), dt)
+    k = jax.random.normal(kk, (3, 3, args.cin, args.cout), dt) * 0.05
+    np.asarray(x.reshape(-1)[:1])
+
+    flops = 2.0 * args.batch * (2 * args.side) ** 2 * args.cout \
+        * 9 * args.cin / 4.0
+    byts = 2 * args.batch * (args.side ** 2 * args.cin
+                             + 4 * args.side ** 2 * args.cout)
+
+    fns = {"dilated": dilated, "phase_packed": phase_packed,
+           "einsum_poly": einsum_poly}
+    ref = None
+    results = {}
+    for name, fn in fns.items():
+        jf = jax.jit(fn)
+        out = jf(x, k)
+        got = np.asarray(out[:2], np.float32)
+        if ref is None:
+            ref = got
+        else:
+            err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
+            print("%s max rel err vs dilated: %.2e" % (name, err),
+                  flush=True)
+            assert err < (3e-2 if dt == jnp.bfloat16 else 1e-5), name
+        del got
+        np.asarray(out.reshape(-1)[:1])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            out = jf(x, k)
+        np.asarray(out.reshape(-1)[:1])
+        dt_s = (time.perf_counter() - t0) / args.steps
+        results[name] = dt_s
+        print("%-13s %7.3f ms   %6.1f TFLOP/s(useful)  %6.1f GB/s(min)"
+              % (name, dt_s * 1e3, flops / dt_s / 1e12,
+                 byts / dt_s / 1e9), flush=True)
+    base = results["dilated"]
+    for name, t in results.items():
+        if name != "dilated":
+            print("%-13s speedup vs shipped: %.2fx" % (name, base / t))
+
+
+if __name__ == "__main__":
+    main()
