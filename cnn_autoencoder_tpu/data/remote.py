@@ -1,16 +1,113 @@
-"""Minimal remote-object streaming: http(s):// and anonymous s3:// URLs.
+"""Remote-object streaming: http(s):// and s3:// (anonymous or SigV4).
 
 The reference streams S3 objects through boto3/s3fs (reference
 src/utils/datasets/_imagenet.py:53-58, src/compress.py:78-90); boto3 is not
-available here, but anonymous S3 access is plain HTTPS GET against the
-bucket's virtual-hosted endpoint, so urllib covers both schemes without any
-extra dependency.
+available here, but both halves of what it provides are small over urllib:
+
+* anonymous S3 access is plain HTTPS GET against the bucket's
+  virtual-hosted endpoint;
+* credentialed access is AWS Signature Version 4 — an hmac/sha256 chain
+  over a canonical request — implemented below in stdlib and pinned
+  against the published AWS test vectors (tests/test_remote_zarr.py).
+
+Credentials come from the standard environment variables
+(``AWS_ACCESS_KEY_ID`` / ``AWS_SECRET_ACCESS_KEY`` / optional
+``AWS_SESSION_TOKEN``; region from ``AWS_REGION`` or
+``AWS_DEFAULT_REGION``, default us-east-1).  When they are absent every
+request stays anonymous, so public buckets keep working with no setup.
 """
 
+import datetime
+import hashlib
+import hmac
+import os
 import time
+import urllib.parse
 import urllib.request
+import xml.etree.ElementTree as ET
 
 REMOTE_SCHEMES = ("s3://", "http://", "https://")
+
+_EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
+
+
+def aws_credentials():
+    """(access_key, secret_key, session_token) from the environment, or
+    None when unset — the switch between anonymous and SigV4 requests."""
+    key = os.environ.get("AWS_ACCESS_KEY_ID")
+    secret = os.environ.get("AWS_SECRET_ACCESS_KEY")
+    if not key or not secret:
+        return None
+    return key, secret, os.environ.get("AWS_SESSION_TOKEN")
+
+
+def aws_region():
+    return (os.environ.get("AWS_REGION")
+            or os.environ.get("AWS_DEFAULT_REGION") or "us-east-1")
+
+
+def _uri_encode(s, *, keep_slash=False):
+    safe = "-_.~" + ("/" if keep_slash else "")
+    return urllib.parse.quote(s, safe=safe)
+
+
+def sigv4_headers(method, url, *, credentials, region, service="s3",
+                  amz_date=None, payload_hash=_EMPTY_SHA256,
+                  extra_headers=None):
+    """AWS Signature Version 4 headers for ``method url``.
+
+    Returns the headers to attach (host excluded — urllib adds it), incl.
+    ``Authorization``.  The algorithm follows the AWS "signing a request"
+    spec exactly; tests pin the published GET-Object / List-Objects
+    vectors.  ``amz_date`` (YYYYMMDDTHHMMSSZ) is injectable for tests.
+    """
+    access_key, secret_key, token = credentials
+    parts = urllib.parse.urlsplit(url)
+    host = parts.netloc
+    if amz_date is None:
+        amz_date = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y%m%dT%H%M%SZ")
+    date = amz_date[:8]
+
+    headers = {"x-amz-content-sha256": payload_hash, "x-amz-date": amz_date}
+    if token:
+        headers["x-amz-security-token"] = token
+    if extra_headers:
+        headers.update({k.lower(): v for k, v in extra_headers.items()})
+    all_headers = dict(headers)
+    all_headers["host"] = host
+
+    canonical_uri = _uri_encode(parts.path or "/", keep_slash=True)
+    query = urllib.parse.parse_qsl(parts.query, keep_blank_values=True)
+    canonical_query = "&".join(
+        "%s=%s" % (_uri_encode(k), _uri_encode(v))
+        for k, v in sorted(query))
+    signed_names = sorted(all_headers)
+    canonical_headers = "".join(
+        "%s:%s\n" % (name, all_headers[name].strip())
+        for name in signed_names)
+    signed_headers = ";".join(signed_names)
+    canonical_request = "\n".join([
+        method, canonical_uri, canonical_query, canonical_headers,
+        signed_headers, payload_hash])
+
+    scope = "%s/%s/%s/aws4_request" % (date, region, service)
+    string_to_sign = "\n".join([
+        "AWS4-HMAC-SHA256", amz_date, scope,
+        hashlib.sha256(canonical_request.encode()).hexdigest()])
+
+    def _hmac(key, msg):
+        return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+    signing_key = _hmac(_hmac(_hmac(_hmac(
+        ("AWS4" + secret_key).encode(), date), region), service),
+        "aws4_request")
+    signature = hmac.new(signing_key, string_to_sign.encode(),
+                         hashlib.sha256).hexdigest()
+    headers["Authorization"] = (
+        "AWS4-HMAC-SHA256 Credential=%s/%s, SignedHeaders=%s, Signature=%s"
+        % (access_key, scope, signed_headers, signature))
+    return headers
 
 
 def is_remote(path: str) -> bool:
@@ -33,14 +130,25 @@ def fetch_remote(path: str, timeout: float = 30.0, retries: int = 3,
                  s3_endpoint: str = None) -> bytes:
     """GET a remote object with small exponential backoff.
 
-    404/403 raise FileNotFoundError immediately (no retry): absent chunks
-    are a NORMAL zarr state (fill_value regions are simply not stored), so
-    they must fail fast, not burn the backoff budget."""
-    url = s3_to_https(path, s3_endpoint) if path.startswith("s3://") else path
+    s3:// URLs are SigV4-signed when AWS credentials are present in the
+    environment (the boto3-equivalent credentialed path), anonymous
+    otherwise.  404/403 raise FileNotFoundError immediately (no retry):
+    absent chunks are a NORMAL zarr state (fill_value regions are simply
+    not stored), so they must fail fast, not burn the backoff budget."""
+    is_s3 = path.startswith("s3://")
+    if is_s3 and s3_endpoint is None:
+        s3_endpoint = os.environ.get("CAE_S3_ENDPOINT")
+    url = s3_to_https(path, s3_endpoint) if is_s3 else path
+    creds = aws_credentials() if is_s3 else None
     last_error = None
     for attempt in range(retries):
         try:
-            with urllib.request.urlopen(url, timeout=timeout) as response:
+            req = urllib.request.Request(url)
+            if creds is not None:
+                for k, v in sigv4_headers("GET", url, credentials=creds,
+                                          region=aws_region()).items():
+                    req.add_header(k, v)
+            with urllib.request.urlopen(req, timeout=timeout) as response:
                 return response.read()
         except urllib.error.HTTPError as error:
             if error.code in (403, 404):  # S3 signals missing keys as 403
@@ -54,3 +162,49 @@ def fetch_remote(path: str, timeout: float = 30.0, retries: int = 3,
                 time.sleep(min(2 ** attempt, 5.0))
     raise RuntimeError("failed to fetch %s after %d attempts: %s"
                        % (path, retries, last_error)) from last_error
+
+
+def s3_list(url: str, delimiter: str = "/", s3_endpoint: str = None):
+    """List an s3:// prefix via ListObjectsV2 (paginated).
+
+    Returns ``(keys, prefixes)``: object keys (with their sizes as a dict)
+    directly under the prefix and, with the default delimiter, the common
+    sub-prefixes — enough for zarr group listing and nbytes_stored on
+    remote stores (the boto3 ``list_objects_v2`` equivalent, reference
+    src/utils/datasets/_datautils.py:186-257).  Signed when credentials
+    are present, anonymous otherwise.
+    """
+    bucket, _, prefix = url[len("s3://"):].partition("/")
+    if prefix and not prefix.endswith("/"):
+        prefix += "/"
+    if s3_endpoint is None:
+        s3_endpoint = os.environ.get("CAE_S3_ENDPOINT")
+    base = (s3_endpoint.rstrip("/") + "/" + bucket) if s3_endpoint \
+        else "https://%s.s3.amazonaws.com" % bucket
+    creds = aws_credentials()
+    keys, prefixes = {}, []
+    token = None
+    ns = "{http://s3.amazonaws.com/doc/2006-03-01/}"
+    while True:
+        query = [("list-type", "2"), ("prefix", prefix)]
+        if delimiter:
+            query.append(("delimiter", delimiter))
+        if token:
+            query.append(("continuation-token", token))
+        qs = urllib.parse.urlencode(sorted(query))
+        list_url = "%s/?%s" % (base, qs)
+        req = urllib.request.Request(list_url)
+        if creds is not None:
+            for k, v in sigv4_headers("GET", list_url, credentials=creds,
+                                      region=aws_region()).items():
+                req.add_header(k, v)
+        with urllib.request.urlopen(req, timeout=30.0) as response:
+            root = ET.fromstring(response.read())
+        for el in root.findall(ns + "Contents"):
+            keys[el.find(ns + "Key").text] = int(el.find(ns + "Size").text)
+        for el in root.findall(ns + "CommonPrefixes"):
+            prefixes.append(el.find(ns + "Prefix").text)
+        token_el = root.find(ns + "NextContinuationToken")
+        token = token_el.text if token_el is not None else None
+        if not token:
+            return keys, prefixes

@@ -25,10 +25,12 @@ import numpy as np
 from .codecs import Codec, get_codec
 
 # Read-only remote stores: s3:// and http(s):// paths route every read
-# through data.remote (anonymous-S3/HTTP GET — the reference compresses
-# S3-hosted slides via s3fs, reference src/compress.py:78-90).  Writes and
-# directory listing are local-only: HTTP cannot list, and the pipelines
-# only ever write local outputs.
+# through data.remote (the reference compresses S3-hosted slides via s3fs,
+# reference src/compress.py:78-90).  s3:// requests are SigV4-signed when
+# AWS credentials are in the environment (anonymous otherwise), and s3://
+# groups list + size themselves via ListObjectsV2; plain-HTTP stores
+# cannot list.  Writes are local-only: the pipelines only ever write
+# local outputs.
 from ..data.remote import fetch_remote, is_remote
 
 
@@ -338,9 +340,13 @@ class Array:
         """Total bytes on disk (metadata + chunks) — the reference's bpp
         accounting reads zarr's equivalent (reference src/test_cae.py:71-73)."""
         if is_remote(self.path):
+            if self.path.startswith("s3://"):
+                from ..data.remote import s3_list
+                sizes, _ = s3_list(self.path, delimiter="")
+                return sum(sizes.values())
             raise NotImplementedError(
-                "nbytes_stored needs a directory walk; remote stores "
-                "cannot be listed over HTTP")
+                "nbytes_stored needs a directory walk; plain-HTTP stores "
+                "cannot be listed (S3 stores list via ListObjectsV2)")
         total = 0
         for root, _, files in os.walk(self.path):
             for fn in files:
@@ -409,9 +415,20 @@ class Group:
 
     def keys(self):
         if is_remote(self.path):
+            if self.path.startswith("s3://"):
+                # ListObjectsV2 with '/' delimiter: immediate children,
+                # filtered to real zarr members (__contains__ probes
+                # .zarray/.zgroup)
+                from ..data.remote import s3_list
+                _, prefixes = s3_list(self.path)
+                for pre in sorted(prefixes):
+                    name = pre.rstrip("/").rsplit("/", 1)[-1]
+                    if name and name in self:
+                        yield name
+                return
             raise NotImplementedError(
-                "remote zarr groups cannot be listed over HTTP; address "
-                "members by name (e.g. group['0/0'])")
+                "plain-HTTP zarr groups cannot be listed; address members "
+                "by name (e.g. group['0/0']) or use an s3:// URL")
         if not os.path.isdir(self.path):
             return
         for name in sorted(os.listdir(self.path)):
