@@ -151,12 +151,16 @@ class LZMACodec(Codec):
 
 
 class Blosc(Codec):
-    """zarr-compatible blosc chunks, via tensorstore's C blosc if available.
+    """zarr-compatible blosc chunks (real blosc1 container framing).
 
     The reference recompresses decoded tiles with Blosc-zlib (reference
-    src/decompress.py:48).  Real blosc framing is used when the blosc module
-    (bundled C impl) is importable; otherwise encoding falls back to zlib
-    framing and get_config reports 'zlib' so the metadata stays honest.
+    src/decompress.py:48).  Encoding goes through the C blosc module when
+    importable; otherwise through storage/blosc_frame.py — a stdlib
+    implementation of the blosc1 frame with zlib block streams that is
+    byte-COMPATIBLE with c-blosc readers (tensorstore interop pinned in
+    tests/test_storage.py), so stored chunks no longer depend on whether
+    the blosc module exists.  Non-zlib cnames honestly downgrade to zlib
+    in that mode (get_config reports what was actually written).
     """
 
     codec_id = "blosc"
@@ -172,6 +176,8 @@ class Blosc(Codec):
             self._blosc = blosc
         except ImportError:
             self._blosc = None
+        if self._blosc is None and cname != "zlib":
+            self.cname = "zlib"
 
     def encode(self, buf) -> bytes:
         data = ensure_bytes(buf)
@@ -179,18 +185,20 @@ class Blosc(Codec):
             return self._blosc.compress(data, typesize=1, cname=self.cname,
                                         clevel=self.clevel,
                                         shuffle=self.shuffle)
-        return zlib.compress(data, self.clevel)
+        from . import blosc_frame
+        return blosc_frame.compress(data, typesize=1, clevel=self.clevel,
+                                    shuffle=self.shuffle,
+                                    blocksize=self.blocksize)
 
     def decode(self, buf, out=None):
         if self._blosc is not None:
             data = np.frombuffer(self._blosc.decompress(bytes(buf)), np.uint8)
         else:
-            data = np.frombuffer(zlib.decompress(bytes(buf)), np.uint8)
+            from . import blosc_frame
+            data = np.frombuffer(blosc_frame.decompress(buf), np.uint8)
         return ndarray_copy(data, out)
 
     def get_config(self):
-        if self._blosc is None:
-            return {"id": "zlib", "level": self.clevel}
         return {"id": self.codec_id, "cname": self.cname,
                 "clevel": self.clevel, "shuffle": self.shuffle,
                 "blocksize": self.blocksize}

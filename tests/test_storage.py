@@ -96,3 +96,90 @@ def test_we_read_tensorstore_zarr(tmp_path):
 
     arr = zarrlib.Array.open(str(tmp_path / "j.zarr"))
     np.testing.assert_array_equal(arr[...], data)
+
+
+def test_blosc_frame_roundtrip_properties():
+    """Stdlib blosc1 framing: multi-block, incompressible (memcpy frame),
+    tiny, and shuffled typesize>1 payloads all round-trip."""
+    from cnn_autoencoder_tpu.storage import blosc_frame
+
+    rng = np.random.RandomState(3)
+    cases = [
+        (b"", 1, 1),
+        (b"x", 1, 1),
+        (bytes(rng.randint(0, 8, 300000, np.uint8)), 1, 1),   # 5 blocks
+        (rng.bytes(100000), 1, 1),                            # incompressible
+        (rng.rand(5000).astype(np.float32).tobytes(), 4, 1),  # shuffle
+        (rng.rand(4999).astype("<f8").tobytes() + b"zz", 8, 1),  # tail
+        (bytes(np.arange(70000, dtype=np.uint8) % 7), 3, 0),
+    ]
+    for data, typesize, shuffle in cases:
+        frame = blosc_frame.compress(data, typesize=typesize,
+                                     shuffle=shuffle)
+        assert blosc_frame.decompress(frame) == data, (typesize, shuffle)
+        assert len(frame) <= len(data) + 16
+    with pytest.raises(ValueError):
+        blosc_frame.decompress(b"\x02\x01\x20\x01" + b"\0" * 12)  # lz4 code
+
+
+def test_tensorstore_reads_our_blosc_chunks(tmp_path):
+    """Our stdlib blosc1 frames must parse in real c-blosc (tensorstore's
+    bundled copy) — the byte-compatibility the reference's numcodecs
+    Blosc-zlib sidecars have (reference src/decompress.py:48)."""
+    ts = pytest.importorskip("tensorstore")
+    from cnn_autoencoder_tpu.storage.codecs import Blosc
+
+    rng = np.random.RandomState(4)
+    data = rng.randint(0, 40, (40, 50, 3), np.uint8)
+    arr = zarrlib.Array.create(str(tmp_path / "b.zarr"), shape=data.shape,
+                               chunks=(16, 16, 3), dtype=np.uint8,
+                               compressor=Blosc(cname="zlib", clevel=5,
+                                                shuffle=1))
+    arr[...] = data
+    t = ts.open({"driver": "zarr",
+                 "kvstore": {"driver": "file",
+                             "path": str(tmp_path / "b.zarr")}}).result()
+    np.testing.assert_array_equal(np.asarray(t.read().result()), data)
+
+
+def test_we_read_tensorstore_blosc_chunks(tmp_path):
+    """Genuine c-blosc output (zlib cname, real byte-shuffle at
+    typesize 4) must decode through the stdlib frame parser."""
+    ts = pytest.importorskip("tensorstore")
+    rng = np.random.RandomState(5)
+    data = (rng.rand(30, 40).astype(np.float32) * 4).round()
+    t = ts.open({"driver": "zarr",
+                 "kvstore": {"driver": "file",
+                             "path": str(tmp_path / "c.zarr")},
+                 "metadata": {"shape": [30, 40], "chunks": [16, 16],
+                              "dtype": "<f4",
+                              "compressor": {"id": "blosc", "cname": "zlib",
+                                             "clevel": 5, "shuffle": 1}},
+                 "create": True}).result()
+    t.write(data).result()
+    arr = zarrlib.Array.open(str(tmp_path / "c.zarr"))
+    np.testing.assert_array_equal(arr[...], data)
+
+
+def test_tensorstore_reads_our_shuffled_typesize4_frame(tmp_path):
+    """Direct frame-level interop for the typesize>1 path (per-block byte
+    shuffle + DONT_SPLIT flag): c-blosc must parse our frame."""
+    ts = pytest.importorskip("tensorstore")
+    import json
+
+    from cnn_autoencoder_tpu.storage import blosc_frame
+
+    rng = np.random.RandomState(6)
+    data = (rng.rand(16, 16).astype("<f4") * 3).round()
+    root = tmp_path / "d.zarr"
+    root.mkdir()
+    (root / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [16, 16], "chunks": [16, 16],
+        "dtype": "<f4", "order": "C", "fill_value": 0, "filters": None,
+        "compressor": {"id": "blosc", "cname": "zlib", "clevel": 5,
+                       "shuffle": 1, "blocksize": 0}}))
+    frame = blosc_frame.compress(data.tobytes(), typesize=4, shuffle=1)
+    (root / "0.0").write_bytes(frame)
+    t = ts.open({"driver": "zarr",
+                 "kvstore": {"driver": "file", "path": str(root)}}).result()
+    np.testing.assert_array_equal(np.asarray(t.read().result()), data)
