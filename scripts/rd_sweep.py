@@ -1,0 +1,113 @@
+"""CAE-vs-JPEG RD sweep on the bench holdout (VERDICT r3 item #6).
+
+Reference protocol: scripts/compute_metrics.py sweeps a classical codec
+over qualities and stores ``metrics_stats_{codec}_{q}.pth`` files in the
+same schema as the CAE harness (reference scripts/compute_metrics.py:
+104-191); the dump scripts then merge them into one CSV/table.  This
+driver runs the whole comparison end-to-end on the shipped trained
+fixture:
+
+1. writes N holdout images (bench.py:synth_histology, seeds disjoint
+   from the fixture's training stream, which draws from jax PRNG key 7);
+2. runs the CAE RD harness (cli/test_cae) on them with
+   benchmarks/bench_flagship.msgpack;
+3. sweeps JPEG quality 10..95 over the same files (PIL, like the
+   reference);
+4. prints a combined markdown RD table and writes all stats .pth files
+   plus rd_sweep.csv to --workdir.
+
+Run on the TPU:  python scripts/rd_sweep.py [--images 4] [--side 1024]
+"""
+
+import argparse
+import glob
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=4)
+    ap.add_argument("--side", type=int, default=1024)
+    ap.add_argument("--workdir", default="/tmp/cae_rd_sweep")
+    ap.add_argument("--checkpoint", default=os.path.join(
+        REPO, "benchmarks", "bench_flagship.msgpack"))
+    ap.add_argument("--qualities", default="10,20,30,40,50,60,70,80,90,95")
+    ap.add_argument("--patch-size", type=int, default=512)
+    args = ap.parse_args()
+
+    from PIL import Image
+
+    from bench import synth_histology
+
+    img_dir = os.path.join(args.workdir, "holdout")
+    log_dir = os.path.join(args.workdir, "stats")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(log_dir, exist_ok=True)
+    for i in range(args.images):
+        fn = os.path.join(img_dir, "holdout_%02d.png" % i)
+        if not os.path.exists(fn):
+            Image.fromarray(synth_histology(args.side, args.side,
+                                            seed=101 + i)).save(fn)
+    print("holdout: %d x %d² images in %s" % (args.images, args.side,
+                                              img_dir), flush=True)
+
+    # --- CAE harness (the real compress -> zarr -> decompress loop) ---
+    from cnn_autoencoder_tpu.cli.test_cae import test_cae
+    from cnn_autoencoder_tpu.utils.args import get_args
+    from cnn_autoencoder_tpu.utils.loggers import setup_logger
+
+    cae_args = get_args("autoencoder", "test", args_list=[
+        "-dd", img_dir, "-o", os.path.join(args.workdir, "tmp.zarr"),
+        "-chk", args.checkpoint, "-ps", str(args.patch_size),
+        "-ld", log_dir, "-rs", "1"])
+    cae_args.source_format = ".png"
+    setup_logger(cae_args)
+    import torch
+    stats = test_cae(cae_args)
+    torch.save(stats, os.path.join(log_dir, "metrics_stats_1_CAE_.pth"))
+    print("CAE: %.3f bpp  %.2f dB" % (stats["rate_stats"]["avg"],
+                                      stats["psnr_stats"]["avg"]),
+          flush=True)
+
+    # --- JPEG sweep (separate process per quality, like the reference) ---
+    for q in [int(s) for s in args.qualities.split(",")]:
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "scripts", "compute_metrics.py"),
+                        "-sd", img_dir, "-dd", os.path.join(args.workdir,
+                                                            "jpg"),
+                        "-sf", "PNG", "-df", "JPEG", "-cq", str(q),
+                        "-ld", log_dir], check=True)
+        print("JPEG q=%d done" % q, flush=True)
+
+    # --- merge and print ---
+    rows = []
+    for fn in sorted(glob.glob(os.path.join(log_dir,
+                                            "metrics_stats_*.pth"))):
+        s = torch.load(fn, weights_only=False)
+        codec = s["codec"]
+        ident = s.get("seed", s.get("quality", ""))
+        rows.append((codec, ident, s["rate_stats"]["avg"],
+                     s["psnr_stats"]["avg"], s["ms-ssim_stats"]["avg"],
+                     s["ssim_stats"]["avg"], s["delta_cielab_stats"]["avg"]))
+    rows.sort(key=lambda r: (r[0], r[2]))
+    csv_fn = os.path.join(args.workdir, "rd_sweep.csv")
+    with open(csv_fn, "w") as f:
+        f.write("codec,quality,bpp,psnr_db,ms_ssim,ssim,delta_e\n")
+        for r in rows:
+            f.write("%s,%s,%.4f,%.2f,%.4f,%.4f,%.3f\n" % r)
+    print("\n| codec | quality | bpp | PSNR dB | MS-SSIM | SSIM | dE |")
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        print("| %s | %s | %.3f | %.2f | %.4f | %.4f | %.2f |" % r)
+    print("\nwrote", csv_fn, flush=True)
+
+
+if __name__ == "__main__":
+    main()
