@@ -183,3 +183,30 @@ def test_tensorstore_reads_our_shuffled_typesize4_frame(tmp_path):
     t = ts.open({"driver": "zarr",
                  "kvstore": {"driver": "file", "path": str(root)}}).result()
     np.testing.assert_array_equal(np.asarray(t.read().result()), data)
+
+
+def test_blosc_frame_truncation_fuzz():
+    """Truncated/corrupted frames must raise, never return wrong data or
+    overread (verify-probe: garbage bitstreams into decoders)."""
+    import struct
+    import zlib
+
+    from cnn_autoencoder_tpu.storage import blosc_frame
+
+    rng = np.random.RandomState(7)
+    data = bytes(rng.randint(0, 30, 200000, np.uint8))
+    frame = blosc_frame.compress(data, typesize=4, shuffle=1)
+    assert blosc_frame.decompress(frame) == data
+    for cut in [0, 4, 15, 16, 17, 40, len(frame) // 2, len(frame) - 1]:
+        with pytest.raises((ValueError, zlib.error, struct.error)):
+            out = blosc_frame.decompress(frame[:cut])
+            assert len(out) == len(data)  # unreachable unless no raise
+    for _ in range(50):
+        buf = bytearray(frame)
+        for _ in range(3):
+            buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+        try:
+            out = blosc_frame.decompress(bytes(buf))
+        except (ValueError, zlib.error, struct.error):
+            continue
+        assert len(out) == len(data)
