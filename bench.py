@@ -102,7 +102,51 @@ def probe_link(jax, jnp, np, mb=24):
     return round(d2h, 1), round(h2d, 1)
 
 
+def _guard_device_reachable():
+    """Fail parseably instead of hanging when the TPU tunnel is dead.
+
+    The axon tunnel can hard-stall for long stretches (observed >2 h on
+    2026-08-18: even ``import jax`` blocks in backend discovery).  A
+    hung bench produces NO output and the driver records nothing — worse
+    than an honest zero.  Probe the device from a SUBPROCESS (so the
+    hang cannot propagate here) with retries up to
+    BENCH_PROBE_DEADLINE seconds (default 25 min: rides out the ~10 min
+    stall mode twice); on total failure, print a parseable failure line
+    and exit."""
+    import subprocess
+    deadline = float(os.environ.get("BENCH_PROBE_DEADLINE", 1500))
+    probe_src = ("import jax, numpy as np, jax.numpy as jnp\n"
+                 "x = jnp.ones((128, 128), jnp.bfloat16)\n"
+                 "np.asarray((x @ x), np.float32)[0, 0]\n"
+                 "print('BENCH_PROBE_OK')\n")
+    t_end = time.time() + deadline
+    attempt = 0
+    while time.time() < t_end:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe_src], capture_output=True,
+                timeout=min(180, max(30, t_end - time.time())), text=True)
+            if "BENCH_PROBE_OK" in (out.stdout or ""):
+                if attempt > 1:
+                    print(f"# device reachable after {attempt} probes",
+                          file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# device probe {attempt} failed; retrying", file=sys.stderr)
+        time.sleep(20)
+    print(json.dumps({
+        "metric": "WSI compress+decompress megapixels/sec/chip",
+        "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
+        "detail": {"error": "tpu unreachable: device probe hung/failed "
+                            "for %.0f s (axon tunnel hard-stall)"
+                            % deadline}}))
+    sys.exit(0)
+
+
 def main():
+    _guard_device_reachable()
     import jax
     import jax.numpy as jnp
 
