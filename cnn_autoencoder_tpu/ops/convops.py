@@ -190,9 +190,15 @@ class Conv2dReflect(nn.Module):
                                                       "NHWC"),
                                    preferred_element_type=jnp.float32)
         prec = self.precision or _DEFAULT_PRECISION
+        # CAE_TPU_POLYPHASE_CONV: "1" = always for k=3 s=2, "0" = never,
+        # "auto" = only for wide contractions (cin >= 32), where the phase
+        # convs tile the MXU fully; a 3-channel first layer is
+        # tile-starved either way and the 4-dispatch split just adds
+        # fusion overhead
+        _pp = _os.environ.get("CAE_TPU_POLYPHASE_CONV", "0").lower()
         if (k == 3 and self.stride == 2 and x.shape[1] % 2 == 0
                 and x.shape[2] % 2 == 0 and min(x.shape[1:3]) >= 2
-                and _os.environ.get("CAE_TPU_POLYPHASE_CONV", "0") == "1"):
+                and (_pp == "1" or (_pp == "auto" and cin >= 32))):
             y = conv_s2_reflect_polyphase(
                 x.astype(dtype), kernel.astype(dtype), conv,
                 feature_group_count=self.feature_group_count,
