@@ -132,27 +132,54 @@ def fetch_remote(path: str, timeout: float = 30.0, retries: int = 3,
 
     s3:// URLs are SigV4-signed when AWS credentials are present in the
     environment (the boto3-equivalent credentialed path), anonymous
-    otherwise.  404/403 raise FileNotFoundError immediately (no retry):
-    absent chunks are a NORMAL zarr state (fill_value regions are simply
-    not stored), so they must fail fast, not burn the backoff budget."""
+    otherwise.  404 (and anonymous 403 — S3 reports missing keys as 403
+    when the caller lacks ListBucket) raise FileNotFoundError immediately
+    (no retry): absent chunks are a NORMAL zarr state (fill_value regions
+    are simply not stored), so they must fail fast, not burn the backoff
+    budget.  A CREDENTIALED 403 raises PermissionError instead: with a
+    signed request it means denied/expired auth, and treating it as a
+    missing chunk would silently fill whole regions with zeros (e.g. an
+    STS session token expiring mid-decompress)."""
     is_s3 = path.startswith("s3://")
     if is_s3 and s3_endpoint is None:
         s3_endpoint = os.environ.get("CAE_S3_ENDPOINT")
     url = s3_to_https(path, s3_endpoint) if is_s3 else path
     creds = aws_credentials() if is_s3 else None
+
+    def add_auth(req):
+        if creds is not None:
+            for k, v in sigv4_headers("GET", req.full_url,
+                                      credentials=creds,
+                                      region=aws_region()).items():
+                req.add_header(k, v)
+
+    def missing(error):
+        if error.code == 404:
+            raise FileNotFoundError(path) from error
+        if error.code == 403:
+            if creds is None:
+                raise FileNotFoundError(path) from error
+            raise PermissionError(
+                "signed S3 request denied (HTTP 403) for %s — check "
+                "credentials/session-token expiry" % path) from error
+
+    return _urlopen_retry(url, timeout, retries, add_auth, missing)
+
+
+def _urlopen_retry(url, timeout, retries, add_headers=None, on_http=None):
+    """GET with exponential backoff; ``on_http(err)`` may raise to stop
+    retrying (missing-key / auth-denied fast paths)."""
     last_error = None
     for attempt in range(retries):
         try:
             req = urllib.request.Request(url)
-            if creds is not None:
-                for k, v in sigv4_headers("GET", url, credentials=creds,
-                                          region=aws_region()).items():
-                    req.add_header(k, v)
+            if add_headers is not None:
+                add_headers(req)
             with urllib.request.urlopen(req, timeout=timeout) as response:
                 return response.read()
         except urllib.error.HTTPError as error:
-            if error.code in (403, 404):  # S3 signals missing keys as 403
-                raise FileNotFoundError(path) from error
+            if on_http is not None:
+                on_http(error)
             last_error = error
             if attempt + 1 < retries:
                 time.sleep(min(2 ** attempt, 5.0))
@@ -161,7 +188,7 @@ def fetch_remote(path: str, timeout: float = 30.0, retries: int = 3,
             if attempt + 1 < retries:
                 time.sleep(min(2 ** attempt, 5.0))
     raise RuntimeError("failed to fetch %s after %d attempts: %s"
-                       % (path, retries, last_error)) from last_error
+                       % (url, retries, last_error)) from last_error
 
 
 def s3_list(url: str, delimiter: str = "/", s3_endpoint: str = None):
@@ -172,7 +199,8 @@ def s3_list(url: str, delimiter: str = "/", s3_endpoint: str = None):
     sub-prefixes — enough for zarr group listing and nbytes_stored on
     remote stores (the boto3 ``list_objects_v2`` equivalent, reference
     src/utils/datasets/_datautils.py:186-257).  Signed when credentials
-    are present, anonymous otherwise.
+    are present, anonymous otherwise; each page retries with the same
+    backoff policy as fetch_remote (the tunnel/network here is flaky).
     """
     bucket, _, prefix = url[len("s3://"):].partition("/")
     if prefix and not prefix.endswith("/"):
@@ -182,6 +210,14 @@ def s3_list(url: str, delimiter: str = "/", s3_endpoint: str = None):
     base = (s3_endpoint.rstrip("/") + "/" + bucket) if s3_endpoint \
         else "https://%s.s3.amazonaws.com" % bucket
     creds = aws_credentials()
+
+    def add_auth(req):
+        if creds is not None:
+            for k, v in sigv4_headers("GET", req.full_url,
+                                      credentials=creds,
+                                      region=aws_region()).items():
+                req.add_header(k, v)
+
     keys, prefixes = {}, []
     token = None
     ns = "{http://s3.amazonaws.com/doc/2006-03-01/}"
@@ -193,13 +229,7 @@ def s3_list(url: str, delimiter: str = "/", s3_endpoint: str = None):
             query.append(("continuation-token", token))
         qs = urllib.parse.urlencode(sorted(query))
         list_url = "%s/?%s" % (base, qs)
-        req = urllib.request.Request(list_url)
-        if creds is not None:
-            for k, v in sigv4_headers("GET", list_url, credentials=creds,
-                                      region=aws_region()).items():
-                req.add_header(k, v)
-        with urllib.request.urlopen(req, timeout=30.0) as response:
-            root = ET.fromstring(response.read())
+        root = ET.fromstring(_urlopen_retry(list_url, 30.0, 3, add_auth))
         for el in root.findall(ns + "Contents"):
             keys[el.find(ns + "Key").text] = int(el.find(ns + "Size").text)
         for el in root.findall(ns + "CommonPrefixes"):

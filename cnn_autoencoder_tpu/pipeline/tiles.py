@@ -447,13 +447,17 @@ def decompress_cae_array(src: zarrlib.Array,
               and not transport.worthwhile_fetch(ph * pw * 3, batch)):
             transport = None  # this call's tiles are too small to code
 
-    def fetch_and_stitch(idxs, rec_dev):
+    def fetch_and_stitch(idxs, rec_dev, tr):
+        # ``tr`` is the transport the decode program was DISPATCHED with
+        # (the coded-fetch coder is fused into that program, so the fetch
+        # must match it even if a concurrent refit disables the enclosing
+        # ``transport`` for future dispatches).
+        nonlocal transport
         # every job writes a disjoint region of `out`, so fetch+stitch jobs
         # run concurrently on the fetch pool — overlapping tunnel streams
         with GLOBAL_TIMER.stage("decompress/d2h_pixels", mp_batch):
             rec_np = core.fetch_pixels(
-                rec_dev, (batch, ph, pw, 3), transport)[:len(idxs)]
-        tr = transport
+                rec_dev, (batch, ph, pw, 3), tr)[:len(idxs)]
         if tr is not None and not tr.calibrated():
             # a 3rd overflow invalidated the table MID-CALL (note_overflow
             # in fetch_pixels): without a refit every remaining batch of
@@ -462,6 +466,12 @@ def decompress_cae_array(src: zarrlib.Array,
             # ARE raw-fallback output, so they carry everything a refit
             # needs (mirrors the compress direction's per-batch refit).
             tr.calibrate_from_tiles(rec_np)
+            if not tr.worthwhile_fetch(ph * pw * 3, batch):
+                # the content stopped compressing (that's WHY it
+                # overflowed): coding would now expand on the wire —
+                # disable for the remaining batches like the initial
+                # calibration gate does
+                transport = None
         if offset:
             rec_np = rec_np[:, offset:-offset, offset:-offset]
         with GLOBAL_TIMER.stage("decompress/stitch", mp_batch):
@@ -524,7 +534,7 @@ def decompress_cae_array(src: zarrlib.Array,
         with GLOBAL_TIMER.stage("decompress/h2d+dispatch", mp_batch):
             rec = core.decode_tiles_device(sym, packed=use_packed,
                                            transport=transport)
-        jobs.append(fetchers.submit(fetch_and_stitch, ids, rec))
+        jobs.append(fetchers.submit(fetch_and_stitch, ids, rec, transport))
         while len(jobs) > MAX_INFLIGHT:
             jobs.pop(0).result()
     for f in jobs:
@@ -724,6 +734,7 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
                 transport = None
 
     def decode_and_stitch(ids, bufs):
+        nonlocal transport
         with GLOBAL_TIMER.stage("decompress/turbo_decode",
                                 len(ids) * p * p / 1e6):
             rec = core.decode_tiles(bufs, transport=transport)
@@ -736,6 +747,13 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
             sample = rec if isinstance(rec, np.ndarray) else \
                 np.stack([r for r in rec if r.shape == rec[0].shape])
             tr.calibrate_from_tiles(sample)
+            ph0, pw0 = core.base.padded_hw(*sample.shape[1:3])
+            nd = getattr(core, "_nd", 1)
+            per = (batch + (-batch) % nd) // nd
+            if not tr.worthwhile_fetch(ph0 * pw0 * 3, max(1, per)):
+                # content stopped compressing — coding would expand on
+                # the wire; disable like the calibration probe's gate
+                transport = None
         for ij, r in zip(ids, rec):
             sl, valid = src.chunk_slices(ij)
             out[sl] = r[:valid[0], :valid[1], :valid[2]]

@@ -130,6 +130,9 @@ def decompress(buf) -> bytes:
         raise ValueError("truncated blosc frame: header claims %d bytes, "
                          "got %d" % (cbytes, len(buf)))
     if flags & FLAG_MEMCPY:
+        if len(buf) < _HDR.size + nbytes:
+            raise ValueError("memcpy blosc frame shorter than its nbytes "
+                             "(%d < %d)" % (len(buf) - _HDR.size, nbytes))
         return buf[_HDR.size:_HDR.size + nbytes]
     code = flags >> 5
     if code != CODE_ZLIB:
@@ -146,17 +149,15 @@ def decompress(buf) -> bytes:
     offsets = struct.unpack_from("<%dI" % nblocks, buf, _HDR.size)
     do_shuffle = bool(flags & FLAG_SHUFFLE) and typesize > 1
     dont_split = bool(flags & FLAG_DONT_SPLIT)
-    out = []
-    for j, off in enumerate(offsets):
-        neblock = min(blocksize, nbytes - j * blocksize)
-        # full blocks are split into `typesize` equal sub-streams unless
-        # the DONT_SPLIT flag is set; leftover blocks are never split
-        nsplits = (typesize if typesize > 1 and not dont_split
-                   and neblock == blocksize and neblock % typesize == 0
-                   else 1)
+
+    def read_block(off, neblock, nsplits):
         parts = []
         for _ in range(nsplits):
+            if off + 4 > len(buf):
+                raise ValueError("blosc block table overruns the frame")
             (csize,) = struct.unpack_from("<i", buf, off)
+            if csize < 0 or off + 4 + csize > len(buf):
+                raise ValueError("blosc sub-stream overruns the frame")
             stream = buf[off + 4:off + 4 + csize]
             nesplit = neblock // nsplits
             parts.append(stream if csize == nesplit
@@ -164,7 +165,28 @@ def decompress(buf) -> bytes:
             off += 4 + csize
         block = b"".join(parts)
         if len(block) != neblock:
-            raise ValueError("blosc block %d decoded to %d bytes, "
-                             "expected %d" % (j, len(block), neblock))
+            raise ValueError("blosc block decoded to %d bytes, expected %d"
+                             % (len(block), neblock))
+        return block
+
+    out = []
+    for j, off in enumerate(offsets):
+        neblock = min(blocksize, nbytes - j * blocksize)
+        # full blocks are split into `typesize` equal sub-streams unless
+        # the DONT_SPLIT flag says otherwise; leftover blocks are never
+        # split.  Writers older than the flag (pre c-blosc 1.14) used
+        # extra conditions (typesize/blocksize thresholds) this header
+        # cannot express, so on a parse failure retry with the other
+        # split interpretation — a wrong guess cannot decode to exactly
+        # neblock bytes by accident.
+        nsplits = (typesize if typesize > 1 and not dont_split
+                   and neblock == blocksize and neblock % typesize == 0
+                   else 1)
+        try:
+            block = read_block(off, neblock, nsplits)
+        except (ValueError, zlib.error):
+            if nsplits == 1:
+                raise
+            block = read_block(off, neblock, 1)
         out.append(_unshuffle(block, typesize) if do_shuffle else block)
     return b"".join(out)

@@ -416,15 +416,24 @@ class Group:
     def keys(self):
         if is_remote(self.path):
             if self.path.startswith("s3://"):
-                # ListObjectsV2 with '/' delimiter: immediate children,
-                # filtered to real zarr members (__contains__ probes
-                # .zarray/.zgroup)
+                # one recursive ListObjectsV2: the '<child>/.zarray' /
+                # '<child>/.zgroup' keys it returns decide membership with
+                # zero extra round trips (a delimited listing would need
+                # 1-2 probe GETs per child on a congested link)
                 from ..data.remote import s3_list
-                _, prefixes = s3_list(self.path)
-                for pre in sorted(prefixes):
-                    name = pre.rstrip("/").rsplit("/", 1)[-1]
-                    if name and name in self:
-                        yield name
+                sizes, _ = s3_list(self.path, delimiter="")
+                # keys are bucket-absolute; strip this group's prefix
+                _, _, prefix = self.path[len("s3://"):].partition("/")
+                if prefix and not prefix.endswith("/"):
+                    prefix += "/"
+                members = set()
+                for key in sizes:
+                    if not key.startswith(prefix):
+                        continue
+                    head, _, tail = key[len(prefix):].partition("/")
+                    if head and tail in (".zarray", ".zgroup"):
+                        members.add(head)
+                yield from sorted(members)
                 return
             raise NotImplementedError(
                 "plain-HTTP zarr groups cannot be listed; address members "

@@ -195,6 +195,10 @@ def s3_emulator(tmp_path):
                 self.end_headers()
                 self.wfile.write(data)
                 return
+            if key.startswith("forbidden"):
+                self.send_response(403)
+                self.end_headers()
+                return
             fp = bdir / key
             if not fp.is_file():
                 self.send_response(404)
@@ -251,3 +255,26 @@ def test_s3_zarr_listing_and_credentialed_reads(s3_emulator, monkeypatch):
     g2 = zarrlib.open("s3://mybucket/wsi.zarr", mode="r")
     np.testing.assert_array_equal(g2["0/0"][10:40, 5:30], img[10:40, 5:30])
     assert seen_auth and all(a is None for a in seen_auth)
+
+
+def test_s3_403_is_permission_error_only_when_signed(s3_emulator,
+                                                     monkeypatch):
+    """Anonymous 403 = missing key (S3 without ListBucket); CREDENTIALED
+    403 = denied/expired auth and must NOT read as an absent chunk (a
+    fill_value region) — e.g. an STS token expiring mid-decompress."""
+    from cnn_autoencoder_tpu.data.remote import fetch_remote
+
+    endpoint, root, _ = s3_emulator
+    (root / "mybucket").mkdir()
+    monkeypatch.setenv("CAE_S3_ENDPOINT", endpoint)
+    monkeypatch.delenv("AWS_ACCESS_KEY_ID", raising=False)
+    monkeypatch.delenv("AWS_SECRET_ACCESS_KEY", raising=False)
+    with pytest.raises(FileNotFoundError):
+        fetch_remote("s3://mybucket/forbidden/chunk", retries=1)
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKIDEXAMPLE")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "secret")
+    with pytest.raises(PermissionError):
+        fetch_remote("s3://mybucket/forbidden/chunk", retries=1)
+    # 404 stays FileNotFoundError either way
+    with pytest.raises(FileNotFoundError):
+        fetch_remote("s3://mybucket/absent/chunk", retries=1)

@@ -210,3 +210,33 @@ def test_blosc_frame_truncation_fuzz():
         except (ValueError, zlib.error, struct.error):
             continue
         assert len(out) == len(data)
+
+
+def test_blosc_frame_memcpy_and_legacy_split_edges():
+    """Review fixes: a memcpy frame shorter than its claimed nbytes must
+    raise (not silently return garbage), and a legacy unsplit frame
+    without the DONT_SPLIT flag (pre c-blosc 1.14 writers) must decode
+    via the split-fallback retry."""
+    import zlib
+
+    from cnn_autoencoder_tpu.storage import blosc_frame
+
+    rng = np.random.RandomState(8)
+    raw = rng.bytes(5000)                       # incompressible -> memcpy
+    frame = blosc_frame.compress(raw, typesize=1)
+    assert frame[2] & blosc_frame.FLAG_MEMCPY
+    with pytest.raises(ValueError):
+        blosc_frame.decompress(frame[: len(frame) // 2])
+
+    # flipping MEMCPY on in a compressed frame must not yield silent data
+    data = bytes(rng.randint(0, 5, 200000, np.uint8))
+    comp = bytearray(blosc_frame.compress(data, typesize=4, shuffle=1))
+    comp[2] |= blosc_frame.FLAG_MEMCPY
+    with pytest.raises(ValueError):
+        blosc_frame.decompress(bytes(comp))
+
+    # legacy writer: unsplit blocks, flag absent
+    comp = bytearray(blosc_frame.compress(data, typesize=4, shuffle=1))
+    assert comp[2] & blosc_frame.FLAG_DONT_SPLIT
+    comp[2] &= ~blosc_frame.FLAG_DONT_SPLIT
+    assert blosc_frame.decompress(bytes(comp)) == data
