@@ -1,0 +1,48 @@
+"""Tunnel health probe: exits 0 iff the axon TPU answers a matmul+fetch.
+
+Used by scripts/hw_watch.sh to detect when the (currently hard-down)
+tunnel returns, and as step 0 of scripts/hw_queue.sh.  Prints one line
+with the device kind and a rough d2h estimate from an 8 MB fetch —
+enough to tell a healthy window (>150 MB/s) from a congested one
+(~25-50 MB/s) before trusting any perf measurement (see CLAUDE.md
+"Environment gotchas": block_until_ready is a no-op under axon, so the
+fetch is what actually times the link).
+
+Run under an external `timeout` — jax.devices() itself can hang for
+minutes when the tunnel is down.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    t0 = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    devs = jax.devices()
+    if not devs or devs[0].platform == "cpu":
+        print("no TPU (platform=%s)" % (devs[0].platform if devs else "?"))
+        return 1
+    t_dev = time.time() - t0
+
+    x = jnp.ones((1024, 1024), jnp.bfloat16)
+    y = x @ x
+    np.asarray(y)  # real fetch — the only honest sync through the tunnel
+    t_mm = time.time() - t0 - t_dev
+
+    z = jnp.ones((4 * 1024 * 1024,), jnp.float32)  # 16 MB
+    t1 = time.time()
+    np.asarray(z)
+    dt = time.time() - t1
+    mbs = 16.0 / max(dt, 1e-9)
+    print("alive kind=%s devices=%.1fs matmul=%.1fs d2h=%.1fMB/s"
+          % (devs[0].device_kind, t_dev, t_mm, mbs), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

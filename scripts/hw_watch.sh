@@ -1,0 +1,18 @@
+#!/bin/bash
+# Poll the axon tunnel every 10 min; the moment it answers, run the
+# queued hardware items (scripts/hw_queue.sh) once and exit.  Meant to
+# live in a tmux session so it survives across work on the host.
+set -u
+cd /root/repo
+LOG=/tmp/hw_queue
+mkdir -p "$LOG"
+while true; do
+  if timeout 240 python scripts/_tpu_probe.py > "$LOG/probe.last" 2>&1; then
+    echo "$(date -u +%FT%TZ) tunnel ALIVE: $(cat "$LOG/probe.last")" \
+      | tee -a "$LOG/watch.log"
+    bash scripts/hw_queue.sh 2>&1 | tee -a "$LOG/queue.log"
+    exit 0
+  fi
+  echo "$(date -u +%FT%TZ) tunnel down" >> "$LOG/watch.log"
+  sleep 600
+done
