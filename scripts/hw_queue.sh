@@ -29,6 +29,8 @@ run microbench_strided 2400 python scripts/microbench_strided_conv.py
 run microbench_deconv  2400 python scripts/microbench_final_deconv.py
 # per-layer measured roofline (VERDICT r3 #4)
 run roofline           3000 python scripts/roofline_conv.py --batch 64
+# training-step roofline: measured half of scripts/roofline_train.py
+run roofline_train     3000 python scripts/roofline_train.py
 # end-to-end bench, utilization focus (VERDICT r3 #2)
 run bench              5400 python bench.py
 # RD sweep with the serving bf16 path (round-3 CSV was CPU f32)

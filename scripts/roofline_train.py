@@ -1,0 +1,275 @@
+"""Per-layer roofline of the flagship TRAINING step (fwd + bwd + update).
+
+Round-3 recorded 1885.5 img/s at batch 128 / patch 256 (~8% MFU) and
+asserted a "~10% shape ceiling" without showing it (CLAUDE.md, VERDICT
+r3 weak #4).  This script produces the evidence, mirroring
+scripts/roofline_conv.py for the serving stack:
+
+1. ANALYTIC: forward rows reuse roofline_conv.build_analytic; each conv
+   adds a dgrad row (same MAC count as forward, contraction flipped to
+   k*k*cout -> cin) and a wgrad row (contraction over B*OH*OW, output
+   (k*k*cin, cout) — tile-starved only by cout); each GDN adds the
+   analytic-VJP backward (ops/gdn.py:_gdn_mixed_bwd: three CxC
+   contractions + ~5 elementwise passes over bf16 residuals).  Entropy
+   bottleneck, losses and the Adam update are bytes-only lump rows.
+   The sum gives the roofline step time -> ceiling img/s and the MFU
+   that ceiling itself allows (shape ceiling).
+
+2. MEASURED (needs the chip): jax.profiler trace of the exact
+   bench_train step, aggregated per layer via roofline_conv.parse_trace.
+
+Run:  python scripts/roofline_train.py [--batch 128] [--patch 256]
+Writes benchmarks/roofline_train.json and prints markdown tables.
+The analytic half runs anywhere (no TPU needed).
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("CAE_TPU_PRECISION", "bf16")
+
+from roofline_conv import (_PEAK, _tile_util, build_analytic,  # noqa: E402
+                           parse_trace)
+
+
+def build_train_analytic(batch, patch, channels_org, channels_net,
+                         channels_bn, level, k, peak_tflops, bw_gbs,
+                         dtype_bytes=2):
+    """Forward rows + backward rows + lump rows for one train step."""
+    fwd = build_analytic(batch, patch, channels_org, channels_net,
+                         channels_bn, level, k, peak_tflops, bw_gbs,
+                         dtype_bytes)
+    rows = [dict(r, layer="fwd/" + r["layer"]) for r in fwd]
+
+    peak = peak_tflops * 1e12
+    bw = bw_gbs * 1e9
+
+    def add(name, kind, flops, byts, util):
+        t_mxu = flops / (peak * max(util, 1e-9)) if flops else 0.0
+        t_hbm = byts / bw
+        rows.append(dict(layer=name, kind=kind, gflops=flops / 1e9,
+                         gbytes=byts / 1e9, tile_util=round(util, 3),
+                         t_mxu_ms=t_mxu * 1e3, t_hbm_ms=t_hbm * 1e3,
+                         t_roof_ms=max(t_mxu, t_hbm) * 1e3,
+                         bound="mxu" if t_mxu > t_hbm else "hbm"))
+
+    # backward rows mirror the forward stage list (same geometry walk as
+    # build_analytic so layer names line up)
+    def conv_bwd(name, b, ih, iw, cin, oh, ow, cout, mac_per_out=None,
+                 dgrad=True):
+        macs = 2.0 * b * oh * ow * cout * (mac_per_out or (k * k * cin))
+        # dgrad: same MAC count, contraction flipped to (k*k*cout -> cin);
+        # bytes: read dy (bf16) + weights, write dx (bf16).  The FIRST
+        # encoder conv has no dgrad: differentiating w.r.t. params only,
+        # JAX never transposes toward the input image.
+        if dgrad:
+            add(f"bwd/{name}/dgrad", "conv", macs,
+                dtype_bytes * b * (oh * ow * cout + ih * iw * cin)
+                + 4 * k * k * cin * cout,
+                _tile_util(k * k * cout, cin))
+        # wgrad: contraction over B*OH*OW (plentiful), output (k^2*cin,
+        # cout); bytes: read saved x (bf16) + dy (bf16), write f32 grad
+        add(f"bwd/{name}/wgrad", "conv", macs,
+            dtype_bytes * b * (ih * iw * cin + oh * ow * cout)
+            + 4 * k * k * cin * cout,
+            _tile_util(min(b * oh * ow, 512), cout))
+
+    def gdn_bwd(name, b, oh, ow, c):
+        n = b * oh * ow
+        # three CxC contractions (gamma^T backprop, dgamma, + the x*x
+        # recompute feeding dgamma is elementwise) + ~5 passes over
+        # (g, xb, rb, dnb, dx) bf16 residuals
+        add(f"bwd/{name}", "gdn", 3 * 2.0 * n * c * c + 10.0 * n * c,
+            dtype_bytes * n * c * 5, _tile_util(c, c))
+
+    stages = []
+    prev, curr = channels_org, channels_net
+    for _ in range(level - 1):
+        stages.append((prev, curr, True))
+        prev, curr = curr, curr
+    stages.append((prev, channels_bn, False))
+    side = patch
+    for i, (cin, cout, act) in enumerate(stages):
+        oh = side // 2
+        conv_bwd(f"enc/down_{i}/conv", batch, side, side, cin, oh, oh, cout,
+                 dgrad=(i > 0))
+        if act:
+            gdn_bwd(f"enc/down_{i}/gdn", batch, oh, oh, cout)
+        side = oh
+
+    dstages = []
+    prev, curr = channels_bn, channels_net
+    for _ in range(level - 1):
+        dstages.append((prev, curr, True))
+        prev = curr
+    dstages.append((prev, channels_org, False))
+    side = patch // (2 ** level)
+    for i, (cin, cout, act) in enumerate(dstages):
+        oh = side * 2
+        # deconv backward: dgrad of an lhs-dilated conv is a plain
+        # stride-2 conv (full k*k*cout contraction on the dense dy);
+        # wgrad sees the zero-dilated input -> 1/4 useful MACs
+        conv_bwd(f"dec/up_{i}/deconv", batch, side, side, cin, oh, oh,
+                 cout, mac_per_out=k * k * cin / 4.0)
+        if act:
+            gdn_bwd(f"dec/up_{i}/igdn", batch, oh, oh, cout)
+        side = oh
+
+    # lumps: entropy bottleneck fwd+bwd (elementwise over the latent,
+    # K=4 r=3 unrolled FMA chain ~ 40 flops/sym, few passes), losses
+    # (MSE + rate reductions over pixels / latents), Adam update over
+    # ~3.1 M params x 3 optimizer tensors f32 read+write
+    bn_side = patch // (2 ** level)
+    n_lat = batch * bn_side * bn_side * channels_bn
+    add("lump/entropy_fwd+bwd", "ew", 80.0 * n_lat,
+        dtype_bytes * n_lat * 8, 1.0)
+    n_px = batch * patch * patch * channels_org
+    add("lump/losses", "ew", 10.0 * n_px, dtype_bytes * n_px * 3, 1.0)
+    n_par = sum(kk * kk * ci * co + 2 * co for (kk, ci, co) in
+                [(k, channels_org, channels_net)]
+                + [(k, channels_net, channels_net)] * (level - 2)
+                + [(k, channels_net, channels_bn)]
+                + [(k, channels_bn, channels_net)]
+                + [(k, channels_net, channels_net)] * (level - 2)
+                + [(k, channels_net, channels_org)]) \
+        + 2 * channels_net * channels_net * (level - 1) * 2
+    add("lump/adam_update", "ew", 20.0 * n_par, 4.0 * n_par * 6, 1.0)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--patch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--analytic-only", action="store_true")
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "benchmarks", "roofline_train.json"))
+    args = ap.parse_args()
+
+    # peaks without touching the device (the tunnel may be down)
+    peak_tflops, bw_gbs = _PEAK["v5 lite"]
+    device = "assumed v5e"
+    if not args.analytic_only:
+        import jax
+        if jax.devices()[0].platform != "cpu":
+            from roofline_conv import device_peaks
+            peak_tflops, bw_gbs = device_peaks()
+            device = str(jax.devices()[0])
+
+    rows = build_train_analytic(args.batch, args.patch, 3, 128, 48, 3, 3,
+                                peak_tflops, bw_gbs)
+    t_roof_ms = sum(r["t_roof_ms"] for r in rows)
+    gflops = sum(r["gflops"] for r in rows)
+    ceiling_img_s = args.batch / (t_roof_ms / 1e3)
+    ceiling_mfu = gflops / 1e3 / (peak_tflops * t_roof_ms / 1e3)
+
+    print("| layer | GFLOP | GB | tile | t_mxu ms | t_hbm ms | roof ms |"
+          " bound |")
+    print("|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print("| %s | %.1f | %.3f | %.2f | %.2f | %.2f | %.2f | %s |"
+              % (r["layer"], r["gflops"], r["gbytes"], r["tile_util"],
+                 r["t_mxu_ms"], r["t_hbm_ms"], r["t_roof_ms"], r["bound"]))
+    print()
+    print("analytic roofline step: %.2f ms  -> ceiling %.0f img/s; the "
+          "ceiling itself runs at %.1f%% MFU (shape ceiling)"
+          % (t_roof_ms, ceiling_img_s, 100 * ceiling_mfu))
+
+    out = dict(batch=args.batch, patch=args.patch, device=device,
+               peak_tflops=peak_tflops, hbm_gbs=bw_gbs, analytic=rows,
+               t_roof_ms=round(t_roof_ms, 3),
+               ceiling_img_s=round(ceiling_img_s, 1),
+               ceiling_mfu=round(ceiling_mfu, 4))
+
+    if not args.analytic_only:
+        import jax
+        import jax.numpy as jnp
+        if jax.devices()[0].platform == "cpu":
+            print("no TPU — skipping the measured half")
+        else:
+            # measured half: trace the exact bench_train step
+            from cnn_autoencoder_tpu.criteria.loss import setup_loss
+            from cnn_autoencoder_tpu.models.factory import build_model
+            from cnn_autoencoder_tpu.training.loop import make_train_step
+            from cnn_autoencoder_tpu.training.optim import setup_optimizers
+            model = build_model(jax.random.PRNGKey(0),
+                                input_size=(args.patch, args.patch),
+                                channels_org=3, channels_net=128,
+                                channels_bn=48, compression_level=3,
+                                K=4, r=3, act_layer_type="GDN")
+            criterion = setup_loss("RateMSE", distortion_lambda=0.01,
+                                   patch_size=args.patch)
+            trainable = ["encoder", "decoder", "fact_ent"]
+            optimizers, opt_states, acc = setup_optimizers(model.variables,
+                                                           trainable)
+            train_step = make_train_step(model.modules, criterion,
+                                         optimizers,
+                                         trainable_modules=trainable)
+            variables = model.variables
+            lrs = {kk: jnp.float32(1e-4) for kk in optimizers}
+            rng = np.random.RandomState(0)
+            x = jnp.asarray(rng.rand(args.batch, args.patch, args.patch,
+                                     3).astype(np.float32))
+            key = jax.random.PRNGKey(1)
+            for i in range(2):  # compile + settle
+                key, sub = jax.random.split(key)
+                variables, opt_states, acc, aux = train_step(
+                    variables, opt_states, acc, lrs, x, None, sub,
+                    jnp.int32(i))
+            float(aux["loss"])
+            tdir = tempfile.mkdtemp(prefix="train_trace_")
+            t0 = time.time()
+            with jax.profiler.trace(tdir):
+                for i in range(args.steps):
+                    key, sub = jax.random.split(key)
+                    variables, opt_states, acc, aux = train_step(
+                        variables, opt_states, acc, lrs, x, None, sub,
+                        jnp.int32(2 + i))
+                float(aux["loss"])
+            wall = time.time() - t0
+            agg = parse_trace(tdir)
+            meas = []
+            tot_us = 0.0
+            for kk, row in sorted(agg.items(),
+                                  key=lambda it: -it[1]["dur_us"]):
+                us = row["dur_us"] / args.steps
+                tot_us += us
+                meas.append(dict(layer=kk, ms=round(us / 1e3, 3),
+                                 gbs=round(row["bytes"] / args.steps
+                                           / max(us * 1e-6, 1e-12) / 1e9,
+                                           1),
+                                 tflops=round(row["flops"] / args.steps
+                                              / max(us * 1e-6, 1e-12)
+                                              / 1e12, 1)))
+            print("\nmeasured (per step, %d steps, wall %.2fs):" %
+                  (args.steps, wall))
+            print("| layer | ms | GB/s | TFLOP/s |")
+            print("|---|---|---|---|")
+            for m in meas:
+                print("| %s | %.3f | %.1f | %.1f |"
+                      % (m["layer"], m["ms"], m["gbs"], m["tflops"]))
+            img_s = args.batch * args.steps / wall
+            print("device total %.2f ms/step; wall %.0f img/s; "
+                  "roofline ratio %.2fx" % (tot_us / 1e3, img_s,
+                                            (tot_us / 1e3) / t_roof_ms))
+            out["measured"] = meas
+            out["measured_ms_per_step"] = round(tot_us / 1e3, 3)
+            out["measured_img_s_wall"] = round(img_s, 1)
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
