@@ -234,3 +234,51 @@ def test_visualize_groups_embeddings_and_selection(tmp_path):
     emb = np.array([[0.0, 0.0], [1.0, 1.0], [5.0, 5.0]])
     np.testing.assert_array_equal(select_in_rect(emb, (2, 2, -1, -1)),
                                   [0, 1])
+
+
+def test_roofline_train_analytic_table():
+    """The training roofline's analytic builder: structural invariants.
+
+    The ceiling numbers in benchmarks/RESULTS.md come from this table;
+    pin the properties that make them meaningful: forward rows mirror
+    the serving roofline exactly, every forward conv except down_0 has a
+    dgrad + wgrad twin (no dgrad toward the input image), GDN backward
+    rows exist per activation, and roofline times respect both walls.
+    """
+    from roofline_conv import build_analytic
+    from roofline_train import build_train_analytic
+
+    kw = dict(batch=8, patch=64, channels_org=3, channels_net=128,
+              channels_bn=48, level=3, k=3, peak_tflops=197.0,
+              bw_gbs=819.0)
+    fwd = build_analytic(**kw)
+    rows = build_train_analytic(**kw)
+    by_name = {r["layer"]: r for r in rows}
+
+    # forward rows are the serving table verbatim under the fwd/ prefix
+    for r in fwd:
+        twin = by_name["fwd/" + r["layer"]]
+        assert twin["gflops"] == r["gflops"]
+        assert twin["t_roof_ms"] == r["t_roof_ms"]
+
+    # backward coverage: every conv but down_0 gets dgrad; all get wgrad
+    convs = [r["layer"] for r in fwd if r["kind"] == "conv"]
+    for name in convs:
+        assert f"bwd/{name}/wgrad" in by_name, name
+        if name == "enc/down_0/conv":
+            assert f"bwd/{name}/dgrad" not in by_name
+        else:
+            assert f"bwd/{name}/dgrad" in by_name, name
+    gdns = [r["layer"] for r in fwd if r["kind"] == "gdn"]
+    for name in gdns:
+        assert f"bwd/{name}" in by_name, name
+
+    for r in rows:
+        assert r["t_roof_ms"] >= max(r["t_mxu_ms"], r["t_hbm_ms"]) - 1e-9
+        assert r["gflops"] >= 0 and r["gbytes"] > 0
+        assert 0 < r["tile_util"] <= 1.0
+
+    # backward is strictly more expensive than forward (dgrad+wgrad+GDN
+    # VJP), so the train roofline must exceed the serving one
+    assert (sum(r["t_roof_ms"] for r in rows)
+            > 1.5 * sum(r["t_roof_ms"] for r in fwd))
