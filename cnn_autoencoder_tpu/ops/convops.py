@@ -190,19 +190,28 @@ class Conv2dReflect(nn.Module):
                                                       "NHWC"),
                                    preferred_element_type=jnp.float32)
         prec = self.precision or _DEFAULT_PRECISION
-        # CAE_TPU_POLYPHASE_CONV: "1" = always for k=3 s=2, "0" = never,
-        # "auto" = only for wide contractions (cin >= 32), where the phase
-        # convs tile the MXU fully; a 3-channel first layer is
-        # tile-starved either way and the 4-dispatch split just adds
-        # fusion overhead
+        # CAE_TPU_POLYPHASE_CONV: "1" = always for k=3 s=2, "0" (default)
+        # = never.  Measured on v5e (microbench_strided_conv, 128->128ch
+        # 256² batch 64 bf16): polyphase 35.2 ms vs 12.6 shipped — the
+        # former "auto" mode's wide-contraction hypothesis was WRONG; the
+        # 4-dispatch split loses to XLA's single strided conv everywhere
+        # tested.  Kept opt-in only for future hardware.
         _pp = _os.environ.get("CAE_TPU_POLYPHASE_CONV", "0").lower()
-        if (k == 3 and self.stride == 2 and x.shape[1] % 2 == 0
-                and x.shape[2] % 2 == 0 and min(x.shape[1:3]) >= 2
-                and (_pp == "1" or (_pp == "auto" and cin >= 32))):
-            y = conv_s2_reflect_polyphase(
-                x.astype(dtype), kernel.astype(dtype), conv,
-                feature_group_count=self.feature_group_count,
-                precision=prec)
+        # CAE_TPU_BORDER_CONV: zero-fused conv + exact thin reflect
+        # border corrections, 2.09x the shipped reflect+VALID on v5e
+        # (same microbench).  "auto" (default) = only when computing in
+        # bf16, where numerics already diverge from the torch oracle;
+        # RD-parity f32 serving keeps the bit-stable reflect+VALID path.
+        _bc = _os.environ.get("CAE_TPU_BORDER_CONV", "auto").lower()
+        s2_ok = (k == 3 and self.stride == 2 and x.shape[1] % 2 == 0
+                 and x.shape[2] % 2 == 0 and min(x.shape[1:3]) >= 2)
+        if s2_ok and (_pp == "1" or _bc == "1"
+                      or (_bc == "auto" and dtype == jnp.bfloat16)):
+            fn = conv_s2_reflect_polyphase if _pp == "1" \
+                else conv_s2_reflect_border
+            y = fn(x.astype(dtype), kernel.astype(dtype), conv,
+                   feature_group_count=self.feature_group_count,
+                   precision=prec)
             if self.use_bias:
                 bias = self.param("bias", self.bias_init, (self.features,))
                 y = y + bias
@@ -260,6 +269,47 @@ def conv_s2_reflect_polyphase(x, kernel, conv, *, feature_group_count=1,
     y = y + c(xoe, kernel[0::2, 1:2])
     y = y + c(xeo, kernel[1:2, 0::2])
     y = y + c(xoo, kernel[0::2, 0::2])
+    return y
+
+
+def conv_s2_reflect_border(x, kernel, conv, *, feature_group_count=1,
+                           precision=None):
+    """k=3 stride-2 reflect(p=1) conv as ONE internally-zero-padded conv
+    plus two thin border-correction convs (exact reflect geometry).
+
+    XLA lowers pad-then-VALID strided convs ~2x slower than the same
+    conv with internal zero padding at flagship shapes (measured on v5e,
+    scripts/microbench_strided_conv.py: 12.59 -> 6.01 ms for 128->128ch
+    256² batch 64 — 24.6 vs 51.4 TFLOP/s).  With even H,W and p=1 only
+    the top/left reflect rows are ever read (tap (a,b) multiplies
+    x[2i+a-1, 2j+b-1], max index H-1), and reflect row -1 == row 1, so
+    the zero-padded conv is exact except for:
+
+    * output row 0, missing sum_b k[0,b] * x[1, 2j-1+b] — a 1x3 stride-
+      (1,2) conv of input row 1, reflect-padded on W so its own col -1
+      becomes x[1,1], which is exactly the (0,0) corner's k[0,0] term;
+    * output col 0, missing sum_a k[a,0] * x[2i-1+a, 1] — a 3x1 stride-
+      (2,1) conv of input col 1, ZERO-padded on H so the corner term is
+      not double-counted.
+
+    Not bit-identical to the fused reflect+VALID form (border pixels sum
+    in a different order); RD-parity serving keeps the reflect+VALID
+    path (gate in Conv2dReflect).
+    """
+    kw = dict(feature_group_count=feature_group_count, precision=precision)
+    y = conv(x, kernel, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+             **kw)
+    row = jnp.pad(x[:, 1:2], ((0, 0), (0, 0), (1, 0), (0, 0)),
+                  mode="reflect")
+    dr = conv(row, kernel[0:1], window_strides=(1, 2), padding="VALID",
+              **kw)
+    col = jnp.pad(x[:, :, 1:2], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    dc = conv(col, kernel[:, 0:1], window_strides=(2, 1), padding="VALID",
+              **kw)
+    # in-place-able slice updates (XLA fuses DUS on the dying conv
+    # output); the (0,0) corner legitimately receives both deltas
+    y = y.at[:, 0:1].add(dr)
+    y = y.at[:, :, 0:1].add(dc)
     return y
 
 

@@ -80,6 +80,24 @@ def polyphase(x, k):
     return y
 
 
+def border(x, k):
+    """The shipped fast path: zero-fused conv + exact reflect border
+    corrections (ops/convops.py:conv_s2_reflect_border)."""
+    import jax
+    from cnn_autoencoder_tpu.ops.convops import conv_s2_reflect_border
+
+    def conv(xx, kk, *, window_strides, padding, feature_group_count=1,
+             precision=None):
+        import jax.numpy as jnp
+        return jax.lax.conv_general_dilated(
+            xx, kk, window_strides=window_strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=feature_group_count, precision=precision,
+            preferred_element_type=jnp.float32)
+
+    return conv_s2_reflect_border(x, k, conv)
+
+
 def s2d(x, k):
     import jax
     import jax.numpy as jnp
@@ -130,7 +148,7 @@ def main():
                              + (args.side // 2) ** 2 * args.cout)
 
     fns = {"reflect_valid": reflect_valid, "zero_fused": zero_fused,
-           "polyphase": polyphase, "s2d": s2d}
+           "border": border, "polyphase": polyphase, "s2d": s2d}
     ref = None
     results = {}
     for name, fn in fns.items():
@@ -141,9 +159,9 @@ def main():
         got = np.asarray(out[:2], np.float32)
         if name == "reflect_valid":
             ref = got
-        elif name == "polyphase":
+        elif name in ("polyphase", "border"):
             err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
-            print("polyphase max rel err vs reflect_valid: %.2e" % err,
+            print("%s max rel err vs reflect_valid: %.2e" % (name, err),
                   flush=True)
             assert err < (3e-2 if dt == jnp.bfloat16 else 1e-5)
         del got

@@ -189,3 +189,98 @@ def test_conv_polyphase_grads_match(monkeypatch):
                     jax.tree_util.tree_leaves(g_poly)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (16, 12), (8, 10), (4, 6), (2, 4)])
+def test_conv_border_matches_torch(monkeypatch, h, w):
+    """CAE_TPU_BORDER_CONV=1 routes k=3 s=2 through the zero-fused conv +
+    thin reflect border corrections (ops/convops.py:
+    conv_s2_reflect_border); geometry must stay exactly
+    torch-Conv2d(reflect) including the (0,0) corner's single-count."""
+    monkeypatch.setenv("CAE_TPU_BORDER_CONV", "1")
+    rng = np.random.RandomState(13)
+    cin, cout = 5, 7
+    x = rng.randn(2, cin, h, w).astype(np.float32)
+    tconv = nn.Conv2d(cin, cout, 3, stride=2, padding=1,
+                      bias=True, padding_mode="reflect")
+    with torch.no_grad():
+        ref = tconv(torch.from_numpy(x)).numpy()
+
+    mod = Conv2dReflect(features=cout, kernel_size=3, stride=2,
+                        use_bias=True)
+    params = {"params": {
+        "kernel": jnp.asarray(_torch_to_hwio(tconv.weight.detach().numpy())),
+        "bias": jnp.asarray(tconv.bias.detach().numpy()),
+    }}
+    out = mod.apply(params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_conv_border_odd_size_falls_back(monkeypatch):
+    """Odd spatial sizes read the high reflect rows the border split
+    doesn't model; the gate must fall back and stay torch-exact."""
+    monkeypatch.setenv("CAE_TPU_BORDER_CONV", "1")
+    rng = np.random.RandomState(14)
+    x = rng.randn(1, 5, 9, 11).astype(np.float32)
+    tconv = nn.Conv2d(5, 6, 3, stride=2, padding=1, bias=False,
+                      padding_mode="reflect")
+    with torch.no_grad():
+        ref = tconv(torch.from_numpy(x)).numpy()
+    mod = Conv2dReflect(features=6, kernel_size=3, stride=2)
+    params = {"params": {
+        "kernel": jnp.asarray(_torch_to_hwio(tconv.weight.detach().numpy()))}}
+    out = mod.apply(params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 3, 1, 2)), ref,
+        rtol=1e-5, atol=1e-5)
+
+
+def test_conv_border_grads_match(monkeypatch):
+    """Training safety: the border path's input/kernel grads equal the
+    fused reflect path's."""
+    rng = np.random.RandomState(15)
+    x = jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32))
+    mod = Conv2dReflect(features=7, kernel_size=3, stride=2)
+    monkeypatch.setenv("CAE_TPU_BORDER_CONV", "0")
+    params = mod.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, xx):
+        y = mod.apply(p, xx)
+        return jnp.sum(y * y)
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(params, x)
+    monkeypatch.setenv("CAE_TPU_BORDER_CONV", "1")
+    g_bc = jax.grad(loss, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_bc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_conv_border_auto_only_bf16(monkeypatch):
+    """auto (the default) enables the border path only for bf16 compute:
+    f32 RD-parity serving must keep the bit-stable reflect+VALID path
+    (summation order at borders differs between the two)."""
+    monkeypatch.delenv("CAE_TPU_BORDER_CONV", raising=False)
+    monkeypatch.delenv("CAE_TPU_PRECISION", raising=False)
+    rng = np.random.RandomState(16)
+    x = jnp.asarray(rng.randn(1, 8, 8, 5).astype(np.float32))
+    mod = Conv2dReflect(features=6, kernel_size=3, stride=2)
+    params = mod.init(jax.random.PRNGKey(1), x)
+
+    # f32 auto == f32 forced-off, bitwise
+    y_auto = np.asarray(mod.apply(params, x))
+    monkeypatch.setenv("CAE_TPU_BORDER_CONV", "0")
+    y_off = np.asarray(mod.apply(params, x))
+    assert np.array_equal(y_auto, y_off)
+
+    # bf16 auto == bf16 forced-on, bitwise (routes through border conv)
+    monkeypatch.delenv("CAE_TPU_BORDER_CONV", raising=False)
+    mod16 = Conv2dReflect(features=6, kernel_size=3, stride=2,
+                          dtype=jnp.bfloat16)
+    y16_auto = np.asarray(mod16.apply(params, x))
+    monkeypatch.setenv("CAE_TPU_BORDER_CONV", "1")
+    y16_on = np.asarray(mod16.apply(params, x))
+    assert np.array_equal(y16_auto, y16_on)
