@@ -139,15 +139,17 @@ class GDN(nn.Module):
         beta = nonneg_param(beta_stored, self.beta_min)
         gamma = nonneg_param(gamma_stored, 0.0)
 
-        x32 = x.astype(jnp.float32)
-
         from .pallas.gdn_kernel import fused_gdn, pallas_enabled
         if pallas_enabled():
-            # single-VMEM-pass fused kernel (square+pool+rsqrt+scale)
-            shape = x32.shape
-            out = fused_gdn(x32.reshape(-1, c), gamma, beta,
-                            self.inverse).reshape(shape)
-            return out.astype(x.dtype)
+            # single-VMEM-pass fused kernel (square+pool+rsqrt+scale).
+            # x keeps its own dtype: the kernel streams bf16 blocks and
+            # upcasts in VMEM — casting here would materialize an f32 copy
+            # of the whole tensor in HBM (the round-1 perf bug).
+            out = fused_gdn(x.reshape(-1, c), gamma, beta,
+                            self.inverse).reshape(x.shape)
+            return out
+
+        x32 = x.astype(jnp.float32)
 
         from .convops import get_default_compute_dtype
         if get_default_compute_dtype() is not None:

@@ -30,6 +30,23 @@ except ImportError:  # pragma: no cover
 _ROW_TILE = 512
 
 
+def _serve_row_tile(cp: int) -> int:
+    """Row-tile for the serving kernel: large enough that the grid-step
+    count stops mattering at flagship geometry (batch 64 x 256² x 128ch is
+    4.19M rows — 512-row tiles mean 8192 grid steps), small enough that the
+    double-buffered in/out blocks plus the f32 intermediates (x², norm)
+    stay within a few MB of VMEM at cp=128 (~5 MB at 2048 rows).  Override
+    with CAE_TPU_GDN_ROW_TILE for microbenching; numerics are tile-size
+    invariant (strictly rowwise kernel)."""
+    env = os.environ.get("CAE_TPU_GDN_ROW_TILE", "")
+    if env:
+        return int(env)
+    t = 2048
+    while t > 512 and t * cp > 2048 * 128:
+        t //= 2
+    return t
+
+
 def _interpret_mode() -> bool:
     """CAE_TPU_PALLAS_INTERPRET=1 runs the kernels through the Pallas
     interpreter (any backend) — used to exercise the exact kernel code
@@ -52,15 +69,18 @@ def pallas_enabled() -> bool:
 
 
 def _gdn_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, inverse: bool):
-    x = x_ref[:]
+    # blocks stream in the caller's activation dtype (bf16 in bench mode):
+    # the upcast happens HERE, in VMEM, so HBM only ever carries the narrow
+    # tensors.  Bit-identical to upcasting outside: x*x and the dot see the
+    # same f32 values, and the single output rounding moves from an XLA
+    # astype into the kernel's store.
+    x = x_ref[:].astype(jnp.float32)
     # HIGHEST: f32 MXU passes — the norm feeds an rsqrt; bf16 costs ~5e-4
     norm = jnp.dot(x * x, gamma_ref[:],
                    precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=jnp.float32) + beta_ref[:]
-    if inverse:
-        o_ref[:] = x * jnp.sqrt(norm)
-    else:
-        o_ref[:] = x * jax.lax.rsqrt(norm)
+    r = jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm)
+    o_ref[:] = (x * r).astype(o_ref.dtype)
 
 
 def _round_up(v, m):
@@ -70,11 +90,16 @@ def _round_up(v, m):
 def _gdn_pallas(x2d, gamma, beta, inverse: bool, interpret: bool = False):
     n, c = x2d.shape
     cp = _round_up(c, 128)
-    npad = _round_up(max(n, 8), _ROW_TILE)
+    tile = _serve_row_tile(cp)
+    npad = _round_up(max(n, 8), tile)
 
     # padding derives from the inputs (jnp.pad, not zeros().at[].set) so the
-    # trace has no closure constants — custom_partitioning requires that
-    x_p = jnp.pad(x2d.astype(jnp.float32), ((0, npad - n), (0, cp - c)))
+    # trace has no closure constants — custom_partitioning requires that.
+    # CRITICAL: keep x in its own dtype — an .astype(f32) here materializes
+    # a double-width copy of the whole activation tensor in HBM on both
+    # sides of the kernel, which is why the round-1 kernel measured SLOWER
+    # than XLA's fusion (the kernel upcasts per-block in VMEM instead).
+    x_p = jnp.pad(x2d, ((0, npad - n), (0, cp - c)))
     # gamma stored transposed for the dot: norm = x2 @ gamma_t + beta
     gamma_t = jnp.pad(gamma.T.astype(jnp.float32),
                       ((0, cp - c), (0, cp - c)))
@@ -82,20 +107,20 @@ def _gdn_pallas(x2d, gamma, beta, inverse: bool, interpret: bool = False):
     beta_p = jnp.pad(beta.astype(jnp.float32), (0, cp - c),
                      constant_values=1.0)[None, :]
 
-    grid = (npad // _ROW_TILE,)
+    grid = (npad // tile,)
     out = pl.pallas_call(
         functools.partial(_gdn_kernel, inverse=inverse),
-        out_shape=jax.ShapeDtypeStruct((npad, cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((npad, cp), x2d.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_ROW_TILE, cp), lambda i: (i, 0),
+            pl.BlockSpec((tile, cp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cp, cp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_ROW_TILE, cp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, cp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x_p, gamma_t, beta_p)
@@ -103,10 +128,15 @@ def _gdn_pallas(x2d, gamma, beta, inverse: bool, interpret: bool = False):
 
 
 def _gdn_xla(x2d, gamma, beta, inverse: bool):
-    norm = jnp.einsum("nc,oc->no", x2d * x2d, gamma,
+    # dtype-polymorphic like the kernel: internal f32 math, output rounds
+    # once back to the activation dtype — identical values to the caller
+    # upcasting beforehand.
+    x32 = x2d.astype(jnp.float32)
+    norm = jnp.einsum("nc,oc->no", x32 * x32, gamma,
                       precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32) + beta
-    return x2d * (jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm))
+    r = jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm)
+    return (x32 * r).astype(x2d.dtype)
 
 
 # --- SPMD partitioning ---------------------------------------------------

@@ -1,0 +1,125 @@
+"""Microbenchmark of the GDN lowerings at flagship serving geometry.
+
+Round-4 measured roofline (benchmarks/roofline_conv.json): `down_0/gdn`
+is the single largest op in the encode program — 7.54 ms at 712 GB/s,
+i.e. ~5.4 GB moved where the analytic minimum is 3.2 GB (read x + one
+intermediate + write y) and a fused kernel needs only 2.15 GB (read x,
+write y, all else in VMEM).  XLA's fusion materializes the squared
+activations and the norm around the channel matmul.
+
+The round-1 Pallas GDN kernel measured SLOWER than XLA (7.4 vs 6.3 ms)
+and was demoted to opt-in — but that kernel upcast the whole tensor to
+f32 *outside* the pallas_call (doubling HBM traffic both directions)
+and used 512-row tiles (8192 grid steps at this geometry).  Both are
+now fixed (dtype-native blocks, CAE_TPU_GDN_ROW_TILE).  This script
+decides the serving default.
+
+Timing: in-jit fori_loop chaining y = gdn(y), per-iter time from the
+difference between two loop lengths (cancels dispatch + fetch
+constants, which on the axon tunnel are ~30 ms).
+
+Run on the TPU:  python scripts/microbench_gdn.py
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed_loop(fn_step, x, iters):
+    import jax
+
+    def body(i, y):
+        del i
+        return fn_step(y)
+
+    jf = jax.jit(lambda y, n: jax.lax.fori_loop(0, n, body, y))
+    out = jf(x, iters)
+    np.asarray(out.reshape(-1)[:1])  # compile + settle
+    t0 = time.perf_counter()
+    out = jf(x, iters)
+    np.asarray(out.reshape(-1)[:1])  # honest sync: fetch one element
+    return time.perf_counter() - t0, out
+
+
+def per_iter_time(fn_step, x, k_lo=4, k_hi=12, reps=3):
+    best = None
+    for _ in range(reps):
+        t_lo, _ = timed_loop(fn_step, x, k_lo)
+        t_hi, out = timed_loop(fn_step, x, k_hi)
+        dt = (t_hi - t_lo) / (k_hi - k_lo)
+        best = dt if best is None or dt < best else best
+    return best, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--side", type=int, default=256)
+    ap.add_argument("--channels", type=int, default=128)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.ops.pallas import gdn_kernel
+
+    dt = jnp.dtype(args.dtype)
+    n = args.batch * args.side * args.side
+    c = args.channels
+    kx, kg = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, (n, c), dt)
+    gamma = jnp.abs(jax.random.normal(kg, (c, c), jnp.float32)) * 0.01 \
+        + 0.1 * jnp.eye(c, dtype=jnp.float32)
+    beta = jnp.ones((c,), jnp.float32)
+    np.asarray(x.reshape(-1)[:1])
+
+    nbytes = 2 * n * c * dt.itemsize  # fused-kernel floor: read x, write y
+    print("geometry: n=%d c=%d dtype=%s  fused-floor bytes/pass=%.2f GB"
+          % (n, c, dt.name, nbytes / 1e9), flush=True)
+
+    def xla_step(y):
+        return gdn_kernel._gdn_xla(y, gamma, beta, False)
+
+    results = {}
+    t, ref_out = per_iter_time(xla_step, x)
+    results["xla_fused"] = t
+    print("%-14s %8.3f ms  %7.1f GB/s(floor)"
+          % ("xla_fused", t * 1e3, nbytes / t / 1e9), flush=True)
+
+    ref_slice = np.asarray(ref_out[:4096], np.float32)
+    for tile in (512, 1024, 2048, 4096):
+        os.environ["CAE_TPU_GDN_ROW_TILE"] = str(tile)
+
+        def pl_step(y):
+            return gdn_kernel._gdn_pallas(y, gamma, beta, False)
+
+        try:
+            t, out = per_iter_time(pl_step, x)
+        except Exception as e:  # Mosaic VMEM rejection at big tiles
+            print("pallas_%-6d FAILED: %s" % (tile, str(e)[:120]),
+                  flush=True)
+            continue
+        got = np.asarray(out[:4096], np.float32)
+        bit_eq = np.array_equal(got, ref_slice)
+        results["pallas_%d" % tile] = t
+        print("%-14s %8.3f ms  %7.1f GB/s(floor)  bit_eq_xla=%s"
+              % ("pallas_%d" % tile, t * 1e3, nbytes / t / 1e9, bit_eq),
+              flush=True)
+    os.environ.pop("CAE_TPU_GDN_ROW_TILE", None)
+
+    base = results.get("xla_fused")
+    for name, t in results.items():
+        if name != "xla_fused":
+            print("%-14s speedup vs xla_fused: %.2fx" % (name, base / t),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

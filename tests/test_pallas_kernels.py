@@ -25,6 +25,46 @@ def test_gdn_kernel_matches_xla(n, c, inverse):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("inverse", [False, True])
+def test_gdn_kernel_bf16_native_bit_identical(inverse):
+    """The kernel streams bf16 blocks and upcasts in VMEM; the result must
+    be BIT-identical to upcasting outside the kernel (f32 math, one output
+    rounding) — the contract that lets bench-mode bf16 serving switch
+    between the kernel and the XLA fusion without changing stored bytes."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(700, 48), jnp.bfloat16)
+    gamma = jnp.asarray(rng.rand(48, 48) * 0.1, jnp.float32)
+    beta = jnp.asarray(rng.rand(48) + 0.5, jnp.float32)
+
+    out = _gdn_pallas(x, gamma, beta, inverse, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref32 = _gdn_xla(x.astype(jnp.float32), gamma, beta, inverse)
+    assert np.array_equal(
+        np.asarray(out, np.float32),
+        np.asarray(ref32.astype(jnp.bfloat16), np.float32))
+    # the dtype-polymorphic XLA fallback obeys the same contract
+    ref_bf = _gdn_xla(x, gamma, beta, inverse)
+    assert ref_bf.dtype == jnp.bfloat16
+    assert np.array_equal(np.asarray(ref_bf, np.float32),
+                          np.asarray(out, np.float32))
+
+
+def test_gdn_row_tile_env_override(monkeypatch):
+    """Tile size must not change values (strictly rowwise kernel)."""
+    from cnn_autoencoder_tpu.ops.pallas import gdn_kernel
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1100, 16), jnp.float32)
+    gamma = jnp.asarray(rng.rand(16, 16) * 0.1, jnp.float32)
+    beta = jnp.asarray(rng.rand(16) + 0.5, jnp.float32)
+    outs = []
+    for tile in ("512", "1024", "2048"):
+        monkeypatch.setenv("CAE_TPU_GDN_ROW_TILE", tile)
+        outs.append(np.asarray(
+            gdn_kernel._gdn_pallas(x, gamma, beta, False, interpret=True)))
+    assert np.array_equal(outs[0], outs[1])
+    assert np.array_equal(outs[0], outs[2])
+
+
 def test_fused_gdn_gradient():
     """custom VJP: gradient equals the plain-XLA gradient."""
     rng = np.random.RandomState(1)
