@@ -98,6 +98,48 @@ def border(x, k):
     return conv_s2_reflect_border(x, k, conv)
 
 
+def _border_parts(x, k):
+    """Main zero-fused conv + the two thin correction convs (shared by the
+    correction-application variants)."""
+    import jax
+    import jax.numpy as jnp
+
+    def conv(xx, kk, *, window_strides, padding):
+        return jax.lax.conv_general_dilated(
+            xx, kk, window_strides=window_strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
+    y = conv(x, k, window_strides=(2, 2), padding=((1, 1), (1, 1)))
+    row = jnp.pad(x[:, 1:2], ((0, 0), (0, 0), (1, 0), (0, 0)),
+                  mode="reflect")
+    dr = conv(row, k[0:1], window_strides=(1, 2), padding="VALID")
+    col = jnp.pad(x[:, :, 1:2], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    dc = conv(col, k[:, 0:1], window_strides=(2, 1), padding="VALID")
+    return y, dr, dc
+
+
+def border_padadd(x, k):
+    """Corrections applied by zero-padding the thin deltas to full shape
+    and adding — a pad+add chain XLA can fuse into the conv epilogue,
+    vs the shipped .at[].add() dynamic-update-slices."""
+    import jax.numpy as jnp
+    y, dr, dc = _border_parts(x, k)
+    h2, w2 = y.shape[1], y.shape[2]
+    dr_f = jnp.pad(dr, ((0, 0), (0, h2 - 1), (0, 0), (0, 0)))
+    dc_f = jnp.pad(dc, ((0, 0), (0, 0), (0, w2 - 1), (0, 0)))
+    return y + dr_f + dc_f
+
+
+def border_concat(x, k):
+    """Corrections applied by rebuilding row/col 0 with concatenate."""
+    import jax.numpy as jnp
+    y, dr, dc = _border_parts(x, k)
+    y = jnp.concatenate([y[:, 0:1] + dr, y[:, 1:]], axis=1)
+    y = jnp.concatenate([y[:, :, 0:1] + dc, y[:, :, 1:]], axis=2)
+    return y
+
+
 def s2d(x, k):
     import jax
     import jax.numpy as jnp
@@ -148,7 +190,9 @@ def main():
                              + (args.side // 2) ** 2 * args.cout)
 
     fns = {"reflect_valid": reflect_valid, "zero_fused": zero_fused,
-           "border": border, "polyphase": polyphase, "s2d": s2d}
+           "border": border, "border_padadd": border_padadd,
+           "border_concat": border_concat, "polyphase": polyphase,
+           "s2d": s2d}
     ref = None
     results = {}
     for name, fn in fns.items():
@@ -159,7 +203,8 @@ def main():
         got = np.asarray(out[:2], np.float32)
         if name == "reflect_valid":
             ref = got
-        elif name in ("polyphase", "border"):
+        elif name in ("polyphase", "border", "border_padadd",
+                      "border_concat"):
             err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
             print("%s max rel err vs reflect_valid: %.2e" % (name, err),
                   flush=True)
