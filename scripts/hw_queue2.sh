@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-4 continuation queue: the steps the first hw_queue.sh run lost
+# when its parent session died mid-bench (2026-08-19 ~08:23Z): a
+# roofline re-run that includes the Pallas-GDN HBM fix (1768dc5 landed
+# mid-bench), the end-to-end bench's final JSON line, and the bf16 RD
+# sweep.  Serialized: concurrent chip jobs contend and time out.
+set -u
+cd /root/repo
+LOG=/tmp/hw_queue
+mkdir -p "$LOG"
+
+run() {
+  local name=$1 tmo=$2
+  shift 2
+  echo "=== $name start $(date -u +%FT%TZ)" | tee -a "$LOG/summary2.log"
+  timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name rc=$rc end $(date -u +%FT%TZ)" | tee -a "$LOG/summary2.log"
+}
+
+run probe2           300  python scripts/_tpu_probe.py
+run roofline_gdnfix  3000 python scripts/roofline_conv.py --batch 64
+run bench2           5400 python bench.py
+run rd_sweep_bf16    5400 env CAE_TPU_PRECISION=bf16 \
+    python scripts/rd_sweep.py --workdir /tmp/cae_rd_sweep_bf16
+echo "=== queue2 complete $(date -u +%FT%TZ)" | tee -a "$LOG/summary2.log"

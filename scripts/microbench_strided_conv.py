@@ -140,6 +140,37 @@ def border_concat(x, k):
     return y
 
 
+def zero_fused_nativeout(x, k):
+    """Zero-fused conv writing the output in the INPUT dtype (bf16 in
+    serving mode) instead of preferred_element_type=f32.  The MXU still
+    accumulates bf16 products into f32 internally; the element type only
+    moves the final rounding from a separate XLA convert into the conv's
+    own output store — but it HALVES the output HBM write, which the
+    roofline says dominates the down convs (down_0: 2.15 GB f32 out vs
+    0.1 GB in)."""
+    import jax
+    return jax.lax.conv_general_dilated(
+        x, k, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def border_nativeout(x, k):
+    """Shipped border-corrected formulation, all convs dtype-native
+    (bf16 out): main conv + thin corrections + DUS adds, no f32 buffer
+    anywhere."""
+    import jax
+    from cnn_autoencoder_tpu.ops.convops import conv_s2_reflect_border
+
+    def conv(xx, kk, *, window_strides, padding, feature_group_count=1,
+             precision=None):
+        return jax.lax.conv_general_dilated(
+            xx, kk, window_strides=window_strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=feature_group_count, precision=precision)
+
+    return conv_s2_reflect_border(x, k, conv)
+
+
 def s2d(x, k):
     import jax
     import jax.numpy as jnp
@@ -186,13 +217,21 @@ def main():
 
     flops = 2.0 * args.batch * (args.side // 2) ** 2 * args.cout \
         * 9 * args.cin
-    byts = 2 * args.batch * (args.side ** 2 * args.cin
-                             + (args.side // 2) ** 2 * args.cout)
+    # min bytes depends on the variant's OUTPUT dtype: the *_nativeout
+    # variants write bf16, everything else writes f32
+    in_b = dt.itemsize * args.batch * args.side ** 2 * args.cin
+    out_px = args.batch * (args.side // 2) ** 2 * args.cout
+
+    def min_bytes(name):
+        o = dt.itemsize if name.endswith("_nativeout") else 4
+        return in_b + o * out_px
 
     fns = {"reflect_valid": reflect_valid, "zero_fused": zero_fused,
            "border": border, "border_padadd": border_padadd,
-           "border_concat": border_concat, "polyphase": polyphase,
-           "s2d": s2d}
+           "border_concat": border_concat,
+           "zero_fused_nativeout": zero_fused_nativeout,
+           "border_nativeout": border_nativeout,
+           "polyphase": polyphase, "s2d": s2d}
     ref = None
     results = {}
     for name, fn in fns.items():
@@ -204,7 +243,7 @@ def main():
         if name == "reflect_valid":
             ref = got
         elif name in ("polyphase", "border", "border_padadd",
-                      "border_concat"):
+                      "border_concat", "border_nativeout"):
             err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
             print("%s max rel err vs reflect_valid: %.2e" % (name, err),
                   flush=True)
@@ -217,9 +256,9 @@ def main():
         np.asarray(out.reshape(-1)[:1])
         dt_s = (time.perf_counter() - t0) / args.steps
         results[name] = dt_s
-        print("%-14s %7.3f ms   %6.1f TFLOP/s  %6.1f GB/s(min)" % (
-            name, dt_s * 1e3, flops / dt_s / 1e12, byts / dt_s / 1e9),
-            flush=True)
+        print("%-20s %7.3f ms   %6.1f TFLOP/s  %6.1f GB/s(min)" % (
+            name, dt_s * 1e3, flops / dt_s / 1e12,
+            min_bytes(name) / dt_s / 1e9), flush=True)
 
     base = results["reflect_valid"]
     for name, t in results.items():
