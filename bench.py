@@ -269,6 +269,7 @@ def main():
         best_mps = 0.0
         bpp = None
         best_stages = {}
+        best_busy = {}
         best_link = (0.0, 0.0)
         best_util = 0.0
         best_image = (IMAGE_H, IMAGE_W)
@@ -410,7 +411,32 @@ def main():
                   f"(min wall at probe bw {min_wall:.2f}s; wire "
                   f"d2h {d2h_mb:.0f} MB h2d {h2d_mb:.0f} MB = "
                   f"{bits_px[0]}/{bits_px[1]} bits/px)", file=sys.stderr)
+            # complementary, probe-free accounting: fraction of each phase
+            # covered by the UNION of transfer-stage intervals (wire) and
+            # of all stage intervals (pipeline).  Unlike link_util this
+            # does not depend on a bandwidth estimate, so it separates
+            # "the link was held the whole time" (wire_busy ~1: the
+            # residue of the ceiling is bandwidth, not idle time) from
+            # fill/drain gaps (pipeline_busy < 1).
+            _wire = ("h2d_upload", "h2d_queues", "turbo_fetch",
+                     "d2h_pixels", "d2h_sym")
+            busy = {
+                "wire_compress": round(
+                    GLOBAL_TIMER.busy_fraction(_wire, t0, t1), 2),
+                "wire_decompress": round(
+                    GLOBAL_TIMER.busy_fraction(_wire, t1, t2), 2),
+                "pipeline_compress": round(
+                    GLOBAL_TIMER.busy_fraction(("",), t0, t1), 2),
+                "pipeline_decompress": round(
+                    GLOBAL_TIMER.busy_fraction(("",), t1, t2), 2),
+            }
+            print(f"# busy fractions: wire {busy['wire_compress']:.2f}/"
+                  f"{busy['wire_decompress']:.2f} pipeline "
+                  f"{busy['pipeline_compress']:.2f}/"
+                  f"{busy['pipeline_decompress']:.2f} (compress/"
+                  f"decompress)", file=sys.stderr)
             if mps > best_mps:
+                best_busy = busy
                 best_psnr = run_psnr
                 best_stages = {k: round(v, 3)
                                for k, v in GLOBAL_TIMER.totals().items()}
@@ -492,6 +518,11 @@ def main():
                 # bytes (accounted at every transfer site) would take at
                 # probe bandwidth alone; ~1.0 = link-saturated
                 "link_utilization": round(best_util, 2),
+                # probe-free occupancy accounting (see the per-run print):
+                # union of transfer-stage intervals / phase wall ("wire_*")
+                # and union of ALL stage intervals / phase wall
+                # ("pipeline_*") — proves where non-wire time lives
+                "busy_fractions": best_busy,
                 # achieved transport bits per image pixel (d2h, h2d);
                 # raw-pixel transport would be 24 each way
                 "transport_bits_px": list(best_bits_px),

@@ -103,7 +103,7 @@ def get_activations_dtype():
 
 
 def conv_mixed(x, kernel, *, window_strides, padding, lhs_dilation=None,
-               feature_group_count=1, precision=None):
+               feature_group_count=1, precision=None, native_out=False):
     """conv_general_dilated with a cast-consistent VJP for mixed dtypes.
 
     With bf16 inputs and ``preferred_element_type=f32`` outputs, JAX's
@@ -113,6 +113,14 @@ def conv_mixed(x, kernel, *, window_strides, padding, lhs_dilation=None,
     recipe: bf16 multiplicands, f32 accumulation both directions), which
     also makes the saved residuals bf16 — half the backward HBM traffic.
     NHWC/HWIO only.
+
+    ``native_out=True`` stores the output in the INPUT dtype instead of
+    f32.  The MXU still accumulates bf16 products in f32 internally; the
+    store rounds that accumulation once — the same value the usual
+    f32-out + astype(bf16) pair produces — but the f32 tensor never
+    reaches HBM.  Measured on v5e (scripts/microbench_strided_conv.py,
+    2026-08-19): 1.37x on the 3->128 first layer, 1.17x on the 128->128
+    stride-2 stage, purely from halving the output write.
     """
     statics = dict(window_strides=window_strides, padding=padding,
                    lhs_dilation=lhs_dilation,
@@ -120,6 +128,10 @@ def conv_mixed(x, kernel, *, window_strides, padding, lhs_dilation=None,
                    precision=precision)
 
     def raw(x, kernel):
+        if native_out:
+            return jax.lax.conv_general_dilated(
+                x, kernel, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                **statics)
         return jax.lax.conv_general_dilated(
             x, kernel, dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32, **statics)
@@ -160,6 +172,19 @@ def bias_init_const(value: float = 0.01) -> Callable:
     return init
 
 
+def _native_conv_out(dtype, x_dtype) -> bool:
+    """True when conv outputs should be stored dtype-native (bf16).
+
+    Only in the bf16 activation flow, where the layer boundary already
+    rounds to bf16 — storing the conv's f32 accumulation as bf16 at the
+    conv itself is the same single rounding without the f32 HBM round
+    trip.  CAE_TPU_NATIVE_CONV_OUT=0 restores the f32-out + astype pair
+    (bit-identical interiors; border-corrected convs and biased convs
+    gain one extra bf16 rounding on the affected pixels)."""
+    return (dtype == jnp.bfloat16 and x_dtype == jnp.bfloat16
+            and _os.environ.get("CAE_TPU_NATIVE_CONV_OUT", "1") != "0")
+
+
 class Conv2dReflect(nn.Module):
     """Conv with reflect padding, torch-Conv2d-equivalent geometry (NHWC)."""
 
@@ -189,6 +214,8 @@ class Conv2dReflect(nn.Module):
                                    dimension_numbers=("NHWC", "HWIO",
                                                       "NHWC"),
                                    preferred_element_type=jnp.float32)
+        if conv is conv_mixed and _native_conv_out(dtype, x.dtype):
+            conv = functools.partial(conv_mixed, native_out=True)
         prec = self.precision or _DEFAULT_PRECISION
         # CAE_TPU_POLYPHASE_CONV: "1" = always for k=3 s=2, "0" (default)
         # = never.  Measured on v5e (microbench_strided_conv, 128->128ch
@@ -214,7 +241,7 @@ class Conv2dReflect(nn.Module):
                    precision=prec)
             if self.use_bias:
                 bias = self.param("bias", self.bias_init, (self.features,))
-                y = y + bias
+                y = y + bias.astype(y.dtype)
             return y.astype(x.dtype)
         if pad > 0:
             x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
@@ -228,7 +255,7 @@ class Conv2dReflect(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y.astype(x.dtype)
 
 
@@ -418,6 +445,8 @@ class ConvTranspose2dTorch(nn.Module):
                                        dimension_numbers=("NHWC", "HWIO",
                                                           "NHWC"),
                                        preferred_element_type=jnp.float32)
+            if conv is conv_mixed and _native_conv_out(dtype, x.dtype):
+                conv = functools.partial(conv_mixed, native_out=True)
             y = conv(
                 x.astype(dtype), kernel.astype(dtype),
                 window_strides=(1, 1),
@@ -428,5 +457,5 @@ class ConvTranspose2dTorch(nn.Module):
             )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y.astype(x.dtype)

@@ -20,14 +20,37 @@ import jax.numpy as jnp
 from ..ops.bounds import REPARAM_OFFSET, nonneg_init, nonneg_param
 
 
+def norm_pool_precision(dtype):
+    """MXU precision for the norm-pool contraction, by activation dtype.
+
+    f32 activations keep HIGHEST: the pool feeds an rsqrt and DEFAULT
+    (bf16-truncated multiplicands) costs ~0.5 dB of reconstruction
+    parity against the exact torch oracle in f32 serving.
+
+    bf16 activations use DEFAULT — ONE MXU pass instead of HIGHEST's
+    six-pass f32 algorithm, which the round-4 roofline showed made GDN
+    the largest serving layer (down_0/gdn 7.5 ms of a 32 ms encode at
+    18.8 TFLOP/s).  The operands are already bf16-rounded, and gamma,
+    beta and x² are all non-negative, so the f32-accumulated same-sign
+    sum keeps relative error ~2^-9 — beneath the bf16 output ulp of
+    2^-8.  RD impact measured on the trained bench fixture (see
+    benchmarks/RESULTS.md round-4).  CAE_TPU_GDN_FAST=0 forces HIGHEST
+    everywhere."""
+    import os
+    if dtype == jnp.bfloat16 and os.environ.get(
+            "CAE_TPU_GDN_FAST", "1") != "0":
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
+
+
 def _gdn_core(x, gamma, beta, inverse):
-    """Exact forward: HIGHEST-precision norm pool (the rsqrt input must be
-    near-f32; bf16 here costs ~0.5 dB of reconstruction parity).  Dtype
+    """Exact forward (f32 activations: HIGHEST norm pool — the rsqrt input
+    must be near-f32; bf16 activations: see norm_pool_precision).  Dtype
     polymorphic: internal math is f32, output returns in ``x.dtype`` so a
     bf16 activation flow stays bf16 across the layer."""
     x32 = x.astype(jnp.float32)
     norm = jnp.einsum("...i,oi->...o", x32 * x32, gamma,
-                      precision=jax.lax.Precision.HIGHEST,
+                      precision=norm_pool_precision(x.dtype),
                       preferred_element_type=jnp.float32) + beta
     r = jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm)
     return (x32 * r).astype(x.dtype), r

@@ -68,16 +68,20 @@ def pallas_enabled() -> bool:
             and os.environ.get("CAE_TPU_PALLAS") == "1")
 
 
-def _gdn_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, inverse: bool):
+def _gdn_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, inverse: bool,
+                precision):
     # blocks stream in the caller's activation dtype (bf16 in bench mode):
     # the upcast happens HERE, in VMEM, so HBM only ever carries the narrow
     # tensors.  Bit-identical to upcasting outside: x*x and the dot see the
     # same f32 values, and the single output rounding moves from an XLA
     # astype into the kernel's store.
     x = x_ref[:].astype(jnp.float32)
-    # HIGHEST: f32 MXU passes — the norm feeds an rsqrt; bf16 costs ~5e-4
+    # precision matches ops.gdn.norm_pool_precision: HIGHEST (six-pass
+    # f32) for f32 activations, DEFAULT (one MXU pass, bf16-truncated
+    # multiplicands, f32 accumulation) for bf16 — same rule as the XLA
+    # twin so the two paths stay bit-comparable per dtype.
     norm = jnp.dot(x * x, gamma_ref[:],
-                   precision=jax.lax.Precision.HIGHEST,
+                   precision=precision,
                    preferred_element_type=jnp.float32) + beta_ref[:]
     r = jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm)
     o_ref[:] = (x * r).astype(o_ref.dtype)
@@ -107,9 +111,11 @@ def _gdn_pallas(x2d, gamma, beta, inverse: bool, interpret: bool = False):
     beta_p = jnp.pad(beta.astype(jnp.float32), (0, cp - c),
                      constant_values=1.0)[None, :]
 
+    from ..gdn import norm_pool_precision
     grid = (npad // tile,)
     out = pl.pallas_call(
-        functools.partial(_gdn_kernel, inverse=inverse),
+        functools.partial(_gdn_kernel, inverse=inverse,
+                          precision=norm_pool_precision(x2d.dtype)),
         out_shape=jax.ShapeDtypeStruct((npad, cp), x2d.dtype),
         grid=grid,
         in_specs=[
@@ -131,9 +137,10 @@ def _gdn_xla(x2d, gamma, beta, inverse: bool):
     # dtype-polymorphic like the kernel: internal f32 math, output rounds
     # once back to the activation dtype — identical values to the caller
     # upcasting beforehand.
+    from ..gdn import norm_pool_precision
     x32 = x2d.astype(jnp.float32)
     norm = jnp.einsum("nc,oc->no", x32 * x32, gamma,
-                      precision=jax.lax.Precision.HIGHEST,
+                      precision=norm_pool_precision(x2d.dtype),
                       preferred_element_type=jnp.float32) + beta
     r = jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm)
     return (x32 * r).astype(x2d.dtype)

@@ -338,16 +338,23 @@ class CAETurboCore:
         if coded_up:
             from ..coding.pixel_rans import compact_host
             flat, offs = compact_host(queues, q_totals, cap_px)
-            flat_dev = jnp.asarray(flat)
-            odev, _ = self._pad_batch(jnp.asarray(offs))
+            with GLOBAL_TIMER.stage("compress/h2d_upload",
+                                    (flat.nbytes + offs.nbytes) / 1e6):
+                flat_dev = jnp.asarray(flat)
+                odev, _ = self._pad_batch(jnp.asarray(offs))
             GLOBAL_TIMER.add_link_bytes("h2d", flat.nbytes + offs.nbytes)
         else:
-            tiles_dev = jnp.asarray(tiles_u8)
-            if (ph, pw) != (h, w):
-                tiles_dev = jnp.pad(
-                    tiles_dev, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
-                    mode="reflect")
-            tiles_dev, _ = self._pad_batch(tiles_dev)
+            with GLOBAL_TIMER.stage(
+                    "compress/h2d_upload" if input_on_host
+                    else "compress/h2d_dev_input",
+                    tiles_u8.size / 1e6 if input_on_host else 0.0):
+                tiles_dev = jnp.asarray(tiles_u8)
+                if (ph, pw) != (h, w):
+                    tiles_dev = jnp.pad(
+                        tiles_dev,
+                        ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
+                        mode="reflect")
+                tiles_dev, _ = self._pad_batch(tiles_dev)
             if input_on_host:
                 GLOBAL_TIMER.add_link_bytes(
                     "h2d", int(np.prod(tiles_dev.shape)))
@@ -498,7 +505,9 @@ class CAETurboCore:
         # rANS transport compacts per shard and takes precedence)
         packed = (not use_rans and self.mesh is None
                   and packed_fetch_enabled() and n_px % 128 == 0)
-        qdev, _ = self._pad_batch(jnp.asarray(queues))
+        with GLOBAL_TIMER.stage("decompress/h2d_queues",
+                                queues.nbytes / 1e6):
+            qdev, _ = self._pad_batch(jnp.asarray(queues))
         if use_rans:
             from ..coding.pixel_rans import RansFetchResult
             tab, enc_tables, _, freq, start, pred_mode = snap

@@ -26,6 +26,7 @@ class StageTimer:
         self._count: Dict[str, int] = {}
         self._units: Dict[str, float] = {}
         self._link_bytes: Dict[str, int] = {"d2h": 0, "h2d": 0}
+        self._intervals: Dict[str, list] = {}
 
     @contextlib.contextmanager
     def stage(self, name: str, units: float = 0.0):
@@ -34,11 +35,43 @@ class StageTimer:
         try:
             yield
         finally:
-            dt = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            dt = t1 - t0
             with self._lock:
                 self._total[name] = self._total.get(name, 0.0) + dt
                 self._count[name] = self._count.get(name, 0) + 1
                 self._units[name] = self._units.get(name, 0.0) + units
+                self._intervals.setdefault(name, []).append((t0, t1))
+
+    def busy_fraction(self, substrings, t_start: float, t_end: float):
+        """Fraction of [t_start, t_end) covered by the UNION of recorded
+        stage intervals whose name contains any of ``substrings``.
+
+        Stages run on overlapping worker threads, so summed durations
+        overcount; the union is the honest "this resource was busy"
+        measure.  Used by bench.py to prove link-boundedness: if the
+        union of wire-touching stages covers >=0.9 of an end-to-end
+        phase, the residue of the probe-bandwidth ceiling is pipeline
+        fill/drain, not idle link."""
+        with self._lock:
+            ivs = [iv for name, lst in self._intervals.items()
+                   if any(s in name for s in substrings)
+                   for iv in lst]
+        ivs = [(max(a, t_start), min(b, t_end)) for a, b in ivs
+               if b > t_start and a < t_end]
+        if not ivs or t_end <= t_start:
+            return 0.0
+        ivs.sort()
+        busy = 0.0
+        cur_a, cur_b = ivs[0]
+        for a, b in ivs[1:]:
+            if a > cur_b:
+                busy += cur_b - cur_a
+                cur_a, cur_b = a, b
+            else:
+                cur_b = max(cur_b, b)
+        busy += cur_b - cur_a
+        return busy / (t_end - t_start)
 
     def report(self) -> str:
         with self._lock:
@@ -76,6 +109,7 @@ class StageTimer:
             self._count.clear()
             self._units.clear()
             self._link_bytes = {"d2h": 0, "h2d": 0}
+            self._intervals.clear()
 
 
 # process-global timer used by pipeline/tiles.py when profiling is on

@@ -1,0 +1,19 @@
+#!/bin/bash
+# Round-4 queue 3: settle the down-conv output-dtype question (nativeout
+# variants), the down_0 3->128 first-layer geometry, and the Pallas GDN
+# single-pass check with the alias-proof microbench.  Serialized.
+set -u
+cd /root/repo
+LOG=/tmp/hw_queue
+mkdir -p "$LOG"
+run() {
+  local name=$1 tmo=$2
+  shift 2
+  echo "=== $name start $(date -u +%FT%TZ)" | tee -a "$LOG/summary3.log"
+  timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1
+  echo "=== $name rc=$? end $(date -u +%FT%TZ)" | tee -a "$LOG/summary3.log"
+}
+run strided_128   900 python scripts/microbench_strided_conv.py
+run strided_down0 900 python scripts/microbench_strided_conv.py --cin 3 --side 512 --batch 16
+run gdn_fix       900 python scripts/microbench_gdn.py
+echo "=== queue3 complete $(date -u +%FT%TZ)" | tee -a "$LOG/summary3.log"

@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-4 queue 4: validate the fast GDN norm pool + native-out convs on
+# hardware (microbench, serving roofline, short bench with PSNR guard),
+# plus the h2d-blocking probe for wire accounting.  Serialized.
+set -u
+cd /root/repo
+LOG=/tmp/hw_queue
+mkdir -p "$LOG"
+run() {
+  local name=$1 tmo=$2
+  shift 2
+  echo "=== $name start $(date -u +%FT%TZ)" | tee -a "$LOG/summary4.log"
+  timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1
+  echo "=== $name rc=$? end $(date -u +%FT%TZ)" | tee -a "$LOG/summary4.log"
+}
+run h2d_block   600  python scripts/probe_h2d_blocking.py
+run gdn_fast    900  python scripts/microbench_gdn.py
+run roofline4   3000 python scripts/roofline_conv.py --batch 64
+run bench_fast  1200 env BENCH_BUDGET=240 python bench.py
+echo "=== queue4 complete $(date -u +%FT%TZ)" | tee -a "$LOG/summary4.log"

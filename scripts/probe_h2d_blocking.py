@@ -1,0 +1,48 @@
+"""Does jnp.asarray(host_array) BLOCK until bytes cross the axon tunnel?
+
+Decides how bench.py may account wire-busy time: if the h2d put returns
+before the bytes move (async staging), a wall-clock span around
+jnp.asarray undercounts link occupancy and the busy-union accounting
+must lean on fetch spans + whole-batch spans instead.
+
+Method: time jnp.asarray(64 MB) alone vs jnp.asarray + a dependent
+1-element fetch (the fetch provably waits for the upload).  If the
+asarray span is ~the full transfer time (64 MB / link bw), puts block;
+if it is tiny and the fetch span carries the time, puts are async.
+"""
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    dev = jax.devices()[0]
+    print("device:", dev)
+    x = (np.random.default_rng(0)
+         .integers(0, 255, (64, 512, 512, 4), np.uint8))  # 64 MB
+    fetch_one = jax.jit(lambda a: a.reshape(-1)[:1].astype(jnp.int32))
+
+    # warm up program + link
+    w = jnp.asarray(x[:2])
+    np.asarray(fetch_one(w))
+
+    for rep in range(4):
+        t0 = time.perf_counter()
+        d = jnp.asarray(x)
+        t_put = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(fetch_one(d))
+        t_sync = time.perf_counter() - t0
+        del d
+        print("rep %d: asarray(64MB) %.3f s  dependent-fetch %.3f s  "
+              "-> puts %s" % (rep, t_put, t_sync,
+                              "BLOCK" if t_put > 4 * t_sync else
+                              ("async" if t_sync > 4 * t_put else
+                               "ambiguous")), flush=True)
+
+
+if __name__ == "__main__":
+    main()

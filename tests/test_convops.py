@@ -284,3 +284,67 @@ def test_conv_border_auto_only_bf16(monkeypatch):
     monkeypatch.setenv("CAE_TPU_BORDER_CONV", "1")
     y16_on = np.asarray(mod16.apply(params, x))
     assert np.array_equal(y16_auto, y16_on)
+
+
+def test_conv_native_out_bf16_stride1(monkeypatch):
+    """bf16 mode stores conv outputs dtype-native (CAE_TPU_NATIVE_CONV_OUT,
+    round-4: halves the output HBM write, 1.37x on the 3->128 layer).
+    For an unbiased stride-1 conv the value is the SAME single rounding
+    of the same f32 accumulation as the old f32-out + astype(bf16) pair,
+    so the outputs must match bitwise."""
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32),
+                    jnp.bfloat16)
+    mod = Conv2dReflect(features=6, kernel_size=3, stride=1,
+                        dtype=jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(2), x)
+    monkeypatch.setenv("CAE_TPU_NATIVE_CONV_OUT", "0")
+    y_off = np.asarray(mod.apply(params, x).astype(jnp.float32))
+    monkeypatch.setenv("CAE_TPU_NATIVE_CONV_OUT", "1")
+    y_on = mod.apply(params, x)
+    assert y_on.dtype == jnp.bfloat16
+    assert np.array_equal(np.asarray(y_on.astype(jnp.float32)), y_off)
+
+
+def test_conv_native_out_bf16_border_and_bias(monkeypatch):
+    """The border-corrected stride-2 path and biased deconvs gain one
+    extra bf16 rounding on the affected pixels under native-out; values
+    must stay within one bf16 ulp of the f32-intermediate form."""
+    rng = np.random.RandomState(22)
+    x = jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32),
+                    jnp.bfloat16)
+    for mod in (Conv2dReflect(features=6, kernel_size=3, stride=2,
+                              dtype=jnp.bfloat16),
+                ConvTranspose2dTorch(features=6, kernel_size=3, stride=2,
+                                     use_bias=True, dtype=jnp.bfloat16)):
+        params = mod.init(jax.random.PRNGKey(3), x)
+        monkeypatch.setenv("CAE_TPU_NATIVE_CONV_OUT", "0")
+        y_off = np.asarray(mod.apply(params, x).astype(jnp.float32))
+        monkeypatch.setenv("CAE_TPU_NATIVE_CONV_OUT", "1")
+        y_on = np.asarray(mod.apply(params, x).astype(jnp.float32))
+        np.testing.assert_allclose(y_on, y_off, rtol=2e-2, atol=2e-2)
+
+
+def test_conv_native_out_grads(monkeypatch):
+    """native-out keeps the custom-VJP backward working and its grads at
+    bf16 agreement with the f32-out form."""
+    rng = np.random.RandomState(23)
+    x = jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32),
+                    jnp.bfloat16)
+    mod = Conv2dReflect(features=6, kernel_size=3, stride=2,
+                        dtype=jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(4), x)
+
+    def loss(p, xx):
+        y = mod.apply(p, xx)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    monkeypatch.setenv("CAE_TPU_NATIVE_CONV_OUT", "0")
+    g_off = jax.grad(loss, argnums=(0, 1))(params, x)
+    monkeypatch.setenv("CAE_TPU_NATIVE_CONV_OUT", "1")
+    g_on = jax.grad(loss, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_off),
+                    jax.tree_util.tree_leaves(g_on)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=5e-2, atol=5e-2)

@@ -1,0 +1,59 @@
+"""StageTimer interval accounting (utils/profiling.py).
+
+The busy-fraction union is what bench.py uses to prove link-boundedness
+(round-4); these pin the merge semantics against overlapping worker-
+thread intervals.
+"""
+
+import numpy as np
+
+from cnn_autoencoder_tpu.utils.profiling import StageTimer
+
+
+def _inject(timer, name, a, b):
+    with timer._lock:
+        timer._intervals.setdefault(name, []).append((a, b))
+
+
+def test_busy_fraction_merges_overlaps():
+    t = StageTimer()
+    # two overlapping uploads on worker threads + one disjoint fetch:
+    # union is [0,3] + [5,6] = 4 of a 10s window
+    _inject(t, "compress/h2d_upload", 0.0, 2.0)
+    _inject(t, "compress/h2d_upload", 1.0, 3.0)
+    _inject(t, "compress/turbo_fetch", 5.0, 6.0)
+    frac = t.busy_fraction(("h2d_upload", "turbo_fetch"), 0.0, 10.0)
+    assert np.isclose(frac, 0.4)
+
+
+def test_busy_fraction_clips_to_window():
+    t = StageTimer()
+    _inject(t, "decompress/d2h_pixels", -1.0, 1.0)   # straddles start
+    _inject(t, "decompress/d2h_pixels", 9.5, 12.0)   # straddles end
+    frac = t.busy_fraction(("d2h_pixels",), 0.0, 10.0)
+    assert np.isclose(frac, 0.15)
+    # intervals fully outside the window contribute nothing
+    assert t.busy_fraction(("d2h_pixels",), 20.0, 30.0) == 0.0
+
+
+def test_busy_fraction_name_filter_and_reset():
+    t = StageTimer()
+    _inject(t, "compress/h2d_upload", 0.0, 5.0)
+    _inject(t, "compress/host_rans_px", 0.0, 10.0)
+    assert np.isclose(t.busy_fraction(("h2d_upload",), 0.0, 10.0), 0.5)
+    # empty substring matches everything (the pipeline-busy accounting)
+    assert np.isclose(t.busy_fraction(("",), 0.0, 10.0), 1.0)
+    t.reset()
+    assert t.busy_fraction(("",), 0.0, 10.0) == 0.0
+
+
+def test_stage_records_intervals():
+    import time
+
+    t = StageTimer()
+    t0 = time.perf_counter()
+    with t.stage("x/h2d_upload"):
+        time.sleep(0.02)
+    t1 = time.perf_counter()
+    frac = t.busy_fraction(("h2d_upload",), t0, t1)
+    assert frac > 0.9
