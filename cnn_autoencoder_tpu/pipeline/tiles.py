@@ -454,8 +454,10 @@ def decompress_cae_array(src: zarrlib.Array,
         # ``transport`` for future dispatches).
         nonlocal transport
         # every job writes a disjoint region of `out`, so fetch+stitch jobs
-        # run concurrently on the fetch pool — overlapping tunnel streams
-        with GLOBAL_TIMER.stage("decompress/d2h_pixels", mp_batch):
+        # run concurrently on the fetch pool — overlapping tunnel streams.
+        # fetch_pixels stages its own wire (d2h_pixels) vs host-decode
+        # (host_rans_px) split; this outer name is not wire-classified.
+        with GLOBAL_TIMER.stage("decompress/fetch_total", mp_batch):
             rec_np = core.fetch_pixels(
                 rec_dev, (batch, ph, pw, 3), tr)[:len(idxs)]
         if tr is not None and not tr.calibrated():

@@ -314,10 +314,17 @@ class CAECodecCore:
         from a rANS-transport decode program, in which case ``transport``
         is the calibrated PixelRansTransport that framed it.  The
         statically-sized outputs ship in one link round trip in the common
-        case; overflows fall back to the device-resident raw pixels."""
+        case; overflows fall back to the device-resident raw pixels.
+
+        Stage accounting lives HERE so the wire time (device_get) and the
+        host rANS decode are separate stages: bench.py's busy-fraction
+        union counts only "d2h_pixels" as wire, and on a 1-core host the
+        per-tile C++ decode is real compute, not link occupancy."""
         from ..utils.profiling import GLOBAL_TIMER
         if not isinstance(rec_dev, tuple):
-            out = np.asarray(rec_dev)
+            with GLOBAL_TIMER.stage("decompress/d2h_pixels",
+                                    rec_dev.nbytes / 1e6):
+                out = np.asarray(rec_dev)
             GLOBAL_TIMER.add_link_bytes("d2h", out.nbytes)
             return out
         from ..coding.pixel_rans import RansFetchResult
@@ -343,9 +350,11 @@ class CAECodecCore:
             from ..coding.pixel_rans import _CAP_BUCKET
             est = transport.estimate_coded_words(p * q * c, per)
             nb = min(hw, -(-int(est * 1.04) // _CAP_BUCKET) * _CAP_BUCKET)
-            totals_np, head_np = jax.device_get(
-                (rec_dev.totals, rec_dev.head[:, :nb]
-                 if nb < hw else rec_dev.head))
+            with GLOBAL_TIMER.stage("decompress/d2h_pixels",
+                                    b * p * q / 1e6):
+                totals_np, head_np = jax.device_get(
+                    (rec_dev.totals, rec_dev.head[:, :nb]
+                     if nb < hw else rec_dev.head))
             offs = totals_np.reshape(n_shards, per)
             # two distinct overflows force the raw fallback: a TILE past
             # the per-tile device budget (its queue row was truncated on
@@ -354,7 +363,9 @@ class CAECodecCore:
             if (int(totals_np.max()) > rec_dev.capacity
                     or int(np.cumsum(offs, axis=1).max()) > hw):
                 transport.note_overflow()
-                out = np.asarray(rec_dev.rec)
+                with GLOBAL_TIMER.stage("decompress/d2h_pixels",
+                                        b * p * q / 1e6):
+                    out = np.asarray(rec_dev.rec)
                 GLOBAL_TIMER.add_link_bytes("d2h",
                                             out.nbytes + totals_np.nbytes
                                             + head_np.nbytes)
@@ -362,33 +373,42 @@ class CAECodecCore:
             needed = int(offs.sum(axis=1).max())
             if needed > nb:   # under-predicted: fetch the missing tail
                 nb2 = min(hw, -(-needed // _CAP_BUCKET) * _CAP_BUCKET)
-                tail = jax.device_get(rec_dev.head[:, nb:nb2])
+                with GLOBAL_TIMER.stage("decompress/d2h_pixels", 0.0):
+                    tail = jax.device_get(rec_dev.head[:, nb:nb2])
                 head_np = np.concatenate([head_np, tail], axis=1)
             GLOBAL_TIMER.add_link_bytes("d2h", head_np.nbytes
                                         + totals_np.nbytes)
             out = np.empty((b, p, q, c), np.uint8)
-            for s in range(n_shards):
-                off = 0
-                for j in range(per):
-                    tot = int(offs[s, j])
-                    out[s * per + j] = transport.decode_host(
-                        head_np[s, off:off + tot], tot, (1, p, q, c),
-                        rec_dev.freq, rec_dev.start, rec_dev.pred_mode)[0]
-                    off += tot
+            with GLOBAL_TIMER.stage("decompress/host_rans_px",
+                                    b * p * q / 1e6):
+                for s in range(n_shards):
+                    off = 0
+                    for j in range(per):
+                        tot = int(offs[s, j])
+                        out[s * per + j] = transport.decode_host(
+                            head_np[s, off:off + tot], tot, (1, p, q, c),
+                            rec_dev.freq, rec_dev.start, rec_dev.pred_mode)[0]
+                        off += tot
             return out
         from ..coding.pixel_pack import unpack_pixels_host
         head, buf, widths, total = rec_dev
-        widths_np, total_np, head_np = jax.device_get(
-            (widths, total, head))
-        total_np = int(total_np)
-        if total_np > head_np.shape[0]:
-            bucket = 1 << 14
-            hi = min(-(-total_np // bucket) * bucket, buf.shape[0])
-            tail = np.asarray(buf[head_np.shape[0]:hi])
-            head_np = np.concatenate([head_np, tail])
+        with GLOBAL_TIMER.stage("decompress/d2h_pixels",
+                                (shape[0] * shape[1] * shape[2] / 1e6)
+                                if shape else 0.0):
+            widths_np, total_np, head_np = jax.device_get(
+                (widths, total, head))
+            total_np = int(total_np)
+            if total_np > head_np.shape[0]:
+                bucket = 1 << 14
+                hi = min(-(-total_np // bucket) * bucket, buf.shape[0])
+                tail = np.asarray(buf[head_np.shape[0]:hi])
+                head_np = np.concatenate([head_np, tail])
         GLOBAL_TIMER.add_link_bytes(
             "d2h", head_np.nbytes + widths_np.nbytes + 4)
-        return unpack_pixels_host(head_np, widths_np, shape)
+        with GLOBAL_TIMER.stage("decompress/host_unpack_px",
+                                (shape[0] * shape[1] * shape[2] / 1e6)
+                                if shape else 0.0):
+            return unpack_pixels_host(head_np, widths_np, shape)
 
     def decode_latents_device(self, y: np.ndarray, rec_level: int = -1
                               ) -> jnp.ndarray:

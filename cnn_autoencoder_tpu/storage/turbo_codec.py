@@ -468,25 +468,26 @@ class CAETurboCore:
         t = self._steps(lh, lw, s)
         batch = len(raws)
 
-        totals = np.zeros(batch, np.int64)  # in 16-bit words
-        payloads = []
-        for i, raw in enumerate(raws):
-            (nbytes,) = struct.unpack(">I", raw[19:23])
-            payload = raw[23:]
-            if len(payload) < nbytes or nbytes % 2:
-                raise ValueError(
-                    f"corrupt cae_tpu frame: payload holds "
-                    f"{len(payload)} bytes, header declares {nbytes}")
-            totals[i] = nbytes // 2
-            payloads.append(payload[:nbytes])
-
         from ..utils.profiling import GLOBAL_TIMER
         mp = batch * th * tw / 1e6
 
-        qcap = -(-int(totals.max()) // 128) * 128
-        queues = np.zeros((batch, qcap), np.uint16)
-        for i, payload in enumerate(payloads):
-            queues[i, :totals[i]] = np.frombuffer(payload, "<u2")
+        with GLOBAL_TIMER.stage("decompress/host_frame_asm", mp):
+            totals = np.zeros(batch, np.int64)  # in 16-bit words
+            payloads = []
+            for i, raw in enumerate(raws):
+                (nbytes,) = struct.unpack(">I", raw[19:23])
+                payload = raw[23:]
+                if len(payload) < nbytes or nbytes % 2:
+                    raise ValueError(
+                        f"corrupt cae_tpu frame: payload holds "
+                        f"{len(payload)} bytes, header declares {nbytes}")
+                totals[i] = nbytes // 2
+                payloads.append(payload[:nbytes])
+
+            qcap = -(-int(totals.max()) // 128) * 128
+            queues = np.zeros((batch, qcap), np.uint16)
+            for i, payload in enumerate(payloads):
+                queues[i, :totals[i]] = np.frombuffer(payload, "<u2")
         GLOBAL_TIMER.add_link_bytes("h2d", queues.nbytes)
 
         ch_map = self._get_ch_map(lh, lw, s)
@@ -522,7 +523,9 @@ class CAETurboCore:
                                              *enc_tables)
             res = RansFetchResult(head, totals, rec_d, capacity, freq,
                                   start, pred_mode)
-            with GLOBAL_TIMER.stage("decompress/turbo_d2h_pixels", mp):
+            # fetch_pixels stages its own wire (d2h_pixels) vs host-decode
+            # (host_rans_px) time; the outer name is NOT wire-classified
+            with GLOBAL_TIMER.stage("decompress/turbo_fetch_total", mp):
                 rec = CAECodecCore.fetch_pixels(
                     res, (qdev.shape[0], ph, pw, 3), transport)
             return rec[:batch, :th, :tw, :]
@@ -530,7 +533,7 @@ class CAETurboCore:
                               num_steps=t, lh=lh, lw=lw, packed=packed)
         with GLOBAL_TIMER.stage("decompress/turbo_h2d+decode", mp):
             res = decode(qdev, ch_map)
-        with GLOBAL_TIMER.stage("decompress/turbo_d2h_pixels", mp):
+        with GLOBAL_TIMER.stage("decompress/turbo_fetch_total", mp):
             rec = CAECodecCore.fetch_pixels(
                 res, (qdev.shape[0], ph, pw, 3) if packed else None)
         return rec[:batch, :th, :tw, :]

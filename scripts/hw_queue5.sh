@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-4 queue 5: (a) bf16 training throughput with the fast-GDN +
+# native-out kernels (round-3 record was 1885.5 img/s); (b) a bench run
+# with the new wire/host stage split so the decompress-phase residue is
+# decomposed (turbo_decode minus d2h_pixels/host_rans_px/host_frame_asm).
+# Serialized: never run two chip jobs concurrently.
+set -u
+cd /root/repo
+LOG=/tmp/hw_queue
+mkdir -p "$LOG"
+run() {
+  local name=$1 tmo=$2
+  shift 2
+  echo "=== $name start $(date -u +%FT%TZ)" | tee -a "$LOG/summary5.log"
+  timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1
+  echo "=== $name rc=$? end $(date -u +%FT%TZ)" | tee -a "$LOG/summary5.log"
+}
+run train_bf16  1500 env CAE_TPU_PRECISION=bf16 python scripts/bench_train.py 200 128 256
+run bench_split 1500 env BENCH_BUDGET=300 python bench.py
+echo "=== queue5 complete $(date -u +%FT%TZ)" | tee -a "$LOG/summary5.log"
