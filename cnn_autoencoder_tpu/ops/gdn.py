@@ -60,8 +60,9 @@ def _gdn_core(x, gamma, beta, inverse):
 def gdn_mixed(x32, gamma, beta, inverse):
     """GDN with an analytic mixed-precision backward (bf16 training mode).
 
-    Forward is bit-identical to the plain XLA path (f32 HIGHEST norm pool),
-    so serving RD parity is unaffected.  The backward is analytic — no
+    Forward is bit-identical to the plain XLA path (same
+    norm_pool_precision rule per activation dtype), so serving RD parity
+    is unaffected.  The backward is analytic — no
     recompute of the norm einsum — with bf16 multiplicands / f32
     accumulation on both backward contractions, and bf16 saved activations
     (half the residual HBM traffic).  Profiled motivation: at flagship

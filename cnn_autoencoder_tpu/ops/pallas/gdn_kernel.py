@@ -228,10 +228,13 @@ def gdn_train_kernels_enabled() -> bool:
 
 
 def _gdn_train_fwd_kernel(x_ref, gamma_ref, beta_ref, y_ref, rb_ref, *,
-                          inverse: bool):
+                          inverse: bool, precision):
     x = x_ref[:]
+    # precision follows ops.gdn.norm_pool_precision (keyed on the CALLER's
+    # activation dtype, not the f32-padded kernel input) so the kernel's y
+    # stays bit-identical to the XLA twin in both f32 and bf16 flows
     norm = jnp.dot(x * x, gamma_ref[:],
-                   precision=jax.lax.Precision.HIGHEST,
+                   precision=precision,
                    preferred_element_type=jnp.float32) + beta_ref[:]
     r = jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm)
     y_ref[:] = x * r
@@ -248,9 +251,11 @@ def _gdn_train_fwd_pallas(x2d, gamma, beta, inverse: bool,
                       ((0, cp - c), (0, cp - c)))
     beta_p = jnp.pad(beta.astype(jnp.float32), (0, cp - c),
                      constant_values=1.0)[None, :]
+    from ..gdn import norm_pool_precision
     grid = (npad // _ROW_TILE,)
     y, rb = pl.pallas_call(
-        functools.partial(_gdn_train_fwd_kernel, inverse=inverse),
+        functools.partial(_gdn_train_fwd_kernel, inverse=inverse,
+                          precision=norm_pool_precision(x2d.dtype)),
         out_shape=(jax.ShapeDtypeStruct((npad, cp), jnp.float32),
                    jax.ShapeDtypeStruct((npad, cp), jnp.bfloat16)),
         grid=grid,

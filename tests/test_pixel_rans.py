@@ -763,3 +763,35 @@ def test_snapshot_carries_pred_mode():
     q2, t2 = tr.encode_host(tiles, cap)   # live state: same result
     np.testing.assert_array_equal(t1, t2)
     np.testing.assert_array_equal(q1, q2)
+
+
+def test_fetch_stage_accounting_splits_wire_from_host(tmp_path,
+                                                      monkeypatch):
+    """bench.py's busy-fraction union classifies stages by name: the
+    device_get must land in decompress/d2h_pixels (wire) and the per-tile
+    C++ decode in decompress/host_rans_px (1-core host compute, NOT link
+    occupancy).  Pins the round-4 stage contract between fetch_pixels and
+    bench.py's _wire list."""
+    from cnn_autoencoder_tpu.pipeline.tiles import (compress_pixels_to_cae,
+                                                    decompress_cae_array)
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+    from cnn_autoencoder_tpu.utils.profiling import GLOBAL_TIMER
+
+    core = CAECodecCore(_trained_toy_model())
+    img = _smooth_image(160, 640)
+    arr = compress_pixels_to_cae(core, img, str(tmp_path / "a.zarr"),
+                                 patch_size=160)
+    monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "1")
+    monkeypatch.setenv("CAE_TPU_FETCH_CODEC", "rans")
+    GLOBAL_TIMER.reset()
+    decompress_cae_array(arr, core=core, batch_tiles=1)
+    totals = GLOBAL_TIMER.totals()
+    assert "decompress/d2h_pixels" in totals        # wire: device_get
+    assert "decompress/host_rans_px" in totals      # host: C++ decode
+    assert "decompress/fetch_total" in totals       # outer, not wire
+    # both sub-stages ran for every coded batch and stayed inside the
+    # outer wrapper's wall
+    assert (totals["decompress/d2h_pixels"]
+            + totals["decompress/host_rans_px"]
+            <= totals["decompress/fetch_total"] * 1.05
+            + totals.get("decompress/turbo_fetch_total", 0.0))
