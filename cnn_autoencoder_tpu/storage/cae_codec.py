@@ -32,6 +32,21 @@ from ..models.entropy import medians_fn, update_cdf_tables
 from .codecs import Codec, ndarray_copy, register_codec
 
 
+# generous per-tile bounds (WSI tiles are <= a few thousand px/side): a
+# frame header is untrusted input, and its (h, w) drive the index/symbol
+# allocations — a garbage 16-byte header must raise, not allocate TBs
+_MAX_TILE_SIDE = 1 << 24
+_MAX_TILE_PX = 1 << 32
+
+
+def _check_frame_hw(h: int, w: int) -> None:
+    if not (0 < h <= _MAX_TILE_SIDE and 0 < w <= _MAX_TILE_SIDE
+            and h * w <= _MAX_TILE_PX):
+        raise ValueError(
+            f"implausible frame header: {h}x{w} px tile (corrupt or "
+            "non-cae bitstream)")
+
+
 def _ceil_to(v: int, m: int) -> int:
     return -(-v // m) * m
 
@@ -257,6 +272,8 @@ class CAECodecCore:
 
         All buffers in one call must share the same true (h, w)."""
         true_hw = [struct.unpack(">QQ", bytes(b[:16])) for b in bufs]
+        for th, tw in true_hw:
+            _check_frame_hw(th, tw)
         h, w = true_hw[0]
         lh, lw = self.latent_hw(h, w)
         idx = self._indexes(lh, lw)

@@ -424,14 +424,17 @@ class CAETurboCore:
         recs: List[Optional[np.ndarray]] = [None] * n
         host_groups = {}   # (th, tw) -> [index]
         turbo_groups = {}  # (s, th, tw) -> [(index, raw)]
+        from .cae_codec import _check_frame_hw
         for i, raw in enumerate(bufs):
             raw = bytes(raw)
             if not is_turbo_frame(raw):
                 th, tw = struct.unpack(">QQ", raw[:16])
+                _check_frame_hw(th, tw)
                 host_groups.setdefault((th, tw), []).append(i)
                 continue
             h_field, tw = struct.unpack(">QQ", raw[:16])
             th = h_field & ~TURBO_FLAG
+            _check_frame_hw(th, tw)
             version, s = struct.unpack(">BH", raw[16:19])
             if version not in (VERSION, LEGACY_VERSION):
                 raise ValueError(

@@ -1,0 +1,18 @@
+#!/bin/bash
+# Round-4 queue 6: measured training roofline with the fast-GDN +
+# native-out kernels (attributes the remaining 2226 -> 4586 img/s gap
+# per layer), then another bench attempt.  Chained after queue 5.
+set -u
+cd /root/repo
+LOG=/tmp/hw_queue
+mkdir -p "$LOG"
+run() {
+  local name=$1 tmo=$2
+  shift 2
+  echo "=== $name start $(date -u +%FT%TZ)" | tee -a "$LOG/summary6.log"
+  timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1
+  echo "=== $name rc=$? end $(date -u +%FT%TZ)" | tee -a "$LOG/summary6.log"
+}
+run roofline_train 2400 env CAE_TPU_PRECISION=bf16 python scripts/roofline_train.py --batch 128 --patch 256
+run bench6         1500 env BENCH_BUDGET=300 python bench.py
+echo "=== queue6 complete $(date -u +%FT%TZ)" | tee -a "$LOG/summary6.log"
