@@ -1,0 +1,21 @@
+#!/bin/bash
+# Round-4 queue 7: training follow-ups after the 57.2 ms/step trace.
+# (a) re-measure the opt-in Pallas GDN train kernels — the recorded
+#     negative (1264 -> 984 img/s, broke conv<->GDN fusion) predates
+#     native-out convs, which changed the fusion landscape;
+# (b) batch 256 — spilled at round 3, but native-out halves conv output
+#     storage in the bf16 training flow.
+set -u
+cd /root/repo
+LOG=/tmp/hw_queue
+mkdir -p "$LOG"
+run() {
+  local name=$1 tmo=$2
+  shift 2
+  echo "=== $name start $(date -u +%FT%TZ)" | tee -a "$LOG/summary7.log"
+  timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1
+  echo "=== $name rc=$? end $(date -u +%FT%TZ)" | tee -a "$LOG/summary7.log"
+}
+run train_gdnkern 1200 env CAE_TPU_PRECISION=bf16 CAE_TPU_GDN_TRAIN_KERNEL=1 python scripts/bench_train.py 200 128 256
+run train_b256    1200 env CAE_TPU_PRECISION=bf16 python scripts/bench_train.py 100 256 256
+echo "=== queue7 complete $(date -u +%FT%TZ)" | tee -a "$LOG/summary7.log"
