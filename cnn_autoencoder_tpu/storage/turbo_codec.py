@@ -493,10 +493,15 @@ class CAETurboCore:
                 queues[i, :totals[i]] = np.frombuffer(payload, "<u2")
         GLOBAL_TIMER.add_link_bytes("h2d", queues.nbytes)
 
-        ch_map = self._get_ch_map(lh, lw, s)
-        use_pallas = (self._use_pallas
-                      and rans_kernel.supported(s, self.channels_bn,
-                                                lh * lw))
+        # instrumented separately: in congested-tunnel bench runs most of
+        # decode_tiles' wall sat OUTSIDE every stage; this pins whether
+        # the residue is this setup block (ch_map device upload, program
+        # cache) or thread-scheduling gaps between stages
+        with GLOBAL_TIMER.stage("decompress/predecode_setup", mp):
+            ch_map = self._get_ch_map(lh, lw, s)
+            use_pallas = (self._use_pallas
+                          and rans_kernel.supported(s, self.channels_bn,
+                                                    lh * lw))
         ph, pw = 2 ** self.level * lh, 2 ** self.level * lw
         n_px = ph * pw * 3
         pb = batch + (-batch) % self._nd     # after mesh padding
@@ -516,10 +521,11 @@ class CAETurboCore:
             from ..coding.pixel_rans import RansFetchResult
             tab, enc_tables, _, freq, start, pred_mode = snap
             capacity = transport.capacity(n_px)
-            decode = self._get_fn(
-                "rans", num_steps=t, lh=lh, lw=lw, capacity=capacity,
-                head_words=transport.pooled_head_words(n_px, per),
-                use_pallas=use_pallas, pred_mode=pred_mode)
+            with GLOBAL_TIMER.stage("decompress/predecode_setup", 0.0):
+                decode = self._get_fn(
+                    "rans", num_steps=t, lh=lh, lw=lw, capacity=capacity,
+                    head_words=transport.pooled_head_words(n_px, per),
+                    use_pallas=use_pallas, pred_mode=pred_mode)
             with GLOBAL_TIMER.stage("decompress/turbo_h2d+decode", mp):
                 head, totals, rec_d = decode(qdev, ch_map, tab.freq,
                                              tab.start, tab.slot,

@@ -1,0 +1,13 @@
+#!/bin/bash
+# Round-4 queue 8: full-protocol bench with the hardened epilogue
+# (daemon-thread deadline) — validates the final-JSON robustness on
+# hardware and records the round-4 stage decomposition at whatever the
+# tunnel gives.
+set -u
+cd /root/repo
+LOG=/tmp/hw_queue
+mkdir -p "$LOG"
+echo "=== bench8 start $(date -u +%FT%TZ)" | tee -a "$LOG/summary8.log"
+timeout 2400 env BENCH_BUDGET=420 BENCH_EPILOGUE_TIMEOUT=420 python bench.py > "$LOG/bench8.log" 2>&1
+echo "=== bench8 rc=$? end $(date -u +%FT%TZ)" | tee -a "$LOG/summary8.log"
+echo "=== queue8 complete $(date -u +%FT%TZ)" | tee -a "$LOG/summary8.log"
