@@ -1,0 +1,12 @@
+#!/bin/bash
+# Round-4 queue 9: bench with predecode_setup instrumentation — pins
+# where the congested-run decompress residue lives (setup block vs GIL/
+# thread-scheduling gaps between stages).
+set -u
+cd /root/repo
+LOG=/tmp/hw_queue
+mkdir -p "$LOG"
+echo "=== bench9 start $(date -u +%FT%TZ)" | tee -a "$LOG/summary9.log"
+timeout 2000 env BENCH_BUDGET=300 BENCH_EPILOGUE_TIMEOUT=300 python bench.py > "$LOG/bench9.log" 2>&1
+echo "=== bench9 rc=$? end $(date -u +%FT%TZ)" | tee -a "$LOG/summary9.log"
+echo "=== queue9 complete $(date -u +%FT%TZ)" | tee -a "$LOG/summary9.log"
