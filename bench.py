@@ -418,8 +418,13 @@ def main():
             # "the link was held the whole time" (wire_busy ~1: the
             # residue of the ceiling is bandwidth, not idle time) from
             # fill/drain gaps (pipeline_busy < 1).
+            # turbo_h2d+decode: the decode dispatch blocks on h2d
+            # backpressure under congestion (measured 2026-08-19 — up to
+            # ~4.7 s/call), so its wall is wire wait, not compute; the
+            # outer fetch_total wrappers are NOT listed (their host-decode
+            # halves are separately staged as host_rans_px)
             _wire = ("h2d_upload", "h2d_queues", "turbo_fetch",
-                     "d2h_pixels", "d2h_sym")
+                     "turbo_h2d+decode", "d2h_pixels", "d2h_sym")
             busy = {
                 "wire_compress": round(
                     GLOBAL_TIMER.busy_fraction(_wire, t0, t1), 2),

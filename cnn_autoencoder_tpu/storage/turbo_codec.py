@@ -534,7 +534,7 @@ class CAETurboCore:
                                   start, pred_mode)
             # fetch_pixels stages its own wire (d2h_pixels) vs host-decode
             # (host_rans_px) time; the outer name is NOT wire-classified
-            with GLOBAL_TIMER.stage("decompress/turbo_fetch_total", mp):
+            with GLOBAL_TIMER.stage("decompress/fetch_total", mp):
                 rec = CAECodecCore.fetch_pixels(
                     res, (qdev.shape[0], ph, pw, 3), transport)
             return rec[:batch, :th, :tw, :]
@@ -542,7 +542,7 @@ class CAETurboCore:
                               num_steps=t, lh=lh, lw=lw, packed=packed)
         with GLOBAL_TIMER.stage("decompress/turbo_h2d+decode", mp):
             res = decode(qdev, ch_map)
-        with GLOBAL_TIMER.stage("decompress/turbo_fetch_total", mp):
+        with GLOBAL_TIMER.stage("decompress/fetch_total", mp):
             rec = CAECodecCore.fetch_pixels(
                 res, (qdev.shape[0], ph, pw, 3) if packed else None)
         return rec[:batch, :th, :tw, :]

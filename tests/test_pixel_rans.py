@@ -793,5 +793,11 @@ def test_fetch_stage_accounting_splits_wire_from_host(tmp_path,
     # outer wrapper's wall
     assert (totals["decompress/d2h_pixels"]
             + totals["decompress/host_rans_px"]
-            <= totals["decompress/fetch_total"] * 1.05
-            + totals.get("decompress/turbo_fetch_total", 0.0))
+            <= totals["decompress/fetch_total"] * 1.05)
+    # the outer wrapper must NOT substring-match any of bench.py's wire
+    # keys (it contains the host decode): this name is load-bearing
+    wire = ("h2d_upload", "h2d_queues", "turbo_fetch",
+            "turbo_h2d+decode", "d2h_pixels", "d2h_sym")
+    for name in totals:
+        if name.endswith("fetch_total"):
+            assert not any(k in name for k in wire), name
