@@ -534,9 +534,12 @@ def main():
                 "psnr_db": (round(best_psnr, 2)
                             if best_psnr is not None else None),
                 "model": "net128_bn48_cl3_gdn",
+                # the path actually used by the best run; *_forced are the
+                # legacy env overrides (BENCH_TURBO/BENCH_FUSED), not what
+                # ran — 'path' is authoritative
                 "path": best_mode,
-                "turbo": TURBO,
-                "fused": FUSED,
+                "turbo_forced": TURBO,
+                "fused_forced": FUSED,
                 "device": str(jax.devices()[0]),
                 # per-stage seconds of the best run: separates device/host
                 # compute from link-transfer time (d2h/h2d stages are
