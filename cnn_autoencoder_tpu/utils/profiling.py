@@ -26,7 +26,11 @@ class StageTimer:
         self._count: Dict[str, int] = {}
         self._units: Dict[str, float] = {}
         self._link_bytes: Dict[str, int] = {"d2h": 0, "h2d": 0}
-        self._intervals: Dict[str, list] = {}
+        # bounded per-stage: totals/counts stay O(#names) forever, but
+        # intervals are O(#calls) — a long-lived serving core must not
+        # accumulate them unboundedly.  bench.py resets per run, so its
+        # busy-fraction windows never approach the cap.
+        self._intervals: Dict[str, object] = {}
 
     @contextlib.contextmanager
     def stage(self, name: str, units: float = 0.0):
@@ -41,7 +45,12 @@ class StageTimer:
                 self._total[name] = self._total.get(name, 0.0) + dt
                 self._count[name] = self._count.get(name, 0) + 1
                 self._units[name] = self._units.get(name, 0.0) + units
-                self._intervals.setdefault(name, []).append((t0, t1))
+                iv = self._intervals.get(name)
+                if iv is None:
+                    import collections
+                    iv = collections.deque(maxlen=8192)
+                    self._intervals[name] = iv
+                iv.append((t0, t1))
 
     def busy_fraction(self, substrings, t_start: float, t_end: float):
         """Fraction of [t_start, t_end) covered by the UNION of recorded
