@@ -398,7 +398,15 @@ def main():
             # the run with a second probe and charge the transfers at the
             # per-direction max of the two — the least-flattering honest
             # denominator.
-            link_post = probe_link(jax, jnp, np)
+            try:
+                link_post = probe_link(jax, jnp, np)
+            except Exception as e:  # noqa: BLE001 — a stall here must not
+                # abort main() after successful runs (the final JSON line
+                # outranks a second probe sample)
+                print(f"# post-run link probe failed "
+                      f"({type(e).__name__}); using pre-run probe",
+                      file=sys.stderr)
+                link_post = link
             bw = (max(link[0], link_post[0]), max(link[1], link_post[1]))
             min_wall = d2h_mb / bw[0] + h2d_mb / bw[1]
             link_util = min_wall / (t2 - t0)
@@ -423,8 +431,13 @@ def main():
             # ~4.7 s/call), so its wall is wire wait, not compute; the
             # outer fetch_total wrappers are NOT listed (their host-decode
             # halves are separately staged as host_rans_px)
-            _wire = ("h2d_upload", "h2d_queues", "turbo_fetch",
-                     "turbo_h2d+decode", "d2h_pixels", "d2h_sym")
+            # h2d+dispatch covers the HOST path's staged uploads
+            # (compress/h2d+dispatch, decompress/h2d+dispatch in
+            # pipeline/tiles.py) so host-path best runs count their
+            # upload/dispatch-blocked time as wire too
+            _wire = ("h2d_upload", "h2d_queues", "h2d+dispatch",
+                     "turbo_fetch", "turbo_h2d+decode", "d2h_pixels",
+                     "d2h_sym")
             busy = {
                 "wire_compress": round(
                     GLOBAL_TIMER.busy_fraction(_wire, t0, t1), 2),
@@ -516,8 +529,14 @@ def main():
                       file=sys.stderr)
             else:
                 device_resident = box.get("dr")
-                print(f"# device-resident: {device_resident['value']} "
-                      f"{device_resident['unit']}", file=sys.stderr)
+                if device_resident is not None:
+                    print(f"# device-resident: {device_resident['value']} "
+                          f"{device_resident['unit']}", file=sys.stderr)
+                else:
+                    # the worker died without setting either key (e.g. a
+                    # BaseException `except Exception` doesn't catch)
+                    print("# device-resident measurement returned nothing",
+                          file=sys.stderr)
 
         result = {
             "metric": "WSI compress+decompress megapixels/sec/chip",

@@ -549,6 +549,7 @@ class ConvolutionalAutoencoderBottleneck(Codec):
 
     def decode(self, buf, out=None):
         h, w = struct.unpack(">QQ", bytes(buf[:16]))
+        _check_frame_hw(h, w)   # untrusted header sizes the allocations
         sym = rans.decode_with_indexes(bytes(buf[16:]), self._indexes(h, w),
                                        self.cdf, self.cdf_length, self.offset)
         sym = sym.reshape(self.channels_bn, h, w)

@@ -262,3 +262,20 @@ def test_truncated_stream_no_crash(core):
     cut = bufs[0][: 16 + max(1, (len(bufs[0]) - 16) // 2)]
     sym, true_hw = core.entropy_decode([cut])
     assert sym.shape[0] == 1 and true_hw[0] == (32, 32)
+
+
+def test_garbage_bn_frame_raises_cleanly(small_model):
+    """The 'cae_bn' codec's decode reads the same untrusted 16-byte
+    header; the allocation-bomb guard must cover it too."""
+    import struct as _struct
+
+    from cnn_autoencoder_tpu.storage.cae_codec import (
+        ConvolutionalAutoencoderBottleneck)
+
+    codec = ConvolutionalAutoencoderBottleneck(
+        channels_bn=small_model.config["channels_bn"],
+        fact_ent=small_model.variables["fact_ent"],
+        filters=list(small_model.filters))
+    bomb = _struct.pack(">QQ", 1 << 40, 1 << 40) + b"\x00" * 32
+    with pytest.raises(ValueError):
+        codec.decode(bomb)
