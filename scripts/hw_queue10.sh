@@ -1,0 +1,11 @@
+#!/bin/bash
+# Round-4 queue 10: final bench pass with the corrected wire
+# classification (host-path uploads + dispatch backpressure counted).
+set -u
+cd /root/repo
+LOG=/tmp/hw_queue
+mkdir -p "$LOG"
+echo "=== bench10 start $(date -u +%FT%TZ)" | tee -a "$LOG/summary10.log"
+timeout 2000 env BENCH_BUDGET=420 BENCH_EPILOGUE_TIMEOUT=420 python bench.py > "$LOG/bench10.log" 2>&1
+echo "=== bench10 rc=$? end $(date -u +%FT%TZ)" | tee -a "$LOG/summary10.log"
+echo "=== queue10 complete $(date -u +%FT%TZ)" | tee -a "$LOG/summary10.log"
