@@ -1,0 +1,62 @@
+"""Unit tests for coding/link_probe.py — the transport-gating link probes.
+
+The probes decide whether the pixel transports (coding/pixel_rans.py,
+coding/pixel_pack.py) entropy-code the wire.  On the CPU test backend there
+is no link to save, so 'auto' must resolve to off; the forced modes and the
+cache contract are testable everywhere.
+"""
+
+import numpy as np
+import pytest
+
+from cnn_autoencoder_tpu.coding import link_probe as lp
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache():
+    saved = dict(lp._cache)
+    lp._cache.update(t=0.0, d2h=float("inf"), h2d=float("inf"))
+    yield
+    lp._cache.update(saved)
+
+
+def test_auto_is_off_on_cpu_backend(monkeypatch):
+    monkeypatch.delenv("CAE_TPU_PACKED_FETCH", raising=False)
+    monkeypatch.delenv("CAE_TPU_CODED_UPLOAD", raising=False)
+    assert lp.coded_fetch_enabled() is False
+    assert lp.coded_upload_enabled() is False
+
+
+def test_forced_modes_override_backend(monkeypatch):
+    monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "1")
+    monkeypatch.setenv("CAE_TPU_CODED_UPLOAD", "1")
+    assert lp.coded_fetch_enabled() is True
+    assert lp.coded_upload_enabled() is True
+    monkeypatch.setenv("CAE_TPU_PACKED_FETCH", "0")
+    monkeypatch.setenv("CAE_TPU_CODED_UPLOAD", "0")
+    assert lp.coded_fetch_enabled() is False
+    assert lp.coded_upload_enabled() is False
+
+
+def test_probe_measures_and_caches():
+    d2h, h2d = lp.probe_link_mbps(force=True, mb=1)
+    assert np.isfinite(d2h) and d2h > 0
+    assert np.isfinite(h2d) and h2d > 0
+    # Within the TTL an unforced call returns the cached pair verbatim.
+    assert lp.probe_link_mbps() == (d2h, h2d)
+
+
+def test_probe_force_refreshes_cache():
+    lp._cache.update(t=float("inf"), d2h=123.0, h2d=456.0)
+    assert lp.probe_link_mbps() == (123.0, 456.0)
+    d2h, h2d = lp.probe_link_mbps(force=True, mb=1)
+    assert (d2h, h2d) != (123.0, 456.0) or lp._cache["t"] != float("inf")
+
+
+def test_threshold_env_override(monkeypatch):
+    monkeypatch.setenv("CAE_TPU_PACKED_THRESHOLD_MBPS", "42.5")
+    assert lp._threshold("d2h") == 42.5
+    assert lp._threshold("h2d") == 42.5
+    monkeypatch.delenv("CAE_TPU_PACKED_THRESHOLD_MBPS")
+    assert lp._threshold("d2h") == lp._DEFAULT_MBPS["d2h"]
+    assert lp._threshold("h2d") == lp._DEFAULT_MBPS["h2d"]

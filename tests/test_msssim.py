@@ -1,0 +1,129 @@
+"""Oracle tests for ops/msssim.py against an independent numpy/scipy SSIM.
+
+The JAX implementation (separable depthwise convs + reduce_window pooling)
+mirrors pytorch_msssim semantics (reference src/models/criteria/_ratedist.py:66-90,
+src/test_cae.py:47-57).  pytorch_msssim is not installed here, so the oracle
+is an independent re-derivation: dense 2-D scipy correlation for the Gaussian
+windows and explicit strided numpy slicing for the inter-level pooling,
+computed in float64.  Image sizes are chosen so the pyramid hits odd spatial
+dims mid-way, exercising the count_include_pad zero-padding semantics.
+"""
+
+import numpy as np
+import pytest
+from scipy.signal import correlate2d
+
+from cnn_autoencoder_tpu.ops import msssim as M
+
+WIN, SIGMA = 11, 1.5
+WEIGHTS = np.asarray(M.DEFAULT_WEIGHTS, np.float64)
+
+
+def _np_window(n=WIN, sigma=SIGMA):
+    coords = np.arange(n, dtype=np.float64) - n // 2
+    g = np.exp(-(coords ** 2) / (2.0 * sigma ** 2))
+    g /= g.sum()
+    return np.outer(g, g)
+
+
+def _np_ssim_cs(x, y, data_range):
+    """Per-channel (ssim, cs) means for one image pair; x, y are HWC f64."""
+    w = _np_window()
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    ssims, css = [], []
+    for c in range(x.shape[-1]):
+        xc, yc = x[..., c], y[..., c]
+        blur = lambda a: correlate2d(a, w, mode="valid")
+        mu_x, mu_y = blur(xc), blur(yc)
+        sxx = blur(xc * xc) - mu_x * mu_x
+        syy = blur(yc * yc) - mu_y * mu_y
+        sxy = blur(xc * yc) - mu_x * mu_y
+        cs = (2 * sxy + c2) / (sxx + syy + c2)
+        ss = ((2 * mu_x * mu_y + c1) / (mu_x ** 2 + mu_y ** 2 + c1)) * cs
+        ssims.append(ss.mean())
+        css.append(cs.mean())
+    return np.asarray(ssims), np.asarray(css)
+
+
+def _np_pool2(x):
+    """2x avg pool, odd dims zero-padded both sides, pads counted."""
+    ph, pw = x.shape[0] % 2, x.shape[1] % 2
+    if ph or pw:
+        x = np.pad(x, ((ph, ph), (pw, pw)) + ((0, 0),) * (x.ndim - 2))
+    ho, wo = (x.shape[0] - 2) // 2 + 1, (x.shape[1] - 2) // 2 + 1
+    return (x[0:2 * ho:2, 0:2 * wo:2] + x[1:2 * ho:2, 0:2 * wo:2]
+            + x[0:2 * ho:2, 1:2 * wo:2] + x[1:2 * ho:2, 1:2 * wo:2]) / 4.0
+
+
+def _np_ms_ssim(x, y, data_range):
+    """Batch-mean MS-SSIM for NHWC float64 arrays (the oracle)."""
+    vals = []
+    for b in range(x.shape[0]):
+        xb, yb = x[b], y[b]
+        mcs = []
+        for i in range(len(WEIGHTS)):
+            ss, cs = _np_ssim_cs(xb, yb, data_range)
+            if i < len(WEIGHTS) - 1:
+                mcs.append(np.maximum(cs, 0.0))
+                xb, yb = _np_pool2(xb), _np_pool2(yb)
+        stack = np.stack(mcs + [np.maximum(ss, 0.0)], axis=0)  # (L, C)
+        vals.append(np.prod(stack ** WEIGHTS[:, None], axis=0))
+    return float(np.mean(vals))
+
+
+@pytest.fixture(scope="module")
+def pair():
+    rng = np.random.default_rng(7)
+    # 178x166 walks the pyramid through odd dims (89, 45, 23 / 83, 21)
+    x = rng.random((2, 178, 166, 3)).astype(np.float64)
+    y = np.clip(x + rng.normal(0, 0.08, x.shape), 0.0, 1.0)
+    return x, y
+
+
+def test_ssim_matches_numpy_oracle(pair):
+    x, y = pair
+    got = float(M.ssim(x[:, :64, :64].astype(np.float32),
+                       y[:, :64, :64].astype(np.float32)))
+    want = np.mean([_np_ssim_cs(x[b, :64, :64], y[b, :64, :64], 1.0)[0]
+                    for b in range(x.shape[0])])
+    assert got == pytest.approx(float(want), abs=2e-5)
+
+
+def test_ms_ssim_matches_numpy_oracle(pair):
+    x, y = pair
+    got = float(M.ms_ssim(x.astype(np.float32), y.astype(np.float32)))
+    want = _np_ms_ssim(x, y, 1.0)
+    assert got == pytest.approx(want, abs=2e-4)
+
+
+def test_identity_and_monotone_degradation(pair):
+    x, _ = pair
+    xf = x.astype(np.float32)
+    assert float(M.ms_ssim(xf, xf)) == pytest.approx(1.0, abs=1e-5)
+    assert float(M.ssim(xf, xf)) == pytest.approx(1.0, abs=1e-5)
+    rng = np.random.default_rng(3)
+    prev = 1.0
+    for s in (0.02, 0.08, 0.25):
+        yn = np.clip(xf + rng.normal(0, s, xf.shape), 0, 1).astype(np.float32)
+        cur = float(M.ms_ssim(xf, yn))
+        assert cur < prev
+        prev = cur
+
+
+def test_data_range_scaling_equivalence(pair):
+    """x/255 with range 1.0 == x with range 255 (uint8 eval convention)."""
+    x, y = pair
+    x8 = (x * 255).round()
+    y8 = (y * 255).round()
+    a = float(M.ms_ssim((x8 / 255).astype(np.float32),
+                        (y8 / 255).astype(np.float32), data_range=1.0))
+    b = float(M.ms_ssim(x8.astype(np.float32), y8.astype(np.float32),
+                        data_range=255.0))
+    assert a == pytest.approx(b, abs=1e-4)
+
+
+def test_ms_ssim_rejects_too_small_images():
+    x = np.zeros((1, 64, 64, 1), np.float32)
+    with pytest.raises(AssertionError):
+        M.ms_ssim(x, x)
