@@ -1,0 +1,128 @@
+"""Direct math tests for criteria/ratedist.py (rate, pyramid, penalties).
+
+These components were previously exercised only through the training-loop
+composer tests; here each is pinned against closed forms or an independent
+numpy/scipy oracle (reference semantics: src/models/criteria/_ratedist.py).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy.signal import correlate2d
+
+from cnn_autoencoder_tpu.criteria import ratedist as R
+
+
+def test_rate_loss_closed_form():
+    # uniform likelihood p over M latent values -> bpp = M * log2(1/p) / px
+    x = jnp.zeros((2, 16, 16, 3))
+    p = 0.125
+    p_y = jnp.full((2, 4, 4, 8), p)
+    got = float(R.rate_loss(x, p_y)["rate_loss"])
+    want = p_y.size * 3.0 / (2 * 16 * 16)
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_dist_mse_matches_numpy():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    xr = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    got = float(R.dist_mse(jnp.asarray(x), [jnp.asarray(xr)])["dist"][0])
+    assert got == pytest.approx(float(np.mean((xr - x) ** 2)), rel=1e-5)
+
+
+def test_downsample_pyramid_matches_scipy_oracle():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 16, 16, 2)).astype(np.float32)
+    got = np.asarray(R.downsample_pyramid(jnp.asarray(x)))
+    k1 = np.array([1, 4, 6, 4, 1], np.float64) / 16.0
+    k2 = np.outer(k1, k1)
+    for b in range(x.shape[0]):
+        for c in range(x.shape[-1]):
+            blur = correlate2d(x[b, :, :, c].astype(np.float64), k2,
+                               mode="same", boundary="fill")
+            pooled = (blur[0::2, 0::2] + blur[1::2, 0::2]
+                      + blur[0::2, 1::2] + blur[1::2, 1::2]) / 4.0
+            np.testing.assert_allclose(got[b, :, :, c], pooled, atol=1e-5)
+
+
+def test_pyramid_targets_carry_no_gradient():
+    """Downsampled targets are stop_gradient'd: d(total)/dx is the scale-0
+    term's gradient only (reference detaches the blurred pyramid)."""
+    pyr = R.dist_mse_pyramid(compression_level=3)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 1)).astype(np.float32))
+    x_r = [jnp.asarray(rng.normal(size=(1, 16 // 2 ** s, 16 // 2 ** s, 1))
+                       .astype(np.float32)) for s in range(3)]
+
+    total = jax.grad(lambda xx: sum(pyr(xx, x_r)["dist"]))(x)
+    scale0 = jax.grad(lambda xx: R.dist_mse(xx, x_r)["dist"][0])(x)
+    np.testing.assert_allclose(np.asarray(total), np.asarray(scale0),
+                               atol=1e-7)
+
+
+def test_penalty_a_matches_numpy_oracle():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(4, 16, 16, 3)).astype(np.float32)
+    y = rng.normal(size=(4, 4, 4, 8)).astype(np.float32) * \
+        rng.uniform(0.1, 3.0, size=(1, 1, 1, 8)).astype(np.float32)
+    out = R.penalty_a(jnp.asarray(x), jnp.asarray(y))
+
+    x64, y64 = x.astype(np.float64), y.astype(np.float64)
+    x_var = np.var(x64.mean(axis=-1), axis=(1, 2))[:, None] + 1e-10
+    a = np.var(y64, axis=(1, 2)) / x_var
+    a = a / a.sum(axis=1, keepdims=True)
+    a = np.clip(a, 1e-10, 1.0)
+    p_a = np.mean(np.sum(-a * np.log2(a), axis=1))
+    assert float(out["penalty"]) == pytest.approx(p_a, rel=1e-4)
+    assert float(out["energy"]) == pytest.approx(
+        np.median(a.max(axis=1)), rel=1e-4)
+    assert int(out["channel_e"]) == int(np.median(a.argmax(axis=1)))
+
+
+def test_penalty_a_entropy_bounds():
+    # all energy in one channel -> entropy ~0; uniform energy -> log2(C)
+    x = jnp.asarray(np.random.default_rng(4)
+                    .normal(size=(2, 8, 8, 3)).astype(np.float32))
+    y = np.zeros((2, 4, 4, 8), np.float32)
+    y[..., 2] = np.random.default_rng(5).normal(size=(2, 4, 4))
+    out = R.penalty_a(x, jnp.asarray(y))
+    assert float(out["penalty"]) < 1e-5
+    assert int(out["channel_e"]) == 2
+    yu = np.random.default_rng(6).normal(size=(2, 4, 4, 8)).astype(np.float32)
+    out_u = R.penalty_a(x, jnp.asarray(yu))
+    assert float(out_u["penalty"]) == pytest.approx(3.0, abs=0.15)
+
+
+def test_penalty_b_one_hot_code_and_variance():
+    y = jnp.zeros((1, 4, 4, 8))
+    seen = {}
+
+    def decoder_fn(code):
+        seen["code"] = np.asarray(code)
+        return code * 2.0  # var = 4 * var(one-hot plane)
+
+    out = R.penalty_b(y, decoder_fn, channel_e=5)
+    code = seen["code"]
+    assert code.shape == (1, 4, 4, 8)
+    np.testing.assert_array_equal(code[..., 5], 1.0)
+    assert code.sum() == code[..., 5].sum()  # one-hot at channel_e only
+    want = float(np.var(2.0 * code))
+    assert float(out["penalty"]) == pytest.approx(want, rel=1e-5)
+    assert int(out["channel_e"]) == 5
+
+
+def test_dist_msssim_scale_adaptive_window():
+    # reference formulas: win = 11-2s, sigma = 1.5/2^s,
+    # pad = 8*(win - patch//2^(s+4)) when positive
+    d0 = R.DistMSSSIM(patch_size=256, scale=0)
+    assert (d0.win_size, d0.win_sigma, d0.padding) == (11, 1.5, 0)
+    d2 = R.DistMSSSIM(patch_size=128, scale=2)
+    assert d2.win_size == 7 and d2.win_sigma == pytest.approx(0.375)
+    assert d2.padding == 8 * (7 - 128 // 64)
+    # the padding must make a small patch big enough for 5 levels
+    x = jnp.asarray(np.random.default_rng(8)
+                    .random((1, 32, 32, 1)).astype(np.float32))
+    out = d2(x, [x])
+    assert float(out["dist"][0]) == pytest.approx(0.0, abs=1e-5)
