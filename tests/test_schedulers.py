@@ -1,0 +1,120 @@
+"""LR-scheduler exactness vs the torch schedulers the reference registers.
+
+The reference drives torch.optim.lr_scheduler.{ReduceLROnPlateau, StepLR,
+LinearLR, ExponentialLR, CosineAnnealingLR} (reference
+src/train_cae_ms.py:22-27).  torch (CPU) is installed here, so each host
+scheduler's full LR trajectory is pinned step-by-step against its torch
+twin, and the state_dict resume contract is checked mid-trajectory.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from cnn_autoencoder_tpu.training import schedulers as S
+
+BASE = 0.02
+STEPS = 25
+
+
+def _torch_traj(sched_cls, metric_seq=None, **kw):
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=BASE)
+    sched = sched_cls(opt, **kw)
+    out = [opt.param_groups[0]["lr"]]
+    for k in range(STEPS):
+        if metric_seq is None:
+            sched.step()
+        else:
+            sched.step(metric_seq[k])
+        out.append(opt.param_groups[0]["lr"])
+    return out
+
+
+def _ours_traj(name, metric_seq=None, **kw):
+    lrs = {"encoder": BASE}
+    sched = S.SCHEDULER_ALGORITHMS[name](lrs, "encoder", **kw)
+    out = [sched.last_lr]
+    for k in range(STEPS):
+        sched.step(None if metric_seq is None else metric_seq[k])
+        out.append(sched.last_lr)
+    return out
+
+
+def test_step_lr_matches_torch():
+    want = _torch_traj(torch.optim.lr_scheduler.StepLR, step_size=7,
+                       gamma=0.3)
+    got = _ours_traj("StepLR", step_size=7, gamma=0.3)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_exponential_lr_matches_torch():
+    want = _torch_traj(torch.optim.lr_scheduler.ExponentialLR, gamma=0.9)
+    got = _ours_traj("ExponentialLR", gamma=0.9)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_linear_lr_matches_torch():
+    kw = dict(start_factor=0.25, end_factor=1.0, total_iters=8)
+    want = _torch_traj(torch.optim.lr_scheduler.LinearLR, **kw)
+    got = _ours_traj("LinearLR", **kw)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_cosine_annealing_matches_torch_closed_form():
+    # torch's closed form: eta_min + (base-eta_min)(1+cos(pi k/T))/2;
+    # cos is 2T-periodic so the modulo in our _update is equivalent.
+    kw = dict(T_max=9, eta_min=1e-4)
+    got = _ours_traj("CosineAnnealingLR", **kw)
+    want = [kw["eta_min"] + (BASE - kw["eta_min"])
+            * (1 + np.cos(np.pi * k / kw["T_max"])) / 2
+            for k in range(STEPS + 1)]
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_reduce_on_plateau_matches_torch():
+    rng = np.random.default_rng(0)
+    # plateau after step 5 with occasional tiny (sub-threshold) wiggles
+    metrics = [1.0 - 0.1 * min(k, 5) + float(rng.uniform(0, 1e-6))
+               for k in range(STEPS)]
+    kw = dict(mode="min", factor=0.5, patience=3, threshold=1e-4,
+              min_lr=1e-4)
+    want = _torch_traj(torch.optim.lr_scheduler.ReduceLROnPlateau,
+                       metric_seq=metrics, **kw)
+    got = _ours_traj("ReduceLROnPlateau", metric_seq=metrics, **kw)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+@pytest.mark.parametrize("name,kw,needs_metric", [
+    ("StepLR", dict(step_size=4, gamma=0.5), False),
+    ("ExponentialLR", dict(gamma=0.9), False),
+    ("LinearLR", dict(start_factor=0.25, total_iters=8), False),
+    ("CosineAnnealingLR", dict(T_max=6, eta_min=0.0), False),
+    ("ReduceLROnPlateau",
+     dict(factor=0.5, patience=2, threshold=1e-4), True),
+])
+def test_state_dict_resume_mid_trajectory(name, kw, needs_metric):
+    metrics = [1.0 / (k + 1) if k < 6 else 0.2 for k in range(STEPS)]
+
+    lrs = {"encoder": BASE}
+    ref = S.SCHEDULER_ALGORITHMS[name](lrs, "encoder", **kw)
+    full = []
+    for k in range(STEPS):
+        ref.step(metrics[k] if needs_metric else None)
+        full.append(ref.last_lr)
+
+    lrs_a = {"encoder": BASE}
+    a = S.SCHEDULER_ALGORITHMS[name](lrs_a, "encoder", **kw)
+    for k in range(10):
+        a.step(metrics[k] if needs_metric else None)
+    state = a.state_dict()
+
+    lrs_b = {"encoder": BASE}
+    b = S.SCHEDULER_ALGORITHMS[name](lrs_b, "encoder", **kw)
+    b.load_state_dict(state)
+    resumed = []
+    for k in range(10, STEPS):
+        b.step(metrics[k] if needs_metric else None)
+        resumed.append(b.last_lr)
+    np.testing.assert_allclose(resumed, full[10:], rtol=1e-12)
