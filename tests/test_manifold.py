@@ -1,0 +1,91 @@
+"""Tests for utils/manifold.py — the numpy t-SNE / Isomap used by
+scripts/visualize_groups.py (sklearn is absent in this environment;
+reference scripts/visualize_groups.py:68-69 uses sklearn's TSNE/Isomap).
+"""
+
+import numpy as np
+import pytest
+
+from cnn_autoencoder_tpu.utils import manifold as M
+
+
+def _clusters(rng, n_per=20, dim=10, sep=25.0, k=3):
+    centers = rng.normal(size=(k, dim)) * sep
+    pts = np.concatenate(
+        [c + rng.normal(size=(n_per, dim)) for c in centers])
+    labels = np.repeat(np.arange(k), n_per)
+    return pts.astype(np.float64), labels
+
+
+def test_perplexity_probabilities_calibrated():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(40, 5))
+    d = M._pairwise_sq_dists(x)
+    target = 12.0
+    p = M._perplexity_probabilities(d, perplexity=target)
+    np.testing.assert_allclose(p.sum(axis=1), 1.0, atol=1e-8)
+    assert np.all(np.diag(p) == 0.0)
+    # each row's Shannon entropy must hit log(perplexity)
+    logp = np.log(np.where(p > 0, p, 1.0))
+    ent = -np.sum(p * logp, axis=1)
+    np.testing.assert_allclose(ent, np.log(target), atol=1e-3)
+
+
+def test_tsne_separates_clusters_and_is_deterministic():
+    rng = np.random.default_rng(1)
+    x, labels = _clusters(rng)
+    y1 = M.tsne(x, n_iter=300, seed=3)
+    y2 = M.tsne(x, n_iter=300, seed=3)
+    np.testing.assert_array_equal(y1, y2)
+    assert y1.shape == (x.shape[0], 2) and y1.dtype == np.float32
+    # mean within-cluster distance well below mean between-cluster distance
+    d = np.sqrt(M._pairwise_sq_dists(y1.astype(np.float64)))
+    same = labels[:, None] == labels[None, :]
+    off_diag = ~np.eye(len(labels), dtype=bool)
+    within = d[same & off_diag].mean()
+    between = d[~same].mean()
+    assert between > 3.0 * within
+
+
+def test_tsne_init_passthrough_changes_start():
+    rng = np.random.default_rng(2)
+    x, _ = _clusters(rng, n_per=10, k=2)
+    init = rng.normal(size=(x.shape[0], 2)) * 1e-4
+    y = M.tsne(x, n_iter=5, init=init, seed=0)
+    y_default = M.tsne(x, n_iter=5, seed=0)
+    assert not np.allclose(y, y_default)
+
+
+def test_isomap_full_graph_is_classical_mds_exact():
+    # with a fully-connected kNN graph, geodesic == euclidean and classical
+    # MDS must reproduce the pairwise distances of genuinely 2-D data
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(30, 2))
+    y = M.isomap(x, n_components=2, n_neighbors=29)
+    d_in = np.sqrt(M._pairwise_sq_dists(x))
+    d_out = np.sqrt(M._pairwise_sq_dists(y.astype(np.float64)))
+    np.testing.assert_allclose(d_out, d_in, atol=1e-4)
+
+
+def test_isomap_recovers_line_parameter():
+    # points along a noisy-free 1-D curve embedded in 6-D: the first isomap
+    # coordinate must be an affine function of the arc-length parameter
+    t = np.linspace(0.0, 1.0, 40)
+    basis = np.random.default_rng(4).normal(size=(1, 6))
+    x = t[:, None] @ basis
+    y = M.isomap(x, n_components=1, n_neighbors=3)[:, 0].astype(np.float64)
+    corr = abs(np.corrcoef(t, y)[0, 1])
+    assert corr > 0.9999
+
+
+def test_isomap_disconnected_components_stay_finite():
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(12, 4))
+    b = rng.normal(size=(12, 4)) + 1000.0  # far island: kNN graph splits
+    y = M.isomap(np.concatenate([a, b]), n_components=2, n_neighbors=3)
+    assert np.all(np.isfinite(y))
+    # the two islands still end up separated in the embedding
+    da = y[:12].mean(axis=0)
+    db = y[12:].mean(axis=0)
+    spread = max(y[:12].std(), y[12:].std())
+    assert np.linalg.norm(da - db) > 3.0 * spread
