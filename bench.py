@@ -66,6 +66,46 @@ OPPORTUNISTIC_BUDGET_S = float(os.environ.get("BENCH_OPPORTUNISTIC_BUDGET",
                                               600))
 PROBE_PERIOD_S = float(os.environ.get("BENCH_PROBE_PERIOD", 20))
 
+# Global hard deadline (seconds from watchdog start).  The reachability
+# guard bounds a DEAD tunnel, and the epilogue has its own timeout — but a
+# tunnel that stalls MID-RUN (observed full-stalls >10 min) blocks
+# compress/decompress indefinitely, the driver's outer timeout kills the
+# process, and no final JSON line is ever emitted.  The watchdog emits the
+# best-so-far result (or an honest zero) and exits instead.  Must exceed
+# BENCH_PROBE_DEADLINE + BUDGET + OPPORTUNISTIC_BUDGET + epilogue.
+HARD_DEADLINE_S = float(os.environ.get("BENCH_HARD_DEADLINE", 4800))
+
+_WATCHDOG = {
+    "done": False,
+    "line": json.dumps({
+        "metric": "WSI compress+decompress megapixels/sec/chip",
+        "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
+        "detail": {"error": "hard-deadline watchdog fired before any "
+                            "completed run (tunnel stall)"}}),
+}
+
+
+def _start_watchdog():
+    """Daemon thread: after HARD_DEADLINE_S, print the best-so-far final
+    line and exit 0 so the driver records a parseable result instead of
+    nothing.  Runs kept updating _WATCHDOG['line']; normal completion sets
+    _WATCHDOG['done'] before printing its own line."""
+    if HARD_DEADLINE_S <= 0:
+        return
+
+    def _fire():
+        time.sleep(HARD_DEADLINE_S)
+        if _WATCHDOG["done"]:
+            return
+        print(f"# hard deadline ({HARD_DEADLINE_S:.0f}s) hit — emitting "
+              "best-so-far result", file=sys.stderr)
+        sys.stderr.flush()
+        print(_WATCHDOG["line"], flush=True)
+        os._exit(0)
+
+    import threading
+    threading.Thread(target=_fire, daemon=True).start()
+
 
 def synth_histology(h, w, seed=0):
     """Smooth low-frequency tissue-like structure + stain noise."""
@@ -146,6 +186,7 @@ def _guard_device_reachable():
 
 
 def main():
+    _start_watchdog()
     _guard_device_reachable()
     import jax
     import jax.numpy as jnp
@@ -465,6 +506,23 @@ def main():
                 best_bits_px = bits_px
                 bpp = run_bpp
             best_mps = max(best_mps, mps)
+            # keep the watchdog's fallback line current: if a later run
+            # stalls past the hard deadline, this partial result is what
+            # the driver records
+            _WATCHDOG["line"] = json.dumps({
+                "metric": "WSI compress+decompress megapixels/sec/chip",
+                "value": round(best_mps, 2), "unit": "MP/s",
+                "vs_baseline": round(
+                    best_mps / REFERENCE_GPU_MPS_ESTIMATE, 2),
+                "detail": {
+                    "truncated": f"hard-deadline watchdog fired mid-run; "
+                                 f"best of {r} completed runs",
+                    "image": list(best_image), "path": best_mode,
+                    "bpp": round(float(bpp), 3) if bpp else None,
+                    "psnr_db": (round(best_psnr, 2)
+                                if best_psnr is not None else None),
+                    "link_utilization": round(best_util, 2),
+                    "transport_bits_px": list(best_bits_px)}})
             print(f"# run {r} ({h}x{w}): compress {mp / (t1 - t0):.1f} MP/s, "
                   f"decompress {mp / (t2 - t1):.1f} MP/s, "
                   f"combined {mps:.1f} MP/s, {run_bpp:.3f} bpp",
@@ -475,6 +533,7 @@ def main():
             # nothing measured (tunnel dead for the whole budget): still
             # emit ONE parseable JSON line — an unparsed benchmark is an
             # unscored benchmark — then surface the real failure
+            _WATCHDOG["done"] = True
             print(json.dumps({
                 "metric": "WSI compress+decompress megapixels/sec/chip",
                 "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
@@ -621,6 +680,7 @@ def main():
             # hard cap: drop stage detail rather than risk driver capture
             result["detail"].pop("stages_s", None)
             line = json.dumps(result)
+        _WATCHDOG["done"] = True
         print(line)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,61 @@
+"""bench.py hard-deadline watchdog: a mid-run tunnel stall must still
+produce one parseable final JSON line (driver contract — an unparsed
+benchmark is an unscored benchmark)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(code, deadline):
+    env = dict(os.environ, BENCH_HARD_DEADLINE=str(deadline))
+    return subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                          env=env, capture_output=True, text=True,
+                          timeout=60)
+
+
+def test_watchdog_emits_parseable_line_and_exits():
+    out = _run(
+        "import sys; sys.path.insert(0, '.')\n"
+        "import bench, time\n"
+        "bench._start_watchdog()\n"
+        "time.sleep(30)\n"          # simulated stall: never reached
+        "print('SHOULD_NOT_REACH')\n", deadline=0.3)
+    assert out.returncode == 0
+    assert "SHOULD_NOT_REACH" not in out.stdout
+    last = [l for l in out.stdout.strip().splitlines() if l][-1]
+    rec = json.loads(last)
+    assert rec["unit"] == "MP/s" and rec["value"] == 0.0
+    assert "watchdog" in rec["detail"]["error"]
+
+
+def test_watchdog_reports_best_so_far_partial_result():
+    out = _run(
+        "import sys, json; sys.path.insert(0, '.')\n"
+        "import bench, time\n"
+        "bench._WATCHDOG['line'] = json.dumps({\n"
+        "    'metric': 'WSI compress+decompress megapixels/sec/chip',\n"
+        "    'value': 7.5, 'unit': 'MP/s', 'vs_baseline': 0.3,\n"
+        "    'detail': {'truncated': 'best of 3 completed runs'}})\n"
+        "bench._start_watchdog()\n"
+        "time.sleep(30)\n", deadline=0.3)
+    assert out.returncode == 0
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["value"] == 7.5
+    assert "truncated" in rec["detail"]
+
+
+def test_watchdog_stays_silent_after_normal_completion():
+    out = _run(
+        "import sys; sys.path.insert(0, '.')\n"
+        "import bench, time\n"
+        "bench._start_watchdog()\n"
+        "bench._WATCHDOG['done'] = True\n"
+        "time.sleep(0.8)\n"          # past the deadline
+        "print('NORMAL_PATH')\n", deadline=0.3)
+    assert out.returncode == 0
+    assert "NORMAL_PATH" in out.stdout
+    assert "watchdog" not in out.stdout
