@@ -75,6 +75,13 @@ PROBE_PERIOD_S = float(os.environ.get("BENCH_PROBE_PERIOD", 20))
 # BENCH_PROBE_DEADLINE + BUDGET + OPPORTUNISTIC_BUDGET + epilogue.
 HARD_DEADLINE_S = float(os.environ.get("BENCH_HARD_DEADLINE", 4800))
 
+import threading as _threading
+
+# serializes "check done + print final line": without it the watchdog can
+# pass the done check just as main() finishes, print the stale partial
+# line and _exit before the real result is written
+_WATCHDOG_LOCK = _threading.Lock()
+
 _WATCHDOG = {
     "done": False,
     "line": json.dumps({
@@ -95,16 +102,16 @@ def _start_watchdog():
 
     def _fire():
         time.sleep(HARD_DEADLINE_S)
-        if _WATCHDOG["done"]:
-            return
-        print(f"# hard deadline ({HARD_DEADLINE_S:.0f}s) hit — emitting "
-              "best-so-far result", file=sys.stderr)
-        sys.stderr.flush()
-        print(_WATCHDOG["line"], flush=True)
-        os._exit(0)
+        with _WATCHDOG_LOCK:
+            if _WATCHDOG["done"]:
+                return
+            print(f"# hard deadline ({HARD_DEADLINE_S:.0f}s) hit — "
+                  "emitting best-so-far result", file=sys.stderr)
+            sys.stderr.flush()
+            print(_WATCHDOG["line"], flush=True)
+            os._exit(0)
 
-    import threading
-    threading.Thread(target=_fire, daemon=True).start()
+    _threading.Thread(target=_fire, daemon=True).start()
 
 
 def synth_histology(h, w, seed=0):
@@ -176,12 +183,14 @@ def _guard_device_reachable():
             pass
         print(f"# device probe {attempt} failed; retrying", file=sys.stderr)
         time.sleep(20)
-    print(json.dumps({
-        "metric": "WSI compress+decompress megapixels/sec/chip",
-        "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
-        "detail": {"error": "tpu unreachable: device probe hung/failed "
-                            "for %.0f s (axon tunnel hard-stall)"
-                            % deadline}}))
+    with _WATCHDOG_LOCK:
+        _WATCHDOG["done"] = True
+        print(json.dumps({
+            "metric": "WSI compress+decompress megapixels/sec/chip",
+            "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
+            "detail": {"error": "tpu unreachable: device probe hung/"
+                                "failed for %.0f s (axon tunnel "
+                                "hard-stall)" % deadline}}))
     sys.exit(0)
 
 
@@ -533,13 +542,15 @@ def main():
             # nothing measured (tunnel dead for the whole budget): still
             # emit ONE parseable JSON line — an unparsed benchmark is an
             # unscored benchmark — then surface the real failure
-            _WATCHDOG["done"] = True
-            print(json.dumps({
-                "metric": "WSI compress+decompress megapixels/sec/chip",
-                "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
-                "detail": {"error": f"{type(last_error).__name__}: "
-                                    f"{str(last_error)[:200]}"}}))
-            sys.stdout.flush()
+            with _WATCHDOG_LOCK:
+                _WATCHDOG["done"] = True
+                print(json.dumps({
+                    "metric":
+                        "WSI compress+decompress megapixels/sec/chip",
+                    "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
+                    "detail": {"error": f"{type(last_error).__name__}: "
+                                        f"{str(last_error)[:200]}"}}))
+                sys.stdout.flush()
             raise last_error
 
         # device-resident serving measurement (scripts/bench_serve.py):
@@ -680,8 +691,9 @@ def main():
             # hard cap: drop stage detail rather than risk driver capture
             result["detail"].pop("stages_s", None)
             line = json.dumps(result)
-        _WATCHDOG["done"] = True
-        print(line)
+        with _WATCHDOG_LOCK:
+            _WATCHDOG["done"] = True
+            print(line)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -492,6 +492,18 @@ class PixelRansTransport:
         coded_words = self.estimate_coded_words(n_values, batch)
         return 2 * coded_words < batch * n_values
 
+    def calibrate_and_gate_fetch(self, tiles_u8, n_values: int,
+                                 batch: int) -> bool:
+        """Calibrate from these reconstructions (no-op when already
+        calibrated) and report whether the coded fetch beats raw for this
+        framing.  The ONE implementation of the pipeline's probe/refit
+        gate (initial calibration probes and mid-call overflow refits in
+        pipeline/tiles.py): a False return means coding would EXPAND on
+        the wire — the content stopped compressing — and the caller
+        should disable the transport for its remaining batches."""
+        self.calibrate_from_tiles(tiles_u8)
+        return self.worthwhile_fetch(n_values, batch)
+
     def estimate_coded_words(self, n_values: int, batch: int) -> float:
         """Expected coded frame words for ``batch`` tiles (flush + slack
         included, no margin) — the ONE place the frame-size formula

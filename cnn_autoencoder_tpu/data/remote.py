@@ -77,7 +77,10 @@ def sigv4_headers(method, url, *, credentials, region, service="s3",
     all_headers = dict(headers)
     all_headers["host"] = host
 
-    canonical_uri = _uri_encode(parts.path or "/", keep_slash=True)
+    # The URL's path must already be URI-encoded exactly once (S3 SigV4
+    # prohibits double-encoding): s3_to_https encodes the key, so the
+    # canonical URI is the path as it goes on the wire.
+    canonical_uri = parts.path or "/"
     query = urllib.parse.parse_qsl(parts.query, keep_blank_values=True)
     canonical_query = "&".join(
         "%s=%s" % (_uri_encode(k), _uri_encode(v))
@@ -121,13 +124,36 @@ def s3_to_https(url: str, endpoint: str = None) -> str:
     or a test fixture): the object is fetched as {endpoint}/{bucket}/{key}.
     """
     bucket, _, key = url[len("s3://"):].partition("/")
+    # Encode the key ONCE: S3 keys may contain spaces/'+'/'#'/non-ASCII,
+    # which must be percent-encoded on the wire, and the SigV4 canonical
+    # URI signs the path exactly as sent (see sigv4_headers).
+    key = _uri_encode(key, keep_slash=True)
     if endpoint:
         return "%s/%s/%s" % (endpoint.rstrip("/"), bucket, key)
     return "https://%s.s3.amazonaws.com/%s" % (bucket, key)
 
 
+def _s3_error_code(error):
+    """The <Code> of an S3 XML error response, or None if unparseable.
+    HTTPError bodies are single-read; failures here must not mask the
+    original error."""
+    try:
+        body = error.read()
+        root = ET.fromstring(body)
+        el = root.find("Code")
+        if el is None:  # some emulators namespace the error document
+            for child in root.iter():
+                if child.tag.endswith("Code"):
+                    el = child
+                    break
+        return el.text if el is not None else None
+    except Exception:  # noqa: BLE001 — diagnostic only
+        return None
+
+
 def fetch_remote(path: str, timeout: float = 30.0, retries: int = 3,
-                 s3_endpoint: str = None) -> bytes:
+                 s3_endpoint: str = None,
+                 missing_403_ok: bool = False) -> bytes:
     """GET a remote object with small exponential backoff.
 
     s3:// URLs are SigV4-signed when AWS credentials are present in the
@@ -136,10 +162,18 @@ def fetch_remote(path: str, timeout: float = 30.0, retries: int = 3,
     when the caller lacks ListBucket) raise FileNotFoundError immediately
     (no retry): absent chunks are a NORMAL zarr state (fill_value regions
     are simply not stored), so they must fail fast, not burn the backoff
-    budget.  A CREDENTIALED 403 raises PermissionError instead: with a
-    signed request it means denied/expired auth, and treating it as a
+    budget.
+
+    A CREDENTIALED 403 normally raises PermissionError: with a signed
+    request it usually means denied/expired auth, and treating it as a
     missing chunk would silently fill whole regions with zeros (e.g. an
-    STS session token expiring mid-decompress)."""
+    STS session token expiring mid-decompress).  BUT a principal with
+    GetObject-only rights (no s3:ListBucket) receives AccessDenied 403
+    for genuinely absent keys too.  ``missing_403_ok=True`` (set by the
+    zarr layer once a SIGNED metadata read of the same store succeeded)
+    maps that ambiguous AccessDenied to FileNotFoundError; distinguishable
+    auth failures (ExpiredToken, InvalidAccessKeyId, SignatureDoesNotMatch,
+    ...) still raise PermissionError by S3 error <Code>."""
     is_s3 = path.startswith("s3://")
     if is_s3 and s3_endpoint is None:
         s3_endpoint = os.environ.get("CAE_S3_ENDPOINT")
@@ -159,9 +193,13 @@ def fetch_remote(path: str, timeout: float = 30.0, retries: int = 3,
         if error.code == 403:
             if creds is None:
                 raise FileNotFoundError(path) from error
+            code = _s3_error_code(error)
+            if missing_403_ok and code in (None, "AccessDenied"):
+                raise FileNotFoundError(path) from error
             raise PermissionError(
-                "signed S3 request denied (HTTP 403) for %s — check "
-                "credentials/session-token expiry" % path) from error
+                "signed S3 request denied (HTTP 403%s) for %s — check "
+                "credentials/session-token expiry"
+                % (", %s" % code if code else "", path)) from error
 
     return _urlopen_retry(url, timeout, retries, add_auth, missing)
 
@@ -227,7 +265,10 @@ def s3_list(url: str, delimiter: str = "/", s3_endpoint: str = None):
             query.append(("delimiter", delimiter))
         if token:
             query.append(("continuation-token", token))
-        qs = urllib.parse.urlencode(sorted(query))
+        # quote (not quote_plus): SigV4 canonicalizes spaces as %20, so
+        # the wire bytes must match what parse_qsl+re-encode signs
+        qs = urllib.parse.urlencode(sorted(query),
+                                    quote_via=urllib.parse.quote)
         list_url = "%s/?%s" % (base, qs)
         root = ET.fromstring(_urlopen_retry(list_url, 30.0, 3, add_auth))
         for el in root.findall(ns + "Contents"):

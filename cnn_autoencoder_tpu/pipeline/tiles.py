@@ -467,12 +467,7 @@ def decompress_cae_array(src: zarrlib.Array,
             # re-code — a wire-bytes cliff on long images.  These pixels
             # ARE raw-fallback output, so they carry everything a refit
             # needs (mirrors the compress direction's per-batch refit).
-            tr.calibrate_from_tiles(rec_np)
-            if not tr.worthwhile_fetch(ph * pw * 3, batch):
-                # the content stopped compressing (that's WHY it
-                # overflowed): coding would now expand on the wire —
-                # disable for the remaining batches like the initial
-                # calibration gate does
+            if not tr.calibrate_and_gate_fetch(rec_np, ph * pw * 3, batch):
                 transport = None
         if offset:
             rec_np = rec_np[:, offset:-offset, offset:-offset]
@@ -519,8 +514,8 @@ def decompress_cae_array(src: zarrlib.Array,
             rec0 = np.asarray(core.decode_tiles_device(sym0,
                                                        packed=False))
             GLOBAL_TIMER.add_link_bytes("d2h", rec0.nbytes)
-            transport.calibrate_from_tiles(rec0)
-            if not transport.worthwhile_fetch(ph * pw * 3, batch):
+            if not transport.calibrate_and_gate_fetch(rec0, ph * pw * 3,
+                                                      batch):
                 transport = None  # coding would expand on the wire
             break
 
@@ -533,10 +528,16 @@ def decompress_cae_array(src: zarrlib.Array,
         sym, true_hw, ids = futures.pop(i).result()
         if sym is None:
             continue
+        # capture ONCE: a fetch worker can nonlocal-disable `transport`
+        # (mid-call refit gate) between the dispatch and the submit; the
+        # fetch must use exactly the transport the program was dispatched
+        # with or fetch_pixels dereferences None on a coded result
+        tr_dispatch = transport
         with GLOBAL_TIMER.stage("decompress/h2d+dispatch", mp_batch):
             rec = core.decode_tiles_device(sym, packed=use_packed,
-                                           transport=transport)
-        jobs.append(fetchers.submit(fetch_and_stitch, ids, rec, transport))
+                                           transport=tr_dispatch)
+        jobs.append(fetchers.submit(fetch_and_stitch, ids, rec,
+                                    tr_dispatch))
         while len(jobs) > MAX_INFLIGHT:
             jobs.pop(0).result()
     for f in jobs:
@@ -724,7 +725,6 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
             rec0 = core.decode_tiles(bufs0)
             sample = rec0 if isinstance(rec0, np.ndarray) else \
                 np.stack([r for r in rec0 if r.shape == rec0[0].shape])
-            transport.calibrate_from_tiles(sample)
             ph0, pw0 = core.base.padded_hw(*sample.shape[1:3])
             # gate with the SAME per-shard batch the decode path frames
             # with (_decode_turbo_group: pb // nd after mesh padding) —
@@ -732,15 +732,19 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
             # framing economics and disable coding for the whole image
             nd = getattr(core, "_nd", 1)
             per = (batch + (-batch) % nd) // nd
-            if not transport.worthwhile_fetch(ph0 * pw0 * 3, max(1, per)):
+            if not transport.calibrate_and_gate_fetch(
+                    sample, ph0 * pw0 * 3, max(1, per)):
                 transport = None
 
     def decode_and_stitch(ids, bufs):
         nonlocal transport
+        # capture ONCE: another worker's refit gate can nonlocal-disable
+        # `transport` concurrently; the refit check below must see the
+        # transport THIS decode dispatched with
+        tr = transport
         with GLOBAL_TIMER.stage("decompress/turbo_decode",
                                 len(ids) * p * p / 1e6):
-            rec = core.decode_tiles(bufs, transport=transport)
-        tr = transport
+            rec = core.decode_tiles(bufs, transport=tr)
         if tr is not None and not tr.calibrated():
             # mid-call overflow invalidation (3rd overflow in
             # fetch_pixels): refit from these raw-fallback reconstructions
@@ -748,11 +752,11 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
             # of silently shipping raw pixels for the rest of the image
             sample = rec if isinstance(rec, np.ndarray) else \
                 np.stack([r for r in rec if r.shape == rec[0].shape])
-            tr.calibrate_from_tiles(sample)
             ph0, pw0 = core.base.padded_hw(*sample.shape[1:3])
             nd = getattr(core, "_nd", 1)
             per = (batch + (-batch) % nd) // nd
-            if not tr.worthwhile_fetch(ph0 * pw0 * 3, max(1, per)):
+            if not tr.calibrate_and_gate_fetch(sample, ph0 * pw0 * 3,
+                                               max(1, per)):
                 # content stopped compressing — coding would expand on
                 # the wire; disable like the calibration probe's gate
                 transport = None

@@ -31,7 +31,7 @@ from .codecs import Codec, get_codec
 # groups list + size themselves via ListObjectsV2; plain-HTTP stores
 # cannot list.  Writes are local-only: the pipelines only ever write
 # local outputs.
-from ..data.remote import fetch_remote, is_remote
+from ..data.remote import aws_credentials, fetch_remote, is_remote
 
 
 def _join(base: str, *parts: str) -> str:
@@ -41,12 +41,14 @@ def _join(base: str, *parts: str) -> str:
     return os.path.join(base, *parts)
 
 
-def _read_bytes(path: str) -> Optional[bytes]:
+def _read_bytes(path: str, missing_403_ok: bool = False) -> Optional[bytes]:
     """File/object contents, or None when absent (local missing file or
-    remote 4xx/5xx after retries)."""
+    remote 4xx/5xx after retries).  ``missing_403_ok`` maps a credentialed
+    S3 AccessDenied to absent — only set for chunk reads after a signed
+    metadata read of the same store succeeded (see fetch_remote)."""
     if is_remote(path):
         try:
-            return fetch_remote(path)
+            return fetch_remote(path, missing_403_ok=missing_403_ok)
         except (FileNotFoundError, RuntimeError):
             return None
     if not os.path.exists(path):
@@ -75,7 +77,11 @@ class Attributes(dict):
     def __init__(self, path: str):
         super().__init__()
         self._path = path
-        raw = _read_bytes(path)
+        # .zattrs is OPTIONAL metadata: absent is normal, so the ambiguous
+        # credentialed AccessDenied (GetObject-only principal, no
+        # ListBucket) reads as absent too — a genuinely denied store
+        # already failed loudly on its REQUIRED .zarray/.zgroup read
+        raw = _read_bytes(path, missing_403_ok=True)
         if raw is not None:
             dict.update(self, json.loads(raw))
 
@@ -111,6 +117,13 @@ class Array:
         self._sep = meta.get("dimension_separator", ".")
         self._compressor = None
         self._compressor_loaded = False
+        # every remote Array is constructed AFTER a signed .zarray read of
+        # the same store succeeded (open / Group.__getitem__), so a
+        # chunk-level S3 AccessDenied means "absent key under a
+        # GetObject-only principal" (sparse fill_value state), not an auth
+        # failure; distinguishable codes (ExpiredToken, ...) still raise
+        self._chunk_403_is_missing = (path.startswith("s3://")
+                                      and aws_credentials() is not None)
         self.attrs = Attributes(_join(path, ".zattrs"))
 
     @property
@@ -200,7 +213,8 @@ class Array:
 
     def read_chunk(self, idx: Sequence[int]) -> np.ndarray:
         """Full (padded) chunk; missing chunks come back as fill_value."""
-        raw = _read_bytes(self.chunk_path(idx))
+        raw = _read_bytes(self.chunk_path(idx),
+                          missing_403_ok=self._chunk_403_is_missing)
         if raw is None:
             return np.full(self.chunks, self.fill_value, self.dtype)
         if self.compressor is not None:
@@ -240,7 +254,8 @@ class Array:
         return len(raw)
 
     def read_chunk_raw(self, idx: Sequence[int]) -> Optional[bytes]:
-        return _read_bytes(self.chunk_path(idx))
+        return _read_bytes(self.chunk_path(idx),
+                           missing_403_ok=self._chunk_403_is_missing)
 
     # -- whole-array / sliced access ---------------------------------------
 
@@ -400,40 +415,54 @@ class Group:
         return Group.create(os.path.join(self.path, name))
 
     def __contains__(self, name: str) -> bool:
+        # membership PROBES: absence is a valid answer, so the ambiguous
+        # credentialed AccessDenied reads as absent (see Attributes)
         p = _join(self.path, *str(name).split("/"))
-        return (_read_bytes(_join(p, ".zarray")) is not None
-                or _read_bytes(_join(p, ".zgroup")) is not None)
+        return (_read_bytes(_join(p, ".zarray"),
+                            missing_403_ok=True) is not None
+                or _read_bytes(_join(p, ".zgroup"),
+                               missing_403_ok=True) is not None)
 
     def __getitem__(self, name: str):
         p = _join(self.path, *str(name).split("/"))
-        raw = _read_bytes(_join(p, ".zarray"))
+        raw = _read_bytes(_join(p, ".zarray"), missing_403_ok=True)
         if raw is not None:
             return Array(p, json.loads(raw))
-        if _read_bytes(_join(p, ".zgroup")) is not None:
+        if _read_bytes(_join(p, ".zgroup"),
+                       missing_403_ok=True) is not None:
             return Group(p)
         raise KeyError(name)
 
     def keys(self):
         if is_remote(self.path):
             if self.path.startswith("s3://"):
-                # one recursive ListObjectsV2: the '<child>/.zarray' /
-                # '<child>/.zgroup' keys it returns decide membership with
-                # zero extra round trips (a delimited listing would need
-                # 1-2 probe GETs per child on a congested link)
+                # ONE delimited ListObjectsV2 returns the direct children
+                # as CommonPrefixes (~1 page for any zarr group), then 1-2
+                # small probe GETs per child decide membership.  An
+                # undelimited recursive listing would instead enumerate
+                # EVERY chunk object under the group — for a pyramid store
+                # that is 10^5+ keys = hundreds of sequential 1000-key
+                # pages over a congested link, vs a handful of children
+                # here.
                 from ..data.remote import s3_list
-                sizes, _ = s3_list(self.path, delimiter="")
-                # keys are bucket-absolute; strip this group's prefix
+                _, commons = s3_list(self.path, delimiter="/")
+                # prefixes are bucket-absolute; strip this group's prefix
                 _, _, prefix = self.path[len("s3://"):].partition("/")
                 if prefix and not prefix.endswith("/"):
                     prefix += "/"
-                members = set()
-                for key in sizes:
-                    if not key.startswith(prefix):
+                members = []
+                for cp in sorted(commons):
+                    child = cp[len(prefix):].strip("/")
+                    if not child:
                         continue
-                    head, _, tail = key[len(prefix):].partition("/")
-                    if head and tail in (".zarray", ".zgroup"):
-                        members.add(head)
-                yield from sorted(members)
+                    p = _join(self.path, child)
+                    if (_read_bytes(_join(p, ".zarray"),
+                                    missing_403_ok=True) is not None
+                            or _read_bytes(_join(p, ".zgroup"),
+                                           missing_403_ok=True)
+                            is not None):
+                        members.append(child)
+                yield from members
                 return
             raise NotImplementedError(
                 "plain-HTTP zarr groups cannot be listed; address members "

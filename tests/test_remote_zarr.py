@@ -150,17 +150,29 @@ def s3_emulator(tmp_path):
 
     seen_auth = []
     root = tmp_path
+    # behavior knobs tests may flip: S3 reports missing keys as 403
+    # AccessDenied to principals lacking s3:ListBucket
+    mode = {"missing": 404}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
+
+        def _s3_error(self, status, code):
+            body = ('<?xml version="1.0"?><Error><Code>%s</Code>'
+                    "</Error>" % code).encode()
+            self.send_response(status)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_GET(self):
             seen_auth.append(self.headers.get("Authorization"))
             parsed = urllib.parse.urlsplit(self.path)
             parts = parsed.path.lstrip("/").split("/", 1)
             bucket = parts[0]
-            key = parts[1] if len(parts) > 1 else ""
+            # real S3 percent-decodes the request path
+            key = urllib.parse.unquote(parts[1]) if len(parts) > 1 else ""
             q = dict(urllib.parse.parse_qsl(parsed.query,
                                             keep_blank_values=True))
             bdir = root / bucket
@@ -196,13 +208,16 @@ def s3_emulator(tmp_path):
                 self.wfile.write(data)
                 return
             if key.startswith("forbidden"):
-                self.send_response(403)
-                self.end_headers()
+                self._s3_error(403, "ExpiredToken" if "expired" in key
+                               else "AccessDenied")
                 return
             fp = bdir / key
             if not fp.is_file():
-                self.send_response(404)
-                self.end_headers()
+                if mode["missing"] == 403:
+                    self._s3_error(403, "AccessDenied")
+                else:
+                    self.send_response(404)
+                    self.end_headers()
                 return
             data = fp.read_bytes()
             self.send_response(200)
@@ -215,7 +230,7 @@ def s3_emulator(tmp_path):
     thread.start()
     try:
         yield ("http://127.0.0.1:%d" % server.server_address[1], tmp_path,
-               seen_auth)
+               seen_auth, mode)
     finally:
         server.shutdown()
         server.server_close()
@@ -226,7 +241,7 @@ def test_s3_zarr_listing_and_credentialed_reads(s3_emulator, monkeypatch):
     chunk reads — every request SigV4-signed when credentials are set
     (the boto3-equivalent path, reference src/utils/datasets/
     _datautils.py:186-257)."""
-    endpoint, root, seen_auth = s3_emulator
+    endpoint, root, seen_auth, _ = s3_emulator
     bucket = root / "mybucket"
     bucket.mkdir()
     img = _make_store(bucket, name="wsi.zarr")
@@ -264,7 +279,7 @@ def test_s3_403_is_permission_error_only_when_signed(s3_emulator,
     fill_value region) — e.g. an STS token expiring mid-decompress."""
     from cnn_autoencoder_tpu.data.remote import fetch_remote
 
-    endpoint, root, _ = s3_emulator
+    endpoint, root, _, _ = s3_emulator
     (root / "mybucket").mkdir()
     monkeypatch.setenv("CAE_S3_ENDPOINT", endpoint)
     monkeypatch.delenv("AWS_ACCESS_KEY_ID", raising=False)
@@ -278,3 +293,74 @@ def test_s3_403_is_permission_error_only_when_signed(s3_emulator,
     # 404 stays FileNotFoundError either way
     with pytest.raises(FileNotFoundError):
         fetch_remote("s3://mybucket/absent/chunk", retries=1)
+
+
+def test_s3_key_percent_encoding_and_signed_fetch(s3_emulator, monkeypatch):
+    """S3 keys with spaces/'+'/'#' must be percent-encoded ONCE on the wire
+    and the SigV4 canonical URI must sign that exact path (no
+    double-encoding)."""
+    from cnn_autoencoder_tpu.data.remote import fetch_remote, s3_to_https
+
+    url = s3_to_https("s3://b/dir with space/k+ey#1.bin")
+    assert url == ("https://b.s3.amazonaws.com/"
+                   "dir%20with%20space/k%2Bey%231.bin")
+
+    endpoint, root, seen_auth, _ = s3_emulator
+    bucket = root / "mybucket"
+    (bucket / "dir with space").mkdir(parents=True)
+    (bucket / "dir with space" / "k+ey.bin").write_bytes(b"payload!")
+    monkeypatch.setenv("CAE_S3_ENDPOINT", endpoint)
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKIDEXAMPLE")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "secret")
+    seen_auth.clear()
+    got = fetch_remote("s3://mybucket/dir with space/k+ey.bin", retries=1)
+    assert got == b"payload!"
+    assert seen_auth and seen_auth[-1].startswith("AWS4-HMAC-SHA256")
+
+
+def test_s3_403_code_discrimination(s3_emulator, monkeypatch):
+    """missing_403_ok maps the ambiguous AccessDenied (GetObject-only
+    principals see it for absent keys) to FileNotFoundError, but
+    distinguishable auth failures (ExpiredToken) stay PermissionError."""
+    from cnn_autoencoder_tpu.data.remote import fetch_remote
+
+    endpoint, root, _, _ = s3_emulator
+    (root / "mybucket").mkdir()
+    monkeypatch.setenv("CAE_S3_ENDPOINT", endpoint)
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKIDEXAMPLE")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "secret")
+    with pytest.raises(FileNotFoundError):
+        fetch_remote("s3://mybucket/forbidden/chunk", retries=1,
+                     missing_403_ok=True)
+    with pytest.raises(PermissionError):
+        fetch_remote("s3://mybucket/forbidden-expired/chunk", retries=1,
+                     missing_403_ok=True)
+    # and without the opt-in, AccessDenied still raises PermissionError
+    with pytest.raises(PermissionError):
+        fetch_remote("s3://mybucket/forbidden/chunk", retries=1)
+
+
+def test_sparse_chunks_with_getobject_only_credentials(s3_emulator,
+                                                       monkeypatch):
+    """A principal without s3:ListBucket gets 403 AccessDenied for ABSENT
+    chunk keys; once the signed metadata read succeeded, those must read
+    as fill_value (normal sparse-zarr state), not crash the decompress."""
+    endpoint, root, _, mode = s3_emulator
+    bucket = root / "mybucket"
+    bucket.mkdir()
+    arr = zarrlib.Array.create(str(bucket / "sparse.zarr"),
+                               shape=(64, 64), chunks=(32, 32),
+                               dtype=np.uint8, fill_value=7)
+    arr[0:32, 0:32] = np.full((32, 32), 200, np.uint8)  # one stored chunk
+
+    monkeypatch.setenv("CAE_S3_ENDPOINT", endpoint)
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKIDEXAMPLE")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "secret")
+    mode["missing"] = 403  # simulate GetObject-only: absent key -> 403
+    try:
+        remote = zarrlib.Array.open("s3://mybucket/sparse.zarr")
+        full = remote[...]
+    finally:
+        mode["missing"] = 404
+    assert np.all(full[0:32, 0:32] == 200)
+    assert np.all(full[32:, :] == 7) and np.all(full[:, 32:] == 7)
