@@ -100,6 +100,7 @@ def _gdn_mixed_bwd(inverse, res, g):
         dx2, dnb2 = gdn_train_bwd(g.reshape(-1, c), xb.reshape(-1, c),
                                   rb.reshape(-1, c), gamma, inverse)
         dx, dnb = dx2.reshape(g.shape), dnb2.reshape(g.shape)
+        dbeta = dnb.astype(jnp.float32).reshape(-1, c).sum(0)
     else:
         x = xb.astype(jnp.float32)
         r = rb.astype(jnp.float32)
@@ -107,6 +108,11 @@ def _gdn_mixed_bwd(inverse, res, g):
             dnorm = (0.5 * g * x) / r
         else:
             dnorm = (-0.5 * g * x) * (r * r * r)
+        # dbeta from the f32 dnorm BEFORE the barrier: XLA multi-output-
+        # fuses the row reduction into the same pass that materializes
+        # dnb below, so dbeta costs zero extra HBM reads (a sum over the
+        # barriered dnb would re-stream the whole tensor).
+        dbeta = dnorm.reshape(-1, c).sum(0)
         # Materialize the bf16 cotangent once: without the barrier XLA
         # clones the (g, xb, rb) elementwise prologue into all three
         # consumers below, tripling the HBM traffic of this backward
@@ -116,13 +122,12 @@ def _gdn_mixed_bwd(inverse, res, g):
                           precision=jax.lax.Precision.DEFAULT,
                           preferred_element_type=jnp.float32)
         dx = g * r + 2.0 * x * back
-    # dgamma/dbeta as XLA contractions over the materialized dnb: under
+    # dgamma as an XLA contraction over the materialized dnb: under
     # pjit these reduce over the (sharded) row dim, so GSPMD inserts the
     # cross-shard psum — the kernels stay strictly rowwise.
     dgamma = jnp.einsum("...o,...i->oi", dnb, xb * xb,
                         precision=jax.lax.Precision.DEFAULT,
                         preferred_element_type=jnp.float32)
-    dbeta = dnb.astype(jnp.float32).reshape(-1, c).sum(0)
     # the cotangent dtype equals the primal activation dtype (bf16 flow
     # stays bf16 through the layer boundary)
     return dx.astype(g.dtype), dgamma, dbeta
