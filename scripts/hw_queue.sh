@@ -1,14 +1,15 @@
 #!/bin/bash
-# Sequential runner for the round-4 queued hardware items (CLAUDE.md
-# "State (round 4)"): everything that was blocked on the axon tunnel
-# being hard-down.  Each step gets its own log under /tmp/hw_queue and a
-# generous timeout (the tunnel can full-stall ~10 min); steps are
-# serialized because concurrent chip jobs contend and time out.
+# Sequential runner for the currently queued hardware items: everything
+# blocked on the axon tunnel being hard-down.  Each step gets its own
+# log under /tmp/hw_queue and a generous timeout (the tunnel can
+# full-stall ~10 min); steps are serialized because concurrent chip
+# jobs contend and time out.
 #
-# Results land where the scripts already write them:
-#   benchmarks/roofline_conv.json   (roofline measured table)
-#   /tmp/cae_rd_sweep_bf16/rd_sweep.csv
-#   /tmp/hw_queue/*.log             (microbench numbers, bench JSON line)
+# Current queue (late round 4): measure the GDN dbeta-fusion change
+# (ops/gdn.py) on the training step — 200 steps x batch 128 x 256²,
+# the protocol behind the recorded 2226.0 img/s — then refresh the
+# measured half of the training roofline so the per-layer GDN ms are
+# comparable with benchmarks/roofline_train.json.
 set -u
 cd /root/repo
 LOG=/tmp/hw_queue
@@ -23,17 +24,10 @@ run() {
   echo "=== $name rc=$rc end $(date -u +%FT%TZ)" | tee -a "$LOG/summary.log"
 }
 
-run probe              300  python scripts/_tpu_probe.py
-# short microbenches first: they decide the polyphase-conv default
-run microbench_strided 2400 python scripts/microbench_strided_conv.py
-run microbench_deconv  2400 python scripts/microbench_final_deconv.py
-# per-layer measured roofline (VERDICT r3 #4)
-run roofline           3000 python scripts/roofline_conv.py --batch 64
-# training-step roofline: measured half of scripts/roofline_train.py
-run roofline_train     3000 python scripts/roofline_train.py
-# end-to-end bench, utilization focus (VERDICT r3 #2)
-run bench              5400 python bench.py
-# RD sweep with the serving bf16 path (round-3 CSV was CPU f32)
-run rd_sweep_bf16      5400 env CAE_TPU_PRECISION=bf16 \
-    python scripts/rd_sweep.py --workdir /tmp/cae_rd_sweep_bf16
+run probe         300  python scripts/_tpu_probe.py
+# A/B: the dbeta-fusion train step (current tree) vs the recorded
+# 2226 img/s pre-change number (same protocol, RESULTS.md round-4)
+run bench_train   3000 python scripts/bench_train.py 200 128 256
+# per-layer measured re-trace: did the GDN chains' ms actually drop?
+run roofline_train 3000 python scripts/roofline_train.py
 echo "=== queue complete $(date -u +%FT%TZ)" | tee -a "$LOG/summary.log"
