@@ -430,10 +430,18 @@ def main():
                                 ** 2))
             run_psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
             if trained_fixture and not run_psnr > 22.0:
-                # not an assert: `python -O` must not disable this guard
-                raise RuntimeError(
+                # not an assert: `python -O` must not disable this guard.
+                # Reject THIS run only (like the transient-failure handler
+                # above): aborting the loop would discard earlier good
+                # runs and kill the process with no final JSON line.
+                last_error = RuntimeError(
                     f"reconstruction PSNR {run_psnr:.2f} dB is garbage — "
                     "refusing to record this run")
+                print(f"# run {r} REJECTED ({last_error}); continuing",
+                      file=sys.stderr)
+                shutil.rmtree(out, ignore_errors=True)
+                time.sleep(5)
+                continue
             run_bpp = arr.nbytes_stored * 8 / (h * w)
             mps = mp / (t2 - t0)
             # link-boundedness: bytes that ACTUALLY crossed the tunnel

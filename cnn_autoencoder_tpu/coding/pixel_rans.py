@@ -504,6 +504,16 @@ class PixelRansTransport:
         self.calibrate_from_tiles(tiles_u8)
         return self.worthwhile_fetch(n_values, batch)
 
+    def calibrate_and_gate_upload(self, tiles_u8, n_values: int) -> bool:
+        """Upload-direction twin of calibrate_and_gate_fetch: calibrate
+        from these source tiles (no-op when already calibrated) and
+        report whether the coded upload beats raw for this tile size.
+        The ONE implementation of the compress pipelines' calibration
+        gate — a False return means coding would expand on the wire and
+        the caller should disable the upload transport."""
+        self.calibrate_from_tiles(tiles_u8)
+        return self.worthwhile(n_values)
+
     def estimate_coded_words(self, n_values: int, batch: int) -> float:
         """Expected coded frame words for ``batch`` tiles (flush + slack
         included, no margin) — the ONE place the frame-size formula

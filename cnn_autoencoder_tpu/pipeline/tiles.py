@@ -186,8 +186,7 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
             # programs compile separately and the bf16 encoder rounds
             # differently between them, so mixing them would make the
             # stored bytes depend on when the serving core calibrated.
-            tr.calibrate_from_tiles(tiles_np)
-            if not tr.worthwhile(pe * pe * c):
+            if not tr.calibrate_and_gate_upload(tiles_np, pe * pe * c):
                 up_transport = None
                 tr = None
         snap = tr.snapshot() if tr is not None else None
@@ -231,8 +230,8 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
                 while len(tiles) < batch:
                     tiles.append(tiles[-1])
             pre = np.stack(tiles)
-            up_transport.calibrate_from_tiles(pre)
-            if not up_transport.worthwhile(pe * pe * c):
+            if not up_transport.calibrate_and_gate_upload(pre,
+                                                          pe * pe * c):
                 up_transport = None
         inflight.append(workers.submit(compress_one, group, pre))
         while len(inflight) > MAX_INFLIGHT:
@@ -643,8 +642,7 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
             # every batch rides the same coded-upload program (see
             # compress_pixels_to_cae: mixing raw/coded upload programs
             # would make stored bytes depend on calibration timing)
-            tr.calibrate_from_tiles(tiles_np)
-            if not tr.worthwhile(p * p * c):
+            if not tr.calibrate_and_gate_upload(tiles_np, p * p * c):
                 up_transport = None
                 tr = None
         with GLOBAL_TIMER.stage("compress/turbo_encode",
@@ -663,8 +661,8 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
             # (dispatch + fetch + write included) cost a full batch of
             # pipeline fill, and only the host tiles are needed to settle
             # the table
-            up_transport.calibrate_from_tiles(np.stack(tiles))
-            if not up_transport.worthwhile(p * p * c):
+            if not up_transport.calibrate_and_gate_upload(
+                    np.stack(tiles), p * p * c):
                 up_transport = None
         inflight.append(workers.submit(encode_and_write, group, tiles))
         while len(inflight) > MAX_INFLIGHT:
@@ -727,13 +725,11 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
                 np.stack([r for r in rec0 if r.shape == rec0[0].shape])
             ph0, pw0 = core.base.padded_hw(*sample.shape[1:3])
             # gate with the SAME per-shard batch the decode path frames
-            # with (_decode_turbo_group: pb // nd after mesh padding) —
-            # a short first batch must not disagree with the steady-state
-            # framing economics and disable coding for the whole image
-            nd = getattr(core, "_nd", 1)
-            per = (batch + (-batch) % nd) // nd
+            # with (core.per_shard_batch) — a short first batch must not
+            # disagree with the steady-state framing economics and
+            # disable coding for the whole image
             if not transport.calibrate_and_gate_fetch(
-                    sample, ph0 * pw0 * 3, max(1, per)):
+                    sample, ph0 * pw0 * 3, core.per_shard_batch(batch)):
                 transport = None
 
     def decode_and_stitch(ids, bufs):
@@ -753,10 +749,8 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
             sample = rec if isinstance(rec, np.ndarray) else \
                 np.stack([r for r in rec if r.shape == rec[0].shape])
             ph0, pw0 = core.base.padded_hw(*sample.shape[1:3])
-            nd = getattr(core, "_nd", 1)
-            per = (batch + (-batch) % nd) // nd
             if not tr.calibrate_and_gate_fetch(sample, ph0 * pw0 * 3,
-                                               max(1, per)):
+                                               core.per_shard_batch(batch)):
                 # content stopped compressing — coding would expand on
                 # the wire; disable like the calibration probe's gate
                 transport = None

@@ -144,8 +144,20 @@ def decompress(buf) -> bytes:
         raise ValueError("bit-shuffled blosc frames are not supported")
     if nbytes == 0:
         return b""
+    # untrusted-header plausibility guards (remote stores ship these
+    # frames): zlib's theoretical maximum expansion is ~1032:1, so an
+    # nbytes far beyond that is an allocation bomb, and the block-offset
+    # table must fit inside the frame (also turns struct.error into the
+    # documented ValueError).
+    if nbytes > 1100 * len(buf):
+        raise ValueError(
+            "implausible blosc frame: header claims %d bytes from a "
+            "%d-byte frame (corrupt or crafted)" % (nbytes, len(buf)))
     blocksize = blocksize or nbytes
     nblocks = -(-nbytes // blocksize)
+    if _HDR.size + 4 * nblocks > len(buf):
+        raise ValueError("blosc block-offset table overruns the frame "
+                         "(%d blocks claimed)" % nblocks)
     offsets = struct.unpack_from("<%dI" % nblocks, buf, _HDR.size)
     do_shuffle = bool(flags & FLAG_SHUFFLE) and typesize > 1
     dont_split = bool(flags & FLAG_DONT_SPLIT)
@@ -160,8 +172,14 @@ def decompress(buf) -> bytes:
                 raise ValueError("blosc sub-stream overruns the frame")
             stream = buf[off + 4:off + 4 + csize]
             nesplit = neblock // nsplits
-            parts.append(stream if csize == nesplit
-                         else zlib.decompress(stream))
+            if csize == nesplit:
+                parts.append(stream)
+            else:
+                # bounded inflation: a crafted stream cannot allocate
+                # beyond its declared split size (+1 so an overlong
+                # stream still fails the length check below)
+                part = zlib.decompressobj().decompress(stream, nesplit + 1)
+                parts.append(part)
             off += 4 + csize
         block = b"".join(parts)
         if len(block) != neblock:

@@ -271,6 +271,15 @@ class CAETurboCore:
 
     # -- geometry -----------------------------------------------------------
 
+    def per_shard_batch(self, batch: int) -> int:
+        """Tiles per shard after mesh padding — the framing unit of every
+        per-shard transport frame (_decode_turbo_group: pb // nd).
+        Calibration/refit gates in the pipeline MUST evaluate frame
+        economics at this batch, not the caller's, so they stay in sync
+        with the decode programs they gate."""
+        pb = batch + (-batch) % self._nd
+        return max(1, pb // self._nd)
+
     def _latent_hw(self, h, w):
         return self.base.latent_hw(h, w)
 
@@ -505,7 +514,7 @@ class CAETurboCore:
         ph, pw = 2 ** self.level * lh, 2 ** self.level * lw
         n_px = ph * pw * 3
         pb = batch + (-batch) % self._nd     # after mesh padding
-        per = pb // self._nd                 # tiles per shard
+        per = self.per_shard_batch(batch)    # tiles per shard
         snap = transport.snapshot() if transport is not None else None
         use_rans = (snap is not None
                     and transport.worthwhile_fetch(n_px, per))

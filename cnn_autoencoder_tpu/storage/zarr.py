@@ -424,14 +424,46 @@ class Group:
                                missing_403_ok=True) is not None)
 
     def __getitem__(self, name: str):
+        # The ambiguous credentialed AccessDenied (GetObject-only
+        # principals see it for absent keys) maps to "absent" here like
+        # the chunk reads do — an existing-but-denied member is
+        # indistinguishable from a missing one at the S3 API level — but
+        # the KeyError then SAYS so instead of silently reading as
+        # absence; distinguishable auth codes (ExpiredToken, ...) still
+        # raise PermissionError out of fetch_remote.
         p = _join(self.path, *str(name).split("/"))
-        raw = _read_bytes(_join(p, ".zarray"), missing_403_ok=True)
+        raw, denied = self._read_member_meta(_join(p, ".zarray"))
         if raw is not None:
             return Array(p, json.loads(raw))
-        if _read_bytes(_join(p, ".zgroup"),
-                       missing_403_ok=True) is not None:
+        raw2, denied2 = self._read_member_meta(_join(p, ".zgroup"))
+        if raw2 is not None:
             return Group(p)
+        if denied or denied2:
+            raise KeyError(
+                "%s (S3 answered AccessDenied for the member's metadata: "
+                "either absent under a GetObject-only principal, or an "
+                "existing member this principal is denied — check the "
+                "bucket policy)" % name)
         raise KeyError(name)
+
+    @staticmethod
+    def _read_member_meta(path):
+        """(contents|None, ambiguous_denied) for a child metadata read.
+        ``ambiguous_denied`` is True when a credentialed S3 AccessDenied
+        was mapped to absence (see fetch_remote's missing_403_ok)."""
+        if is_remote(path):
+            try:
+                return fetch_remote(path, missing_403_ok=True), False
+            except FileNotFoundError as e:
+                # only a SIGNED 403 is the ambiguous case; anonymous 403s
+                # already read as plain absence everywhere
+                denied = (getattr(e.__cause__, "code", None) == 403
+                          and path.startswith("s3://")
+                          and aws_credentials() is not None)
+                return None, denied
+            except RuntimeError:
+                return None, False
+        return _read_bytes(path), False
 
     def keys(self):
         if is_remote(self.path):

@@ -364,3 +364,32 @@ def test_sparse_chunks_with_getobject_only_credentials(s3_emulator,
         mode["missing"] = 404
     assert np.all(full[0:32, 0:32] == 200)
     assert np.all(full[32:, :] == 7) and np.all(full[:, 32:] == 7)
+
+
+def test_group_getitem_says_when_absence_was_accessdenied(s3_emulator,
+                                                          monkeypatch):
+    """Group lookup of a member whose metadata came back as a credentialed
+    AccessDenied still raises KeyError (absence is the likeliest meaning
+    under a GetObject-only principal) — but the message must SAY the
+    answer was AccessDenied, so a genuinely denied existing member is not
+    silently indistinguishable from a missing one."""
+    endpoint, root, _, mode = s3_emulator
+    bucket = root / "mybucket"
+    bucket.mkdir()
+    _make_store(bucket, name="g.zarr")
+
+    monkeypatch.setenv("CAE_S3_ENDPOINT", endpoint)
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKIDEXAMPLE")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "secret")
+    grp = zarrlib.Group.open("s3://mybucket/g.zarr")
+    mode["missing"] = 403  # GetObject-only: absent keys answer 403
+    try:
+        with pytest.raises(KeyError, match="AccessDenied"):
+            grp["no_such_member"]
+    finally:
+        mode["missing"] = 404
+    # clean 404 absence keeps the plain KeyError (no spurious warning)
+    try:
+        grp["also_missing"]
+    except KeyError as e:
+        assert "AccessDenied" not in str(e)

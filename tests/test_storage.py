@@ -122,6 +122,37 @@ def test_blosc_frame_roundtrip_properties():
         blosc_frame.decompress(b"\x02\x01\x20\x01" + b"\0" * 12)  # lz4 code
 
 
+def test_blosc_frame_crafted_header_guards():
+    """Untrusted-header guards: a crafted frame cannot allocate from a
+    claimed multi-GB nbytes, overrun the offset table (struct.error must
+    surface as the documented ValueError), or zlib-bomb past its
+    declared block size."""
+    import struct as st
+    import zlib
+
+    from cnn_autoencoder_tpu.storage import blosc_frame
+
+    hdr = blosc_frame._HDR
+    zflags = blosc_frame.CODE_ZLIB << 5
+    # nbytes far beyond zlib's ~1032:1 ceiling for this frame size
+    bomb = hdr.pack(2, 1, zflags, 1, 1 << 31, 1 << 20, hdr.size) + b"\0" * 64
+    with pytest.raises(ValueError, match="implausible"):
+        blosc_frame.decompress(bomb)
+    # plausible nbytes but a block count whose offset table overruns the
+    # frame (previously struct.error)
+    tiny = hdr.pack(2, 1, zflags, 1, 30000, 16, hdr.size) + b"\0" * 64
+    with pytest.raises(ValueError, match="offset table"):
+        blosc_frame.decompress(tiny)
+    # a sub-stream that inflates past its declared split size must fail
+    # the length check, not materialize the whole stream
+    payload = zlib.compress(b"\0" * 5000)
+    body = st.pack("<I", hdr.size + 4) + st.pack("<i", len(payload)) + payload
+    over = hdr.pack(2, 1, zflags, 1, 100, 100,
+                    hdr.size + len(body)) + body
+    with pytest.raises(ValueError):
+        blosc_frame.decompress(over)
+
+
 def test_tensorstore_reads_our_blosc_chunks(tmp_path):
     """Our stdlib blosc1 frames must parse in real c-blosc (tensorstore's
     bundled copy) — the byte-compatibility the reference's numcodecs
