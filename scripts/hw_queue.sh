@@ -5,11 +5,12 @@
 # full-stall ~10 min); steps are serialized because concurrent chip
 # jobs contend and time out.
 #
-# Current queue (late round 4): measure the GDN dbeta-fusion change
-# (ops/gdn.py) on the training step — 200 steps x batch 128 x 256²,
-# the protocol behind the recorded 2226.0 img/s — then refresh the
-# measured half of the training roofline so the per-layer GDN ms are
-# comparable with benchmarks/roofline_train.json.
+# Current queue (late round 4): the bf16 HEADLINE train re-measure
+# after the GDN dbeta fusion (the previous queue ran bench_train at
+# the default HIGHEST precision — 853 img/s is a different protocol).
+# The recorded number to beat is 2226.0 img/s (RESULTS.md round-4,
+# 200 steps x batch 128 x 256² under CAE_TPU_PRECISION=bf16); the
+# measured roofline trace says the step dropped 57.2 -> 55.4 ms.
 set -u
 cd /root/repo
 LOG=/tmp/hw_queue
@@ -24,10 +25,7 @@ run() {
   echo "=== $name rc=$rc end $(date -u +%FT%TZ)" | tee -a "$LOG/summary.log"
 }
 
-run probe         300  python scripts/_tpu_probe.py
-# A/B: the dbeta-fusion train step (current tree) vs the recorded
-# 2226 img/s pre-change number (same protocol, RESULTS.md round-4)
-run bench_train   3000 python scripts/bench_train.py 200 128 256
-# per-layer measured re-trace: did the GDN chains' ms actually drop?
-run roofline_train 3000 python scripts/roofline_train.py
+run probe            300  python scripts/_tpu_probe.py
+run bench_train_bf16 3000 env CAE_TPU_PRECISION=bf16 \
+    python scripts/bench_train.py 200 128 256
 echo "=== queue complete $(date -u +%FT%TZ)" | tee -a "$LOG/summary.log"

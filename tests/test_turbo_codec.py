@@ -323,3 +323,21 @@ def test_turbo_sharded_serving_byte_identical(model):
     rec_ref = np.asarray(single.decode_tiles(ref_frames))
     rec_got = np.asarray(sharded.decode_tiles(ref_frames))
     np.testing.assert_array_equal(rec_got, rec_ref)
+
+
+def test_per_shard_batch_matches_decode_framing(model):
+    """per_shard_batch is the ONE framing-economics batch the calibration
+    gates may use: it must equal the per-shard tile count the decode path
+    actually frames with (pb // nd after mesh padding) for every mesh
+    width and caller batch, and never be zero."""
+    from cnn_autoencoder_tpu.parallel.mesh import create_mesh
+
+    cores = [CAETurboCore(model, num_streams=64),
+             CAETurboCore(model, num_streams=64,
+                          mesh=create_mesh(data=8, model=1))]
+    for core in cores:
+        nd = core._nd
+        for batch in (1, 2, 3, 5, 7, 8, 9, 16, 17, 64):
+            pb = batch + (-batch) % nd
+            assert core.per_shard_batch(batch) == max(1, pb // nd)
+        assert core.per_shard_batch(1) >= 1
