@@ -513,7 +513,6 @@ class CAETurboCore:
                                                     lh * lw))
         ph, pw = 2 ** self.level * lh, 2 ** self.level * lw
         n_px = ph * pw * 3
-        pb = batch + (-batch) % self._nd     # after mesh padding
         per = self.per_shard_batch(batch)    # tiles per shard
         snap = transport.snapshot() if transport is not None else None
         use_rans = (snap is not None

@@ -41,20 +41,40 @@ def _join(base: str, *parts: str) -> str:
     return os.path.join(base, *parts)
 
 
+def _read_bytes_denied(path: str, missing_403_ok: bool = False):
+    """``(contents | None, ambiguous_denied)``: like `_read_bytes` but
+    also reports whether the absence was a credentialed S3 AccessDenied
+    that ``missing_403_ok`` mapped to None (GetObject-only principals see
+    403 for absent keys, so existing-but-denied is indistinguishable from
+    missing at the S3 API level).  The ONE implementation of the
+    remote-read-to-absence mapping — it must mirror fetch_remote's raise
+    surface (FileNotFoundError for definitive/mapped absence with the
+    HTTP error as __cause__, RuntimeError on retry exhaustion)."""
+    if is_remote(path):
+        try:
+            return fetch_remote(path, missing_403_ok=missing_403_ok), False
+        except FileNotFoundError as e:
+            # only a SIGNED 403 is the ambiguous case; anonymous 403s
+            # already read as plain absence everywhere
+            denied = (missing_403_ok
+                      and getattr(e.__cause__, "code", None) == 403
+                      and path.startswith("s3://")
+                      and aws_credentials() is not None)
+            return None, denied
+        except RuntimeError:
+            return None, False
+    if not os.path.exists(path):
+        return None, False
+    with builtins.open(path, "rb") as f:
+        return f.read(), False
+
+
 def _read_bytes(path: str, missing_403_ok: bool = False) -> Optional[bytes]:
     """File/object contents, or None when absent (local missing file or
     remote 4xx/5xx after retries).  ``missing_403_ok`` maps a credentialed
     S3 AccessDenied to absent — only set for chunk reads after a signed
     metadata read of the same store succeeded (see fetch_remote)."""
-    if is_remote(path):
-        try:
-            return fetch_remote(path, missing_403_ok=missing_403_ok)
-        except (FileNotFoundError, RuntimeError):
-            return None
-    if not os.path.exists(path):
-        return None
-    with builtins.open(path, "rb") as f:
-        return f.read()
+    return _read_bytes_denied(path, missing_403_ok)[0]
 
 
 def _check_writable(path: str):
@@ -432,10 +452,12 @@ class Group:
         # absence; distinguishable auth codes (ExpiredToken, ...) still
         # raise PermissionError out of fetch_remote.
         p = _join(self.path, *str(name).split("/"))
-        raw, denied = self._read_member_meta(_join(p, ".zarray"))
+        raw, denied = _read_bytes_denied(_join(p, ".zarray"),
+                                         missing_403_ok=True)
         if raw is not None:
             return Array(p, json.loads(raw))
-        raw2, denied2 = self._read_member_meta(_join(p, ".zgroup"))
+        raw2, denied2 = _read_bytes_denied(_join(p, ".zgroup"),
+                                           missing_403_ok=True)
         if raw2 is not None:
             return Group(p)
         if denied or denied2:
@@ -445,25 +467,6 @@ class Group:
                 "existing member this principal is denied — check the "
                 "bucket policy)" % name)
         raise KeyError(name)
-
-    @staticmethod
-    def _read_member_meta(path):
-        """(contents|None, ambiguous_denied) for a child metadata read.
-        ``ambiguous_denied`` is True when a credentialed S3 AccessDenied
-        was mapped to absence (see fetch_remote's missing_403_ok)."""
-        if is_remote(path):
-            try:
-                return fetch_remote(path, missing_403_ok=True), False
-            except FileNotFoundError as e:
-                # only a SIGNED 403 is the ambiguous case; anonymous 403s
-                # already read as plain absence everywhere
-                denied = (getattr(e.__cause__, "code", None) == 403
-                          and path.startswith("s3://")
-                          and aws_credentials() is not None)
-                return None, denied
-            except RuntimeError:
-                return None, False
-        return _read_bytes(path), False
 
     def keys(self):
         if is_remote(self.path):

@@ -388,8 +388,8 @@ def test_group_getitem_says_when_absence_was_accessdenied(s3_emulator,
             grp["no_such_member"]
     finally:
         mode["missing"] = 404
-    # clean 404 absence keeps the plain KeyError (no spurious warning)
-    try:
+    # clean 404 absence still RAISES, and keeps the plain KeyError (no
+    # spurious AccessDenied warning)
+    with pytest.raises(KeyError) as exc:
         grp["also_missing"]
-    except KeyError as e:
-        assert "AccessDenied" not in str(e)
+    assert "AccessDenied" not in str(exc.value)
