@@ -41,6 +41,18 @@ os.environ.setdefault("CAE_TPU_PRECISION", "bf16")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_GPU_MPS_ESTIMATE = 25.0
+
+_METRIC = "WSI compress+decompress megapixels/sec/chip"
+
+
+def _result_dict(value, detail):
+    """The ONE schema for every emitted headline line (final result,
+    watchdog best-so-far, zero-value failure lines): hand-rolled copies
+    of the metric/value/unit/vs_baseline backbone can silently drift
+    from what the driver's parser expects."""
+    return {"metric": _METRIC, "value": round(value, 2), "unit": "MP/s",
+            "vs_baseline": round(value / REFERENCE_GPU_MPS_ESTIMATE, 2),
+            "detail": detail}
 TURBO = os.environ.get("BENCH_TURBO", "0") == "1"
 FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
 
@@ -84,11 +96,9 @@ _WATCHDOG_LOCK = _threading.Lock()
 
 _WATCHDOG = {
     "done": False,
-    "line": json.dumps({
-        "metric": "WSI compress+decompress megapixels/sec/chip",
-        "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
-        "detail": {"error": "hard-deadline watchdog fired before any "
-                            "completed run (tunnel stall)"}}),
+    "line": json.dumps(_result_dict(0.0, {
+        "error": "hard-deadline watchdog fired before any completed run "
+                 "(tunnel stall)"})),
 }
 
 
@@ -185,12 +195,9 @@ def _guard_device_reachable():
         time.sleep(20)
     with _WATCHDOG_LOCK:
         _WATCHDOG["done"] = True
-        print(json.dumps({
-            "metric": "WSI compress+decompress megapixels/sec/chip",
-            "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
-            "detail": {"error": "tpu unreachable: device probe hung/"
-                                "failed for %.0f s (axon tunnel "
-                                "hard-stall)" % deadline}}))
+        print(json.dumps(_result_dict(0.0, {
+            "error": "tpu unreachable: device probe hung/failed for "
+                     "%.0f s (axon tunnel hard-stall)" % deadline})))
     sys.exit(0)
 
 
@@ -330,6 +337,52 @@ def main():
         bench_t0 = time.perf_counter()
         last_error = None
         saw_healthy = False
+
+        def _best_detail():
+            """Detail dict of the best run so far — shared by the final
+            result and the watchdog's best-so-far fallback so the two
+            payloads cannot drift apart."""
+            return {
+                "image": list(best_image),
+                "patch_size": PATCH,
+                "bpp": round(float(bpp), 3) if bpp is not None else None,
+                # reconstruction quality of the best run (quality-guarded:
+                # runs under 22 dB are rejected when the trained fixture
+                # is present)
+                "psnr_db": (round(best_psnr, 2)
+                            if best_psnr is not None else None),
+                "model": "net128_bn48_cl3_gdn",
+                # the path actually used by the best run; *_forced are the
+                # legacy env overrides (BENCH_TURBO/BENCH_FUSED), not what
+                # ran — 'path' is authoritative
+                "path": best_mode,
+                "turbo_forced": TURBO,
+                "fused_forced": FUSED,
+                "device": str(jax.devices()[0]),
+                # per-stage seconds of the best run: separates device/host
+                # compute from link-transfer time (d2h/h2d stages are
+                # tunnel-bound in remote-TPU environments).  NOTE: fetch
+                # stages run concurrently on worker threads, so their
+                # summed seconds can exceed wall time.
+                "stages_s": best_stages,
+                # link bandwidth measured around the best run: when
+                # pixel-fetch throughput matches this, the pipeline is
+                # link-saturated and MP/s is capped by the tunnel, not us
+                "link_d2h_MBps": best_link[0],
+                "link_h2d_MBps": best_link[1],
+                # fraction of the run's wall time that the ACTUAL wire
+                # bytes (accounted at every transfer site) would take at
+                # probe bandwidth alone; ~1.0 = link-saturated
+                "link_utilization": round(best_util, 2),
+                # probe-free occupancy accounting (see the per-run print):
+                # union of transfer-stage intervals / phase wall ("wire_*")
+                # and union of ALL stage intervals / phase wall
+                # ("pipeline_*") — proves where non-wire time lives
+                "busy_fractions": best_busy,
+                # achieved transport bits per image pixel (d2h, h2d);
+                # raw-pixel transport would be 24 each way
+                "transport_bits_px": list(best_bits_px),
+            }
         r = 0   # completed/attempted benchmark runs (probe waits excluded)
         while True:
             elapsed = time.perf_counter() - bench_t0
@@ -421,7 +474,12 @@ def main():
             stage_report = GLOBAL_TIMER.report()
             if stage_report:
                 print("# stages:", stage_report, file=sys.stderr)
-            assert rec.shape == run_img.shape
+            if rec.shape != run_img.shape:
+                # not an assert: `python -O` must not disable this guard
+                # (same rationale as the PSNR check below)
+                raise RuntimeError(
+                    f"decompress returned shape {rec.shape}, expected "
+                    f"{run_img.shape} — corrupt round trip")
             # quality guard: a lossy-codec throughput number is only valid
             # if the reconstruction is sane (a silent device-coder bug once
             # produced plausible-looking 14 dB garbage at full speed)
@@ -526,20 +584,14 @@ def main():
             # keep the watchdog's fallback line current: if a later run
             # stalls past the hard deadline, this partial result is what
             # the driver records
-            _WATCHDOG["line"] = json.dumps({
-                "metric": "WSI compress+decompress megapixels/sec/chip",
-                "value": round(best_mps, 2), "unit": "MP/s",
-                "vs_baseline": round(
-                    best_mps / REFERENCE_GPU_MPS_ESTIMATE, 2),
-                "detail": {
-                    "truncated": f"hard-deadline watchdog fired mid-run; "
-                                 f"best of {r} completed runs",
-                    "image": list(best_image), "path": best_mode,
-                    "bpp": round(float(bpp), 3) if bpp else None,
-                    "psnr_db": (round(best_psnr, 2)
-                                if best_psnr is not None else None),
-                    "link_utilization": round(best_util, 2),
-                    "transport_bits_px": list(best_bits_px)}})
+            wd_detail = _best_detail()
+            wd_detail["truncated"] = (f"hard-deadline watchdog fired "
+                                      f"mid-run; best of {r} completed "
+                                      f"runs")
+            # keep the fallback line within the driver's capture budget
+            wd_detail.pop("stages_s", None)
+            _WATCHDOG["line"] = json.dumps(_result_dict(best_mps,
+                                                        wd_detail))
             print(f"# run {r} ({h}x{w}): compress {mp / (t1 - t0):.1f} MP/s, "
                   f"decompress {mp / (t2 - t1):.1f} MP/s, "
                   f"combined {mps:.1f} MP/s, {run_bpp:.3f} bpp",
@@ -552,12 +604,9 @@ def main():
             # unscored benchmark — then surface the real failure
             with _WATCHDOG_LOCK:
                 _WATCHDOG["done"] = True
-                print(json.dumps({
-                    "metric":
-                        "WSI compress+decompress megapixels/sec/chip",
-                    "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
-                    "detail": {"error": f"{type(last_error).__name__}: "
-                                        f"{str(last_error)[:200]}"}}))
+                print(json.dumps(_result_dict(0.0, {
+                    "error": f"{type(last_error).__name__}: "
+                             f"{str(last_error)[:200]}"})))
                 sys.stdout.flush()
             raise last_error
 
@@ -616,53 +665,7 @@ def main():
                     print("# device-resident measurement returned nothing",
                           file=sys.stderr)
 
-        result = {
-            "metric": "WSI compress+decompress megapixels/sec/chip",
-            "value": round(best_mps, 2),
-            "unit": "MP/s",
-            "vs_baseline": round(best_mps / REFERENCE_GPU_MPS_ESTIMATE, 2),
-            "detail": {
-                "image": list(best_image),
-                "patch_size": PATCH,
-                "bpp": round(float(bpp), 3),
-                # reconstruction quality of the best run (quality-guarded:
-                # runs under 22 dB are rejected when the trained fixture
-                # is present)
-                "psnr_db": (round(best_psnr, 2)
-                            if best_psnr is not None else None),
-                "model": "net128_bn48_cl3_gdn",
-                # the path actually used by the best run; *_forced are the
-                # legacy env overrides (BENCH_TURBO/BENCH_FUSED), not what
-                # ran — 'path' is authoritative
-                "path": best_mode,
-                "turbo_forced": TURBO,
-                "fused_forced": FUSED,
-                "device": str(jax.devices()[0]),
-                # per-stage seconds of the best run: separates device/host
-                # compute from link-transfer time (d2h/h2d stages are
-                # tunnel-bound in remote-TPU environments).  NOTE: fetch
-                # stages run concurrently on worker threads, so their
-                # summed seconds can exceed wall time.
-                "stages_s": best_stages,
-                # link bandwidth measured immediately before the best run:
-                # when pixel-fetch throughput matches this, the pipeline is
-                # link-saturated and MP/s is capped by the tunnel, not us
-                "link_d2h_MBps": best_link[0],
-                "link_h2d_MBps": best_link[1],
-                # fraction of the run's wall time that the ACTUAL wire
-                # bytes (accounted at every transfer site) would take at
-                # probe bandwidth alone; ~1.0 = link-saturated
-                "link_utilization": round(best_util, 2),
-                # probe-free occupancy accounting (see the per-run print):
-                # union of transfer-stage intervals / phase wall ("wire_*")
-                # and union of ALL stage intervals / phase wall
-                # ("pipeline_*") — proves where non-wire time lives
-                "busy_fractions": best_busy,
-                # achieved transport bits per image pixel (d2h, h2d);
-                # raw-pixel transport would be 24 each way
-                "transport_bits_px": list(best_bits_px),
-            },
-        }
+        result = _result_dict(best_mps, _best_detail())
         # Bulky diagnostics (the full probe sweep, the device-resident
         # serving measurement's per-program breakdown) go to a sidecar
         # file: round 3's single giant JSON line overflowed the driver's

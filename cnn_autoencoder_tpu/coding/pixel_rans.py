@@ -555,7 +555,12 @@ class PixelRansTransport:
             if mode is None:
                 mode = live_mode
         elif mode is None:
-            mode = 0   # historical explicit-table behavior
+            # explicit tables without the predictor they were calibrated
+            # for would DECODE fine (the symbol tables match) but invert
+            # the wrong transform — silent pixel corruption.  Refuse.
+            raise ValueError(
+                "explicit freq/start require the matching predictor "
+                "'mode' (pass snapshot()'s pred_mode alongside)")
         b, p, q, c = shape
         words = np.ascontiguousarray(words[:total], np.uint16)
         out = np.empty(b * p * q * c, np.uint8)
@@ -586,7 +591,12 @@ class PixelRansTransport:
             if mode is None:
                 mode = live_mode
         elif mode is None:
-            mode = 0   # historical explicit-table behavior
+            # explicit tables without the predictor they were calibrated
+            # for would DECODE fine (the symbol tables match) but invert
+            # the wrong transform — silent pixel corruption.  Refuse.
+            raise ValueError(
+                "explicit freq/start require the matching predictor "
+                "'mode' (pass snapshot()'s pred_mode alongside)")
         tiles_u8 = np.ascontiguousarray(tiles_u8, np.uint8)
         b = tiles_u8.shape[0]
         out = np.zeros((b, capacity), np.uint16)

@@ -256,6 +256,24 @@ def s3_list(url: str, delimiter: str = "/", s3_endpoint: str = None):
                                       region=aws_region()).items():
                 req.add_header(k, v)
 
+    def fail_fast(error):
+        # ListObjectsV2 4xx is never transient: 404 = NoSuchBucket (an
+        # absent PREFIX lists as empty, not 404), 403 = the principal
+        # lacks s3:ListBucket.  Retrying masks the condition behind ~3 s
+        # of backoff and a generic RuntimeError; classify immediately
+        # like fetch_remote does.
+        if error.code == 404:
+            raise FileNotFoundError("s3://%s/%s (NoSuchBucket)"
+                                    % (bucket, prefix)) from error
+        if error.code == 403:
+            code = _s3_error_code(error)
+            raise PermissionError(
+                "S3 listing denied (HTTP 403%s) for s3://%s/%s — the "
+                "principal needs s3:ListBucket on the bucket (GetObject "
+                "alone cannot list); or check credential expiry"
+                % (", %s" % code if code else "", bucket, prefix)
+            ) from error
+
     keys, prefixes = {}, []
     token = None
     ns = "{http://s3.amazonaws.com/doc/2006-03-01/}"
@@ -270,7 +288,8 @@ def s3_list(url: str, delimiter: str = "/", s3_endpoint: str = None):
         qs = urllib.parse.urlencode(sorted(query),
                                     quote_via=urllib.parse.quote)
         list_url = "%s/?%s" % (base, qs)
-        root = ET.fromstring(_urlopen_retry(list_url, 30.0, 3, add_auth))
+        root = ET.fromstring(
+            _urlopen_retry(list_url, 30.0, 3, add_auth, fail_fast))
         for el in root.findall(ns + "Contents"):
             keys[el.find(ns + "Key").text] = int(el.find(ns + "Size").text)
         for el in root.findall(ns + "CommonPrefixes"):

@@ -143,6 +143,21 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
         return tile
 
     pool = ThreadPoolExecutor(max_workers=4)
+
+    def read_group(idxs):
+        """Read one batch group and pad it to the fixed batch shape (so
+        the device program compiles exactly once).  The single point of
+        truth for batch materialization: the calibration pre-read and the
+        worker jobs must share the pad rule and the timer stage name, or
+        stored bytes / wire accounting skew between the first batch and
+        the rest."""
+        mp = len(idxs) * p * p / 1e6
+        with GLOBAL_TIMER.stage("compress/read", mp):
+            tiles = list(pool.map(read_tile, idxs))
+            while len(tiles) < batch:
+                tiles.append(tiles[-1])
+        return np.stack(tiles)
+
     # whole-batch worker jobs: each runs read -> upload -> device encode ->
     # symbol fetch -> host rANS -> write.  Several jobs in flight overlap
     # their (latency/bandwidth-bound) h2d uploads AND d2h fetches on the
@@ -171,13 +186,7 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
         nonlocal up_transport
         mp = len(idxs) * p * p / 1e6
         if tiles_np is None:
-            with GLOBAL_TIMER.stage("compress/read", mp):
-                tiles = list(pool.map(read_tile, idxs))
-                # fixed batch shape: pad the final group so the device
-                # program compiles exactly once
-                while len(tiles) < batch:
-                    tiles.append(tiles[-1])
-            tiles_np = np.stack(tiles)
+            tiles_np = read_group(idxs)
         tr = up_transport
         if tr is not None and not tr.calibrated():
             # host tiles carry everything calibration needs: fit BEFORE
@@ -224,12 +233,7 @@ def compress_pixels_to_cae(core: CAECodecCore, src: np.ndarray,
             # (~1/n_batches of the run); only the host tiles are actually
             # needed, so later batches' host encodes and uploads now
             # overlap the first batch's device round trip from t=0.
-            mp = len(group) * p * p / 1e6
-            with GLOBAL_TIMER.stage("compress/read", mp):
-                tiles = list(pool.map(read_tile, group))
-                while len(tiles) < batch:
-                    tiles.append(tiles[-1])
-            pre = np.stack(tiles)
+            pre = read_group(group)
             if not up_transport.calibrate_and_gate_upload(pre,
                                                           pe * pe * c):
                 up_transport = None
@@ -633,9 +637,8 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
             up_transport = PixelRansTransport()
             core._up_transport = up_transport
 
-    def encode_and_write(idxs, tiles):
+    def encode_and_write(idxs, tiles_np):
         nonlocal up_transport
-        tiles_np = np.stack(tiles)
         tr = up_transport
         if tr is not None and not tr.calibrated():
             # calibrate from the host tiles BEFORE the first dispatch so
@@ -655,6 +658,7 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
         tiles = list(pool.map(read_tile, group))
         while len(tiles) < batch:
             tiles.append(tiles[-1])
+        tiles_np = np.stack(tiles)
         if up_transport is not None and not up_transport.calibrated():
             # calibrate on the MAIN thread before the first submit (the
             # tiles are already in hand here): the old whole-job barrier
@@ -662,9 +666,9 @@ def compress_pixels_to_cae_turbo(core, src: np.ndarray, out_path: str,
             # pipeline fill, and only the host tiles are needed to settle
             # the table
             if not up_transport.calibrate_and_gate_upload(
-                    np.stack(tiles), p * p * c):
+                    tiles_np, p * p * c):
                 up_transport = None
-        inflight.append(workers.submit(encode_and_write, group, tiles))
+        inflight.append(workers.submit(encode_and_write, group, tiles_np))
         while len(inflight) > MAX_INFLIGHT:
             inflight.pop(0).result()
     for f in inflight:

@@ -32,11 +32,14 @@ from ..models.entropy import medians_fn, update_cdf_tables
 from .codecs import Codec, ndarray_copy, register_codec
 
 
-# generous per-tile bounds (WSI tiles are <= a few thousand px/side): a
-# frame header is untrusted input, and its (h, w) drive the index/symbol
-# allocations — a garbage 16-byte header must raise, not allocate TBs
-_MAX_TILE_SIDE = 1 << 24
-_MAX_TILE_PX = 1 << 32
+# generous per-tile bounds (WSI tiles are <= a few thousand px/side; the
+# largest chunk any in-tree pipeline codes is 8192-square): a frame header
+# is untrusted input, and its (h, w) drive the index/symbol allocations —
+# a garbage 16-byte header must raise, not allocate GBs.  16384² total
+# caps the worst-case decode scratch (latent index + symbol buffers) at
+# ~1 GB instead of the ~13 GB a 2^32-px header could force.
+_MAX_TILE_SIDE = 1 << 16
+_MAX_TILE_PX = 1 << 28
 
 
 def _check_frame_hw(h: int, w: int) -> None:

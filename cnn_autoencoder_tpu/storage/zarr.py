@@ -527,11 +527,25 @@ def open(path: str, mode: str = "r"):
     """Open a zarr array or group at ``path`` (creates a group for 'a'/'w').
 
     Remote (s3:// / http(s)://) paths open read-only; writes raise."""
-    raw = _read_bytes(_join(path, ".zarray"))
+    # Both reads are membership PROBES (array-or-group discrimination), so
+    # the ambiguous credentialed AccessDenied — GetObject-only principals
+    # see 403 for ABSENT keys — maps to "not this kind" and we try the
+    # other; if neither resolves, say which probes were denied instead of
+    # aborting on the first 403 (a group root under such a principal has a
+    # readable .zgroup but a denied .zarray probe).
+    raw, denied_a = _read_bytes_denied(_join(path, ".zarray"),
+                                       missing_403_ok=True)
     if raw is not None:
         return Array(path, json.loads(raw))
-    if _read_bytes(_join(path, ".zgroup")) is not None:
+    raw2, denied_g = _read_bytes_denied(_join(path, ".zgroup"),
+                                        missing_403_ok=True)
+    if raw2 is not None:
         return Group(path)
     if mode in ("a", "w"):
         return Group.create(path, overwrite=(mode == "w"))
+    if denied_a or denied_g:
+        raise FileNotFoundError(
+            f"No zarr array or group at {path} (S3 answered AccessDenied "
+            "for the metadata probes: either absent under a GetObject-only "
+            "principal, or existing but denied — check the bucket policy)")
     raise FileNotFoundError(f"No zarr array or group at {path}")

@@ -48,6 +48,27 @@ def test_watchdog_reports_best_so_far_partial_result():
     assert "truncated" in rec["detail"]
 
 
+def test_result_schema_is_single_sourced():
+    """Every emitted headline line (final, watchdog best-so-far, zero-value
+    failure) is built by bench._result_dict, so the driver-parsed backbone
+    (metric/value/unit/vs_baseline/detail) cannot drift between them."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    d = bench._result_dict(12.5, {"k": "v"})
+    assert set(d) == {"metric", "value", "unit", "vs_baseline", "detail"}
+    assert d["metric"] == bench._METRIC and d["unit"] == "MP/s"
+    assert d["vs_baseline"] == round(
+        12.5 / bench.REFERENCE_GPU_MPS_ESTIMATE, 2)
+    # the import-time watchdog fallback line already follows the schema
+    rec = json.loads(bench._WATCHDOG["line"])
+    assert set(rec) == set(d) and rec["metric"] == bench._METRIC
+    # and no other hand-rolled copy of the backbone remains in the source
+    src = open(os.path.join(REPO, "bench.py")).read()
+    assert src.count('"metric"') == 1, \
+        "headline dicts must be built via _result_dict only"
+
+
 def test_watchdog_stays_silent_after_normal_completion():
     out = _run(
         "import sys; sys.path.insert(0, '.')\n"

@@ -233,6 +233,16 @@ def test_garbage_bitstream_raises_cleanly(core):
     with pytest.raises(ValueError):
         core.entropy_decode([bomb])
 
+    # the bound is tight enough to matter: a 65536-square header (4.3 Gpx
+    # — would force ~13 GB of decode scratch) must also be rejected, while
+    # an 8192-square header (the largest chunk any in-tree pipeline
+    # codes) passes the guard and fails later on its garbage payload
+    with pytest.raises(ValueError, match="implausible"):
+        core.entropy_decode([struct.pack(">QQ", 1 << 16, 1 << 16)
+                             + rng.bytes(64)])
+    from cnn_autoencoder_tpu.storage.cae_codec import _check_frame_hw
+    _check_frame_hw(8192, 8192)  # must NOT raise
+
     # zero-sized tile is equally implausible
     with pytest.raises(ValueError):
         core.entropy_decode([struct.pack(">QQ", 0, 32) + rng.bytes(8)])

@@ -765,6 +765,24 @@ def test_snapshot_carries_pred_mode():
     np.testing.assert_array_equal(q1, q2)
 
 
+def test_explicit_tables_require_mode():
+    """Explicit freq/start without the predictor they were calibrated for
+    would decode fine (the symbol tables match) but invert the wrong
+    transform — silent pixel corruption.  The API must refuse instead of
+    defaulting to mode 0."""
+    tiles = _smooth2d((1, 16, 64, 2), seed=28)
+    tr = PixelRansTransport()
+    tr.calibrate_from_tiles(tiles)
+    snap = tr.snapshot()
+    cap = tr.capacity(16 * 64 * 2)
+    with pytest.raises(ValueError, match="mode"):
+        tr.encode_host(tiles, cap, snap[3], snap[4])
+    queues, totals = tr.encode_host(tiles, cap, snap[3], snap[4], snap[5])
+    with pytest.raises(ValueError, match="mode"):
+        tr.decode_host(queues[0], int(totals[0]), (1, 16, 64, 2),
+                       snap[3], snap[4])
+
+
 def test_fetch_stage_accounting_splits_wire_from_host(tmp_path,
                                                       monkeypatch):
     """bench.py's busy-fraction union classifies stages by name: the

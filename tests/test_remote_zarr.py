@@ -177,6 +177,13 @@ def s3_emulator(tmp_path):
                                             keep_blank_values=True))
             bdir = root / bucket
             if q.get("list-type") == "2":
+                if mode.get("list") == 403:
+                    # principal lacks s3:ListBucket
+                    self._s3_error(403, "AccessDenied")
+                    return
+                if not bdir.is_dir():
+                    self._s3_error(404, "NoSuchBucket")
+                    return
                 prefix, delim = q.get("prefix", ""), q.get("delimiter", "")
                 keys, commons = [], set()
                 for dirpath, _, files in os.walk(bdir):
@@ -393,3 +400,63 @@ def test_group_getitem_says_when_absence_was_accessdenied(s3_emulator,
     with pytest.raises(KeyError) as exc:
         grp["also_missing"]
     assert "AccessDenied" not in str(exc.value)
+
+
+def test_open_group_root_with_getobject_only_principal(s3_emulator,
+                                                       monkeypatch):
+    """Module-level open() on a GROUP root under a GetObject-only
+    principal: the .zarray membership probe answers 403 AccessDenied
+    (the key is absent), which must map to "not an array" and fall
+    through to the readable .zgroup — not abort with PermissionError."""
+    endpoint, root, _, mode = s3_emulator
+    bucket = root / "mybucket"
+    bucket.mkdir()
+    img = _make_store(bucket, name="wsi.zarr")
+
+    monkeypatch.setenv("CAE_S3_ENDPOINT", endpoint)
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKIDEXAMPLE")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "secret")
+    mode["missing"] = 403  # GetObject-only: absent keys answer 403
+    try:
+        g = zarrlib.open("s3://mybucket/wsi.zarr", mode="r")
+        assert isinstance(g, zarrlib.Group)
+        # and an ARRAY path still opens as an Array
+        arr = zarrlib.open("s3://mybucket/wsi.zarr/0/0", mode="r")
+        np.testing.assert_array_equal(arr[0:32, 0:32], img[0:32, 0:32])
+        # a genuinely absent root raises FileNotFoundError that SAYS the
+        # probes were denied (so a mis-scoped policy is diagnosable)
+        with pytest.raises(FileNotFoundError, match="AccessDenied"):
+            zarrlib.open("s3://mybucket/nothing.zarr", mode="r")
+    finally:
+        mode["missing"] = 404
+
+
+def test_s3_listing_denied_fast_fails_as_permission_error(s3_emulator,
+                                                          monkeypatch):
+    """ListObjectsV2 403 (no s3:ListBucket) is never transient: keys()
+    must raise PermissionError naming the missing permission immediately,
+    not retry into a generic RuntimeError."""
+    import time as _time
+
+    endpoint, root, _, mode = s3_emulator
+    bucket = root / "mybucket"
+    bucket.mkdir()
+    _make_store(bucket, name="wsi.zarr")
+
+    monkeypatch.setenv("CAE_S3_ENDPOINT", endpoint)
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKIDEXAMPLE")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "secret")
+    grp = zarrlib.Group.open("s3://mybucket/wsi.zarr")
+    mode["list"] = 403
+    try:
+        t0 = _time.perf_counter()
+        with pytest.raises(PermissionError, match="ListBucket"):
+            list(grp.keys())
+        # fast-fail: no 3x exponential backoff (>= 3 s) before raising
+        assert _time.perf_counter() - t0 < 2.0
+    finally:
+        mode.pop("list", None)
+    # absent BUCKET (404 NoSuchBucket) classifies as FileNotFoundError
+    from cnn_autoencoder_tpu.data.remote import s3_list
+    with pytest.raises(FileNotFoundError, match="NoSuchBucket"):
+        s3_list("s3://no-such-bucket/prefix")
