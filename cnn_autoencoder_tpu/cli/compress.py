@@ -156,8 +156,13 @@ def compress(args):
                        add_offset=getattr(args, "add_offset", False))
 
 
-if __name__ == "__main__":
+def cli():
+    """Console entry point (``cae-compress``): parse argv and compress."""
     args = get_args(task="encoder", mode="inference")
     loggers.setup_logger(args)
     compress(args)
     logging.shutdown()
+
+
+if __name__ == "__main__":
+    cli()

@@ -197,8 +197,13 @@ def decompress(args):
             add_offset=getattr(args, "add_offset", False))
 
 
-if __name__ == "__main__":
+def cli():
+    """Console entry point (``cae-decompress``): parse argv and decompress."""
     args = get_args(task="decoder", mode="inference")
     loggers.setup_logger(args)
     decompress(args)
     logging.shutdown()
+
+
+if __name__ == "__main__":
+    cli()

@@ -168,7 +168,12 @@ def test_cae(args):
     return all_metrics_stats
 
 
-if __name__ == "__main__":
+def cli():
+    """Console entry point (``cae-test``): parse argv and run RD eval."""
     args = get_args(task="autoencoder", mode="test")
     loggers.setup_logger(args)
     test_cae(args)
+
+
+if __name__ == "__main__":
+    cli()

@@ -210,8 +210,14 @@ def test(args):
     return metrics
 
 
-if __name__ == "__main__":
+def cli():
+    """Console entry point (``cae-test-classifier``): parse argv and run
+    the classifier/segmentation eval harness."""
     args = get_args(task="autoencoder", mode="test")
     loggers.setup_logger(args)
     test(args)
     logging.shutdown()
+
+
+if __name__ == "__main__":
+    cli()

@@ -282,3 +282,21 @@ def test_roofline_train_analytic_table():
     # VJP), so the train roofline must exceed the serving one
     assert (sum(r["t_roof_ms"] for r in rows)
             > 1.5 * sum(r["t_roof_ms"] for r in fwd))
+
+
+def test_console_entry_points_resolve():
+    """Every [project.scripts] target must import and expose its callable
+    (the round-3 cae-train entry referenced a function that didn't exist;
+    this pins the whole table instead)."""
+    import importlib
+    import tomllib
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "pyproject.toml"), "rb") as f:
+        scripts = tomllib.load(f)["project"]["scripts"]
+    assert set(scripts) == {"cae-train", "cae-compress", "cae-decompress",
+                            "cae-test", "cae-test-classifier"}
+    for name, target in scripts.items():
+        mod, _, attr = target.partition(":")
+        fn = getattr(importlib.import_module(mod), attr, None)
+        assert callable(fn), (name, target)
