@@ -258,14 +258,20 @@ def encode_device(symbols: jnp.ndarray, channel_map: jnp.ndarray,
 # the decoder reads back (refilling AFTER decoding symbol t of stream s).
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 4))
 def encode_device_interleaved(symbols: jnp.ndarray, channel_map: jnp.ndarray,
-                              tables: DeviceTables, capacity: int):
+                              tables: DeviceTables, capacity: int,
+                              compute_escapes: bool = True):
     """Encode (B, T, S) int32 symbols -> ((B, capacity) u16 global-order
     words, total words (B,), escape count).
 
     ``capacity`` counts TOTAL words per tile (flush included).  Caller must
     check ``escapes == 0`` and ``totals.max() <= capacity``.
+    ``compute_escapes=False`` returns 0 for the escape count — for callers
+    that already guarantee or separately check codability (the fused turbo
+    paths compute per-tile escapes with a broadcast; the pixel transport's
+    full-alphabet tables make escapes impossible): the check here costs a
+    (T, S) ``length`` gather XLA lowers to a scalar loop.
     """
     b, t, s = symbols.shape
     support = tables.support
@@ -274,7 +280,10 @@ def encode_device_interleaved(symbols: jnp.ndarray, channel_map: jnp.ndarray,
                   | (tables.freq - 1).astype(jnp.uint32)).reshape(-1)
 
     v = symbols - tables.offset[channel_map][None]     # (B, T, S)
-    esc = jnp.sum((v < 0) | (v >= tables.length[channel_map][None]))
+    if compute_escapes:
+        esc = jnp.sum((v < 0) | (v >= tables.length[channel_map][None]))
+    else:
+        esc = jnp.zeros((), jnp.int32)
     v = jnp.clip(v, 0, support - 1)
 
     p = enc_packed[channel_map * support + v]          # (B, T, S) uint32

@@ -152,8 +152,9 @@ def encode_residuals_device(tiles_u8: jnp.ndarray, tables: DeviceTables,
             packed, ch_map, tables, enc_tables, capacity)
     else:
         from .device_rans import encode_device_interleaved
+        # full-alphabet tables: escapes impossible, skip the check
         bufs, totals, _ = encode_device_interleaved(
-            packed, ch_map, tables, capacity)
+            packed, ch_map, tables, capacity, False)
     return bufs, totals
 
 

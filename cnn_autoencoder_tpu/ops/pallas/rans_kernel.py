@@ -515,6 +515,13 @@ def encode_interleaved_pallas(symbols: jnp.ndarray, channel_map: jnp.ndarray,
     """
     b, t, s = symbols.shape
     assert s == STREAMS
+    if capacity < 2 * s:
+        # the epilogue unconditionally prepends the 2S flush words, so a
+        # smaller capacity would silently return a (B, 2S) buffer wider
+        # than the documented (B, capacity) contract
+        raise ValueError(
+            f"capacity {capacity} < flush width {2 * s}: capacity counts "
+            "TOTAL words including the 2S-word flush")
     tab, rcp = enc_tables
     c = tab.shape[0] // _ENC_ROWS
 

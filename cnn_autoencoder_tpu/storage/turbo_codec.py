@@ -118,8 +118,11 @@ class CAETurboCore:
                 bufs, totals, _ = rans_kernel.encode_interleaved_pallas(
                     packed, ch_map, self.tables, self._enc_tables, capacity)
             else:
+                # escapes are computed below with a broadcast instead
+                # (offset[ch_map]/length[ch_map] are (T, S) gathers XLA
+                # lowers to scalar loops)
                 bufs, totals, _ = encode_device_interleaved(
-                    packed, ch_map, self.tables, capacity)
+                    packed, ch_map, self.tables, capacity, False)
             # per-TILE escape counts (batch-mapped, so the whole function
             # shards cleanly over the data axis).  Computed on the channel-
             # major layout with a plain broadcast: offset[ch_map] is a
@@ -172,7 +175,7 @@ class CAETurboCore:
 
         def decode_fused_rans(queues, ch_map, freq, start, slot, enc_tab,
                               enc_rcp, num_steps, lh, lw, capacity,
-                              head_words, use_pallas, pred_mode):
+                              head_words, use_pallas, px_pallas, pred_mode):
             # latent decode -> pixels -> device rANS encode of prediction
             # residuals, compacted into one statically-sized head
             # (coding/pixel_rans.py): entropy bits, not raw 24/px, cross
@@ -190,15 +193,21 @@ class CAETurboCore:
                                                 ch_map, self.tables,
                                                 num_steps)
             rec = _finish_decode(sym, lh, lw, False)
+            # the pixel residual stage has its OWN Pallas gate: its
+            # geometry (single channel, pack_streams-aligned to the kernel
+            # stream count) is supported whenever Pallas is enabled at
+            # all, independent of whether the LATENT geometry above is —
+            # coupling them silently dropped the pixel codec to the XLA
+            # scan on unsupported latent layouts
             bufs, totals = encode_residuals_device(
                 rec, _pixel_tables(freq, start, slot), (enc_tab, enc_rcp),
-                capacity, use_pallas, pred_mode)
+                capacity, px_pallas, pred_mode)
             head = compact_queues_device(bufs, totals, head_words)
             return head[None], totals, rec
 
         def encode_fused_rans(offsets, ch_map, flat, freq, start, slot,
                               dec_lut, shape, capacity, px_capacity,
-                              use_pallas, pred_mode):
+                              use_pallas, px_pallas, pred_mode):
             # coded upload: the host rANS-encodes raw tiles (C++) and
             # compacts them into one exact flat buffer (compact_host), this
             # program expands + decodes them back before the conv encoder —
@@ -207,9 +216,10 @@ class CAETurboCore:
             from ..coding.pixel_rans import (decode_residuals_device,
                                              expand_queues_device)
             queues = expand_queues_device(flat, offsets, px_capacity)
+            # px_pallas: the pixel stage's own gate (see decode_fused_rans)
             tiles = decode_residuals_device(
                 queues.astype(jnp.int32), _pixel_tables(freq, start, slot),
-                dec_lut, shape, use_pallas, pred_mode)
+                dec_lut, shape, px_pallas, pred_mode)
             b, h, w, _ = shape
             ph, pw = self.base.padded_hw(h, w)
             if (ph, pw) != (h, w):
@@ -365,14 +375,18 @@ class CAETurboCore:
                         mode="reflect")
                 tiles_dev, _ = self._pad_batch(tiles_dev)
             if input_on_host:
-                GLOBAL_TIMER.add_link_bytes(
-                    "h2d", int(np.prod(tiles_dev.shape)))
+                # account the PRE-padding host array: reflect padding and
+                # mesh batch-padding happen on device AFTER the transfer,
+                # so the padded shape would overstate the wire bytes (and
+                # inflate bench.py's link-utilization proof)
+                GLOBAL_TIMER.add_link_bytes("h2d", int(tiles_u8.size))
         for _ in range(6):
             if coded_up:
                 encode = self._get_fn(
                     "enc_rans", shape=(pb, h, w, tiles_u8.shape[3]),
                     capacity=capacity, px_capacity=cap_px,
-                    use_pallas=enc_pallas, pred_mode=s_mode)
+                    use_pallas=enc_pallas, px_pallas=self._use_pallas,
+                    pred_mode=s_mode)
                 bufs, totals, esc = encode(odev, ch_map, flat_dev,
                                            tab.freq, tab.start, tab.slot,
                                            dec_lut)
@@ -436,6 +450,12 @@ class CAETurboCore:
         from .cae_codec import _check_frame_hw
         for i, raw in enumerate(bufs):
             raw = bytes(raw)
+            if len(raw) < 16:
+                # struct.error here would bypass callers' corrupt-chunk
+                # handling, which catches the codec's ValueError
+                raise ValueError(
+                    f"corrupt frame: {len(raw)} bytes is shorter than the "
+                    "16-byte header")
             if not is_turbo_frame(raw):
                 th, tw = struct.unpack(">QQ", raw[:16])
                 _check_frame_hw(th, tw)
@@ -444,11 +464,20 @@ class CAETurboCore:
             h_field, tw = struct.unpack(">QQ", raw[:16])
             th = h_field & ~TURBO_FLAG
             _check_frame_hw(th, tw)
+            if len(raw) < 23:
+                # both versions need at least (version u8, s u16) + one
+                # more u32 (v4 nbytes / v3 first table entry)
+                raise ValueError(
+                    f"corrupt cae_tpu frame: truncated header "
+                    f"({len(raw)} bytes)")
             version, s = struct.unpack(">BH", raw[16:19])
             if version not in (VERSION, LEGACY_VERSION):
                 raise ValueError(
                     f"cae_tpu frame version {version} unsupported "
                     f"(expected {LEGACY_VERSION} or {VERSION})")
+            if s < 1:
+                raise ValueError(
+                    "corrupt cae_tpu frame: zero stream count")
             turbo_groups.setdefault((version, s, th, tw), []).append((i, raw))
 
         for (th, tw), idxs in host_groups.items():
@@ -511,7 +540,9 @@ class CAETurboCore:
             use_pallas = (self._use_pallas
                           and rans_kernel.supported(s, self.channels_bn,
                                                     lh * lw))
-        ph, pw = 2 ** self.level * lh, 2 ** self.level * lw
+        # (ph, pw) from padded_hw above: already exact multiples of
+        # 2**level, so lh*2**level recomputes the same values — reuse the
+        # one derivation instead of shadowing it
         n_px = ph * pw * 3
         per = self.per_shard_batch(batch)    # tiles per shard
         snap = transport.snapshot() if transport is not None else None
@@ -533,7 +564,8 @@ class CAETurboCore:
                 decode = self._get_fn(
                     "rans", num_steps=t, lh=lh, lw=lw, capacity=capacity,
                     head_words=transport.pooled_head_words(n_px, per),
-                    use_pallas=use_pallas, pred_mode=pred_mode)
+                    use_pallas=use_pallas, px_pallas=self._use_pallas,
+                    pred_mode=pred_mode)
             with GLOBAL_TIMER.stage("decompress/turbo_h2d+decode", mp):
                 head, totals, rec_d = decode(qdev, ch_map, tab.freq,
                                              tab.start, tab.slot,
@@ -566,23 +598,43 @@ class CAETurboCore:
         lengths = np.zeros((batch, s), np.int64)  # in 16-bit words
         payloads = []
         for i, raw in enumerate(raws):
-            ln = np.frombuffer(raw[19:19 + 4 * s], ">u4").astype(np.int64)
-            lengths[i] = ln // 2
-            payloads.append(raw[19 + 4 * s:])
+            table = raw[19:19 + 4 * s]
+            if len(table) < 4 * s:
+                raise ValueError(
+                    f"corrupt cae_tpu frame: v3 length table truncated "
+                    f"({len(table)} of {4 * s} bytes)")
+            ln = np.frombuffer(table, ">u4").astype(np.int64) // 2
+            payload = raw[19 + 4 * s:]
+            # validate the UNTRUSTED length table against the actual
+            # payload BEFORE it sizes any allocation: a single crafted
+            # u32 would otherwise request a (batch, s, 2^31)-word buffer
+            need = int(ln.sum())
+            if len(payload) < 2 * need or len(payload) % 2:
+                raise ValueError(
+                    f"corrupt cae_tpu frame: payload holds "
+                    f"{len(payload)} bytes, header declares {2 * need}")
+            lengths[i] = ln
+            payloads.append(payload)
 
         cap = max(64, int(lengths.max()))
+        # rectangle plausibility: legit v3 streams are near-balanced, so
+        # s*cap stays within a small factor of the words actually present.
+        # A skewed table (one huge entry + many zeros, or s near 2^16)
+        # passes the per-frame payload check yet would still blow the
+        # (batch, s, cap) allocation up to ~1e5x the payload size.
+        words_present = int(lengths.sum())
+        if s * cap > 16 * max(words_present, 2 * s + 64):
+            raise ValueError(
+                "corrupt cae_tpu frame: v3 length table implausibly "
+                f"skewed (max stream {cap} words x {s} streams vs "
+                f"{words_present} words present)")
         dev_bufs = np.zeros((batch, s, cap), np.uint16)
         # vectorized scatter: word k of the concatenated payload belongs to
         # stream searchsorted(offsets, k) at column k - offset[stream]
         col_grid = np.arange(cap)
         for i in range(batch):
-            payload = payloads[i]
+            flat = np.frombuffer(payloads[i], "<u2")
             need = int(lengths[i].sum())
-            if len(payload) < 2 * need or len(payload) % 2:
-                raise ValueError(
-                    f"corrupt cae_tpu frame: payload holds "
-                    f"{len(payload)} bytes, header declares {2 * need}")
-            flat = np.frombuffer(payload, "<u2")
             mask = col_grid[None, :] < lengths[i][:, None]      # (S, cap)
             dev_bufs[i][mask] = flat[:need]
 

@@ -248,6 +248,50 @@ def test_garbage_bitstream_raises_cleanly(core):
         core.entropy_decode([struct.pack(">QQ", 0, 32) + rng.bytes(8)])
 
 
+def test_turbo_frame_header_validation(core):
+    """Every malformed-header class must raise the codec's ValueError —
+    never struct.error, ZeroDivisionError, or a giant allocation: callers
+    catch ValueError for corrupt chunks."""
+    from cnn_autoencoder_tpu.storage.turbo_codec import (CAETurboCore,
+                                                         LEGACY_VERSION,
+                                                         TURBO_FLAG)
+    tc = CAETurboCore(core.model)
+
+    def hdr(th=64, tw=64, version=4, s=8):
+        return (struct.pack(">QQ", th | TURBO_FLAG, tw)
+                + struct.pack(">BH", version, s))
+
+    # shorter than the 16-byte h/w header (host OR turbo)
+    with pytest.raises(ValueError):
+        tc.decode_tiles([b"\x00" * 8])
+    # turbo flag set but header truncated before (version, s, first u32)
+    for n in (17, 19, 22):
+        with pytest.raises(ValueError):
+            tc.decode_tiles([(hdr() + b"\x00" * 16)[:n]])
+    # zero stream count (would divide by zero in the step geometry)
+    with pytest.raises(ValueError):
+        tc.decode_tiles([hdr(s=0) + b"\x00" * 8])
+    # v3 length-table allocation bomb: one crafted u32 declares a ~2^31-
+    # word stream; must be rejected against the actual payload BEFORE it
+    # sizes the (batch, s, cap) buffer
+    table = struct.pack(">8I", 0xFFFFFFF0, 0, 0, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="corrupt"):
+        tc.decode_tiles([hdr(version=LEGACY_VERSION) + table + b"\x00" * 64])
+    # skewed-rectangle bomb: per-stream declared lengths are each covered
+    # by the payload, but one huge stream among many empty ones would
+    # still allocate s*cap >> words present
+    s = 1024
+    table = struct.pack(">I", 4096 * 2) + b"\x00" * (4 * (s - 1))
+    frame = (struct.pack(">QQ", 64 | TURBO_FLAG, 64)
+             + struct.pack(">BH", LEGACY_VERSION, s)
+             + table + b"\x00" * (4096 * 2))
+    with pytest.raises(ValueError, match="skew"):
+        tc.decode_tiles([frame])
+    # truncated v3 length table
+    with pytest.raises(ValueError, match="truncated"):
+        tc.decode_tiles([hdr(version=LEGACY_VERSION, s=1024) + b"\x00" * 16])
+
+
 def test_garbage_turbo_frame_raises_cleanly(core):
     from cnn_autoencoder_tpu.storage.turbo_codec import (CAETurboCore,
                                                          TURBO_FLAG)
