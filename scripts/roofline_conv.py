@@ -138,9 +138,20 @@ def build_analytic(batch, patch, channels_org, channels_net, channels_bn,
 _LAYER_RE = re.compile(r"(down_\d+|up_\d+|fx_brg|color_\d+)")
 _SUB_RE = re.compile(r"(conv_pre|conv_down|conv_up|gdn_down|gdn_up|"
                      r"fused_conv_gdn)")
+# Measurement-epilogue dispatches (the jitted settle probe below plus its
+# own argument copies).  They are NOT part of the serving programs; before
+# this filter they inflated the 'other' bucket by ~1.8 ms/pair (a 1.2 ms
+# jit(reshape) at 13 GB/s + 0.6 ms args[0] copy, trace 2026-08-20).  The
+# "args[" rule assumes serving inputs are device-resident across the
+# traced dispatches (they are: tiles/sym8 are reused buffers), so any
+# args[] copy belongs to the settle fetch.
+_EPILOGUE_RE = re.compile(r"jit\(_settle_probe\)|^args\[|^jit\(reshape\)|"
+                          r"^jit\(dynamic_slice\)")
 
 
 def classify(tf_op, name):
+    if _EPILOGUE_RE.search(str(tf_op)):
+        return "epilogue"
     text = f"{tf_op}/{name}"
     layer = _LAYER_RE.search(text)
     sub = _SUB_RE.search(text)
@@ -224,8 +235,18 @@ def main():
         0, 255).astype(np.uint8))
     mp_batch = args.batch * args.patch * args.patch / 1e6
 
+    # Named settle probe: fetching one element forces completion under
+    # axon (block_until_ready is a no-op there).  Jitted + named so its
+    # device ops classify as 'epilogue' instead of polluting 'other'.
+    def _settle_probe(a):
+        return a.reshape(-1)[:1]
+
+    _settle = jax.jit(_settle_probe)
+
     sym8, _, _ = core._encode(tiles)
-    np.asarray(sym8.reshape(-1)[:1])     # settle (block_until_ready no-op)
+    np.asarray(_settle(sym8))            # settle + warm probe (sym shape)
+    rec0 = core._decode(sym8)            # warm decode program pre-trace
+    np.asarray(_settle(rec0))            # warm probe (pixel shape)
 
     peak_tflops, bw = device_peaks()
     cfg = model.config if hasattr(model, "config") else {}
@@ -242,18 +263,19 @@ def main():
         out = None
         for _ in range(args.steps):
             out = core._encode(tiles)
-        np.asarray(out[0].reshape(-1)[:1])
+        np.asarray(_settle(out[0]))
         rec = None
         for _ in range(args.steps):
             rec = core._decode(sym8)
-        np.asarray(rec.reshape(-1)[:1])
+        np.asarray(_settle(rec))
     agg = parse_trace(tdir)
 
+    epi = agg.pop("epilogue", None)
+    epilogue_ms = (epi["dur_us"] / 1e3 / args.steps) if epi else 0.0
     total_us = sum(r["dur_us"] for r in agg.values())
     measured = []
     for key in sorted(agg, key=lambda q: -agg[q]["dur_us"]):
         r = agg[key]
-        dur_s = r["dur_us"] / 1e6 / args.steps  # per dispatch-pair
         measured.append(dict(
             layer=key, ms=r["dur_us"] / 1e3 / args.steps,
             pct=100.0 * r["dur_us"] / max(1.0, total_us),
@@ -275,7 +297,7 @@ def main():
         roofline_encode_ms=roof_enc, roofline_decode_ms=roof_dec,
         roofline_encode_mps=mp_batch / (roof_enc / 1e3),
         roofline_decode_mps=mp_batch / (roof_dec / 1e3),
-        measured_total_ms=meas_ms)
+        measured_total_ms=meas_ms, epilogue_ms=epilogue_ms)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
 
@@ -300,7 +322,9 @@ def main():
         print("| %s | %.2f | %.1f | %.1f | %.0f | %d |" % (
             r["layer"], r["ms"], r["pct"], r["tflops"], r["gbs"],
             r["n_ops"]))
-    print("\nwrote %s" % args.out)
+    print("\n(measurement epilogue excluded: %.2f ms/pair of settle-probe "
+          "dispatches)" % epilogue_ms)
+    print("wrote %s" % args.out)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,120 @@
+"""List the individual XLA ops inside the serving roofline's 'other'
+bucket (scripts/roofline_conv.py groups every op not matching a layer
+regex into one row: 54 ops / 3.29 ms / 266 GB/s in the round-4 table).
+
+This prints the per-op breakdown so the quantize/entropy chain can be
+attacked op by op.  Run on the TPU:
+
+    python scripts/trace_other_ops.py [--batch 64] [--steps 8]
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("CAE_TPU_PRECISION", "bf16")
+
+from roofline_conv import classify, parse_trace  # noqa: E402
+
+
+def parse_trace_ops(trace_dir):
+    """Like roofline_conv.parse_trace but keyed by individual op name."""
+    import glob
+    import gzip
+    import json
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    agg = {}
+    for path in paths:
+        with gzip.open(path, "rt") as f:
+            data = json.load(f)
+        events = data.get("traceEvents", [])
+        xla_tids = set()
+        for e in events:
+            if (e.get("ph") == "M" and e.get("name") == "thread_name"
+                    and str(e.get("args", {}).get("name", "")) == "XLA Ops"):
+                xla_tids.add((e["pid"], e["tid"]))
+        for e in events:
+            if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in xla_tids:
+                continue
+            args = e.get("args", {})
+            if classify(str(args.get("tf_op", "")),
+                        str(e.get("name", ""))) != "other":
+                continue
+            key = "%s | %s" % (e.get("name", ""), args.get("tf_op", ""))
+            row = agg.setdefault(key, dict(dur_us=0.0, bytes=0.0, n=0,
+                                           shape=str(args.get("shape", ""))))
+            row["dur_us"] += float(e.get("dur", 0.0))
+            row["bytes"] += float(args.get("bytes_accessed", 0) or 0)
+            row["n"] += 1
+    return agg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--patch", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.models.factory import (
+        autoencoder_from_state_dict, build_model)
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "bench_flagship.msgpack")
+    if os.path.exists(fixture):
+        model = autoencoder_from_state_dict(fixture)
+    else:
+        model = build_model(jax.random.PRNGKey(0),
+                            input_size=(args.patch, args.patch),
+                            channels_org=3, channels_net=128,
+                            channels_bn=48, compression_level=3, K=4, r=3,
+                            act_layer_type="GDN")
+    core = CAECodecCore(model)
+
+    rng = np.random.RandomState(0)
+    tiles = jnp.asarray(np.clip(
+        rng.rand(args.batch, args.patch, args.patch, 3) * 160 + 60
+        + rng.randn(args.batch, args.patch, args.patch, 3) * 6,
+        0, 255).astype(np.uint8))
+
+    sym8, _, _ = core._encode(tiles)
+    np.asarray(sym8.reshape(-1)[:1])
+
+    tdir = tempfile.mkdtemp(prefix="cae_other_")
+    with jax.profiler.trace(tdir):
+        out = None
+        for _ in range(args.steps):
+            out = core._encode(tiles)
+        np.asarray(out[0].reshape(-1)[:1])
+        rec = None
+        for _ in range(args.steps):
+            rec = core._decode(sym8)
+        np.asarray(rec.reshape(-1)[:1])
+    agg = parse_trace_ops(tdir)
+
+    total = sum(r["dur_us"] for r in agg.values())
+    print("\n'other' bucket: %.2f ms/dispatch-pair over %d distinct ops\n"
+          % (total / 1e3 / args.steps, len(agg)))
+    print("| op | tf_op | ms | GB/s | n | shape |")
+    print("|---|---|---|---|---|---|")
+    for key in sorted(agg, key=lambda q: -agg[q]["dur_us"]):
+        r = agg[key]
+        name, tf_op = key.split(" | ", 1)
+        print("| %s | %s | %.3f | %.0f | %d | %s |" % (
+            name[:48], tf_op[:64], r["dur_us"] / 1e3 / args.steps,
+            r["bytes"] / 1e9 / max(r["dur_us"] / 1e6, 1e-9),
+            r["n"] // args.steps, r["shape"][:40]))
+
+
+if __name__ == "__main__":
+    main()
