@@ -38,6 +38,7 @@ under a data mesh (unlike the bit-plane packer's globally-compacted buffer,
 which is why that one stayed single-device).
 """
 
+import os
 import threading
 from typing import NamedTuple, Optional, Tuple
 
@@ -47,6 +48,19 @@ import numpy as np
 
 from .device_rans import (DeviceTables, PRECISION, PROB_SCALE,
                           pack_streams)
+
+
+def pallas_gate(caller_gate: bool) -> bool:
+    """Apply the global ``CAE_TPU_PALLAS=0`` kill switch on top of a
+    caller's backend/mesh gate.
+
+    Every pixel-stage entry point routes through this single choke point
+    so the documented kill switch works on ALL serving surfaces (the
+    turbo codec applied it in its own gate, but cae_codec's fused
+    encode/decode paths passed a raw backend check — with a Pallas
+    miscompile the switch silently failed on half the surface)."""
+    return caller_gate and os.environ.get("CAE_TPU_PALLAS", "1") != "0"
+
 
 STREAMS = 1024          # matches the Pallas kernel geometry
 _CAP_BUCKET = 1 << 11   # capacity quantum (words): bounds recompiles
@@ -147,7 +161,7 @@ def encode_residuals_device(tiles_u8: jnp.ndarray, tables: DeviceTables,
     t = packed.shape[1]
     ch_map = jnp.zeros((t, STREAMS), jnp.int32)
     from ..ops.pallas import rans_kernel
-    if use_pallas and rans_kernel.fits_vmem(t):
+    if pallas_gate(use_pallas) and rans_kernel.fits_vmem(t):
         bufs, totals, _ = rans_kernel.encode_interleaved_pallas(
             packed, ch_map, tables, enc_tables, capacity)
     else:
@@ -246,7 +260,7 @@ def decode_residuals_device(queues: jnp.ndarray, tables: DeviceTables,
     n = p * q * c
     t = -(-n // STREAMS)
     from ..ops.pallas import rans_kernel
-    if use_pallas and rans_kernel.fits_vmem(t):
+    if pallas_gate(use_pallas) and rans_kernel.fits_vmem(t):
         vals = rans_kernel.decode_interleaved_pallas(
             queues, jnp.zeros((t,), jnp.int32), dec_lut, t)
     else:

@@ -616,17 +616,22 @@ class CAETurboCore:
             lengths[i] = ln
             payloads.append(payload)
 
-        cap = max(64, int(lengths.max()))
+        longest = int(lengths.max())
+        cap = max(64, longest)
         # rectangle plausibility: legit v3 streams are near-balanced, so
-        # s*cap stays within a small factor of the words actually present.
-        # A skewed table (one huge entry + many zeros, or s near 2^16)
-        # passes the per-frame payload check yet would still blow the
-        # (batch, s, cap) allocation up to ~1e5x the payload size.
+        # s*longest stays within a small factor of the words actually
+        # present.  A skewed table (one huge entry + many zeros, or s near
+        # 2^16) passes the per-frame payload check yet would still blow
+        # the (batch, s, cap) allocation up to ~1e5x the payload size.
+        # Compare the TRUE rectangle (s * longest) — the 64-word floor is
+        # an allocation convenience, not evidence of skew; folding it into
+        # the test would reject perfectly balanced short-stream frames
+        # (e.g. blank tiles at 3 words/stream with s=1024).
         words_present = int(lengths.sum())
-        if s * cap > 16 * max(words_present, 2 * s + 64):
+        if s * longest > 16 * max(words_present, 2 * s + 64):
             raise ValueError(
                 "corrupt cae_tpu frame: v3 length table implausibly "
-                f"skewed (max stream {cap} words x {s} streams vs "
+                f"skewed (max stream {longest} words x {s} streams vs "
                 f"{words_present} words present)")
         dev_bufs = np.zeros((batch, s, cap), np.uint16)
         # vectorized scatter: word k of the concatenated payload belongs to

@@ -144,13 +144,16 @@ _SUB_RE = re.compile(r"(conv_pre|conv_down|conv_up|gdn_down|gdn_up|"
 # jit(reshape) at 13 GB/s + 0.6 ms args[0] copy, trace 2026-08-20).  The
 # "args[" rule assumes serving inputs are device-resident across the
 # traced dispatches (they are: tiles/sym8 are reused buffers), so any
-# args[] copy belongs to the settle fetch.
+# args[] copy belongs to the settle fetch.  Passed EXPLICITLY by this
+# script's main() — classify() applies no epilogue rule by default, so
+# roofline_train.py (which shares parse_trace) keeps counting every
+# per-step dispatch as real work.
 _EPILOGUE_RE = re.compile(r"jit\(_settle_probe\)|^args\[|^jit\(reshape\)|"
                           r"^jit\(dynamic_slice\)")
 
 
-def classify(tf_op, name):
-    if _EPILOGUE_RE.search(str(tf_op)):
+def classify(tf_op, name, epilogue_re=None):
+    if epilogue_re is not None and epilogue_re.search(str(tf_op)):
         return "epilogue"
     text = f"{tf_op}/{name}"
     layer = _LAYER_RE.search(text)
@@ -169,8 +172,15 @@ def classify(tf_op, name):
     return key
 
 
-def parse_trace(trace_dir):
-    """Aggregate XLA-op events by layer from a jax.profiler trace dir."""
+def parse_trace(trace_dir, key_fn=None, epilogue_re=None):
+    """Aggregate XLA-op events by layer from a jax.profiler trace dir.
+
+    ``key_fn(tf_op, name)`` picks the aggregation key (None drops the
+    event); the default is :func:`classify` with ``epilogue_re`` applied.
+    scripts/trace_other_ops.py reuses this walker with a per-op key."""
+    if key_fn is None:
+        def key_fn(tf_op, name):
+            return classify(tf_op, name, epilogue_re)
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     agg = {}
@@ -189,9 +199,12 @@ def parse_trace(trace_dir):
             if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in xla_tids:
                 continue
             args = e.get("args", {})
-            key = classify(str(args.get("tf_op", "")), str(e.get("name", "")))
+            key = key_fn(str(args.get("tf_op", "")), str(e.get("name", "")))
+            if key is None:
+                continue
             row = agg.setdefault(key, dict(dur_us=0.0, flops=0.0,
-                                           bytes=0.0, n=0))
+                                           bytes=0.0, n=0,
+                                           shape=str(args.get("shape", ""))))
             row["dur_us"] += float(e.get("dur", 0.0))
             row["flops"] += float(args.get("model_flops", 0) or 0)
             row["bytes"] += float(args.get("bytes_accessed", 0) or 0)
@@ -268,7 +281,7 @@ def main():
         for _ in range(args.steps):
             rec = core._decode(sym8)
         np.asarray(_settle(rec))
-    agg = parse_trace(tdir)
+    agg = parse_trace(tdir, epilogue_re=_EPILOGUE_RE)
 
     epi = agg.pop("epilogue", None)
     epilogue_ms = (epi["dur_us"] / 1e3 / args.steps) if epi else 0.0

@@ -292,6 +292,27 @@ def test_turbo_frame_header_validation(core):
         tc.decode_tiles([hdr(version=LEGACY_VERSION, s=1024) + b"\x00" * 16])
 
 
+def test_v3_balanced_short_streams_pass_skew_guard(core):
+    """A perfectly balanced legacy v3 frame with SHORT streams (3 words
+    each — e.g. a blank background tile at ~1.5 bits/sym) must NOT trip
+    the skewed-rectangle guard: the guard compares the true s*max length
+    rectangle, not the 64-word allocation floor (which would reject every
+    balanced frame shorter than ~16 words/stream at s=1024)."""
+    from cnn_autoencoder_tpu.storage.turbo_codec import (CAETurboCore,
+                                                         LEGACY_VERSION,
+                                                         TURBO_FLAG)
+    tc = CAETurboCore(core.model)
+    s, words_per_stream = 1024, 3
+    table = struct.pack(">%dI" % s, *([2 * words_per_stream] * s))
+    frame = (struct.pack(">QQ", 64 | TURBO_FLAG, 64)
+             + struct.pack(">BH", LEGACY_VERSION, s)
+             + table + b"\x00" * (2 * words_per_stream * s))
+    # the word content is garbage, so pixels are garbage — but the frame
+    # SHAPE is legitimate and must decode without tripping any guard
+    out = tc.decode_tiles([frame])
+    assert np.asarray(out[0]).shape == (64, 64, 3)
+
+
 def test_garbage_turbo_frame_raises_cleanly(core):
     from cnn_autoencoder_tpu.storage.turbo_codec import (CAETurboCore,
                                                          TURBO_FLAG)

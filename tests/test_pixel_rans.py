@@ -819,3 +819,18 @@ def test_fetch_stage_accounting_splits_wire_from_host(tmp_path,
     for name in totals:
         if name.endswith("fetch_total"):
             assert not any(k in name for k in wire), name
+
+
+def test_pixel_pallas_kill_switch(monkeypatch):
+    """CAE_TPU_PALLAS=0 must disable the pixel-stage Pallas kernels on
+    EVERY serving surface: the cae_codec fused paths pass a raw
+    backend/mesh gate, and pallas_gate (the single choke point inside
+    encode/decode_residuals_device) applies the kill switch on top."""
+    from cnn_autoencoder_tpu.coding.pixel_rans import pallas_gate
+    monkeypatch.delenv("CAE_TPU_PALLAS", raising=False)
+    assert pallas_gate(True) is True
+    assert pallas_gate(False) is False
+    monkeypatch.setenv("CAE_TPU_PALLAS", "0")
+    assert pallas_gate(True) is False
+    monkeypatch.setenv("CAE_TPU_PALLAS", "1")
+    assert pallas_gate(True) is True

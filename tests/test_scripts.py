@@ -289,11 +289,20 @@ def test_console_entry_points_resolve():
     (the round-3 cae-train entry referenced a function that didn't exist;
     this pins the whole table instead)."""
     import importlib
-    import tomllib
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "pyproject.toml"), "rb") as f:
-        scripts = tomllib.load(f)["project"]["scripts"]
+    try:
+        import tomllib
+        with open(os.path.join(repo, "pyproject.toml"), "rb") as f:
+            scripts = tomllib.load(f)["project"]["scripts"]
+    except ImportError:        # Python 3.10 (requires-python >= 3.10)
+        import re
+        with open(os.path.join(repo, "pyproject.toml")) as f:
+            text = f.read()
+        section = re.search(r"\[project\.scripts\]\n(.*?)(?:\n\[|\Z)",
+                            text, re.S).group(1)
+        scripts = dict(re.findall(r'^([\w-]+)\s*=\s*"([^"]+)"', section,
+                                  re.M))
     assert set(scripts) == {"cae-train", "cae-compress", "cae-decompress",
                             "cae-test", "cae-test-classifier"}
     for name, target in scripts.items():
