@@ -309,3 +309,25 @@ def test_console_entry_points_resolve():
         mod, _, attr = target.partition(":")
         fn = getattr(importlib.import_module(mod), attr, None)
         assert callable(fn), (name, target)
+
+
+def test_roofline_classify_epilogue_opt_in():
+    """The settle-probe epilogue filter is an EXPLICIT opt-in: classify
+    without epilogue_re must keep bucketing standalone reshape/args
+    dispatches as 'other' (roofline_train counts them as real per-step
+    work); with the regex they become 'epilogue' and roofline_conv's
+    parser excludes them from the measured table."""
+    from roofline_conv import _EPILOGUE_RE, classify
+
+    probe_ops = [("jit(_settle_probe)/reshape:", "reshape.1"),
+                 ("args[0]:", "copy"),
+                 ("jit(reshape)/reshape:", "reshape.2"),
+                 ("jit(dynamic_slice)/dynamic_slice:", "dynamic_slice.1")]
+    for tf_op, name in probe_ops:
+        assert classify(tf_op, name) == "other", tf_op
+        assert classify(tf_op, name, _EPILOGUE_RE) == "epilogue", tf_op
+    # real layer ops classify identically either way
+    real = ("jit(encode_fn)/down_1/conv_down/conv_general_dilated:",
+            "convolution.42")
+    assert classify(*real) == "down_1/conv"
+    assert classify(real[0], real[1], _EPILOGUE_RE) == "down_1/conv"
