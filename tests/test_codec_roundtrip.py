@@ -328,6 +328,40 @@ def test_garbage_turbo_frame_raises_cleanly(core):
         tc.decode_tiles([rng.bytes(64)])
 
 
+def test_turbo_frame_fuzz_only_valueerror(core):
+    """Randomized fuzz over the turbo frame parser: whatever bytes arrive,
+    the only exception callers must ever handle is ValueError (the codec
+    contract for corrupt chunks) — never struct.error, OverflowError,
+    ZeroDivisionError, or an allocation blow-up.  Geometry is pinned to
+    64x64 so any frame that parses far enough to dispatch reuses one
+    cached decode program."""
+    from cnn_autoencoder_tpu.storage.turbo_codec import (CAETurboCore,
+                                                         TURBO_FLAG)
+    tc = CAETurboCore(core.model)
+    rng = np.random.RandomState(11)
+    hdr = struct.pack(">QQ", 64 | TURBO_FLAG, 64)
+    for i in range(200):
+        n = int(rng.randint(0, 96))
+        body = rng.bytes(n)
+        if i % 3 == 0:
+            # random version but plausible header framing; stream count
+            # drawn from a SMALL set — each novel (s, geometry) pair that
+            # parses far enough to dispatch compiles its own decode
+            # program, so an unbounded random s would turn the fuzz into
+            # a compile marathon
+            s = int(rng.choice([0, 1, 8, 1024, 65535]))
+            frame = hdr + struct.pack(">BH", int(rng.randint(0, 8)),
+                                      s) + body
+        elif i % 3 == 1:
+            frame = hdr + body
+        else:
+            frame = rng.bytes(16 + n)
+        try:
+            tc.decode_tiles([frame])
+        except ValueError:
+            pass
+
+
 def test_truncated_stream_no_crash(core):
     """Cutting a valid frame's payload must not crash or overread: the
     C++ decoder reads truncated buffers in bounds (zero-fill), so the
