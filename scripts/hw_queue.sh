@@ -5,12 +5,11 @@
 # full-stall ~10 min); steps are serialized because concurrent chip
 # jobs contend and time out.
 #
-# Current queue (late round 4): the bf16 HEADLINE train re-measure
-# after the GDN dbeta fusion (the previous queue ran bench_train at
-# the default HIGHEST precision — 853 img/s is a different protocol).
-# The recorded number to beat is 2226.0 img/s (RESULTS.md round-4,
-# 200 steps x batch 128 x 256² under CAE_TPU_PRECISION=bf16); the
-# measured roofline trace says the step dropped 57.2 -> 55.4 ms.
+# Current queue (late round 4, post serving-path review fixes): a turbo
+# byte-identity sanity on the real chip (the v3 skew-guard +
+# pallas_gate changes touched serving code; CPU suite is green, this
+# re-checks on hardware), then a bounded end-to-end bench run to
+# confirm the full pipeline still produces a healthy number.
 set -u
 cd /root/repo
 LOG=/tmp/hw_queue
@@ -25,7 +24,8 @@ run() {
   echo "=== $name rc=$rc end $(date -u +%FT%TZ)" | tee -a "$LOG/summary.log"
 }
 
-run probe            300  python scripts/_tpu_probe.py
-run bench_train_bf16 3000 env CAE_TPU_PRECISION=bf16 \
-    python scripts/bench_train.py 200 128 256
+run probe        300  python scripts/_tpu_probe.py
+run turbo_sanity 1200 python scripts/turbo_hw_sanity.py
+run bench        2100 env BENCH_BUDGET=900 BENCH_HARD_DEADLINE=1800 \
+    python bench.py
 echo "=== queue complete $(date -u +%FT%TZ)" | tee -a "$LOG/summary.log"

@@ -1,0 +1,73 @@
+"""Quick hardware sanity of the turbo serving path: encode/decode a
+small batch with BOTH the turbo (device-coded, Pallas rANS) and the
+host ('cae') codecs and assert the reconstructions are byte-identical
+(the turbo codec's core invariant, pinned on CPU by
+tests/test_turbo_codec.py; this re-checks it on the real chip after
+serving-path changes).
+
+Run on the TPU (exits non-zero on mismatch):
+
+    python scripts/turbo_hw_sanity.py [--batch 8] [--patch 512]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("CAE_TPU_PRECISION", "bf16")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--patch", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+
+    from cnn_autoencoder_tpu.models.factory import (
+        autoencoder_from_state_dict, build_model)
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+    from cnn_autoencoder_tpu.storage.turbo_codec import CAETurboCore
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "bench_flagship.msgpack")
+    if os.path.exists(fixture):
+        model = autoencoder_from_state_dict(fixture)
+    else:
+        model = build_model(jax.random.PRNGKey(0),
+                            input_size=(args.patch, args.patch),
+                            channels_org=3, channels_net=128,
+                            channels_bn=48, compression_level=3, K=4, r=3,
+                            act_layer_type="GDN")
+
+    rng = np.random.RandomState(0)
+    tiles = np.clip(
+        rng.rand(args.batch, args.patch, args.patch, 3) * 160 + 60
+        + rng.randn(args.batch, args.patch, args.patch, 3) * 6,
+        0, 255).astype(np.uint8)
+
+    host = CAECodecCore(model)
+    turbo = CAETurboCore(model)
+
+    rec_host = host.decode_tiles(host.encode_tiles(tiles))
+    frames = turbo.encode_tiles(tiles)
+    rec_turbo = np.stack([np.asarray(r) for r in turbo.decode_tiles(frames)])
+
+    equal = bool(np.array_equal(np.asarray(rec_host), rec_turbo))
+    bpp = sum(len(f) for f in frames) * 8.0 / tiles[..., 0].size
+    mse = float(((rec_turbo.astype(np.float64)
+                  - tiles.astype(np.float64)) ** 2).mean())
+    psnr = 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    print("TURBO_TPU_EQUAL: %s  (batch %d x %d², %.3f bpp, recon PSNR "
+          "%.2f dB, device %s)" % (equal, args.batch, args.patch, bpp,
+                                   psnr, jax.devices()[0].device_kind))
+    return 0 if equal else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
