@@ -79,6 +79,15 @@ def decompress_image(input_filename, output_filename,
     else:
         # self-decoding input: the codec in the metadata does the work
         comp_id = (z_arr._meta.get("compressor") or {}).get("id")
+        if comp_id == "cae_bn":
+            # mirror of the pixels-with-checkpoint guard above: without
+            # this, float latents fall through to the raw-array branch
+            # and become a PIL TypeError (image out) or a silently
+            # uint8-cast garbage store (zarr out)
+            raise ValueError(
+                "input %r stores LATENTS (compressor 'cae_bn' / -sbn); "
+                "decoding them needs the model: pass the checkpoint "
+                "(-chk) that wrote the store." % (input_filename,))
         if comp_id == "cae":
             # shard the decode batches over all devices when available; the
             # shallow copy keeps the store's cached codec single-device for

@@ -255,3 +255,38 @@ def test_decompress_with_checkpoint_rejects_pixel_store(tmp_path,
         "-dg", "0/0", "-chk", trained_checkpoint, "-ld", str(tmp_path)])
     with pytest.raises(ValueError, match="self-decoding"):
         decompress(dargs)
+
+
+def test_decompress_latent_store_without_checkpoint_errors(
+        tmp_path, trained_checkpoint):
+    """Mirror of the pixels-with-checkpoint guard: a 'cae_bn' LATENT
+    store decompressed without -chk must fail with a clear message —
+    found by surface-driving, the raw branch otherwise feeds float
+    latents to PIL (TypeError) or silently uint8-casts them into a
+    garbage zarr store."""
+    from PIL import Image
+
+    from cnn_autoencoder_tpu.cli.compress import compress
+    from cnn_autoencoder_tpu.cli.decompress import decompress
+
+    rng = np.random.RandomState(3)
+    img = np.clip(rng.rand(64, 64, 3) * 255, 0, 255).astype(np.uint8)
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    Image.fromarray(img).save(str(img_dir / "q.png"))
+    out_dir = tmp_path / "bn_out"
+    out_dir.mkdir()
+    args = get_args("encoder", "inference", args_list=[
+        "-dd", str(img_dir), "-o", str(out_dir), "-if", "png",
+        "-cod", "CAE", "-chk", trained_checkpoint, "-ps", "32", "-sbn",
+        "-ld", str(tmp_path)])
+    compress(args)
+
+    rec_dir = tmp_path / "rec"
+    rec_dir.mkdir()
+    for fmt in ("png", "zarr"):
+        dargs = get_args("decoder", "inference", args_list=[
+            "-dd", str(out_dir), "-o", str(rec_dir), "-of", fmt,
+            "-dg", "0/0", "-ld", str(tmp_path)])
+        with pytest.raises(ValueError, match="LATENTS"):
+            decompress(dargs)
