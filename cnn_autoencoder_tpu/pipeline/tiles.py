@@ -330,6 +330,15 @@ def decompress_latents_to_pixels(core: CAECodecCore, src: zarrlib.Array,
     lh, lw, cbn = src.shape
     lp_h, lp_w, _ = src.chunks
     level = core.level
+    if rec_level not in (-1, level) and not getattr(
+            core.model, "config", {}).get("multiscale_analysis"):
+        # fail BEFORE creating the output store (decode_y_fn raises the
+        # same condition at trace time, i.e. only on the first batch,
+        # leaving an empty store behind)
+        raise ValueError(
+            "Partial reconstruction (rec_level=%d of %d) needs a "
+            "multiscale_analysis decoder (color layers); this model "
+            "has none" % (rec_level, level))
     scale = 2 ** (level if rec_level in (-1, level) else rec_level)
     h, w = lh * scale, lw * scale
     true_hw = (src.attrs or {}).get("true_pixel_shape")
