@@ -83,9 +83,16 @@ def main():
                         default="")
     args = parser.parse_args()
 
-    in_filenames = [".".join(fn.split(".")[:-1])
-                    for fn in os.listdir(args.src_dir)
-                    if fn.lower().endswith(format_dict[args.src_format])]
+    # case/dot-insensitive source format; '.jpg' files must match 'jpeg'
+    # (endswith('jpeg') missed them, and lowercase '-sf png' KeyError'd)
+    key = args.src_format.lower().lstrip(".")
+    src_exts = {"jpeg": (".jpeg", ".jpg"), "jpg": (".jpeg", ".jpg"),
+                "png": (".png",)}.get(key)
+    if src_exts is None:
+        parser.error("unsupported --src-format %r (jpeg/jpg/png)"
+                     % args.src_format)
+    in_filenames = [fn for fn in os.listdir(args.src_dir)
+                    if fn.lower().endswith(src_exts)]
 
     if "JPEG" in args.dst_format:
         quality_opts = {"quality": args.comp_quality}
@@ -96,8 +103,7 @@ def main():
     all_metrics = {"time": []}
     os.makedirs(args.dst_dir, exist_ok=True)
     for in_fn in in_filenames:
-        src_fn = os.path.join(args.src_dir, "%s.%s"
-                              % (in_fn, format_dict[args.src_format]))
+        src_fn = os.path.join(args.src_dir, in_fn)
         comp_fn = os.path.join(args.dst_dir,
                                "temp.%s" % format_dict[args.dst_format])
 
