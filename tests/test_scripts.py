@@ -331,3 +331,34 @@ def test_roofline_classify_epilogue_opt_in():
             "convolution.42")
     assert classify(*real) == "down_1/conv"
     assert classify(real[0], real[1], _EPILOGUE_RE) == "down_1/conv"
+
+
+def test_compute_metrics_script_formats(tmp_path):
+    """Console drive of scripts/compute_metrics.py: lowercase -sf and
+    .jpg source files must both work (the format dict used to KeyError
+    on 'png' and endswith('jpeg') never matched '.jpg')."""
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:96, 0:96]
+    img = np.clip(np.stack([120 + 60 * np.sin(xx / 17.0),
+                            110 + 60 * np.cos(yy / 13.0),
+                            128 + 50 * np.sin((xx + yy) / 23.0)], -1),
+                  0, 255).astype(np.uint8)
+    src = tmp_path / "src"
+    src.mkdir()
+    Image.fromarray(img).save(str(src / "a.png"))
+    Image.fromarray(img).save(str(src / "b.jpg"), quality=95)
+
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    script = os.path.join(REPO, "scripts", "compute_metrics.py")
+    for sf, n_expected in (("png", 1), ("jpg", 1), ("JPEG", 1)):
+        out = subprocess.run(
+            [sys.executable, script, "-sd", str(src),
+             "-dd", str(tmp_path / "dst"), "-sf", sf, "-df", "JPEG",
+             "-cq", "80", "-ld", str(tmp_path), "-li", "_" + sf],
+            env=env, capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-800:]
+    import torch
+    d = torch.load(str(tmp_path / "metrics_stats_JPEG_080_png.pth"),
+                   weights_only=False)
+    assert d["rate"][0] > 0 and d["psnr"][0] > 20
