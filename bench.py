@@ -243,7 +243,7 @@ def main():
 
     from cnn_autoencoder_tpu.pipeline.tiles import (
         compress_pixels_to_cae_turbo, decompress_cae_turbo_array,
-        default_batch_tiles)
+        default_batch_tiles, roundtrip_cae_turbo)
     from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
     from cnn_autoencoder_tpu.storage.turbo_codec import CAETurboCore
 
@@ -321,6 +321,41 @@ def main():
                       file=sys.stderr)
                 time.sleep(20)
 
+        # Duplex capability: can the tunnel carry h2d and d2h at once?
+        # Compress is h2d-bound (coded upload) and decompress d2h-bound
+        # (coded fetch), so on a full-duplex link the overlapped
+        # roundtrip (pipeline/tiles.roundtrip_cae_turbo) approaches
+        # max(direction walls) instead of their sum.  Measured once here
+        # (solo vs concurrent rates); BENCH_DUPLEX=0/1 overrides the
+        # auto gate, and the sequential schedule still runs on a share
+        # of repeats so the duplex-vs-sequential comparison at equal
+        # congestion is recorded either way.
+        duplex_probe = None
+        duplex_ok = False
+        _dup_env = os.environ.get("BENCH_DUPLEX", "auto")
+        if _dup_env != "0" and not (TURBO or FUSED) and "cae_tpu" in paths:
+            try:
+                from cnn_autoencoder_tpu.coding.link_probe import (
+                    probe_link_duplex_mbps)
+                solo = probe_link(jax, jnp, np, mb=8)
+                dup = probe_link_duplex_mbps(mb=8)
+                ratios = (round(dup[0] / max(1e-9, solo[0]), 2),
+                          round(dup[1] / max(1e-9, solo[1]), 2))
+                duplex_probe = {"solo_d2h": solo[0], "solo_h2d": solo[1],
+                                "dup_d2h": round(dup[0], 1),
+                                "dup_h2d": round(dup[1], 1),
+                                "ratio_d2h": ratios[0],
+                                "ratio_h2d": ratios[1]}
+                duplex_ok = (min(ratios) >= 0.6 if _dup_env == "auto"
+                             else True)
+                print(f"# duplex probe: solo {solo[0]}/{solo[1]} "
+                      f"concurrent {dup[0]:.1f}/{dup[1]:.1f} MB/s "
+                      f"(d2h/h2d) -> duplex_ok={duplex_ok}",
+                      file=sys.stderr)
+            except Exception as e:  # probe failure must not kill the bench
+                print(f"# duplex probe failed ({type(e).__name__}); "
+                      "sequential schedule only", file=sys.stderr)
+
         from cnn_autoencoder_tpu.utils.profiling import (GLOBAL_TIMER,
                                                           trace)
         best_mps = 0.0
@@ -382,6 +417,9 @@ def main():
                 # achieved transport bits per image pixel (d2h, h2d);
                 # raw-pixel transport would be 24 each way
                 "transport_bits_px": list(best_bits_px),
+                # solo-vs-concurrent link rates measured once after warmup
+                # (gates the 'cae_tpu_duplex' overlapped-roundtrip mode)
+                "duplex_probe": duplex_probe,
             }
         r = 0   # completed/attempted benchmark runs (probe waits excluded)
         while True:
@@ -429,14 +467,29 @@ def main():
             elif TURBO:
                 mode = "cae_tpu"
             elif "cae_tpu" in paths:
-                # congested tunnel -> turbo (fewest bytes on the wire);
-                # healthy -> alternate host/turbo and let best-of-N decide
-                mode = "cae_tpu" if (min(link) < HEALTHY_MBPS or r % 2) \
-                    else "cae"
+                if duplex_ok:
+                    # overlapped roundtrip on most repeats; every 3rd
+                    # congested repeat stays sequential so the duplex-vs-
+                    # sequential comparison is recorded at equal
+                    # congestion (healthy repeats alternate with the
+                    # host path instead)
+                    if min(link) < HEALTHY_MBPS:
+                        mode = "cae_tpu_duplex" if r % 3 else "cae_tpu"
+                    else:
+                        mode = "cae_tpu_duplex" if r % 2 else "cae"
+                else:
+                    # congested tunnel -> turbo (fewest bytes on the
+                    # wire); healthy -> alternate host/turbo
+                    mode = "cae_tpu" if (min(link) < HEALTHY_MBPS
+                                         or r % 2) else "cae"
             else:
                 mode = "cae"
+            duplex_run = mode == "cae_tpu_duplex"
             try:
-                core, compress_fn, decompress_fn = warm(mode)
+                # the duplex roundtrip reuses the turbo path's core,
+                # programs, and transports — warming "cae_tpu" warms it
+                core, compress_fn, decompress_fn = warm(
+                    "cae_tpu" if duplex_run else mode)
             except Exception as e:
                 last_error = e
                 print(f"# run {r}: warm({mode}) failed "
@@ -459,9 +512,15 @@ def main():
             t0 = time.perf_counter()
             try:
                 with trace():
-                    arr = compress_fn(core, run_img, out, patch_size=PATCH)
-                    t1 = time.perf_counter()
-                    rec = decompress_fn(arr, core=core)
+                    if duplex_run:
+                        arr, rec = roundtrip_cae_turbo(core, run_img, out,
+                                                       patch_size=PATCH)
+                        t1 = time.perf_counter()
+                    else:
+                        arr = compress_fn(core, run_img, out,
+                                          patch_size=PATCH)
+                        t1 = time.perf_counter()
+                        rec = decompress_fn(arr, core=core)
             except Exception as e:  # transient tunnel/backend failure:
                 # keep already-measured results instead of dying
                 last_error = e
@@ -524,7 +583,13 @@ def main():
                       file=sys.stderr)
                 link_post = link
             bw = (max(link[0], link_post[0]), max(link[1], link_post[1]))
-            min_wall = d2h_mb / bw[0] + h2d_mb / bw[1]
+            # sequential schedule: the directions take turns, so the wire
+            # floor is the SUM of per-direction walls; overlapped
+            # schedule: they run concurrently, so it is the MAX
+            if duplex_run:
+                min_wall = max(d2h_mb / bw[0], h2d_mb / bw[1])
+            else:
+                min_wall = d2h_mb / bw[0] + h2d_mb / bw[1]
             link_util = min_wall / (t2 - t0)
             # achieved transport bits per image pixel each way (raw pixels
             # both ways would be 24; the rANS residual transport targets
@@ -554,16 +619,37 @@ def main():
             _wire = ("h2d_upload", "h2d_queues", "h2d+dispatch",
                      "turbo_fetch", "turbo_h2d+decode", "d2h_pixels",
                      "d2h_sym")
-            busy = {
-                "wire_compress": round(
-                    GLOBAL_TIMER.busy_fraction(_wire, t0, t1), 2),
-                "wire_decompress": round(
-                    GLOBAL_TIMER.busy_fraction(_wire, t1, t2), 2),
-                "pipeline_compress": round(
-                    GLOBAL_TIMER.busy_fraction(("",), t0, t1), 2),
-                "pipeline_decompress": round(
-                    GLOBAL_TIMER.busy_fraction(("",), t1, t2), 2),
-            }
+            if duplex_run:
+                # overlapped schedule: there are no phases — each
+                # direction's occupancy is measured over the WHOLE window
+                # via its own stage subset ("was the h2d/d2h direction
+                # held?"); both near 1.0 = the overlap is working and
+                # both directions stay busy simultaneously
+                _wire_c = tuple("compress/" + s for s in _wire)
+                _wire_d = tuple("decompress/" + s for s in _wire)
+                busy = {
+                    "wire_compress": round(
+                        GLOBAL_TIMER.busy_fraction(_wire_c, t0, t2), 2),
+                    "wire_decompress": round(
+                        GLOBAL_TIMER.busy_fraction(_wire_d, t0, t2), 2),
+                    "pipeline_compress": round(
+                        GLOBAL_TIMER.busy_fraction(("compress/",), t0,
+                                                   t2), 2),
+                    "pipeline_decompress": round(
+                        GLOBAL_TIMER.busy_fraction(("decompress/",), t0,
+                                                   t2), 2),
+                }
+            else:
+                busy = {
+                    "wire_compress": round(
+                        GLOBAL_TIMER.busy_fraction(_wire, t0, t1), 2),
+                    "wire_decompress": round(
+                        GLOBAL_TIMER.busy_fraction(_wire, t1, t2), 2),
+                    "pipeline_compress": round(
+                        GLOBAL_TIMER.busy_fraction(("",), t0, t1), 2),
+                    "pipeline_decompress": round(
+                        GLOBAL_TIMER.busy_fraction(("",), t1, t2), 2),
+                }
             print(f"# busy fractions: wire {busy['wire_compress']:.2f}/"
                   f"{busy['wire_decompress']:.2f} pipeline "
                   f"{busy['pipeline_compress']:.2f}/"
@@ -592,10 +678,16 @@ def main():
             wd_detail.pop("stages_s", None)
             _WATCHDOG["line"] = json.dumps(_result_dict(best_mps,
                                                         wd_detail))
-            print(f"# run {r} ({h}x{w}): compress {mp / (t1 - t0):.1f} MP/s, "
-                  f"decompress {mp / (t2 - t1):.1f} MP/s, "
-                  f"combined {mps:.1f} MP/s, {run_bpp:.3f} bpp",
-                  file=sys.stderr)
+            if duplex_run:
+                print(f"# run {r} ({h}x{w}): duplex-overlapped roundtrip "
+                      f"combined {mps:.1f} MP/s, {run_bpp:.3f} bpp",
+                      file=sys.stderr)
+            else:
+                print(f"# run {r} ({h}x{w}): "
+                      f"compress {mp / (t1 - t0):.1f} MP/s, "
+                      f"decompress {mp / (t2 - t1):.1f} MP/s, "
+                      f"combined {mps:.1f} MP/s, {run_bpp:.3f} bpp",
+                      file=sys.stderr)
             shutil.rmtree(out, ignore_errors=True)
 
         if best_mps == 0.0 and last_error is not None:

@@ -68,6 +68,62 @@ def probe_link_mbps(force: bool = False, mb: int = _PROBE_MB):
     return d2h, h2d
 
 
+def probe_link_duplex_mbps(mb: int = 8):
+    """Measure BOTH link directions concurrently: (d2h MB/s, h2d MB/s).
+
+    The serving pipeline's compress direction is h2d-bound (coded pixel
+    upload) and its decompress direction is d2h-bound (coded pixel
+    fetch).  Whether overlapping the two phases helps depends on the
+    tunnel being full-duplex: a full-duplex link sustains both
+    directions at (close to) their solo rates simultaneously, so the
+    overlapped roundtrip approaches max(direction walls) instead of
+    their sum; a half-duplex link splits one budget and overlap buys
+    nothing.  This probe answers that question empirically: two
+    threads start transfers at a barrier — one fetches ``mb`` MB to
+    host, one uploads ``mb`` MB and forces materialization with a
+    1-element fetch — and each direction's achieved rate is returned.
+    Compare against probe_link_mbps() (solo rates): duplex/solo ratios
+    near 1.0 each way = full-duplex.
+
+    Not cached: callers run this deliberately (bench mode selection),
+    not on transport gates.
+    """
+    import threading
+
+    import jax  # noqa: F401 — backend init before timing
+    import jax.numpy as jnp
+
+    n = mb * 1024 * 1024 // 4
+    dev = jnp.arange(n, dtype=jnp.float32) + jnp.float32(
+        time.monotonic() % 89.0)
+    np.asarray(dev[:8])  # ensure computed before the timed fetch
+    host = np.arange(n, dtype=np.float32) + np.float32(
+        time.monotonic() % 83.0)
+
+    barrier = threading.Barrier(2)
+    out = {}
+
+    def _down():
+        barrier.wait()
+        t0 = time.perf_counter()
+        np.asarray(dev)
+        out["d2h"] = mb / max(1e-9, time.perf_counter() - t0)
+
+    def _up():
+        barrier.wait()
+        t0 = time.perf_counter()
+        up = jnp.asarray(host)
+        np.asarray(up[:1])  # forces the upload to have landed
+        out["h2d"] = mb / max(1e-9, time.perf_counter() - t0)
+
+    threads = [threading.Thread(target=_down), threading.Thread(target=_up)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return out["d2h"], out["h2d"]
+
+
 def _gated(env: str, direction: str) -> bool:
     mode = os.environ.get(env, "auto")
     if mode in ("0", "1"):

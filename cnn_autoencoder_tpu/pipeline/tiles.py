@@ -792,6 +792,182 @@ def decompress_cae_turbo_array(src: zarrlib.Array,
     return out
 
 
+def roundtrip_cae_turbo(core, src: np.ndarray, out_path: str,
+                        data_group: str = "0/0", patch_size: int = 512,
+                        batch_tiles: Optional[int] = None,
+                        checkpoint_id: Optional[str] = None):
+    """Overlapped compress+decompress of one image through the turbo path.
+
+    The sequential schedule (compress the whole image, then decompress
+    it) leaves each tunnel direction idle roughly half the run: compress
+    is h2d-bound (coded pixel upload), decompress is d2h-bound (coded
+    pixel fetch).  Tile batches are independent, so when the link is
+    full-duplex (``coding.link_probe.probe_link_duplex_mbps``) batch
+    ``k``'s decode can ride the d2h direction while batch ``k+1``'s
+    encode uploads — the roundtrip wall then approaches the larger
+    direction's solo wall instead of their sum.  (The reference's
+    analogue is strictly serial: dask ``map_blocks`` compress then a
+    separate decompress invocation, reference src/compress.py:111-128.)
+
+    Uses the same encode schedule, calibration discipline, and jitted
+    programs as ``compress_pixels_to_cae_turbo`` +
+    ``decompress_cae_turbo_array``: stored bytes and the reconstruction
+    are identical to running the two sequentially (pinned by
+    tests/test_roundtrip_pipelined.py).
+
+    Returns ``(arr, rec)``: the written zarr array and the
+    reconstructed (h, w, c) uint8 image.
+    """
+    import threading
+
+    from ..storage.turbo_codec import CAETurboCore
+    assert isinstance(core, CAETurboCore)
+    h, w, c = src.shape
+    p = min(patch_size, max(h, w))
+    n_tiles = (-(-h // p)) * (-(-w // p))
+    batch = batch_tiles or default_batch_tiles(p, core, n_tiles)
+
+    root = zarrlib.Group.create(out_path)
+    arr = root.create_dataset(
+        data_group or "0/0", shape=(h, w, c), chunks=(p, p, c),
+        dtype=np.uint8,
+        compressor={"id": "cae_tpu", "checkpoint": checkpoint_id,
+                    "num_streams": core.num_streams},
+        overwrite=True)
+    grid = _tile_grid(h, w, p)
+    out = np.zeros((h, w, c), np.uint8)
+
+    def read_tile(ij):
+        i, j = ij
+        tile = np.zeros((p, p, c), np.uint8)
+        block = src[i * p:min((i + 1) * p, h), j * p:min((j + 1) * p, w)]
+        tile[:block.shape[0], :block.shape[1]] = block
+        return tile
+
+    read_pool = ThreadPoolExecutor(max_workers=4)
+    # separate worker pools per direction: encode jobs must never sit
+    # queued behind decode jobs (or vice versa) — the whole point is to
+    # keep both link directions busy simultaneously
+    enc_workers = ThreadPoolExecutor(max_workers=FETCH_WORKERS)
+    dec_workers = ThreadPoolExecutor(max_workers=FETCH_WORKERS)
+
+    # upload transport: pre-dispatch calibration on the main thread, same
+    # as compress_pixels_to_cae_turbo (stored bytes must not depend on
+    # worker scheduling)
+    from ..coding.link_probe import coded_upload_enabled
+    from ..coding.pixel_pack import packed_fetch_enabled
+    from ..coding.pixel_rans import PixelRansTransport
+    up_transport = None
+    if coded_upload_enabled():
+        up_transport = getattr(core, "_up_transport", None)
+        if up_transport is None:
+            up_transport = PixelRansTransport()
+            core._up_transport = up_transport
+
+    fetch_tr = None
+    if (packed_fetch_enabled()
+            and os.environ.get("CAE_TPU_FETCH_CODEC", "rans") == "rans"):
+        fetch_tr = getattr(core, "_fetch_transport", None)
+        if fetch_tr is None:
+            fetch_tr = PixelRansTransport()
+            core._fetch_transport = fetch_tr
+
+    # fetch-transport calibration: first decode job runs the raw-probe +
+    # fit (discarding the probe pixels, exactly like
+    # decompress_cae_turbo_array's calibration probe) so every OUTPUT
+    # batch rides the calibrated coded program; other decode jobs wait.
+    # A persisted serving-core transport is already calibrated and skips
+    # the probe entirely.
+    cal_lock = threading.Lock()
+    cal_done = threading.Event()
+    if fetch_tr is None or fetch_tr.calibrated():
+        cal_done.set()
+
+    def _calibrate_fetch(bufs):
+        nonlocal fetch_tr
+        tr = fetch_tr
+        if tr is not None and not tr.calibrated():
+            rec0 = core.decode_tiles(bufs)  # raw probe, discarded
+            sample = rec0 if isinstance(rec0, np.ndarray) else \
+                np.stack([r for r in rec0 if r.shape == rec0[0].shape])
+            ph0, pw0 = core.base.padded_hw(*sample.shape[1:3])
+            if not tr.calibrate_and_gate_fetch(
+                    sample, ph0 * pw0 * 3, core.per_shard_batch(batch)):
+                fetch_tr = None
+        cal_done.set()
+
+    def decode_and_stitch(ids, bufs):
+        nonlocal fetch_tr
+        if not cal_done.is_set():
+            with cal_lock:
+                if not cal_done.is_set():
+                    _calibrate_fetch(bufs)
+        cal_done.wait()
+        tr = fetch_tr
+        with GLOBAL_TIMER.stage("decompress/turbo_decode",
+                                len(ids) * p * p / 1e6):
+            rec = core.decode_tiles(bufs, transport=tr)
+        if tr is not None and not tr.calibrated():
+            # mid-call overflow invalidation: refit from these
+            # raw-fallback reconstructions (see decompress_cae_turbo_array)
+            sample = rec if isinstance(rec, np.ndarray) else \
+                np.stack([r for r in rec if r.shape == rec[0].shape])
+            ph0, pw0 = core.base.padded_hw(*sample.shape[1:3])
+            if not tr.calibrate_and_gate_fetch(
+                    sample, ph0 * pw0 * 3, core.per_shard_batch(batch)):
+                fetch_tr = None
+        for (i, j), r in zip(ids, rec):
+            sl, valid = arr.chunk_slices((i, j, 0))
+            out[sl] = r[:valid[0], :valid[1], :valid[2]]
+
+    dec_jobs = []
+    dec_lock = threading.Lock()
+
+    def encode_and_roundtrip(idxs, tiles_np):
+        nonlocal up_transport
+        tr = up_transport
+        if tr is not None and not tr.calibrated():
+            if not tr.calibrate_and_gate_upload(tiles_np, p * p * c):
+                up_transport = None
+                tr = None
+        with GLOBAL_TIMER.stage("compress/turbo_encode",
+                                len(idxs) * p * p / 1e6):
+            bufs = core.encode_tiles(tiles_np, up_transport=tr)
+        bufs = [bytes(b) for b in bufs[:len(idxs)]]
+        for (i, j), buf in zip(idxs, bufs):
+            arr.write_chunk_raw((i, j, 0), buf)
+        with dec_lock:
+            dec_jobs.append(dec_workers.submit(decode_and_stitch, idxs,
+                                               bufs))
+
+    try:
+        inflight = []
+        for group in _iter_batches(grid, batch):
+            tiles = list(read_pool.map(read_tile, group))
+            while len(tiles) < batch:
+                tiles.append(tiles[-1])
+            tiles_np = np.stack(tiles)
+            if up_transport is not None and not up_transport.calibrated():
+                if not up_transport.calibrate_and_gate_upload(
+                        tiles_np, p * p * c):
+                    up_transport = None
+            inflight.append(enc_workers.submit(encode_and_roundtrip, group,
+                                               tiles_np))
+            while len(inflight) > MAX_INFLIGHT:
+                inflight.pop(0).result()
+        for f in inflight:
+            f.result()
+        with dec_lock:
+            pending = list(dec_jobs)
+        for f in pending:
+            f.result()
+    finally:
+        read_pool.shutdown()
+        enc_workers.shutdown()
+        dec_workers.shutdown()
+    return arr, out
+
+
 # --- whole-image fused paths -------------------------------------------------
 #
 # On remote/tunneled TPUs every execute+fetch round trip costs fixed latency,

@@ -1,0 +1,54 @@
+"""Measure whether the axon tunnel is full- or half-duplex.
+
+Runs solo-direction probes (coding.link_probe.probe_link_mbps) and the
+concurrent probe (probe_link_duplex_mbps) several times, and prints one
+JSON line with the per-direction solo and duplex rates plus the
+duplex/solo ratios.  Interpretation:
+
+* ratios near 1.0 both ways  -> full-duplex: overlapping the serving
+  pipeline's compress (h2d-bound) and decompress (d2h-bound) phases
+  approaches max(direction walls) instead of their sum
+  (pipeline/tiles.roundtrip_cae_turbo);
+* ratios near 0.5 (sum of duplex rates ~= one solo rate) -> the tunnel
+  shares one budget between directions and overlap buys ~nothing.
+
+Run under an external timeout — the tunnel can hard-stall for minutes.
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    from cnn_autoencoder_tpu.coding.link_probe import (probe_link_duplex_mbps,
+                                                       probe_link_mbps)
+    import jax
+    dev = jax.devices()[0]
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    mb = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    rows = []
+    for r in range(reps):
+        solo = probe_link_mbps(force=True, mb=mb)
+        dup = probe_link_duplex_mbps(mb=mb)
+        rows.append({"solo_d2h": round(solo[0], 1),
+                     "solo_h2d": round(solo[1], 1),
+                     "dup_d2h": round(dup[0], 1),
+                     "dup_h2d": round(dup[1], 1)})
+        print(f"# rep {r}: solo {solo[0]:.1f}/{solo[1]:.1f} "
+              f"dup {dup[0]:.1f}/{dup[1]:.1f} MB/s (d2h/h2d)",
+              file=sys.stderr)
+        time.sleep(2)
+    # best-of-N per quantity: the tunnel is bursty and a congestion spike
+    # during any single rep poisons a mean
+    best = {k: max(r[k] for r in rows) for k in rows[0]}
+    ratios = {"d2h": round(best["dup_d2h"] / max(1e-9, best["solo_d2h"]), 2),
+              "h2d": round(best["dup_h2d"] / max(1e-9, best["solo_h2d"]), 2)}
+    print(json.dumps({"device": str(dev), "payload_mb": mb, "reps": rows,
+                      "best": best, "duplex_over_solo": ratios,
+                      "full_duplex": min(ratios.values()) >= 0.6}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
