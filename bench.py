@@ -655,6 +655,31 @@ def main():
                   f"{busy['pipeline_compress']:.2f}/"
                   f"{busy['pipeline_decompress']:.2f} (compress/"
                   f"decompress)", file=sys.stderr)
+            if mode in ("cae_tpu", "cae_tpu_duplex"):
+                # decompose the outer turbo_decode stage: every region
+                # inside decode_tiles is now staged, so outer-minus-inner
+                # is pure worker-thread scheduling residue (closes the
+                # round-4 hole where 63% of a congested decompress wall
+                # sat in turbo_decode unattributed)
+                dec_win = (t0, t2) if duplex_run else (t1, t2)
+                _inner = ("decompress/frame_parse",
+                          "decompress/host_frame_asm",
+                          "decompress/predecode_setup",
+                          "decompress/h2d_queues",
+                          "decompress/turbo_h2d+decode",
+                          "decompress/fetch_total",
+                          "decompress/stack_out")
+                f_outer = GLOBAL_TIMER.busy_fraction(
+                    ("decompress/turbo_decode",), *dec_win)
+                f_inner = GLOBAL_TIMER.busy_fraction(_inner, *dec_win)
+                busy["decode_outer"] = round(f_outer, 2)
+                busy["decode_inner"] = round(f_inner, 2)
+                print(f"# turbo_decode decomposition: outer "
+                      f"{f_outer:.2f} = staged-inner {f_inner:.2f} + "
+                      f"scheduling residue "
+                      f"{max(0.0, f_outer - f_inner):.2f} "
+                      "(fractions of the decompress wall)",
+                      file=sys.stderr)
             if mps > best_mps:
                 best_busy = busy
                 best_psnr = run_psnr

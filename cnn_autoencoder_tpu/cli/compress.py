@@ -159,6 +159,8 @@ def compress(args):
 def cli():
     """Console entry point (``cae-compress``): parse argv and compress."""
     args = get_args(task="encoder", mode="inference")
+    from ..parallel.distributed import initialize_multihost
+    initialize_multihost()  # pod-slice serving: one process per host
     loggers.setup_logger(args)
     compress(args)
     logging.shutdown()

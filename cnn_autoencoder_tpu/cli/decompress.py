@@ -209,6 +209,8 @@ def decompress(args):
 def cli():
     """Console entry point (``cae-decompress``): parse argv and decompress."""
     args = get_args(task="decoder", mode="inference")
+    from ..parallel.distributed import initialize_multihost
+    initialize_multihost()  # pod-slice serving: one process per host
     loggers.setup_logger(args)
     decompress(args)
     logging.shutdown()

@@ -9,6 +9,7 @@ warmup + plateau schedulers, early stopping.
 """
 
 import logging
+import os
 from typing import Dict
 
 import jax
@@ -19,7 +20,9 @@ from ..criteria.loss import setup_loss
 from ..criteria.stopping import setup_stopping_criteria
 from ..data.datautils import get_data
 from ..models.factory import CAEModel, build_model, setup_modules
-from ..parallel.mesh import create_mesh, shard_batch, shard_variables
+from ..parallel.distributed import initialize_multihost, local_batch_slice
+from ..parallel.mesh import (create_mesh, replicate, shard_batch,
+                             shard_variables)
 from ..training import checkpoint as ckpt
 from ..training.loop import make_eval_step, make_train_step, valid
 from ..training.optim import setup_optimizers
@@ -142,8 +145,17 @@ def resume_optimizer(opt_states, schedulers, checkpoint):
 
 
 def train(model, train_data, valid_data, criterion, stopping_criteria,
-          optimizers, opt_states, acc_grads, schedulers, lrs, args):
-    """Host training loop (reference train_cae_ms.py:120-443)."""
+          optimizers, opt_states, acc_grads, schedulers, lrs, args,
+          mesh=None):
+    """Host training loop (reference train_cae_ms.py:120-443).
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` — batches shard their
+    leading axis over the ``data`` axis and jit inserts the gradient
+    all-reduce (ICI within a host/slice, DCN across processes).  The
+    reference wires its one parallelism mode into every model build
+    (nn.DataParallel, reference src/models/tasks/_autoencoders.py:517);
+    this is the TPU equivalent wired into the entry path.
+    """
     logger = logging.getLogger(args.mode + "_log")
     trainable = [m for m in args.trainable_modules if m in model.variables]
 
@@ -154,6 +166,42 @@ def train(model, train_data, valid_data, criterion, stopping_criteria,
                                enabled_modules=args.enabled_modules)
 
     variables = model.variables
+    n_proc = jax.process_count()
+    data_size = mesh.shape["data"] if mesh is not None else 1
+    if mesh is not None:
+        # params/optimizer state live replicated (or model-sharded, per
+        # infer_param_spec) on the mesh; with the default model=1 this is
+        # pure data parallelism
+        variables = shard_variables(mesh, variables)
+        opt_states = replicate(mesh, opt_states)
+        acc_grads = replicate(mesh, acc_grads)
+    ragged_warned = [False]
+
+    def place_batch(x, t):
+        """Host batch -> device (sharded over the mesh when present).
+
+        Returns (x, t, ok); ok=False marks a ragged final batch that
+        cannot split evenly over data shards / processes — the caller
+        skips it (multi-device runs only; single-device keeps every
+        batch, reference DataLoader semantics)."""
+        if mesh is None:
+            return (jnp.asarray(x),
+                    None if t is None else jnp.asarray(t), True)
+        if len(x) % data_size or len(x) % n_proc:
+            if not ragged_warned[0]:
+                ragged_warned[0] = True
+                logger.info(
+                    "Skipping ragged batch of %d (not divisible by %d "
+                    "data shards / %d processes)"
+                    % (len(x), data_size, n_proc))
+            return None, None, False
+        if n_proc > 1:
+            sl = local_batch_slice(len(x))
+            x = x[sl]
+            t = None if t is None else t[sl]
+        placed = shard_batch(mesh, (np.asarray(x),) if t is None
+                             else (np.asarray(x), np.asarray(t)))
+        return placed[0], (placed[1] if t is not None else None), True
     best_valid_loss = float("inf")
     train_loss_history, valid_loss_history = [], []
     channel_e_history = []
@@ -164,12 +212,19 @@ def train(model, train_data, valid_data, criterion, stopping_criteria,
     step = 0
     rng = jax.random.PRNGKey(int(args.seed or 0))
 
+    def placed_batches(data):
+        """Iterate a loader with device placement; ragged multi-device
+        tails are dropped HERE so batch indices (and the running loss
+        averages divided by them) only count consumed batches."""
+        for x, t in data:
+            x, t, ok = place_batch(x, t)
+            if ok:
+                yield x, t
+
     while keep_training:
         sum_loss = 0.0
-        for i, (x, t) in enumerate(train_data):
+        for i, (x, t) in enumerate(placed_batches(train_data)):
             step += 1
-            x = jnp.asarray(x)
-            t = None if t is None else jnp.asarray(t)
 
             if "penalty" in stopping_criteria:
                 stopping_criteria["penalty"].reset()
@@ -221,8 +276,10 @@ def train(model, train_data, valid_data, criterion, stopping_criteria,
                         and (step - args.early_warmup)
                         % args.checkpoint_steps == 0) and step > 1):
                 train_loss = sum_loss / (i + 1)
-                valid_loss, val_avg_metrics = valid(eval_step, variables,
-                                                    valid_data)
+                # validation batches ride the same mesh placement
+                # (jnp.asarray inside valid() is a no-op on placed arrays)
+                valid_loss, val_avg_metrics = valid(
+                    eval_step, variables, placed_batches(valid_data))
 
                 for name, sched in schedulers.items():
                     if name.endswith("_warmup"):
@@ -293,6 +350,28 @@ def train(model, train_data, valid_data, criterion, stopping_criteria,
 def main(args):
     logger = logging.getLogger(args.mode + "_log")
 
+    # multi-host first (idempotent): jax.distributed must initialize
+    # before device queries; single-process runs fall straight through
+    initialize_multihost()
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and os.environ.get("CAE_TPU_TRAIN_MESH", "1") != "0":
+        model_par = int(os.environ.get("CAE_TPU_MODEL_PARALLEL", "1") or 1)
+        # the data axis must divide the (global) batch size or every
+        # batch would be skipped as ragged; use the largest divisor that
+        # fits the available devices (a 4-sample batch on 8 devices
+        # trains on 4 of them rather than not at all)
+        avail = max(1, n_dev // model_par)
+        bs = int(getattr(args, "batch_size", 0) or 0)
+        data_par = (max(d for d in range(1, avail + 1) if bs % d == 0)
+                    if bs else avail)
+        if data_par * model_par > 1:
+            mesh = create_mesh(data=data_par, model=model_par)
+            logger.info(
+                "Training mesh: data=%d x model=%d over %d devices "
+                "(%d processes)" % (data_par, model_par, n_dev,
+                                    jax.process_count()))
+
     train_data, valid_data, num_classes = get_data(args)
     args.num_classes = num_classes
 
@@ -311,12 +390,15 @@ def main(args):
     logger.info("Optimizers: %s" % {k: lrs[k] for k in optimizers})
 
     train(model, train_data, valid_data, criterion, stopping_criteria,
-          optimizers, opt_states, acc, schedulers, lrs, args)
+          optimizers, opt_states, acc, schedulers, lrs, args, mesh=mesh)
 
 
 def cli():
     """Console entry point (``cae-train``): parse argv and train."""
     args = get_args(task="autoencoder", mode="training")
+    # before setup_logger: the log-file handler is process-0-gated, so
+    # process identity must be settled first
+    initialize_multihost()
     loggers.setup_logger(args)
     main(args)
 

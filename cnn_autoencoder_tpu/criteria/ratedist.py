@@ -17,6 +17,7 @@ from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.msssim import ms_ssim
 
@@ -59,7 +60,10 @@ class DistMSSSIM:
         return {"dist": [1.0 - val]}
 
 
-_PYR_KERNEL_1D = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+# numpy, not jnp: a device constant at import time would initialize the
+# XLA backend before jax.distributed.initialize() can run (multi-host
+# CLI entry); jnp.outer converts it lazily at first use
+_PYR_KERNEL_1D = np.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
 
 
 def downsample_pyramid(x: jnp.ndarray) -> jnp.ndarray:

@@ -32,6 +32,16 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     if process_id is None and "PROCESS_ID" in os.environ:
         process_id = int(os.environ["PROCESS_ID"])
 
+    # idempotent: CLI entry points call this unconditionally (cli() for
+    # logger gating, library callers for safety); a second initialize
+    # would raise
+    try:
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            return jax.process_count() > 1
+    except Exception:
+        pass
+
     if coordinator_address is None and num_processes is None:
         # TPU pod slices auto-configure from the metadata server
         try:
@@ -52,6 +62,16 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                 jax.process_index(), jax.process_count(),
                 len(jax.devices()))
     return True
+
+
+def is_primary() -> bool:
+    """True on the process that owns file writes (checkpoints, logs,
+    metric dumps).  Single-process runs are always primary."""
+    import jax
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return True
 
 
 def local_batch_slice(global_batch: int) -> slice:

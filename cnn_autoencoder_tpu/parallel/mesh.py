@@ -98,6 +98,21 @@ def replicate(mesh: Mesh, tree):
 
 
 def shard_batch(mesh: Mesh, batch):
+    """Shard a batch's leading axis over the mesh's ``data`` axis.
+
+    Single-process: a plain ``device_put`` of the full array.
+    Multi-host (``jax.process_count() > 1``): each process passes only
+    its LOCAL slice of the global batch (``distributed.local_batch_slice``)
+    and the global array is assembled from the per-process shards —
+    ``device_put`` of a host-local array onto non-addressable devices is
+    not possible, so the multi-host path must go through
+    ``jax.make_array_from_process_local_data``.
+    """
+    multi = jax.process_count() > 1
+
     def put(x):
-        return jax.device_put(x, NamedSharding(mesh, batch_spec(x.ndim)))
+        sh = NamedSharding(mesh, batch_spec(x.ndim))
+        if multi:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
     return jax.tree_util.tree_map(put, batch)

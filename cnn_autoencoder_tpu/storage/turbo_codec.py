@@ -444,41 +444,57 @@ class CAETurboCore:
         n = len(bufs)
         if n == 0:
             return np.zeros((0, 0, 0, 3), np.uint8)
+        from ..utils.profiling import GLOBAL_TIMER
         recs: List[Optional[np.ndarray]] = [None] * n
         host_groups = {}   # (th, tw) -> [index]
         turbo_groups = {}  # (s, th, tw) -> [(index, raw)]
         from .cae_codec import _check_frame_hw
-        for i, raw in enumerate(bufs):
-            raw = bytes(raw)
-            if len(raw) < 16:
-                # struct.error here would bypass callers' corrupt-chunk
-                # handling, which catches the codec's ValueError
-                raise ValueError(
-                    f"corrupt frame: {len(raw)} bytes is shorter than the "
-                    "16-byte header")
-            if not is_turbo_frame(raw):
-                th, tw = struct.unpack(">QQ", raw[:16])
+        with GLOBAL_TIMER.stage("decompress/frame_parse"):
+            for i, raw in enumerate(bufs):
+                raw = bytes(raw)
+                if len(raw) < 16:
+                    # struct.error here would bypass callers'
+                    # corrupt-chunk handling, which catches the codec's
+                    # ValueError
+                    raise ValueError(
+                        f"corrupt frame: {len(raw)} bytes is shorter than "
+                        "the 16-byte header")
+                if not is_turbo_frame(raw):
+                    th, tw = struct.unpack(">QQ", raw[:16])
+                    _check_frame_hw(th, tw)
+                    host_groups.setdefault((th, tw), []).append(i)
+                    continue
+                h_field, tw = struct.unpack(">QQ", raw[:16])
+                th = h_field & ~TURBO_FLAG
                 _check_frame_hw(th, tw)
-                host_groups.setdefault((th, tw), []).append(i)
-                continue
-            h_field, tw = struct.unpack(">QQ", raw[:16])
-            th = h_field & ~TURBO_FLAG
-            _check_frame_hw(th, tw)
-            if len(raw) < 23:
-                # both versions need at least (version u8, s u16) + one
-                # more u32 (v4 nbytes / v3 first table entry)
-                raise ValueError(
-                    f"corrupt cae_tpu frame: truncated header "
-                    f"({len(raw)} bytes)")
-            version, s = struct.unpack(">BH", raw[16:19])
-            if version not in (VERSION, LEGACY_VERSION):
-                raise ValueError(
-                    f"cae_tpu frame version {version} unsupported "
-                    f"(expected {LEGACY_VERSION} or {VERSION})")
-            if s < 1:
-                raise ValueError(
-                    "corrupt cae_tpu frame: zero stream count")
-            turbo_groups.setdefault((version, s, th, tw), []).append((i, raw))
+                if len(raw) < 23:
+                    # both versions need at least (version u8, s u16) +
+                    # one more u32 (v4 nbytes / v3 first table entry)
+                    raise ValueError(
+                        f"corrupt cae_tpu frame: truncated header "
+                        f"({len(raw)} bytes)")
+                version, s = struct.unpack(">BH", raw[16:19])
+                if version not in (VERSION, LEGACY_VERSION):
+                    raise ValueError(
+                        f"cae_tpu frame version {version} unsupported "
+                        f"(expected {LEGACY_VERSION} or {VERSION})")
+                if s < 1:
+                    raise ValueError(
+                        "corrupt cae_tpu frame: zero stream count")
+                turbo_groups.setdefault((version, s, th, tw),
+                                        []).append((i, raw))
+
+        if not host_groups and len(turbo_groups) == 1:
+            # common serving case (uniform tile batch): the group decode
+            # already returns the full batch in index order — returning
+            # it directly skips a whole-batch np.stack copy (~50 MB per
+            # 64-tile batch; a measurable tax on a 1-core host, and it
+            # was the largest unstaged block in decode_tiles' wall)
+            (version, s, th, tw), group = next(iter(turbo_groups.items()))
+            raws = [raw for _, raw in group]
+            if version == VERSION:
+                return self._decode_turbo_group(raws, s, th, tw, transport)
+            return self._decode_turbo_group_v3(raws, s, th, tw)
 
         for (th, tw), idxs in host_groups.items():
             rec = self.base.decode_tiles([bytes(bufs[i]) for i in idxs])
@@ -494,7 +510,9 @@ class CAETurboCore:
                 recs[i] = r
 
         if all(r.shape == recs[0].shape for r in recs):
-            return np.stack(recs)
+            with GLOBAL_TIMER.stage("decompress/stack_out",
+                                    sum(r.size for r in recs) / 3e6):
+                return np.stack(recs)
         return recs
 
     def _decode_turbo_group(self, raws: List[bytes], s: int, th: int,
@@ -543,16 +561,18 @@ class CAETurboCore:
         # (ph, pw) from padded_hw above: already exact multiples of
         # 2**level, so lh*2**level recomputes the same values — reuse the
         # one derivation instead of shadowing it
-        n_px = ph * pw * 3
-        per = self.per_shard_batch(batch)    # tiles per shard
-        snap = transport.snapshot() if transport is not None else None
-        use_rans = (snap is not None
-                    and transport.worthwhile_fetch(n_px, per))
-        # packed transport stays single-device: its compacted buffer is a
-        # global layout that per-shard packing would not reproduce (the
-        # rANS transport compacts per shard and takes precedence)
-        packed = (not use_rans and self.mesh is None
-                  and packed_fetch_enabled() and n_px % 128 == 0)
+        with GLOBAL_TIMER.stage("decompress/predecode_setup", 0.0):
+            n_px = ph * pw * 3
+            per = self.per_shard_batch(batch)    # tiles per shard
+            snap = transport.snapshot() if transport is not None else None
+            use_rans = (snap is not None
+                        and transport.worthwhile_fetch(n_px, per))
+            # packed transport stays single-device: its compacted buffer
+            # is a global layout that per-shard packing would not
+            # reproduce (the rANS transport compacts per shard and takes
+            # precedence)
+            packed = (not use_rans and self.mesh is None
+                      and packed_fetch_enabled() and n_px % 128 == 0)
         with GLOBAL_TIMER.stage("decompress/h2d_queues",
                                 queues.nbytes / 1e6):
             qdev, _ = self._pad_batch(jnp.asarray(queues))

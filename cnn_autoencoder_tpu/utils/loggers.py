@@ -22,15 +22,23 @@ def setup_logger(args) -> logging.Logger:
     logger.setLevel(logging.DEBUG)
     logger.handlers = []
 
-    log_fn = os.path.join(
-        args_dict.get("log_dir", "."),
-        "%s_ver%s_%s%s.log" % (mode, args_dict.get("version", ""),
-                               args_dict.get("seed", 0),
-                               args_dict.get("log_identifier", "")))
-    os.makedirs(args_dict.get("log_dir", "."), exist_ok=True)
-    fh = logging.FileHandler(log_fn, mode="a")
-    fh.setLevel(logging.DEBUG)
-    logger.addHandler(fh)
+    # multi-host: only process 0 owns the log file (every process would
+    # otherwise append interleaved lines to the SAME path and corrupt the
+    # metric-line format that dump_training_stats re-parses); secondary
+    # processes keep an in-memory logger (plus console when print_log)
+    from ..parallel.distributed import is_primary
+    if is_primary():
+        log_fn = os.path.join(
+            args_dict.get("log_dir", "."),
+            "%s_ver%s_%s%s.log" % (mode, args_dict.get("version", ""),
+                                   args_dict.get("seed", 0),
+                                   args_dict.get("log_identifier", "")))
+        os.makedirs(args_dict.get("log_dir", "."), exist_ok=True)
+        fh = logging.FileHandler(log_fn, mode="a")
+        fh.setLevel(logging.DEBUG)
+        logger.addHandler(fh)
+    else:
+        log_fn = "<secondary process: no log file>"
 
     if args_dict.get("print_log", False):
         ch = logging.StreamHandler()
@@ -48,8 +56,14 @@ def save_state(name: str, state: Dict[str, Any], args) -> str:
         "%s_ver%s_%s%s.msgpack" % (name, args_dict.get("version", ""),
                                    args_dict.get("seed", 0),
                                    args_dict.get("log_identifier", "")))
-    save_checkpoint(fn, state)
-    logging.getLogger("training_log").info("Saved model in %s" % fn)
+    # multi-host: checkpoint writes are process-0-gated (params are
+    # replicated, so every process holds the same state; concurrent
+    # writers to one path would race).  Secondary processes still return
+    # the path so callers' bookkeeping stays in lockstep with process 0.
+    from ..parallel.distributed import is_primary
+    if is_primary():
+        save_checkpoint(fn, state)
+        logging.getLogger("training_log").info("Saved model in %s" % fn)
     return fn
 
 

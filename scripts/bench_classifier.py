@@ -1,0 +1,173 @@
+"""End-to-end compressed-domain classification benchmark (BASELINE #5).
+
+Reproduces the reference's de-facto deliverable — a measured accuracy /
+ROC-AUC for a classifier head trained ON THE CAE's quantized latents
+(reference src/test_cae_classifier.py:233-373) — through this
+framework's own product surfaces:
+
+1. synthesize a 10-class MNIST-format dataset (oriented gratings: class
+   = orientation; written as idx files in the torchvision raw layout —
+   this environment has no network egress, so real MNIST cannot be
+   downloaded; the protocol, flag surface, stored prediction tree and
+   metrics path are identical);
+2. stage 1: `cae-train` trains the autoencoder (RateMSE);
+3. stage 2: `cae-train` trains a ViT classifier head on the FROZEN
+   encoder's latents (RateMSECE, trainable_modules=class_model);
+4. `cae-test-classifier` runs inference over the held-out test split,
+   stores the prediction tree (input/target/scores/class/topk +
+   image_level ROC arrays), and computes accuracy / ROC-AUC.
+
+Writes benchmarks/classifier_result.json and prints one JSON line.
+Runs on CPU in ~5-10 min (spoofed devices fine) or on the TPU chip.
+"""
+
+import json
+import os
+import shutil
+import struct
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_TRAIN = int(os.environ.get("CLS_BENCH_TRAIN", 4096))
+N_TEST = int(os.environ.get("CLS_BENCH_TEST", 1024))
+STEPS_CAE = int(os.environ.get("CLS_BENCH_STEPS_CAE", 400))
+STEPS_CLS = int(os.environ.get("CLS_BENCH_STEPS_CLS", 600))
+BATCH = int(os.environ.get("CLS_BENCH_BATCH", 64))
+
+
+def synth_gratings(n, seed):
+    """(n, 28, 28) uint8 oriented gratings; label = orientation bin.
+
+    Class k in 0..9 is a sinusoidal grating at angle k*18deg with random
+    phase, frequency jitter, and additive noise — learnable from latents
+    but not trivially from mean intensity."""
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, 10, n).astype(np.uint8)
+    yy, xx = np.mgrid[0:28, 0:28].astype(np.float32)
+    imgs = np.empty((n, 28, 28), np.uint8)
+    for i in range(n):
+        ang = labels[i] * np.pi / 10.0
+        freq = 0.55 + rng.rand() * 0.2
+        phase = rng.rand() * 2 * np.pi
+        u = np.cos(ang) * xx + np.sin(ang) * yy
+        g = np.sin(freq * u + phase) * 100 + 127
+        g += rng.randn(28, 28) * 12
+        imgs[i] = np.clip(g, 0, 255).astype(np.uint8)
+    return imgs, labels
+
+
+def write_idx(path, arr):
+    arr = np.ascontiguousarray(arr)
+    code = {np.uint8: 0x08}[arr.dtype.type]
+    with open(path, "wb") as f:
+        f.write(struct.pack(">I", (code << 8) | arr.ndim))
+        for d in arr.shape:
+            f.write(struct.pack(">I", d))
+        f.write(arr.tobytes())
+
+
+def make_dataset(root):
+    raw = os.path.join(root, "MNIST", "raw")
+    os.makedirs(raw, exist_ok=True)
+    xi, yi = synth_gratings(N_TRAIN, seed=1)
+    write_idx(os.path.join(raw, "train-images-idx3-ubyte"), xi)
+    write_idx(os.path.join(raw, "train-labels-idx1-ubyte"), yi)
+    xt, yt = synth_gratings(N_TEST, seed=2)
+    write_idx(os.path.join(raw, "t10k-images-idx3-ubyte"), xt)
+    write_idx(os.path.join(raw, "t10k-labels-idx1-ubyte"), yt)
+
+
+def run(args_list, mode="training"):
+    from cnn_autoencoder_tpu.cli.train_cae import main
+    from cnn_autoencoder_tpu.utils.args import get_args
+    from cnn_autoencoder_tpu.utils.loggers import setup_logger
+    args = get_args("autoencoder", mode, args_list=args_list)
+    setup_logger(args)
+    main(args)
+    return args
+
+
+def main():
+    tmp = tempfile.mkdtemp(prefix="cae_cls_bench_")
+    t0 = time.time()
+    try:
+        data = os.path.join(tmp, "data")
+        make_dataset(data)
+        common = ["-ds", "MNIST", "-dd", data, "-rs", "7",
+                  "-bs", str(BATCH), "-vbs", str(BATCH), "-ps", "32",
+                  "-ich", "1", "-nch", "8", "-bch", "16", "-cl", "2",
+                  "-act", "GDN"]
+
+        # stage 1: autoencoder
+        ld1 = os.path.join(tmp, "cae")
+        os.makedirs(ld1)
+        run(common + ["-ld", ld1, "-s", str(STEPS_CAE),
+                      "-cs", str(max(50, STEPS_CAE // 4)), "-esp", "100",
+                      "-cr", "RateMSE", "-dl", "0.1",
+                      "-trm", "encoder", "decoder", "fact_ent"])
+        cae_ckpt = os.path.join(ld1, [f for f in os.listdir(ld1)
+                                      if f.startswith("last_")][0])
+        print(f"# stage 1 (CAE) done: {cae_ckpt}", file=sys.stderr)
+
+        # stage 2: latent ViT classifier on the frozen encoder
+        ld2 = os.path.join(tmp, "cls")
+        os.makedirs(ld2)
+        run(common + ["-ld", ld2, "-s", str(STEPS_CLS),
+                      "-cs", str(max(50, STEPS_CLS // 4)), "-esp", "100",
+                      "-cr", "RateMSECE", "-dl", "0.1", "-cem", "1.0",
+                      "-chk", cae_ckpt, "-cmt", "ViT", "-ccp", "6",
+                      "-trm", "class_model"])
+        cands = sorted(f for f in os.listdir(ld2)
+                       if f.startswith(("best_", "last_")))
+        cls_ckpt = os.path.join(ld2, cands[0])  # best_ preferred
+        print(f"# stage 2 (latent ViT head) done: {cls_ckpt}",
+              file=sys.stderr)
+
+        # stage 3: the classifier eval harness over the held-out split
+        from cnn_autoencoder_tpu.cli.test_cae_classifier import test as \
+            cls_test
+        from cnn_autoencoder_tpu.utils.args import get_args
+        from cnn_autoencoder_tpu.utils.loggers import setup_logger
+        ld3 = os.path.join(tmp, "eval")
+        os.makedirs(ld3)
+        targs = get_args("autoencoder", "test", args_list=[
+            "-ds", "MNIST", "-dd", data, "-ld", ld3, "-rs", "7",
+            "-bs", str(BATCH), "-ps", "32", "-chk", cls_ckpt])
+        setup_logger(targs)
+        metrics = cls_test(targs)
+
+        out = {
+            "benchmark": "compressed-domain latent classification "
+                         "(BASELINE config #5 protocol)",
+            "dataset": f"synthetic oriented-gratings MNIST-format, "
+                       f"10 classes, {N_TRAIN} train / {N_TEST} test "
+                       "(no egress: real MNIST not downloadable)",
+            "model": "net8_bn16_cl2_gdn + ViT head on frozen y_q latents",
+            "steps": {"cae": STEPS_CAE, "classifier": STEPS_CLS},
+            "accuracy": round(float(metrics.get("acc", float("nan"))), 4),
+            "metrics": {k: (round(float(v), 4)
+                            if isinstance(v, (int, float)) else v)
+                        for k, v in metrics.items()},
+            "prediction_tree": "output.zarr: input/ target/ scores/ "
+                               "class/ topk/ + image_level ROC arrays "
+                               "(reference test_cae_classifier.py:233-373 "
+                               "schema)",
+            "wall_s": round(time.time() - t0, 1),
+        }
+        dst = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "benchmarks",
+            "classifier_result.json")
+        with open(dst, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
