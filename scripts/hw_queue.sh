@@ -5,11 +5,13 @@
 # full-stall ~10 min); steps are serialized because concurrent chip
 # jobs contend and time out.
 #
-# Current queue (late round 4, post serving-path review fixes): a turbo
-# byte-identity sanity on the real chip (the v3 skew-guard +
-# pallas_gate changes touched serving code; CPU suite is green, this
-# re-checks on hardware), then a bounded end-to-end bench run to
-# confirm the full pipeline still produces a healthy number.
+# Round-5 queue:
+#  1. duplex probe — is the tunnel full-duplex? (gates the overlapped
+#     roundtrip bench mode, VERDICT r4 #1)
+#  2. two extra RD fixtures at different distortion_lambda (VERDICT #6;
+#     training is device-resident, tolerant of congestion)
+#  3. RD sweep over the 3-fixture curve + JPEG
+#  4. bounded end-to-end bench with the duplex mode available
 set -u
 cd /root/repo
 LOG=/tmp/hw_queue
@@ -25,7 +27,15 @@ run() {
 }
 
 run probe        300  python scripts/_tpu_probe.py
-run turbo_sanity 1200 python scripts/turbo_hw_sanity.py
+run duplex       900  python scripts/probe_duplex.py 3 8
+run roofline_tr  1500 python scripts/roofline_train.py --other-ops
+run roofline_tu  1200 python scripts/roofline_turbo.py
+run fixture_lo   2700 python scripts/make_bench_checkpoint.py 18000 \
+    benchmarks/bench_flagship_lam002.msgpack 128 0.002
+run fixture_hi   2700 python scripts/make_bench_checkpoint.py 18000 \
+    benchmarks/bench_flagship_lam05.msgpack 128 0.05
+run rd_sweep     2400 python scripts/rd_sweep.py --checkpoints \
+    "lam002=benchmarks/bench_flagship_lam002.msgpack,1=benchmarks/bench_flagship.msgpack,lam05=benchmarks/bench_flagship_lam05.msgpack"
 run bench        2100 env BENCH_BUDGET=900 BENCH_HARD_DEADLINE=1800 \
     python bench.py
 echo "=== queue complete $(date -u +%FT%TZ)" | tee -a "$LOG/summary.log"

@@ -93,6 +93,10 @@ def main():
         os.path.dirname(__file__), "..", "benchmarks",
         "bench_flagship.msgpack")
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    # RD-curve fixtures (VERDICT r4 #6): the operating point is set by the
+    # RateMSE distortion weight; argv[4]/CLS default 0.01 = the headline
+    # fixture's point
+    dlam = float(sys.argv[4]) if len(sys.argv) > 4 else 0.01
 
     import jax
     import jax.numpy as jnp
@@ -108,7 +112,7 @@ def main():
     model = build_model(jax.random.PRNGKey(0), input_size=(patch, patch),
                         channels_org=3, channels_net=128, channels_bn=48,
                         compression_level=3, K=4, r=3, act_layer_type="GDN")
-    criterion = setup_loss("RateMSE", distortion_lambda=0.01,
+    criterion = setup_loss("RateMSE", distortion_lambda=dlam,
                            patch_size=patch)
     trainable = ["encoder", "decoder", "fact_ent"]
     optimizers, opt_states, acc = setup_optimizers(model.variables,

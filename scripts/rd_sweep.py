@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--workdir", default="/tmp/cae_rd_sweep")
     ap.add_argument("--checkpoint", default=os.path.join(
         REPO, "benchmarks", "bench_flagship.msgpack"))
+    ap.add_argument("--checkpoints", default=None,
+                    help="comma-separated label=path pairs for a multi-"
+                         "point CAE curve (VERDICT r4 #6); overrides "
+                         "--checkpoint")
     ap.add_argument("--qualities", default="10,20,30,40,50,60,70,80,90,95")
     ap.add_argument("--patch-size", type=int, default=512)
     args = ap.parse_args()
@@ -63,18 +67,29 @@ def main():
     from cnn_autoencoder_tpu.utils.args import get_args
     from cnn_autoencoder_tpu.utils.loggers import setup_logger
 
-    cae_args = get_args("autoencoder", "test", args_list=[
-        "-dd", img_dir, "-o", os.path.join(args.workdir, "tmp.zarr"),
-        "-chk", args.checkpoint, "-ps", str(args.patch_size),
-        "-ld", log_dir, "-rs", "1"])
-    cae_args.source_format = ".png"
-    setup_logger(cae_args)
+    if args.checkpoints:
+        cae_points = []
+        for part in args.checkpoints.split(","):
+            label, path = part.split("=", 1)
+            cae_points.append((label, path))
+    else:
+        cae_points = [("1", args.checkpoint)]
     import torch
-    stats = test_cae(cae_args)
-    torch.save(stats, os.path.join(log_dir, "metrics_stats_1_CAE_.pth"))
-    print("CAE: %.3f bpp  %.2f dB" % (stats["rate_stats"]["avg"],
-                                      stats["psnr_stats"]["avg"]),
-          flush=True)
+    for label, ckpt in cae_points:
+        cae_args = get_args("autoencoder", "test", args_list=[
+            "-dd", img_dir, "-o", os.path.join(args.workdir, "tmp.zarr"),
+            "-chk", ckpt, "-ps", str(args.patch_size),
+            "-ld", log_dir, "-rs", "1"])
+        cae_args.source_format = ".png"
+        setup_logger(cae_args)
+        stats = test_cae(cae_args)
+        stats["seed"] = label   # RD-point label in the merged table
+        torch.save(stats, os.path.join(log_dir,
+                                       "metrics_stats_%s_CAE_.pth" % label))
+        print("CAE[%s]: %.3f bpp  %.2f dB" % (label,
+                                              stats["rate_stats"]["avg"],
+                                              stats["psnr_stats"]["avg"]),
+              flush=True)
 
     # --- JPEG sweep (separate process per quality, like the reference) ---
     for q in [int(s) for s in args.qualities.split(",")]:

@@ -1,0 +1,185 @@
+"""Per-op roofline of the TURBO entropy chain (VERDICT r4 #7).
+
+Round-4 device-resident numbers: encode_turbo 765 vs encode_model
+1187 MP/s, decode_turbo 957 vs decode_model 1307 — the fused
+quantize+rANS tax is ~35% of encode.  This script pins WHERE that tax
+lives: it traces the exact fused turbo programs (the same `_get_fn`
+callables the serving pipeline compiles) and aggregates device op time
+into buckets:
+
+* ``conv``   — the conv/GDN stack (same work as the *_model programs);
+* ``rans``   — the Pallas interleaved rANS kernels (known slope:
+  encode ~2364 / decode ~2100 Msym/s marginal, docs/KERNELS.md);
+* ``chain``  — everything between conv and rANS: quantize, channel-map
+  gathers, symbol (un)interleave, compaction scatters, totals;
+* ``other``  — leftover (transposes, copies).
+
+For each bucket the table shows ms/step, GB/s, and an achieved-vs-
+ceiling verdict: the rANS kernels against their measured Msym/s slope,
+everything else against HBM bandwidth.
+
+Run on the TPU:  python scripts/roofline_turbo.py [--batch 64]
+Writes benchmarks/roofline_turbo.json and prints markdown tables.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("CAE_TPU_PRECISION", "bf16")
+
+from roofline_conv import parse_trace  # noqa: E402
+
+# measured marginal kernel rates (Msym/s) from the G=4 interleaved
+# kernels' batch-slope measurements (docs/KERNELS.md, round 3)
+RANS_ENC_MSYMS = 2364.0
+RANS_DEC_MSYMS = 2100.0
+HBM_GBS = 819.0
+
+
+def bucket_key(tf_op, name):
+    text = f"{tf_op}/{name}".lower()
+    if "rans" in text or "custom-call" in text:
+        # pallas kernels lower to custom-call; the only custom-calls in
+        # these programs are the rANS kernels
+        return "rans"
+    if ("conv" in text or "gdn" in text or "down_" in text
+            or "up_" in text or "enc/" in text or "dec/" in text):
+        return "conv"
+    if any(t in text for t in ("gather", "scatter", "quant", "round",
+                               "interleave", "take", "cumsum", "sort",
+                               "one_hot", "onehot", "dynamic-update",
+                               "dynamic_update", "ch_map", "clip",
+                               "select", "iota", "compact")):
+        return "chain"
+    return "other"
+
+
+def trace_program(fn, args, steps, label):
+    import jax
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
+    tdir = tempfile.mkdtemp(prefix="turbo_trace_%s_" % label)
+    t0 = time.perf_counter()
+    with jax.profiler.trace(tdir):
+        for _ in range(steps):
+            out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
+    wall = time.perf_counter() - t0
+    agg = parse_trace(tdir, key_fn=bucket_key)
+    per_op = parse_trace(
+        tdir, key_fn=lambda t, n: "%s | %s" % (bucket_key(t, n),
+                                               (n or t)[:64]))
+    return agg, per_op, wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--patch", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "benchmarks", "roofline_turbo.json"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.devices()[0].platform == "cpu":
+        print("needs the TPU chip")
+        return 1
+
+    from cnn_autoencoder_tpu.models.factory import autoencoder_from_state_dict
+    from cnn_autoencoder_tpu.ops.pallas import rans_kernel
+    from cnn_autoencoder_tpu.storage.cae_codec import CAECodecCore
+    from cnn_autoencoder_tpu.storage.turbo_codec import CAETurboCore
+
+    model = autoencoder_from_state_dict(os.path.join(
+        REPO, "benchmarks", "bench_flagship.msgpack"))
+    core = CAECodecCore(model)
+    tcore = CAETurboCore(model)
+
+    rng = np.random.RandomState(0)
+    b, p = args.batch, args.patch
+    tiles = jnp.asarray(np.clip(
+        rng.rand(b, p, p, 3) * 160 + 60 + rng.randn(b, p, p, 3) * 6,
+        0, 255).astype(np.uint8))
+    mp_batch = b * p * p / 1e6
+    lh, lw = core.latent_hw(p, p)
+    ch_map = tcore._get_ch_map(lh, lw)
+    t_steps = tcore._steps(lh, lw)
+    s = tcore.num_streams
+    capacity = 2 * s + 64 + int(t_steps * s * tcore.expected_bits / 16.0
+                                * 1.12)
+    capacity = -(-capacity // 128) * 128
+    use_pallas = (tcore._use_pallas
+                  and rans_kernel.supported(s, tcore.channels_bn, lh * lw))
+    enc_turbo = tcore._get_fn("enc", capacity=capacity,
+                              use_pallas=use_pallas)
+    dec_turbo = tcore._get_fn("pallas" if use_pallas else "scan",
+                              num_steps=t_steps, lh=lh, lw=lw,
+                              packed=False)
+    queues, _, _ = enc_turbo(tiles, ch_map)
+    np.asarray(queues.reshape(-1)[:1])
+
+    n_sym = b * tcore.channels_bn * lh * lw
+    out = {"batch": b, "patch": p, "steps": args.steps,
+           "device": str(jax.devices()[0]), "n_sym_per_batch": n_sym,
+           "programs": {}}
+
+    for label, fn, fargs, kern_msyms in (
+            ("encode_turbo", enc_turbo, (tiles, ch_map), RANS_ENC_MSYMS),
+            ("decode_turbo", dec_turbo, (queues, ch_map), RANS_DEC_MSYMS)):
+        agg, per_op, wall = trace_program(fn, fargs, args.steps, label)
+        rows = []
+        tot_ms = 0.0
+        for key, row in sorted(agg.items(), key=lambda it: -it[1]["dur_us"]):
+            ms = row["dur_us"] / 1e3 / args.steps
+            tot_ms += ms
+            gbs = (row["bytes"] / args.steps
+                   / max(row["dur_us"] / args.steps * 1e-6, 1e-12) / 1e9)
+            if key == "rans":
+                ceil_ms = n_sym / (kern_msyms * 1e6) * 1e3
+                verdict = "%.2fx kernel-slope ceiling" % (ms / ceil_ms)
+            else:
+                ceil_ms = (row["bytes"] / args.steps) / (HBM_GBS * 1e9) * 1e3
+                verdict = ("%.2fx HBM ceiling" % (ms / max(ceil_ms, 1e-9))
+                           if ceil_ms > 0 else "n/a")
+            rows.append(dict(bucket=key, ms=round(ms, 3),
+                             gbs=round(gbs, 1), ceil_ms=round(ceil_ms, 3),
+                             verdict=verdict))
+        mps = mp_batch / (tot_ms / 1e3)
+        print("\n%s: %.1f MP/s device-op total %.2f ms/step "
+              "(wall %.2fs traced)" % (label, mps, tot_ms, wall))
+        print("| bucket | ms/step | GB/s | ceiling ms | verdict |")
+        print("|---|---|---|---|---|")
+        for r in rows:
+            print("| %(bucket)s | %(ms).3f | %(gbs).1f | %(ceil_ms).3f "
+                  "| %(verdict)s |" % r)
+        top = []
+        print("top ops:")
+        for key, row in sorted(per_op.items(),
+                               key=lambda it: -it[1]["dur_us"])[:14]:
+            ms = row["dur_us"] / 1e3 / args.steps
+            print("  %-70s %.3f ms" % (key, ms))
+            top.append(dict(op=key, ms=round(ms, 3)))
+        out["programs"][label] = dict(mps=round(mps, 1),
+                                      total_ms=round(tot_ms, 3),
+                                      buckets=rows, top_ops=top)
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print("\nwrote", args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
