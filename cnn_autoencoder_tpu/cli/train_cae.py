@@ -9,6 +9,7 @@ warmup + plateau schedulers, early stopping.
 """
 
 import logging
+import math
 import os
 from typing import Dict
 
@@ -180,21 +181,29 @@ def train(model, train_data, valid_data, criterion, stopping_criteria,
     def place_batch(x, t):
         """Host batch -> device (sharded over the mesh when present).
 
-        Returns (x, t, ok); ok=False marks a ragged final batch that
-        cannot split evenly over data shards / processes — the caller
-        skips it (multi-device runs only; single-device keeps every
-        batch, reference DataLoader semantics)."""
+        Returns (x, t, ok).  A ragged final batch (not divisible by the
+        data shards / processes) is TRUNCATED to the largest divisible
+        length — dropping the whole batch would lose small validation
+        sets entirely (their only batch is ragged -> nan valid loss);
+        ok=False only when even one sample per shard doesn't fit.
+        Single-device runs keep every batch (reference DataLoader
+        semantics)."""
         if mesh is None:
             return (jnp.asarray(x),
                     None if t is None else jnp.asarray(t), True)
         if len(x) % data_size or len(x) % n_proc:
+            div = data_size * n_proc // math.gcd(data_size, n_proc)
+            keep = (len(x) // div) * div
             if not ragged_warned[0]:
                 ragged_warned[0] = True
                 logger.info(
-                    "Skipping ragged batch of %d (not divisible by %d "
-                    "data shards / %d processes)"
-                    % (len(x), data_size, n_proc))
-            return None, None, False
+                    "Ragged batch of %d (not divisible by %d data "
+                    "shards / %d processes): keeping %d"
+                    % (len(x), data_size, n_proc, keep))
+            if keep == 0:
+                return None, None, False
+            x = x[:keep]
+            t = None if t is None else t[:keep]
         if n_proc > 1:
             sl = local_batch_slice(len(x))
             x = x[sl]

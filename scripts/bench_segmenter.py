@@ -1,0 +1,166 @@
+"""End-to-end compressed-domain segmentation benchmark (JNet on latents).
+
+Companion to scripts/bench_classifier.py (VERDICT r4 #5 asked for a
+classifier "and ideally a JNet segmenter"): reproduces the reference's
+dense prediction deliverable — a JNet segmentation head consuming the
+CAE's quantized latents, evaluated through the stored prediction tree +
+ROC machinery (reference src/test_cae_classifier.py:233-373) — through
+this framework's product surfaces:
+
+1. synthesize labeled WSIs: stained elliptical "nuclei" blobs on a
+   smooth tissue background, with the binary blob mask stored as the
+   zarr's ``labels/0/0`` group (the LabeledZarrDataset contract);
+2. stage 1: `cae-train` trains the autoencoder (RateMSE) on the WSIs;
+3. stage 2: `cae-train` trains the JNet head on the FROZEN encoder's
+   latents (RateMSEBCE, trainable_modules=seg_model, dense labels);
+4. `cae-test-classifier` stores the dense prediction tree over held-out
+   WSIs and computes accuracy / ROC-AUC (image- and object-level).
+
+Writes benchmarks/segmenter_result.json and prints one JSON line.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SIDE = int(os.environ.get("SEG_BENCH_SIDE", 256))
+N_TRAIN = int(os.environ.get("SEG_BENCH_TRAIN", 8))
+STEPS_CAE = int(os.environ.get("SEG_BENCH_STEPS_CAE", 300))
+STEPS_SEG = int(os.environ.get("SEG_BENCH_STEPS_SEG", 500))
+BATCH = int(os.environ.get("SEG_BENCH_BATCH", 32))
+PATCH = 32
+
+
+def synth_wsi(path, seed):
+    """Histology-like WSI + dense blob mask stored as labels/0/0."""
+    from cnn_autoencoder_tpu.storage import zarr as zarrlib
+    rng = np.random.RandomState(seed)
+    h = w = SIDE
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    bg = (np.sin(yy / 23.0 + rng.rand() * 6) * 10
+          + np.cos(xx / 31.0 + rng.rand() * 6) * 10)
+    img = np.stack([bg + 205, bg + 175, bg + 195], -1)
+    mask = np.zeros((h, w, 1), np.uint8)
+    for _ in range(int(h * w / 900)):
+        cy, cx = rng.randint(0, h), rng.randint(0, w)
+        ry, rx = rng.randint(4, 9), rng.randint(4, 9)
+        ang = rng.rand() * np.pi
+        ca, sa = np.cos(ang), np.sin(ang)
+        u = (xx - cx) * ca + (yy - cy) * sa
+        v = -(xx - cx) * sa + (yy - cy) * ca
+        blob = (u / rx) ** 2 + (v / ry) ** 2 <= 1.0
+        mask[blob] = 1
+        img[blob] = img[blob] * 0.45 + np.asarray([80, 40, 110]) * 0.55
+    img = np.clip(img + rng.randn(h, w, 3) * 4, 0, 255).astype(np.uint8)
+
+    root = zarrlib.Group.create(path)
+    arr = root.create_dataset("0/0", shape=img.shape, chunks=(64, 64, 3),
+                              dtype=np.uint8, compressor=None)
+    arr[...] = img
+    lab = root.create_dataset("labels/0/0", shape=mask.shape,
+                              chunks=(64, 64, 1), dtype=np.uint8,
+                              compressor=None)
+    lab[...] = mask
+
+
+def run_train(args_list):
+    from cnn_autoencoder_tpu.cli.train_cae import main
+    from cnn_autoencoder_tpu.utils.args import get_args
+    from cnn_autoencoder_tpu.utils.loggers import setup_logger
+    args = get_args("autoencoder", "training", args_list=args_list)
+    setup_logger(args)
+    main(args)
+
+
+def main():
+    tmp = tempfile.mkdtemp(prefix="cae_seg_bench_")
+    t0 = time.time()
+    try:
+        data = os.path.join(tmp, "wsis")
+        os.makedirs(data)
+        for i in range(N_TRAIN):
+            synth_wsi(os.path.join(data, "train_%d.zarr" % i), seed=i)
+        for i in range(2):
+            synth_wsi(os.path.join(data, "val_%d.zarr" % i), seed=100 + i)
+        for i in range(2):
+            synth_wsi(os.path.join(data, "test_%d.zarr" % i), seed=200 + i)
+
+        common = ["-ds", "Zarr", "-dd", data, "-rs", "7",
+                  "-bs", str(BATCH), "-vbs", str(BATCH), "-ps",
+                  str(PATCH), "-dg", "0/0", "-da", "YXC",
+                  "-nch", "8", "-bch", "16", "-cl", "2", "-act", "GDN"]
+
+        ld1 = os.path.join(tmp, "cae")
+        os.makedirs(ld1)
+        run_train(common + ["-ld", ld1, "-s", str(STEPS_CAE),
+                            "-cs", str(max(50, STEPS_CAE // 4)),
+                            "-esp", "100", "-cr", "RateMSE", "-dl", "0.1",
+                            "-trm", "encoder", "decoder", "fact_ent"])
+        cae_ckpt = os.path.join(ld1, [f for f in os.listdir(ld1)
+                                      if f.startswith("last_")][0])
+        print(f"# stage 1 (CAE) done: {cae_ckpt}", file=sys.stderr)
+
+        ld2 = os.path.join(tmp, "seg")
+        os.makedirs(ld2)
+        run_train(common + ["-ld", ld2, "-s", str(STEPS_SEG),
+                            "-cs", str(max(50, STEPS_SEG // 4)),
+                            "-esp", "100", "-cr", "RateMSEBCE",
+                            "-dl", "0.1", "-cem", "1.0",
+                            "-chk", cae_ckpt, "-smt", "JNet",
+                            "-snch", "8", "-sbch", "32", "-sech", "2",
+                            "-ldn", "2", "-lda", "YXC", "-ncl", "1",
+                            "-trm", "seg_model"])
+        cands = sorted(f for f in os.listdir(ld2)
+                       if f.startswith(("best_", "last_")))
+        seg_ckpt = os.path.join(ld2, cands[0])
+        print(f"# stage 2 (latent JNet head) done: {seg_ckpt}",
+              file=sys.stderr)
+
+        from cnn_autoencoder_tpu.cli.test_cae_classifier import test as \
+            seg_test
+        from cnn_autoencoder_tpu.utils.args import get_args
+        from cnn_autoencoder_tpu.utils.loggers import setup_logger
+        ld3 = os.path.join(tmp, "eval")
+        os.makedirs(ld3)
+        targs = get_args("autoencoder", "test", args_list=[
+            "-ds", "Zarr", "-dd", data, "-ld", ld3, "-rs", "7",
+            "-bs", str(BATCH), "-ps", str(PATCH), "-dg", "0/0",
+            "-da", "YXC", "-ldn", "2", "-lda", "YXC", "-ncl", "1",
+            "-chk", seg_ckpt, "-ccm"])
+        setup_logger(targs)
+        metrics = seg_test(targs)
+
+        out = {
+            "benchmark": "compressed-domain latent segmentation "
+                         "(JNet head on frozen y_q latents)",
+            "dataset": f"synthetic stained-nuclei WSIs with dense masks, "
+                       f"{N_TRAIN} train / 2 val / 2 test x {SIDE}^2",
+            "model": "net8_bn16_cl2_gdn + JNet(seg8/32,x2) head",
+            "steps": {"cae": STEPS_CAE, "segmenter": STEPS_SEG},
+            "metrics": {k: (round(float(v), 4)
+                            if isinstance(v, (int, float)) else v)
+                        for k, v in metrics.items()},
+            "prediction_tree": "output.zarr dense schema + image_level/"
+                               "object_level ROC arrays + CC crops "
+                               "(reference test_cae_classifier.py:233-373)",
+            "wall_s": round(time.time() - t0, 1),
+        }
+        dst = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "benchmarks",
+            "segmenter_result.json")
+        with open(dst, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
