@@ -369,6 +369,7 @@ def main():
         best_psnr = None
         best_bits_px = (0.0, 0.0)
         probe_sweep = []  # (t_since_start_s, d2h, h2d) for every probe
+        run_log = []      # per-run record: mode/size/MP/s at what link
         bench_t0 = time.perf_counter()
         last_error = None
         saw_healthy = False
@@ -703,6 +704,11 @@ def main():
             wd_detail.pop("stages_s", None)
             _WATCHDOG["line"] = json.dumps(_result_dict(best_mps,
                                                         wd_detail))
+            run_log.append({
+                "run": r, "mode": mode, "image": [h, w],
+                "mps": round(mps, 2), "bpp": round(run_bpp, 3),
+                "link": [link[0], link[1]], "busy": busy,
+            })
             if duplex_run:
                 print(f"# run {r} ({h}x{w}): duplex-overlapped roundtrip "
                       f"combined {mps:.1f} MP/s, {run_bpp:.3f} bpp",
@@ -792,6 +798,12 @@ def main():
             # every link probe taken this invocation: (t+s, d2h, h2d)
             # — records whether a healthy window ever occurred
             "probe_sweep": probe_sweep,
+            # per-run record (mode incl. duplex vs sequential, MP/s,
+            # link): the duplex-vs-sequential comparison at equal
+            # congestion lives here
+            "runs": run_log,
+            # solo-vs-concurrent link probe gating the duplex mode
+            "duplex_probe": duplex_probe,
             # link-free encode/decode MP/s + MFU on this chip — the
             # number the tunnel-bound result above translates to on
             # locally-attached hardware (scripts/bench_serve.py)

@@ -16,8 +16,11 @@ Run under an external timeout — the tunnel can hard-stall for minutes.
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -85,11 +85,21 @@ def build_train_analytic(batch, patch, channels_org, channels_net,
 
     def gdn_bwd(name, b, oh, ow, c):
         n = b * oh * ow
-        # three CxC contractions (gamma^T backprop, dgamma, + the x*x
-        # recompute feeding dgamma is elementwise) + ~5 passes over
-        # (g, xb, rb, dnb, dx) bf16 residuals
+        # Pass enumeration of the ACTUAL backward (ops/gdn.py
+        # _gdn_mixed_bwd) — the round-4 "~5 passes" figure undercounted
+        # and made the measured GDN look 2x off a ceiling it is in fact
+        # at.  The optimization_barrier + the two matmuls force three
+        # fusion islands, each streaming its operands:
+        #   dnorm island : read g, xb, rb; write dnb        (4 passes)
+        #   dx island    : matmul reads dnb; epilogue reads g, xb, rb
+        #                  (back never materializes); write dx (6 passes)
+        #   dgamma island: matmul reads dnb, xb             (2 passes)
+        # ~11 bf16 passes total; collapsing further would re-clone the
+        # elementwise prologue into every consumer (measured 3x traffic,
+        # gdn.py comment) or need a fused cross-island kernel (Pallas
+        # train kernels measured SLOWER — benchmarks/RESULTS.md).
         add(f"bwd/{name}", "gdn", 3 * 2.0 * n * c * c + 10.0 * n * c,
-            dtype_bytes * n * c * 5, _tile_util(c, c))
+            dtype_bytes * n * c * 11, _tile_util(c, c))
 
     stages = []
     prev, curr = channels_org, channels_net

@@ -47,9 +47,10 @@ HBM_GBS = 819.0
 
 def bucket_key(tf_op, name):
     text = f"{tf_op}/{name}".lower()
-    if "rans" in text or "custom-call" in text:
-        # pallas kernels lower to custom-call; the only custom-calls in
-        # these programs are the rANS kernels
+    if "rans" in text or "custom-call" in text or "pallas" in text:
+        # pallas kernels lower to custom-call (named *_interleaved_pallas
+        # here); the only custom-calls in these programs are the rANS
+        # kernels
         return "rans"
     if ("conv" in text or "gdn" in text or "down_" in text
             or "up_" in text or "enc/" in text or "dec/" in text):

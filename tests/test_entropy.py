@@ -166,3 +166,160 @@ def test_unrolled_logits_match_einsum_form():
     for k in ga:
         np.testing.assert_allclose(np.asarray(ga[k]), np.asarray(gb[k]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_analytic_chain_backward_matches_autodiff(monkeypatch):
+    """The hand-written entropy-chain VJP (matrix/bias/factor/input
+    grads) equals autodiff of the einsum chain to float tolerance.
+
+    Pinned to the f32-stack mode; the opt-in bf16-stack mode trades
+    ~1e-2 relative gradient noise for half the backward HBM traffic
+    (test_analytic_chain_bf16_mode)."""
+    monkeypatch.setenv("CAE_TPU_ANALYTIC_ENT", "1")
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.models.entropy import (
+        _chain_unrolled_analytic, logits_cumulative)
+
+    K = 4
+    rng = np.random.RandomState(0)
+    C, r = 6, 3
+    params = {}
+    for i in range(K + 1):
+        fi = 1 if i == 0 else r
+        fo = 1 if i == K else r
+        params[f"matrix_{i}"] = jnp.asarray(
+            rng.randn(C, fo, fi).astype(np.float32) * 0.5)
+        params[f"bias_{i}"] = jnp.asarray(
+            rng.randn(C, fo, 1).astype(np.float32) * 0.3)
+        if i < K:
+            params[f"factor_{i}"] = jnp.asarray(
+                rng.randn(C, fo, 1).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(2, 7, 5, C).astype(np.float32) * 2)
+
+    mats = tuple(params[f"matrix_{i}"] for i in range(K + 1))
+    bs = tuple(params[f"bias_{i}"] for i in range(K + 1))
+    fs = tuple(params[f"factor_{i}"] for i in range(K))
+
+    def loss_ref(mats, bs, fs, v):
+        p = {}
+        for i in range(K + 1):
+            p[f"matrix_{i}"] = mats[i]
+            p[f"bias_{i}"] = bs[i]
+            if i < K:
+                p[f"factor_{i}"] = fs[i]
+        out = logits_cumulative(p, v, K)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_analytic(mats, bs, fs, v):
+        out = _chain_unrolled_analytic(K, mats, bs, fs, v)
+        return jnp.sum(jnp.sin(out))
+
+    # primals agree
+    np.testing.assert_allclose(loss_analytic(mats, bs, fs, v),
+                               loss_ref(mats, bs, fs, v), rtol=1e-5)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(mats, bs, fs, v)
+    g_ana = jax.grad(loss_analytic, argnums=(0, 1, 2, 3))(mats, bs, fs, v)
+    # f32 reductions in a different association order: tolerance covers
+    # accumulation noise, not math differences
+    for tr, ta in zip(jax.tree_util.tree_leaves(g_ref),
+                      jax.tree_util.tree_leaves(g_ana)):
+        np.testing.assert_allclose(np.asarray(ta), np.asarray(tr),
+                                   rtol=1e-3, atol=5e-4)
+
+
+def test_likelihood_grads_unchanged_by_analytic_path(monkeypatch):
+    """likelihood_fn gradients with the analytic VJP equal the autodiff
+    path on the same params (the training objective sees no change)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.models import entropy as ent
+
+    K = 4
+    rng = np.random.RandomState(3)
+    C = 5
+    params = {}
+    for i in range(K + 1):
+        fi = 1 if i == 0 else 3
+        fo = 1 if i == K else 3
+        params[f"matrix_{i}"] = jnp.asarray(
+            rng.randn(C, fo, fi).astype(np.float32) * 0.4)
+        params[f"bias_{i}"] = jnp.asarray(
+            rng.randn(C, fo, 1).astype(np.float32) * 0.3)
+        if i < K:
+            params[f"factor_{i}"] = jnp.asarray(
+                rng.randn(C, fo, 1).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(4, 3, 3, C).astype(np.float32))
+
+    def rate(params, v):
+        lik = ent.likelihood_fn(params, v, K)
+        return -jnp.log2(lik).mean()
+
+    monkeypatch.setenv("CAE_TPU_ANALYTIC_ENT", "0")
+    g_auto = jax.grad(rate, argnums=(0, 1))(params, v)
+    monkeypatch.setenv("CAE_TPU_ANALYTIC_ENT", "1")
+    g_ana = jax.grad(rate, argnums=(0, 1))(params, v)
+    for tr, ta in zip(jax.tree_util.tree_leaves(g_auto),
+                      jax.tree_util.tree_leaves(g_ana)):
+        np.testing.assert_allclose(np.asarray(ta), np.asarray(tr),
+                                   rtol=1e-3, atol=5e-4)
+
+
+def test_analytic_chain_bf16_mode(monkeypatch):
+    """bf16-materialized contraction stacks: grads match autodiff to
+    bf16 rounding (the traffic-halving opt-in mode)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.models.entropy import (
+        _chain_unrolled_analytic, logits_cumulative)
+
+    monkeypatch.setenv("CAE_TPU_ANALYTIC_ENT", "bf16")
+    K = 4
+    rng = np.random.RandomState(5)
+    C = 4
+    params = {}
+    for i in range(K + 1):
+        fi = 1 if i == 0 else 3
+        fo = 1 if i == K else 3
+        params[f"matrix_{i}"] = jnp.asarray(
+            rng.randn(C, fo, fi).astype(np.float32) * 0.4)
+        params[f"bias_{i}"] = jnp.asarray(
+            rng.randn(C, fo, 1).astype(np.float32) * 0.3)
+        if i < K:
+            params[f"factor_{i}"] = jnp.asarray(
+                rng.randn(C, fo, 1).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(64, C).astype(np.float32))
+    mats = tuple(params[f"matrix_{i}"] for i in range(K + 1))
+    bs = tuple(params[f"bias_{i}"] for i in range(K + 1))
+    fs = tuple(params[f"factor_{i}"] for i in range(K))
+
+    def loss_ref(mats, bs, fs, v):
+        p = {}
+        for i in range(K + 1):
+            p[f"matrix_{i}"] = mats[i]
+            p[f"bias_{i}"] = bs[i]
+            if i < K:
+                p[f"factor_{i}"] = fs[i]
+        return jnp.sum(jnp.sin(logits_cumulative(p, v, K)))
+
+    def loss_ana(mats, bs, fs, v):
+        return jnp.sum(jnp.sin(_chain_unrolled_analytic(K, mats, bs, fs,
+                                                        v)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(mats, bs, fs, v)
+    g_ana = jax.grad(loss_ana, argnums=(0, 1, 2, 3))(mats, bs, fs, v)
+    for tr, ta in zip(jax.tree_util.tree_leaves(g_ref),
+                      jax.tree_util.tree_leaves(g_ana)):
+        tr, ta = np.asarray(tr), np.asarray(ta)
+        np.testing.assert_allclose(ta, tr, rtol=3e-2,
+                                   atol=3e-2 * max(1e-3, np.abs(tr).max()))

@@ -54,3 +54,37 @@ def test_train_cli_on_zarr_dataset(tmp_path):
     bufs = core.encode_tiles(img[None])
     rec = core.decode_tiles(bufs)
     assert rec.shape == (1, 64, 64, 3)
+
+
+def test_ragged_validation_batches_stay_finite(tmp_path):
+    """Mesh runs truncate ragged batches instead of dropping them: a
+    validation split whose ONLY batch is ragged used to be skipped
+    entirely, making every valid_loss nan (found driving the classifier
+    benchmark; fixed in cli/train_cae.place_batch)."""
+    import numpy as np
+
+    from cnn_autoencoder_tpu.cli.train_cae import main
+    from cnn_autoencoder_tpu.training.checkpoint import load_checkpoint
+    from cnn_autoencoder_tpu.utils.loggers import setup_logger
+
+    data_dir = tmp_path / "wsis"
+    data_dir.mkdir()
+    _make_wsi(str(data_dir / "train_0.zarr"), h=96, w=96, seed=0)
+    # 96x96 @ ps=32 -> 9 patches: with -vbs 6 both val batches (6, 3)
+    # are ragged on a multi-device mesh
+    _make_wsi(str(data_dir / "val_0.zarr"), h=96, w=96, seed=9)
+
+    args = get_args("autoencoder", "training", args_list=[
+        "-ds", "Zarr", "-dd", str(data_dir), "-ld", str(tmp_path),
+        "-rs", "2", "-bs", "4", "-vbs", "6", "-s", "3", "-cs", "2",
+        "-esp", "100", "-cr", "RateMSE", "-nch", "8", "-bch", "8",
+        "-cl", "2", "-act", "GDN", "-ps", "32", "-dg", "0/0",
+        "-da", "YXC", "-trm", "encoder", "decoder", "fact_ent"])
+    setup_logger(args)
+    main(args)
+
+    fn = [f for f in os.listdir(tmp_path) if f.startswith("last_")][0]
+    state = load_checkpoint(str(tmp_path / fn))
+    assert state["valid_loss"], "no validation ever ran"
+    assert all(np.isfinite(v) for v in state["valid_loss"]), \
+        state["valid_loss"]
