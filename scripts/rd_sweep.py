@@ -86,6 +86,13 @@ def main():
         stats["seed"] = label   # RD-point label in the merged table
         torch.save(stats, os.path.join(log_dir,
                                        "metrics_stats_%s_CAE_.pth" % label))
+        # the harness also writes metrics_stats_{args.seed}_CAE_.pth;
+        # with several checkpoints those collide on one name — keep only
+        # the labeled copies in the merge set
+        harness_fn = os.path.join(log_dir, "metrics_stats_%s_CAE_.pth"
+                                  % cae_args.seed)
+        if str(cae_args.seed) != str(label) and os.path.exists(harness_fn):
+            os.remove(harness_fn)
         print("CAE[%s]: %.3f bpp  %.2f dB" % (label,
                                               stats["rate_stats"]["avg"],
                                               stats["psnr_stats"]["avg"]),
