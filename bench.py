@@ -333,12 +333,23 @@ def main():
         duplex_probe = None
         duplex_ok = False
         _dup_env = os.environ.get("BENCH_DUPLEX", "auto")
-        if _dup_env != "0" and not (TURBO or FUSED) and "cae_tpu" in paths:
+        duplex_allowed = (_dup_env != "0" and not (TURBO or FUSED)
+                          and "cae_tpu" in paths)
+        if duplex_allowed:
             try:
                 from cnn_autoencoder_tpu.coding.link_probe import (
                     probe_link_duplex_mbps)
-                solo = probe_link(jax, jnp, np, mb=8)
-                dup = probe_link_duplex_mbps(mb=8)
+                # best-of-3 per quantity: the tunnel is bursty and one
+                # congested sample once classified a full-duplex link as
+                # shared-budget (solo h2d read 11.7 MB/s while run
+                # probes minutes later read 56)
+                solos, dups = [], []
+                for _ in range(3):
+                    solos.append(probe_link(jax, jnp, np, mb=8))
+                    dups.append(probe_link_duplex_mbps(mb=8))
+                solo = (max(s[0] for s in solos),
+                        max(s[1] for s in solos))
+                dup = (max(d[0] for d in dups), max(d[1] for d in dups))
                 ratios = (round(dup[0] / max(1e-9, solo[0]), 2),
                           round(dup[1] / max(1e-9, solo[1]), 2))
                 duplex_probe = {"solo_d2h": solo[0], "solo_h2d": solo[1],
@@ -478,6 +489,12 @@ def main():
                         mode = "cae_tpu_duplex" if r % 3 else "cae_tpu"
                     else:
                         mode = "cae_tpu_duplex" if r % 2 else "cae"
+                elif duplex_allowed and duplex_probe is not None \
+                        and r in (2, 6):
+                    # probe said shared-budget: still take two empirical
+                    # duplex samples (best-of-N protects the headline;
+                    # the run_log records the comparison either way)
+                    mode = "cae_tpu_duplex"
                 else:
                     # congested tunnel -> turbo (fewest bytes on the
                     # wire); healthy -> alternate host/turbo

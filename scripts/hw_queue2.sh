@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-5 follow-up chip queue (run after hw_queue.sh completes):
+#  1. entropy-backward A/B (autodiff vs analytic vs bf16 stacks) — the
+#     round-5 training optimization's measured verdict
+#  2. training roofline re-trace (confirms the 'other' bucket shrink)
+#  3. retrain the two RD fixtures to convergence (the 18k-step runs
+#     were underconverged: non-monotone RD points vs the 25k flagship)
+#  4. re-run the RD sweep over the converged curve
+#  5. duplex probe (standalone data; bench.py also probes internally)
+set -u
+cd /root/repo
+LOG=/tmp/hw_queue
+mkdir -p "$LOG"
+
+run() {
+  local name=$1 tmo=$2
+  shift 2
+  echo "=== $name start $(date -u +%FT%TZ)" | tee -a "$LOG/summary2.log"
+  timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name rc=$rc end $(date -u +%FT%TZ)" | tee -a "$LOG/summary2.log"
+}
+
+run ab_ent       1800 python scripts/ab_entropy_bwd.py 200 128
+run roofline_tr2 1500 python scripts/roofline_train.py --other-ops
+run duplex2      900  python scripts/probe_duplex.py 3 8
+run fixture_lo2  3600 python scripts/make_bench_checkpoint.py 28000 \
+    benchmarks/bench_flagship_lam002.msgpack 128 0.002
+run fixture_hi2  3900 python scripts/make_bench_checkpoint.py 30000 \
+    benchmarks/bench_flagship_lam05.msgpack 128 0.05
+run rd_sweep2    2400 python scripts/rd_sweep.py --checkpoints \
+    "lam002=benchmarks/bench_flagship_lam002.msgpack,1=benchmarks/bench_flagship.msgpack,lam05=benchmarks/bench_flagship_lam05.msgpack"
+echo "=== queue2 complete $(date -u +%FT%TZ)" | tee -a "$LOG/summary2.log"

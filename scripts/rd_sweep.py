@@ -75,11 +75,14 @@ def main():
     else:
         cae_points = [("1", args.checkpoint)]
     import torch
-    for label, ckpt in cae_points:
+    for idx, (label, ckpt) in enumerate(cae_points):
+        # unique sentinel seed per run: the harness writes its own
+        # metrics_stats_{seed}_CAE_.pth, which must never collide with a
+        # LABELED copy (a collision deleted the flagship row once)
         cae_args = get_args("autoencoder", "test", args_list=[
             "-dd", img_dir, "-o", os.path.join(args.workdir, "tmp.zarr"),
             "-chk", ckpt, "-ps", str(args.patch_size),
-            "-ld", log_dir, "-rs", "1"])
+            "-ld", log_dir, "-rs", str(990 + idx)])
         cae_args.source_format = ".png"
         setup_logger(cae_args)
         stats = test_cae(cae_args)
@@ -100,12 +103,16 @@ def main():
 
     # --- JPEG sweep (separate process per quality, like the reference) ---
     for q in [int(s) for s in args.qualities.split(",")]:
+        # JPEG metric math is pure host work; detach the axon TPU plugin
+        # or a congested tunnel stalls every subprocess at jax import
+        env_cpu = {**os.environ, "PALLAS_AXON_POOL_IPS": "",
+                   "JAX_PLATFORMS": "cpu"}
         subprocess.run([sys.executable,
                         os.path.join(REPO, "scripts", "compute_metrics.py"),
                         "-sd", img_dir, "-dd", os.path.join(args.workdir,
                                                             "jpg"),
                         "-sf", "PNG", "-df", "JPEG", "-cq", str(q),
-                        "-ld", log_dir], check=True)
+                        "-ld", log_dir], check=True, env=env_cpu)
         print("JPEG q=%d done" % q, flush=True)
 
     # --- merge and print ---
