@@ -89,12 +89,22 @@ def _logits_cumulative_unrolled(params: Dict[str, jnp.ndarray],
 
 
 def _analytic_ent_mode() -> str:
-    """CAE_TPU_ANALYTIC_ENT: 0 = autodiff backward, 1 = analytic VJP
-    (f32 contraction stacks), bf16 = analytic VJP with bf16-materialized
-    contraction stacks (halves the backward's HBM traffic; accumulation
-    stays f32 — the GDN backward's dnb precedent, ops/gdn.py)."""
+    """CAE_TPU_ANALYTIC_ENT backward selector:
+
+    * ``0`` (default) — autodiff.  The analytic VJP below was measured
+      4x SLOWER on v5e despite touching fewer logical bytes: the
+      C-batched ``einsum("nco,ncf->cof")`` contractions force
+      (N, C, O) -> (C, N, O) relayouts of every 150 MB stack, and the
+      transposes dwarf the saved reduce re-reads ('other' bucket
+      8.9 -> 35.7 ms/step, benchmarks/roofline_train.json 2026-08-20).
+    * ``1`` — analytic VJP, einsum contractions (kept for the record).
+    * ``2`` — analytic VJP, broadcast-multiply + reduce-over-N form
+      (no batched-matmul relayout; one fused reduce per parameter
+      group).
+    * ``bf16`` — mode 2 with bf16-materialized stacks (f32
+      accumulation — the GDN dnb precedent, ops/gdn.py)."""
     import os
-    return os.environ.get("CAE_TPU_ANALYTIC_ENT", "1")
+    return os.environ.get("CAE_TPU_ANALYTIC_ENT", "0")
 
 
 def _chain_eval(num_filters, mats, biases, factors, v, keep=False):
@@ -163,15 +173,37 @@ def _chain_analytic_bwd(num_filters, res, dy):
                                       v, keep=True)
 
     f32 = jnp.float32
+    mode = _analytic_ent_mode()
     # bf16 mode: the stacked contraction operands cross HBM at half
-    # width; einsum accumulation stays f32 (preferred_element_type)
-    lowp = _analytic_ent_mode() == "bf16"
+    # width; accumulation stays f32
+    lowp = mode == "bf16"
+    # broadcast-reduce form (modes 2/bf16): keep (N, C, *) layout and
+    # reduce over N with a fused multiply prologue — the einsum form's
+    # C-batched matmuls relayout every stack to (C, N, *) first
+    bcast = mode in ("2", "bf16")
 
     def _mat(stack):
         if lowp:
             return jax.lax.optimization_barrier(
                 stack.astype(jnp.bfloat16))
         return stack
+
+    def _contract(dP2, X2):
+        """(N,C,O),(N,C,F) -> (C,O,F) parameter-grad contraction."""
+        if bcast:
+            return (dP2[:, :, :, None].astype(f32)
+                    * X2[:, :, None, :].astype(f32)).sum(0)
+        return jnp.einsum("nco,ncf->cof", dP2, X2,
+                          precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=f32)
+
+    def _contract2(dX, TH):
+        """(N,C,O),(N,C,O) -> (C,O) elementwise-product reduction."""
+        if bcast:
+            return (dX.astype(f32) * TH.astype(f32)).sum(0)
+        return jnp.einsum("nco,nco->co", dX, TH,
+                          precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=f32)
     dmats, dbiases, dfacs = [None] * (num_filters + 1), \
         [None] * (num_filters + 1), [None] * num_filters
     dpres = [dy]
@@ -186,9 +218,7 @@ def _chain_analytic_bwd(num_filters, res, dy):
         dP2_f = dP.reshape(-1, *dP.shape[-2:])          # (N, C, O)
         dP2 = _mat(dP2_f)
         X2 = _mat(X.reshape(-1, *X.shape[-2:]))         # (N, C, F)
-        dm = jnp.einsum("nco,ncf->cof", dP2, X2,
-                        precision=jax.lax.Precision.DEFAULT,
-                        preferred_element_type=f32)
+        dm = _contract(dP2, X2)
         dmats[i] = dm * jax.nn.sigmoid(mats[i].astype(f32))  # softplus'
         # bias row-sum from the f32 stack (multi-output-fuses with the
         # stack/cast pass; bf16 accumulation would lose low bits)
@@ -202,9 +232,7 @@ def _chain_analytic_bwd(num_filters, res, dy):
             c = dxs[0].shape[-1]
             dX = _mat(jnp.stack(dxs, axis=-1).reshape(-1, c, len(dxs)))
             TH = _mat(jnp.stack(th, axis=-1).reshape(-1, c, len(th)))
-            dfac_co = jnp.einsum("nco,nco->co", dX, TH,
-                                 precision=jax.lax.Precision.DEFAULT,
-                                 preferred_element_type=f32)
+            dfac_co = _contract2(dX, TH)
             dfacs[i - 1] = (dfac_co
                             * (1.0 - fac.astype(f32) ** 2))[:, :, None]
             dpres = [dxs[o] * (1.0 + fac[:, o] * (1.0 - th[o] * th[o]))

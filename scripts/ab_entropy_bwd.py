@@ -19,7 +19,10 @@ def main():
     batch = sys.argv[2] if len(sys.argv) > 2 else "128"
     out = {}
     for mode in ("0", "1", "bf16"):
-        env = {**os.environ, "CAE_TPU_ANALYTIC_ENT": mode}
+        # bf16 activation flow = the headline training configuration
+        env = {**os.environ, "CAE_TPU_ANALYTIC_ENT": mode,
+               "CAE_TPU_PRECISION": os.environ.get("CAE_TPU_PRECISION",
+                                                   "bf16")}
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts",
                                           "bench_train.py"),
