@@ -112,7 +112,7 @@ def main():
         run_train(common + ["-ld", ld2, "-s", str(STEPS_SEG),
                             "-cs", str(max(50, STEPS_SEG // 4)),
                             "-esp", "100", "-cr", "RateMSEBCE",
-                            "-dl", "0.1", "-cem", "1.0",
+                            "-dl", "0.1", "-cem", os.environ.get("SEG_BENCH_CEM", "5.0"),
                             "-chk", cae_ckpt, "-smt", "JNet",
                             "-snch", "8", "-sbch", "32", "-sech", "2",
                             "-ldn", "2", "-lda", "YXC", "-ncl", "1",
