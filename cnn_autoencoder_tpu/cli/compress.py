@@ -159,10 +159,19 @@ def compress(args):
 def cli():
     """Console entry point (``cae-compress``): parse argv and compress."""
     args = get_args(task="encoder", mode="inference")
-    from ..parallel.distributed import initialize_multihost
-    initialize_multihost()  # pod-slice serving: one process per host
+    from ..parallel.distributed import initialize_multihost, is_primary
+    initialize_multihost()
     loggers.setup_logger(args)
-    compress(args)
+    if not is_primary():
+        # serving writes one store; a second process would race the
+        # same chunk files.  Secondary processes join the cluster
+        # (so jax.distributed initialization on process 0 does not
+        # block) and exit cleanly.
+        logging.getLogger(args.mode + "_log").info(
+            "secondary process: store writes are process-0-owned; "
+            "exiting")
+    else:
+        compress(args)
     logging.shutdown()
 
 

@@ -209,10 +209,19 @@ def decompress(args):
 def cli():
     """Console entry point (``cae-decompress``): parse argv and decompress."""
     args = get_args(task="decoder", mode="inference")
-    from ..parallel.distributed import initialize_multihost
-    initialize_multihost()  # pod-slice serving: one process per host
+    from ..parallel.distributed import initialize_multihost, is_primary
+    initialize_multihost()
     loggers.setup_logger(args)
-    decompress(args)
+    if not is_primary():
+        # serving writes one store; a second process would race the
+        # same chunk files.  Secondary processes join the cluster
+        # (so jax.distributed initialization on process 0 does not
+        # block) and exit cleanly.
+        logging.getLogger(args.mode + "_log").info(
+            "secondary process: store writes are process-0-owned; "
+            "exiting")
+    else:
+        decompress(args)
     logging.shutdown()
 
 

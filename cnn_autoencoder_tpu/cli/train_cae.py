@@ -232,6 +232,7 @@ def train(model, train_data, valid_data, criterion, stopping_criteria,
 
     while keep_training:
         sum_loss = 0.0
+        epoch_start_step = step
         for i, (x, t) in enumerate(placed_batches(train_data)):
             step += 1
 
@@ -347,6 +348,15 @@ def train(model, train_data, valid_data, criterion, stopping_criteria,
                             "training ****")
                 break
         else:
+            if step == epoch_start_step:
+                # every batch was dropped (e.g. global batch smaller
+                # than the shard/process divisor): spinning the epoch
+                # loop forever would be a silent hang at 100% CPU
+                raise RuntimeError(
+                    "no training batch survived device placement this "
+                    "epoch — the loader's batch size is too small for "
+                    "the mesh/process layout (see the 'Ragged batch' "
+                    "log line)")
             continue
         break
     else:
@@ -364,22 +374,40 @@ def main(args):
     initialize_multihost()
     mesh = None
     n_dev = len(jax.devices())
+    n_proc = jax.process_count()
     if n_dev > 1 and os.environ.get("CAE_TPU_TRAIN_MESH", "1") != "0":
         model_par = int(os.environ.get("CAE_TPU_MODEL_PARALLEL", "1") or 1)
-        # the data axis must divide the (global) batch size or every
-        # batch would be skipped as ragged; use the largest divisor that
-        # fits the available devices (a 4-sample batch on 8 devices
-        # trains on 4 of them rather than not at all)
         avail = max(1, n_dev // model_par)
         bs = int(getattr(args, "batch_size", 0) or 0)
-        data_par = (max(d for d in range(1, avail + 1) if bs % d == 0)
-                    if bs else avail)
+        vbs = int(getattr(args, "val_batch_size", 0) or 0) or bs
+        if n_proc > 1:
+            # multi-host: the mesh must span every process's devices (a
+            # device-prefix mesh would exclude some hosts), so the data
+            # axis is fixed and the batch sizes must conform — fail fast
+            # with the requirement rather than training on a silently
+            # wrong layout
+            data_par = avail
+            for name, b in (("batch size", bs),
+                            ("validation batch size", vbs)):
+                if b % data_par or b % n_proc:
+                    raise ValueError(
+                        "multi-host training needs the global %s (%d) "
+                        "divisible by the data-mesh size (%d) and the "
+                        "process count (%d)" % (name, b, data_par,
+                                                n_proc))
+        else:
+            # single host: the data axis must divide BOTH batch sizes or
+            # batches get truncated (a validation batch smaller than the
+            # axis would be dropped entirely -> nan validation loss);
+            # use the largest divisor of both that fits the devices
+            g = math.gcd(bs, vbs) if bs else avail
+            data_par = (max(d for d in range(1, avail + 1)
+                            if g % d == 0) if bs else avail)
         if data_par * model_par > 1:
             mesh = create_mesh(data=data_par, model=model_par)
             logger.info(
                 "Training mesh: data=%d x model=%d over %d devices "
-                "(%d processes)" % (data_par, model_par, n_dev,
-                                    jax.process_count()))
+                "(%d processes)" % (data_par, model_par, n_dev, n_proc))
 
     train_data, valid_data, num_classes = get_data(args)
     args.num_classes = num_classes

@@ -102,25 +102,36 @@ def probe_link_duplex_mbps(mb: int = 8):
 
     barrier = threading.Barrier(2)
     out = {}
+    errors = []
 
     def _down():
-        barrier.wait()
-        t0 = time.perf_counter()
-        np.asarray(dev)
-        out["d2h"] = mb / max(1e-9, time.perf_counter() - t0)
+        try:
+            barrier.wait()
+            t0 = time.perf_counter()
+            np.asarray(dev)
+            out["d2h"] = mb / max(1e-9, time.perf_counter() - t0)
+        except Exception as e:  # surfaced below — a dead thread would
+            errors.append(e)    # otherwise raise a masking KeyError
+            barrier.abort()
 
     def _up():
-        barrier.wait()
-        t0 = time.perf_counter()
-        up = jnp.asarray(host)
-        np.asarray(up[:1])  # forces the upload to have landed
-        out["h2d"] = mb / max(1e-9, time.perf_counter() - t0)
+        try:
+            barrier.wait()
+            t0 = time.perf_counter()
+            up = jnp.asarray(host)
+            np.asarray(up[:1])  # forces the upload to have landed
+            out["h2d"] = mb / max(1e-9, time.perf_counter() - t0)
+        except Exception as e:
+            errors.append(e)
+            barrier.abort()
 
     threads = [threading.Thread(target=_down), threading.Thread(target=_up)]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
+    if errors:
+        raise errors[0]
     return out["d2h"], out["h2d"]
 
 

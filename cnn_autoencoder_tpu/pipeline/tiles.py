@@ -872,36 +872,39 @@ def roundtrip_cae_turbo(core, src: np.ndarray, out_path: str,
             fetch_tr = PixelRansTransport()
             core._fetch_transport = fetch_tr
 
-    # fetch-transport calibration: first decode job runs the raw-probe +
-    # fit (discarding the probe pixels, exactly like
+    # fetch-transport calibration: BATCH 0's decode job runs the
+    # raw-probe + fit (discarding the probe pixels, exactly like
     # decompress_cae_turbo_array's calibration probe) so every OUTPUT
     # batch rides the calibrated coded program; other decode jobs wait.
-    # A persisted serving-core transport is already calibrated and skips
-    # the probe entirely.
-    cal_lock = threading.Lock()
+    # Pinning the calibration batch matters: encode jobs complete in
+    # scheduling-dependent order, and letting "whichever decode job runs
+    # first" calibrate would make the gate decision (and the bf16
+    # reconstructions) depend on thread timing.  A persisted
+    # serving-core transport is already calibrated and skips the probe.
     cal_done = threading.Event()
     if fetch_tr is None or fetch_tr.calibrated():
         cal_done.set()
 
     def _calibrate_fetch(bufs):
         nonlocal fetch_tr
-        tr = fetch_tr
-        if tr is not None and not tr.calibrated():
-            rec0 = core.decode_tiles(bufs)  # raw probe, discarded
-            sample = rec0 if isinstance(rec0, np.ndarray) else \
-                np.stack([r for r in rec0 if r.shape == rec0[0].shape])
-            ph0, pw0 = core.base.padded_hw(*sample.shape[1:3])
-            if not tr.calibrate_and_gate_fetch(
-                    sample, ph0 * pw0 * 3, core.per_shard_batch(batch)):
-                fetch_tr = None
-        cal_done.set()
+        try:
+            tr = fetch_tr
+            if tr is not None and not tr.calibrated():
+                rec0 = core.decode_tiles(bufs)  # raw probe, discarded
+                sample = rec0 if isinstance(rec0, np.ndarray) else \
+                    np.stack([r for r in rec0 if r.shape == rec0[0].shape])
+                ph0, pw0 = core.base.padded_hw(*sample.shape[1:3])
+                if not tr.calibrate_and_gate_fetch(
+                        sample, ph0 * pw0 * 3, core.per_shard_batch(batch)):
+                    fetch_tr = None
+        finally:
+            # a probe failure must not deadlock the waiting decode jobs
+            cal_done.set()
 
-    def decode_and_stitch(ids, bufs):
+    def decode_and_stitch(ids, bufs, first_batch):
         nonlocal fetch_tr
-        if not cal_done.is_set():
-            with cal_lock:
-                if not cal_done.is_set():
-                    _calibrate_fetch(bufs)
+        if first_batch and not cal_done.is_set():
+            _calibrate_fetch(bufs)
         cal_done.wait()
         tr = fetch_tr
         with GLOBAL_TIMER.stage("decompress/turbo_decode",
@@ -923,7 +926,7 @@ def roundtrip_cae_turbo(core, src: np.ndarray, out_path: str,
     dec_jobs = []
     dec_lock = threading.Lock()
 
-    def encode_and_roundtrip(idxs, tiles_np):
+    def encode_and_roundtrip(idxs, tiles_np, batch_idx):
         nonlocal up_transport
         tr = up_transport
         if tr is not None and not tr.calibrated():
@@ -938,11 +941,11 @@ def roundtrip_cae_turbo(core, src: np.ndarray, out_path: str,
             arr.write_chunk_raw((i, j, 0), buf)
         with dec_lock:
             dec_jobs.append(dec_workers.submit(decode_and_stitch, idxs,
-                                               bufs))
+                                               bufs, batch_idx == 0))
 
     try:
         inflight = []
-        for group in _iter_batches(grid, batch):
+        for bi, group in enumerate(_iter_batches(grid, batch)):
             tiles = list(read_pool.map(read_tile, group))
             while len(tiles) < batch:
                 tiles.append(tiles[-1])
@@ -952,7 +955,7 @@ def roundtrip_cae_turbo(core, src: np.ndarray, out_path: str,
                         tiles_np, p * p * c):
                     up_transport = None
             inflight.append(enc_workers.submit(encode_and_roundtrip, group,
-                                               tiles_np))
+                                               tiles_np, bi))
             while len(inflight) > MAX_INFLIGHT:
                 inflight.pop(0).result()
         for f in inflight:
@@ -962,6 +965,10 @@ def roundtrip_cae_turbo(core, src: np.ndarray, out_path: str,
         for f in pending:
             f.result()
     finally:
+        # if batch 0's encode died before submitting its decode job,
+        # waiting decode jobs would hold cal_done forever and
+        # dec_workers.shutdown() would deadlock on them
+        cal_done.set()
         read_pool.shutdown()
         enc_workers.shutdown()
         dec_workers.shutdown()

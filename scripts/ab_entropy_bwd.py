@@ -18,7 +18,7 @@ def main():
     steps = sys.argv[1] if len(sys.argv) > 1 else "200"
     batch = sys.argv[2] if len(sys.argv) > 2 else "128"
     out = {}
-    for mode in ("0", "1", "bf16"):
+    for mode in ("0", "1", "2", "bf16"):
         # bf16 activation flow = the headline training configuration
         env = {**os.environ, "CAE_TPU_ANALYTIC_ENT": mode,
                "CAE_TPU_PRECISION": os.environ.get("CAE_TPU_PRECISION",
