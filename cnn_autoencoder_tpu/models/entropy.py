@@ -286,6 +286,40 @@ def medians_fn(params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return params["quantiles"][:, 0, 1]          # (C,)
 
 
+def fit_quantiles_bisect(params: Dict[str, jnp.ndarray], num_filters: int,
+                         tail_mass: float = 1e-9, lo: float = -256.0,
+                         hi: float = 256.0, iters: int = 60) -> jnp.ndarray:
+    """Solve the (C, 1, 3) quantiles exactly by per-channel bisection.
+
+    The cumulative-logit chain is strictly increasing in ``v`` (softplus
+    matrices are positive and |tanh(factor)| < 1 keeps every
+    ``x + f*tanh(x)`` stage monotone), so the three tail/median targets
+    can be bisected to machine precision.  Gradient fitting (the
+    reference's aux optimizer and this repo's old 1000-step loop) can
+    silently under-converge on peaked low-rate models — a round-5
+    fixture shipped with medians off by ~1 symbol, widening every
+    serving bitstream by 2.5x (aux loss 4235 vs 2394 after refit).
+    """
+    target = math.log(2.0 / tail_mass - 1.0)
+    targets = np.array([-target, 0.0, target], np.float64)[:, None]
+    c = params["matrix_0"].shape[0]
+
+    def f(v):  # (3, C) -> (3, C)
+        return np.asarray(logits_cumulative(
+            params, jnp.asarray(v, jnp.float32), num_filters,
+            stop_gradient=True), np.float64)
+
+    lo_a = np.full((3, c), lo)
+    hi_a = np.full((3, c), hi)
+    for _ in range(iters):
+        mid = 0.5 * (lo_a + hi_a)
+        go_hi = f(mid) < targets
+        lo_a = np.where(go_hi, mid, lo_a)
+        hi_a = np.where(go_hi, hi_a, mid)
+    q = 0.5 * (lo_a + hi_a)                      # (3, C)
+    return jnp.asarray(q.T[:, None, :], jnp.float32)  # (C, 1, 3)
+
+
 class FactorizedEntropyBottleneck(nn.Module):
     """Flax module wrapper: quantization + likelihood for training/eval.
 

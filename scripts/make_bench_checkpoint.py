@@ -141,15 +141,18 @@ def main():
                   f"psnr={psnr:.2f} rate={rate:.3f} lr={float(lr):.2e} "
                   f"({time.time() - t0:.0f}s)", flush=True)
 
-    # fit quantiles so the serving CDF tables match the trained prior
+    # fit quantiles so the serving CDF tables match the trained prior.
+    # Bisection, not gradient descent: the chain is strictly monotone in
+    # v, and the old 1000-step gradient fit silently under-converged on
+    # a peaked low-rate model (medians off ~1 symbol -> every serving
+    # bitstream 2.5x wider; see models/entropy.fit_quantiles_bisect)
+    from cnn_autoencoder_tpu.models.entropy import fit_quantiles_bisect
     p = variables["fact_ent"]["params"]
-    g = jax.jit(jax.grad(lambda q, pp: aux_loss_fn({**pp, "quantiles": q},
-                                                   4)))
-    q = p["quantiles"]
-    for _ in range(1000):
-        q = q - 0.05 * g(q, p)
+    q = fit_quantiles_bisect(p, 4)
     variables = dict(variables)
     variables["fact_ent"] = {"params": {**p, "quantiles": q}}
+    print("quantile fit (bisect): aux %.2f" % float(
+        aux_loss_fn({**p, "quantiles": q}, 4)))
 
     os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
     chk = dict(model.config)

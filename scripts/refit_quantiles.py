@@ -1,0 +1,37 @@
+"""Refit a checkpoint's entropy-model quantiles by exact bisection.
+
+Usage: python scripts/refit_quantiles.py ckpt.msgpack [ckpt2 ...]
+
+Overwrites each checkpoint in place with bisection-solved quantiles
+(models/entropy.fit_quantiles_bisect) and prints the aux loss before and
+after.  Use after training runs whose gradient-based quantile fit may
+not have converged (peaked low-rate models); serving CDF tables bake
+from the quantiles, so an off-median fit widens every bitstream.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from cnn_autoencoder_tpu.models.entropy import (aux_loss_fn,
+                                                    fit_quantiles_bisect)
+    from cnn_autoencoder_tpu.training.checkpoint import (load_checkpoint,
+                                                         save_checkpoint)
+    for path in sys.argv[1:]:
+        state = load_checkpoint(path)
+        p = dict(state["fact_ent"]["params"])
+        k = sum(1 for key in p if key.startswith("matrix_"))
+        num_filters = k - 1
+        before = float(aux_loss_fn(p, num_filters))
+        p["quantiles"] = fit_quantiles_bisect(p, num_filters)
+        after = float(aux_loss_fn(p, num_filters))
+        state["fact_ent"] = {**state["fact_ent"], "params": p}
+        save_checkpoint(path, state)
+        print(f"{path}: aux {before:.2f} -> {after:.2f}")
+
+
+if __name__ == "__main__":
+    main()

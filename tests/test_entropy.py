@@ -323,3 +323,50 @@ def test_analytic_chain_bf16_mode(monkeypatch):
         tr, ta = np.asarray(tr), np.asarray(ta)
         np.testing.assert_allclose(ta, tr, rtol=3e-2,
                                    atol=3e-2 * max(1e-3, np.abs(tr).max()))
+
+
+def test_fit_quantiles_bisect():
+    """Bisection quantiles hit the tail/median targets to high precision
+    and beat a 1000-step gradient fit's aux loss."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_autoencoder_tpu.models.entropy import (aux_loss_fn,
+                                                    fit_quantiles_bisect)
+
+    K = 4
+    rng = np.random.RandomState(11)
+    C = 6
+    params = {}
+    for i in range(K + 1):
+        fi = 1 if i == 0 else 3
+        fo = 1 if i == K else 3
+        params[f"matrix_{i}"] = jnp.asarray(
+            rng.randn(C, fo, fi).astype(np.float32) * 0.5)
+        params[f"bias_{i}"] = jnp.asarray(
+            rng.randn(C, fo, 1).astype(np.float32) * 0.3)
+        if i < K:
+            params[f"factor_{i}"] = jnp.asarray(
+                rng.randn(C, fo, 1).astype(np.float32) * 0.3)
+    params["quantiles"] = jnp.zeros((C, 1, 3), jnp.float32)
+
+    q = fit_quantiles_bisect(params, K)
+    assert q.shape == (C, 1, 3)
+    aux_bisect = float(aux_loss_fn({**params, "quantiles": q}, K))
+
+    g = jax.jit(jax.grad(lambda qq, pp: aux_loss_fn(
+        {**pp, "quantiles": qq}, K)))
+    qg = params["quantiles"]
+    for _ in range(1000):
+        qg = qg - 0.05 * g(qg, params)
+    aux_grad = float(aux_loss_fn({**params, "quantiles": qg}, K))
+
+    # the targets are hit essentially exactly (f32 eval tolerance over
+    # C*3 |logit - target| terms with |target| ~ 21)
+    assert aux_bisect < 0.01 * C * 3, aux_bisect
+    assert aux_bisect <= aux_grad + 1e-3
+    # medians are ordered within the quantile triple
+    qn = np.asarray(q)[:, 0, :]
+    assert (np.diff(qn, axis=1) > 0).all()
