@@ -119,7 +119,8 @@ def main():
         os.makedirs(ld2)
         run(common + ["-ld", ld2, "-s", str(STEPS_CLS),
                       "-cs", str(max(50, STEPS_CLS // 4)), "-esp", "100",
-                      "-cr", "RateMSECE", "-dl", "0.1", "-cem", "1.0",
+                      "-cr", "RateMSECE", "-dl", "0.1",
+                      "-cem", os.environ.get("CLS_BENCH_CEM", "10.0"),
                       "-chk", cae_ckpt, "-cmt", "ViT", "-ccp", "6",
                       "-trm", "class_model"])
         cands = sorted(f for f in os.listdir(ld2)
