@@ -107,7 +107,10 @@ def test_two_process_cli_matches_single(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     try:
         for pid, p in enumerate(procs):
-            out, _ = p.communicate(timeout=600)
+            # generous: two training children + the suite share ONE host
+            # core in this environment; 600 s flaked under full-suite
+            # contention while passing standalone in ~90 s
+            out, _ = p.communicate(timeout=1500)
             assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
             assert f"TRAIN_OK process {pid}" in out, out[-2000:]
     finally:
